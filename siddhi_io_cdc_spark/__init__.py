@@ -1,0 +1,25 @@
+"""siddhi_io_cdc_spark — a PySpark-native change-data-capture engine.
+
+A from-scratch re-expression of the capabilities of siddhi-io/siddhi-io-cdc
+(reference: /root/reference, v2.1.2-SNAPSHOT) on Apache Spark:
+
+- ``sources``    — the ``cdc-poll`` micro-batch streaming source (polling mode,
+                   reference ``source/polling/CDCPoller.java``) and the Debezium
+                   envelope reader (listening mode, reference
+                   ``source/listening/ChangeDataCapture.java``).
+- ``operators``  — event-shaping (op filter, before_/after flattening, type
+                   defaults; reference ``listening/RdbmsChangeDataCapture.java``)
+                   and mutating-sink helpers (insert/update/delete-on-table).
+- ``functions``  — large-scale training-data pipeline operators: dedup
+                   (exact/MinHash-LSH/SimHash/n-gram-Jaccard), similarity search,
+                   text analysis, multimodal column plumbing.
+- ``streaming``  — triggers, metrics listener, checkpoint/resume conventions.
+- ``plans``      — headline relational queries exercising the Catalyst-native
+                   query surface (SURVEY.md §2.5).
+
+Everything is declarative DataFrame/SQL first; Python UDFs appear only where
+Spark built-ins genuinely cannot express the semantics, and then only as
+Arrow-batched pandas UDFs.
+"""
+
+__version__ = "0.1.0"

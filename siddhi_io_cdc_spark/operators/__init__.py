@@ -1,0 +1,25 @@
+from siddhi_io_cdc_spark.operators.flatten import (
+    flatten,
+    lowercase_columns,
+    schema_map,
+    type_default,
+)
+from siddhi_io_cdc_spark.operators.mutate import (
+    apply_changelog,
+    delete_on,
+    insert_into,
+    merge_into_parquet,
+    update_on,
+)
+
+__all__ = [
+    "flatten",
+    "lowercase_columns",
+    "schema_map",
+    "type_default",
+    "apply_changelog",
+    "delete_on",
+    "insert_into",
+    "merge_into_parquet",
+    "update_on",
+]

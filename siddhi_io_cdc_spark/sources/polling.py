@@ -1,0 +1,252 @@
+"""``cdc-poll`` — a micro-batch Structured Streaming source for polling CDC.
+
+Re-expresses the reference's polling mode (``source/polling/CDCPoller.java``,
+``polling/strategies/DefaultPollingStrategy.java``,
+``polling/strategies/WaitOnMissingRecordPollingStrategy.java``) as a native
+Spark streaming source via the PySpark ``DataSource`` API (Spark 4):
+
+- **Initial offset** seeds from the current table max (``SELECT MAX(col)``,
+  DefaultPollingStrategy.java:109-132), with the ``-1`` sentinel for an empty
+  table (:121-124); ``startFrom=earliest`` additionally captures existing rows.
+- **Incremental scan**: each micro-batch reads ``polling_column > last AND
+  polling_column <= current_max`` — the predicate is evaluated inside the
+  storage scan (parquet row-group pruning / JDBC remote WHERE), mirroring the
+  reference's pushdown at DefaultPollingStrategy.java:142-145.
+- **Gap-wait** (``waitOnMissedRecord``): the offset never advances past a gap
+  in an integer polling column until ``missedRecordWaitingTimeout`` seconds
+  elapse (WaitOnMissingRecordPollingStrategy.java:112-152). Implemented as
+  admission control in ``latestOffset()``; the PySpark API hands
+  ``latestOffset`` no start offset, so the last emitted offset is reader
+  state — seeded by ``initialOffset`` on a fresh start and by
+  ``partitions(start, end)`` on a checkpoint-resumed uncommitted batch. One
+  documented deviation: resuming from a clean checkpoint *while* a gap-wait
+  was in flight restarts the wait from the checkpointed ``gap_since`` if the
+  restart replays a batch, else skips straight to the available rows
+  (equivalent to an immediate timeout).
+- **Pacing**: the reference's ``polling.interval`` (T6) maps to
+  ``trigger(processingTime=...)``; cron (T7) maps to externally scheduled
+  ``trigger(availableNow=True)`` runs — see ``streaming/triggers.py``.
+- **Resume** (T2/§3.3): Structured Streaming's checkpoint persists the offset
+  JSON; restart loses nothing (reference test TestCaseOfCDCPollingMode.java:393-515).
+
+Scale shape: offset discovery reads ONLY the polling column (column pruning +
+parquet statistics); data reads are split into ``numPartitions`` key ranges so
+a large catch-up scan parallelizes across the cluster, and each partition
+yields Arrow record batches (no per-row Python).
+
+The storage backend here is a parquet directory (what the test harness and a
+lakehouse landing zone use). A JDBC backend plugs into the same offset logic
+with ``spark.read.jdbc(predicates=...)``; connection pooling per partition is
+Spark-managed (reference S12 — HikariCP/JNDI — is obsolete under Spark's
+executor model).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+EMPTY_SENTINEL = -1  # DefaultPollingStrategy.java:121-124
+
+
+def _arrow_to_struct(schema):
+    from pyspark.sql.pandas.types import from_arrow_type
+    from pyspark.sql.types import StructField, StructType
+
+    return StructType([StructField(f.name, from_arrow_type(f.type), f.nullable) for f in schema])
+
+
+def _jsonable(v):
+    """Offset values must round-trip through JSON."""
+    try:
+        json.dumps(v)
+        return v
+    except TypeError:
+        if hasattr(v, "item"):
+            return v.item()
+        return str(v)
+
+
+@dataclass
+class RangeScan(InputPartition):
+    """One key-range slice of the (low, high] incremental scan."""
+
+    path: str
+    column: str
+    low: object  # exclusive; None/-1 sentinel = unbounded below
+    high: object  # inclusive; None = empty scan
+    columns: list = field(default_factory=list)
+
+
+class CDCPollStreamReader(DataSourceStreamReader):
+    def __init__(self, schema, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cdc-poll requires option 'path' (parquet table directory)")
+        self.column = options.get("pollingColumn") or options.get("polling.column")
+        if not self.column:
+            raise ValueError("cdc-poll requires option 'pollingColumn'")
+        self.start_from = (options.get("startFrom") or "latest").lower()
+        self.wait_on_missed = (options.get("waitOnMissedRecord") or "false").lower() == "true"
+        self.missed_timeout = float(options.get("missedRecordWaitingTimeout") or -1)
+        self.num_partitions = int(options.get("numPartitions") or 4)
+        self.field_names = [f.name for f in schema.fields]
+        self._prev: dict | None = None  # last offset this reader emitted/saw
+
+    # -- storage access (driver side: polling column only) --------------------
+
+    def _dataset(self):
+        import pyarrow.dataset as ds
+
+        return ds.dataset(self.path, format="parquet")
+
+    def _col_values(self, low=None):
+        """Polling-column values above ``low`` — column-pruned, filtered scan."""
+        import pyarrow.dataset as ds
+
+        dset = self._dataset()
+        filt = None
+        if low is not None and low != EMPTY_SENTINEL:
+            filt = ds.field(self.column) > low
+        return dset.to_table(columns=[self.column], filter=filt).column(0)
+
+    def _current_max(self):
+        import pyarrow.compute as pc
+
+        vals = self._col_values()
+        return pc.max(vals).as_py() if len(vals) else None
+
+    # -- offsets ---------------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        if self.start_from == "earliest":
+            off = {"last": EMPTY_SENTINEL}
+        else:
+            mx = self._current_max()
+            # Reference seeds with the current table max so only NEW rows flow
+            # (DefaultPollingStrategy.java:109-132); -1 when the table is empty.
+            off = {"last": EMPTY_SENTINEL if mx is None else _jsonable(mx)}
+        self._prev = off
+        return off
+
+    def latestOffset(self) -> dict:
+        start = self._prev
+        if start is None:
+            # Resumed from a clean checkpoint: Spark didn't replay a batch, so
+            # the true start is unknown until partitions() runs. Advance to
+            # the current max (gap logic resumes next trigger).
+            mx = self._current_max()
+            off = {"last": EMPTY_SENTINEL if mx is None else _jsonable(mx)}
+            self._prev = off
+            return off
+        off = self._advance(start)
+        self._prev = off
+        return off
+
+    def _advance(self, start: dict) -> dict:
+        import pyarrow.compute as pc
+
+        last = start.get("last")
+        vals = self._col_values(low=last)
+        if len(vals) == 0:
+            return dict(start)
+        mx = pc.max(vals).as_py()
+        if not self.wait_on_missed or not isinstance(last, int):
+            return {"last": _jsonable(mx)}
+
+        # Gap admission (T8): only advance through a contiguous integer run
+        # (gap detect: WaitOnMissingRecordPollingStrategy.java:116-131; the
+        # int-only constraint mirrors :51-52).
+        py_vals = sorted(int(v.as_py()) for v in vals)
+        allowed = last if last != EMPTY_SENTINEL else py_vals[0] - 1
+        for v in py_vals:
+            if v == allowed + 1:
+                allowed = v
+            elif v > allowed + 1:
+                break
+        if allowed >= mx:
+            return {"last": _jsonable(mx)}
+
+        waiting_for = allowed + 1
+        now = time.time()
+        if start.get("gap_next") == waiting_for and start.get("gap_since") is not None:
+            since = start["gap_since"]
+            if self.missed_timeout >= 0 and now - since >= self.missed_timeout:
+                # Timed out: give up on the missing record and consume the
+                # rest (WaitOnMissingRecordPollingStrategy.java:124-126).
+                return {"last": _jsonable(mx)}
+            return {"last": _jsonable(allowed), "gap_next": waiting_for, "gap_since": since}
+        return {"last": _jsonable(allowed), "gap_next": waiting_for, "gap_since": now}
+
+    def partitions(self, start: dict, end: dict):
+        # Learn the true start on checkpoint-replayed batches.
+        self._prev = dict(end)
+        low = start.get("last")
+        high = end.get("last")
+        empty = [RangeScan(self.path, self.column, None, None, self.field_names)]
+        if high is None or high == low:
+            return empty
+        if isinstance(low, int) and isinstance(high, int):
+            if high <= low and low != EMPTY_SENTINEL:
+                return empty
+            if self.num_partitions > 1 and low != EMPTY_SENTINEL and high - low > self.num_partitions:
+                # Range-split a large catch-up scan (SURVEY.md §7 scale rule:
+                # polling-column range-partitioned parallel reads).
+                span = high - low
+                step = span // self.num_partitions
+                parts, lo = [], low
+                for i in range(self.num_partitions):
+                    hi = high if i == self.num_partitions - 1 else lo + step
+                    parts.append(RangeScan(self.path, self.column, lo, hi, self.field_names))
+                    lo = hi
+                return parts
+        return [RangeScan(self.path, self.column, low, high, self.field_names)]
+
+    def read(self, partition: RangeScan):
+        import pyarrow.dataset as ds
+
+        if partition.high is None:
+            return iter(())
+        dset = ds.dataset(partition.path, format="parquet")
+        filt = ds.field(partition.column) <= partition.high
+        if partition.low is not None and partition.low != EMPTY_SENTINEL:
+            filt = filt & (ds.field(partition.column) > partition.low)
+        tbl = dset.to_table(columns=partition.columns, filter=filt)
+        # Arrow batches straight through — no per-row Python.
+        return iter(tbl.to_batches())
+
+    def commit(self, end: dict) -> None:
+        # Micro-batch commit supersedes the reference's per-event
+        # OffsetCommitPolicy.always() (ChangeDataCapture.java:88).
+        self._prev = dict(end)
+
+
+class CDCPollDataSource(DataSource):
+    """``spark.readStream.format("cdc-poll")`` — polling-mode CDC source.
+
+    Options: ``path``, ``pollingColumn``, ``startFrom`` (latest|earliest),
+    ``waitOnMissedRecord`` (bool), ``missedRecordWaitingTimeout`` (seconds,
+    -1 = wait forever), ``numPartitions``.
+
+    Like the reference's polling mode, captures inserts and updates-as-new-rows
+    only — a deleted row never matches ``col > last`` (CDCSource.java:82-84).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc-poll"
+
+    def schema(self):
+        import pyarrow.dataset as ds
+
+        return _arrow_to_struct(ds.dataset(self.options["path"], format="parquet").schema)
+
+    def streamReader(self, schema):
+        return CDCPollStreamReader(schema, self.options)
+
+
+def register_cdc_poll(spark) -> None:
+    spark.dataSource.register(CDCPollDataSource)

@@ -1,0 +1,4 @@
+from siddhi_io_cdc_spark.streaming.metrics import CDCMetricsListener
+from siddhi_io_cdc_spark.streaming.triggers import cron_run, interval_trigger
+
+__all__ = ["CDCMetricsListener", "cron_run", "interval_trigger"]
