@@ -79,6 +79,7 @@ def flatten(
     operations: Sequence[str] = ("insert",),
     include_metadata: bool | None = None,
     compat_int_widening: bool = True,
+    compat_decimal: bool = False,
 ) -> DataFrame:
     """Flatten a Debezium-envelope DataFrame into the reference's event shape.
 
@@ -87,6 +88,13 @@ def flatten(
     ``operation``/``source_ts_ms``/``ts_ms`` columns; default: on for
     multi-op (where the reference exposes ``trp:operation``), off for
     single-op.
+
+    ``compat_decimal`` (E6) replays the reference's lossy
+    ``VariableScaleDecimal`` collapse (RdbmsChangeDataCapture.java:199-211):
+    decimal columns with scale ≤ 0 become ``long``, others ``double``. The
+    reference decides per-VALUE (Java objects in a map); a typed column must
+    decide per-COLUMN, so we use the declared scale — documented divergence.
+    Default (False) keeps native ``DecimalType``, which is simply correct.
 
     Works identically on batch and streaming DataFrames (narrow ops only —
     no shuffle, fully pushdown-friendly).
@@ -97,6 +105,13 @@ def flatten(
         include_metadata = multi
 
     row_schema = _row_schema(df)
+    if include_metadata:
+        clash = [n for n in ("operation", "source_ts_ms", "ts_ms") if n in row_schema.fieldNames()]
+        if clash:
+            raise ValueError(
+                f"row schema columns {clash} collide with CDC metadata columns; "
+                "rename them or pass include_metadata=False"
+            )
     op_codes = [OP_NAMES[o] for o in ops]
     out = df.filter(F.col("op").isin(op_codes))  # E1
 
@@ -104,21 +119,27 @@ def flatten(
         # E7: Short/Byte → int (RdbmsChangeDataCapture.java:212-218).
         if compat_int_widening and isinstance(dtype, (T.ShortType, T.ByteType)):
             return c.cast("int")
+        # E6 compat: decimal → long (scale ≤ 0) / double (scale > 0).
+        if compat_decimal and isinstance(dtype, T.DecimalType):
+            return c.cast("long") if dtype.scale <= 0 else c.cast("double")
         return c
 
     cols: list[Column] = []
     if multi:
-        # E2/E3/E4 multi-op: both images, defaults where absent.
+        # E2/E3/E4 multi-op: both images; defaults only when the WHOLE image
+        # is absent for that op (reference applies getDefaultValue per-image,
+        # never per-field: RdbmsChangeDataCapture.java:69-84,110-126 — a NULL
+        # field inside a present image stays NULL).
         for f in row_schema.fields:
-            cols.append(
-                widen(F.coalesce(F.col(f"after.{f.name}"), type_default(f.dataType)), f.dataType).alias(f.name)
+            after_c = F.when(F.col("after").isNull(), type_default(f.dataType)).otherwise(
+                F.col(f"after.{f.name}")
             )
+            cols.append(widen(after_c, f.dataType).alias(f.name))
         for f in row_schema.fields:
-            cols.append(
-                widen(F.coalesce(F.col(f"before.{f.name}"), type_default(f.dataType)), f.dataType).alias(
-                    f"{BEFORE_PREFIX}{f.name}"
-                )
+            before_c = F.when(F.col("before").isNull(), type_default(f.dataType)).otherwise(
+                F.col(f"before.{f.name}")
             )
+            cols.append(widen(before_c, f.dataType).alias(f"{BEFORE_PREFIX}{f.name}"))
     else:
         (op,) = ops
         if op == "insert":

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 import uuid
 from collections.abc import Sequence
 
@@ -52,14 +51,20 @@ def update_on(
         set_exprs = {c: c for c in source.columns if c in target.columns and c not in keys}
     # Deduplicate the change set per key (last writer wins is resolved by the
     # caller ordering; here any single row per key) to keep the join 1:1.
+    # A match FLAG (not coalesce) distinguishes "no matching source row" from
+    # "update sets the column to NULL" — siddhi's update writes the given
+    # value including NULL (TestCaseOfCDCListeningMode.java:275-277).
     src = source.dropDuplicates(keys).select(
-        *keys, *[F.col(s).alias(f"__new_{t}") for t, s in set_exprs.items()]
+        *keys,
+        F.lit(True).alias("__matched"),
+        *[F.col(s).alias(f"__new_{t}") for t, s in set_exprs.items()],
     )
     joined = target.join(F.broadcast(src), on=keys, how="left")
+    matched = F.col("__matched").eqNullSafe(F.lit(True))
     out_cols: list[Column] = []
     for c in target.columns:
         if c in set_exprs:
-            out_cols.append(F.coalesce(F.col(f"__new_{c}"), F.col(c)).alias(c))
+            out_cols.append(F.when(matched, F.col(f"__new_{c}")).otherwise(F.col(c)).alias(c))
         else:
             out_cols.append(F.col(c))
     return joined.select(*out_cols)
@@ -115,16 +120,53 @@ def merge_into_parquet(
     key: Sequence[str],
     seq_col: str = "ts_ms",
     op_col: str = "operation",
+    table_columns: Sequence[str] | None = None,
 ) -> None:
-    """Apply one micro-batch of flattened CDC events to a parquet table."""
-    target = spark.read.parquet(target_path)
+    """Apply one micro-batch of flattened CDC events to a parquet table.
+
+    Crash-safety: the merged output is written to a SIBLING directory of
+    ``target_path`` (same filesystem → both swap steps are atomic renames,
+    not copy+delete), and a crash between the two renames is recoverable —
+    the next call restores the retained ``.old-`` directory. A missing
+    target bootstraps from the batch itself (first ``foreach_batch_merge``
+    call against a table that does not exist yet).
+    """
+    target_path = os.path.abspath(target_path)
+    _recover_interrupted_swap(target_path)
+    exists = os.path.exists(target_path)
+    if not exists:
+        if table_columns is None:
+            meta = {op_col, seq_col, "operation", "source_ts_ms", "ts_ms"}
+            table_columns = [
+                c for c in batch_df.columns if c not in meta and not c.startswith("before_")
+            ]
+        target = spark.createDataFrame([], batch_df.select(*table_columns).schema)
+    else:
+        target = spark.read.parquet(target_path)
     merged = apply_changelog(target, batch_df, key=key, seq_col=seq_col, op_col=op_col)
-    tmp = os.path.join(tempfile.gettempdir(), f"cdc-merge-{uuid.uuid4().hex}")
+    tmp = target_path + ".tmp-" + uuid.uuid4().hex
     merged.write.mode("overwrite").parquet(tmp)
-    swap_old = target_path + ".old-" + uuid.uuid4().hex
-    os.rename(target_path, swap_old)
-    shutil.move(tmp, target_path)
-    shutil.rmtree(swap_old, ignore_errors=True)
+    if exists:
+        swap_old = target_path + ".old-" + uuid.uuid4().hex
+        os.rename(target_path, swap_old)
+        os.rename(tmp, target_path)
+        shutil.rmtree(swap_old, ignore_errors=True)
+    else:
+        os.rename(tmp, target_path)
+
+
+def _recover_interrupted_swap(target_path: str) -> None:
+    """If a crash left ``.old-*`` behind with no live target, restore it."""
+    if os.path.exists(target_path):
+        return
+    parent, base = os.path.split(target_path)
+    if not os.path.isdir(parent):
+        return
+    leftovers = sorted(d for d in os.listdir(parent) if d.startswith(base + ".old-"))
+    if leftovers:
+        os.rename(os.path.join(parent, leftovers[0]), target_path)
+        for d in leftovers[1:]:
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
 def foreach_batch_merge(spark, target_path: str, key: Sequence[str], seq_col: str = "ts_ms", op_col: str = "operation"):

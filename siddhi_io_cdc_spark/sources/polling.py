@@ -93,6 +93,7 @@ class CDCPollStreamReader(DataSourceStreamReader):
         self.wait_on_missed = (options.get("waitOnMissedRecord") or "false").lower() == "true"
         self.missed_timeout = float(options.get("missedRecordWaitingTimeout") or -1)
         self.num_partitions = int(options.get("numPartitions") or 4)
+        self.max_keys_per_trigger = int(options.get("maxKeysPerTrigger") or 1_000_000)
         self.field_names = [f.name for f in schema.fields]
         self._prev: dict | None = None  # last offset this reader emitted/saw
 
@@ -103,17 +104,55 @@ class CDCPollStreamReader(DataSourceStreamReader):
 
         return ds.dataset(self.path, format="parquet")
 
-    def _col_values(self, low=None):
-        """Polling-column values above ``low`` — column-pruned, filtered scan."""
+    def _col_values(self, low=None, high=None):
+        """Polling-column values in ``(low, high]`` — column-pruned, filtered
+        scan. Callers bound ``high`` so this never materializes an unbounded
+        backlog on the driver (the gap path caps at ``maxKeysPerTrigger``)."""
         import pyarrow.dataset as ds
 
         dset = self._dataset()
         filt = None
         if low is not None and low != EMPTY_SENTINEL:
             filt = ds.field(self.column) > low
+        if high is not None:
+            hf = ds.field(self.column) <= high
+            filt = hf if filt is None else (filt & hf)
         return dset.to_table(columns=[self.column], filter=filt).column(0)
 
+    def _stats_minmax(self):
+        """(min, max) of the polling column from parquet ROW-GROUP STATISTICS —
+        footer metadata only, no data pages read. This is what keeps offset
+        discovery O(row groups) on the driver instead of O(rows): the
+        reference's ``SELECT MAX(col)`` (DefaultPollingStrategy.java:115)
+        becomes a stats lookup. Returns (None, None) when any row group lacks
+        stats (caller falls back to a filtered scan)."""
+        mn = mx = None
+        for frag in self._dataset().get_fragments():
+            md = frag.metadata  # parquet footer
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                if row_group.num_rows == 0:
+                    continue
+                col_idx = None
+                for i in range(row_group.num_columns):
+                    if row_group.column(i).path_in_schema == self.column:
+                        col_idx = i
+                        break
+                if col_idx is None:
+                    return (None, None)
+                st = row_group.column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    return (None, None)
+                if st.num_values == 0:  # all-null row group
+                    continue
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        return (mn, mx)
+
     def _current_max(self):
+        mn, mx = self._stats_minmax()
+        if mx is not None:
+            return mx
         import pyarrow.compute as pc
 
         vals = self._col_values()
@@ -150,25 +189,62 @@ class CDCPollStreamReader(DataSourceStreamReader):
         import pyarrow.compute as pc
 
         last = start.get("last")
-        vals = self._col_values(low=last)
-        if len(vals) == 0:
-            return dict(start)
-        mx = pc.max(vals).as_py()
         if not self.wait_on_missed or not isinstance(last, int):
+            # Fast path: max comes from row-group statistics (footer-only);
+            # no polling-column data ever crosses the driver.
+            mx = self._current_max()
+            if mx is None:
+                return dict(start)
+            if last is not None and last != EMPTY_SENTINEL:
+                try:
+                    if not mx > last:
+                        return dict(start)
+                except TypeError:  # offset was JSON-stringified (e.g. timestamp)
+                    vals = self._col_values(low=last)
+                    if len(vals) == 0:
+                        return dict(start)
+                    mx = pc.max(vals).as_py()
             return {"last": _jsonable(mx)}
 
         # Gap admission (T8): only advance through a contiguous integer run
         # (gap detect: WaitOnMissingRecordPollingStrategy.java:116-131; the
-        # int-only constraint mirrors :51-52).
-        py_vals = sorted(int(v.as_py()) for v in vals)
-        allowed = last if last != EMPTY_SENTINEL else py_vals[0] - 1
-        for v in py_vals:
-            if v == allowed + 1:
-                allowed = v
-            elif v > allowed + 1:
-                break
+        # int-only constraint mirrors :51-52). The contiguity scan is BOUNDED:
+        # it reads only the (last, last + maxKeysPerTrigger] key window —
+        # column-pruned, row-group-pruned — and runs vectorized (numpy), so a
+        # huge catch-up backlog never materializes as Python objects on the
+        # driver; the stream drains it window-per-trigger instead.
+        import numpy as np
+
+        stats_mn, stats_mx = self._stats_minmax()
+        if last == EMPTY_SENTINEL:
+            if stats_mn is not None:
+                base = int(stats_mn) - 1
+            else:
+                all_vals = pc.drop_null(self._col_values())
+                if len(all_vals) == 0:
+                    return dict(start)
+                base = int(pc.min(all_vals).as_py()) - 1
+        else:
+            base = last
+        window_hi = base + self.max_keys_per_trigger
+        vals = pc.drop_null(self._col_values(low=base, high=window_hi))
+        if len(vals) == 0:
+            return dict(start)
+        arr = np.sort(pc.unique(vals).to_numpy(zero_copy_only=False).astype(np.int64))
+        contiguous = arr == base + 1 + np.arange(arr.size)
+        run = arr.size if bool(contiguous.all()) else int(np.argmin(contiguous))
+        allowed = base + run
+        mx = int(arr[-1])
+        if stats_mx is not None:
+            try:
+                mx = max(mx, int(stats_mx))
+            except (TypeError, ValueError):
+                pass
         if allowed >= mx:
-            return {"last": _jsonable(mx)}
+            return {"last": _jsonable(allowed)}
+        if allowed == window_hi:
+            # Window exhausted without a gap; continue next trigger.
+            return {"last": _jsonable(allowed)}
 
         waiting_for = allowed + 1
         now = time.time()

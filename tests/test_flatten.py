@@ -131,3 +131,51 @@ def test_schema_map_renames(spark):
     out = schema_map(df, mapping={"id": "k", "name": "v"})
     assert out.columns == ["id", "name"]
     assert out.collect() == [Row(id=1, name="a")]
+
+
+def test_multi_op_preserves_null_field_in_present_image(spark):
+    # A NULL field inside a PRESENT image must stay NULL (defaults apply only
+    # when the whole image is absent — RdbmsChangeDataCapture.java:69-126).
+    df = _env_df(spark, [_ev("u", ("e001", None), ("e001", "newName"))])
+    out = flatten(df, operations=["insert", "update"]).collect()[0]
+    assert out["before_name"] is None
+    assert out["name"] == "newName"
+    # Whole-image absence still fills type defaults: insert has no before.
+    df2 = _env_df(spark, [_ev("c", None, ("e002", "n2"))])
+    out2 = flatten(df2, operations=["insert", "update"]).collect()[0]
+    assert out2["before_id"] == "" and out2["before_name"] == ""
+
+
+def test_metadata_name_collision_raises(spark):
+    schema = T.StructType(
+        [T.StructField("id", T.StringType()), T.StructField("ts_ms", T.LongType())]
+    )
+    from siddhi_io_cdc_spark.sources.envelope import envelope_schema as es
+
+    df = spark.createDataFrame([], es(schema))
+    with pytest.raises(ValueError, match="collide"):
+        flatten(df, operations=["insert", "delete"])
+
+
+def test_compat_decimal_collapse(spark):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("amount", T.DecimalType(12, 2)),
+            T.StructField("qty", T.DecimalType(10, 0)),
+        ]
+    )
+    from decimal import Decimal
+
+    from siddhi_io_cdc_spark.sources.envelope import envelope_schema as es
+
+    df = spark.createDataFrame(
+        [("c", None, ("e1", Decimal("12.34"), Decimal("7")), {"ts_ms": 1}, 2)], es(schema)
+    )
+    native = flatten(df, operations=["insert"])
+    assert isinstance(native.schema["amount"].dataType, T.DecimalType)
+    compat = flatten(df, operations=["insert"], compat_decimal=True)
+    assert compat.schema["amount"].dataType.simpleString() == "double"
+    assert compat.schema["qty"].dataType.simpleString() == "bigint"
+    r = compat.collect()[0]
+    assert r["amount"] == 12.34 and r["qty"] == 7

@@ -1,0 +1,102 @@
+"""Mutating query surface — Q1/Q3/Q4 semantics incl. the NULL-update fix
+(siddhi's ``update T on key`` writes the given value including NULL;
+reference usage TestCaseOfCDCListeningMode.java:275-277) and crash-safe
+parquet merge (bootstrap + sibling-tmp swap)."""
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.operators.mutate import (
+    apply_changelog,
+    delete_on,
+    insert_into,
+    merge_into_parquet,
+    update_on,
+)
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [("e001", "alice", 10), ("e002", "bob", 20), ("e003", "carol", 30)],
+        "id string, name string, score int",
+    )
+
+
+def test_update_on_writes_null_values(spark):
+    # A source row that explicitly sets name=NULL must null the target column,
+    # not keep the old value (match-flag join, not coalesce).
+    src = spark.createDataFrame([("e001", None, 99)], "id string, name string, score int")
+    out = update_on(_target(spark), src, on=["id"]).orderBy("id").collect()
+    assert out[0] == Row(id="e001", name=None, score=99)
+    # Unmatched rows pass through untouched.
+    assert out[1] == Row(id="e002", name="bob", score=20)
+
+
+def test_update_on_distinguishes_unmatched_from_null(spark):
+    # No source row for e003 → e003 keeps its values even though another
+    # source row carries NULLs.
+    src = spark.createDataFrame([("e002", None, None)], "id string, name string, score int")
+    out = {r["id"]: r for r in update_on(_target(spark), src, on=["id"]).collect()}
+    assert out["e002"].name is None and out["e002"].score is None
+    assert out["e003"].name == "carol" and out["e003"].score == 30
+
+
+def test_insert_and_delete(spark):
+    tgt = _target(spark)
+    src = spark.createDataFrame([("e004", "dave", 40)], "id string, name string, score int")
+    assert insert_into(tgt, src).count() == 4
+    left = delete_on(tgt, spark.createDataFrame([("e002",)], "id string"), on=["id"])
+    assert sorted(r["id"] for r in left.collect()) == ["e001", "e003"]
+
+
+def test_merge_into_parquet_bootstraps_missing_target(spark, tmp_path):
+    target = os.path.join(str(tmp_path), "login")
+    batch = spark.createDataFrame(
+        [("e001", "alice", "insert", 1), ("e002", "bob", "insert", 2)],
+        "id string, name string, operation string, ts_ms long",
+    )
+    merge_into_parquet(spark, target, batch, key=["id"])
+    got = spark.read.parquet(target)
+    assert sorted(r["id"] for r in got.collect()) == ["e001", "e002"]
+    assert sorted(got.columns) == ["id", "name"]
+
+    # Second batch merges against the bootstrapped table: update + delete.
+    batch2 = spark.createDataFrame(
+        [("e001", "ALICE", "update", 3), ("e002", "bob", "delete", 4)],
+        "id string, name string, operation string, ts_ms long",
+    )
+    merge_into_parquet(spark, target, batch2, key=["id"])
+    assert spark.read.parquet(target).collect() == [Row(id="e001", name="ALICE")]
+
+
+def test_merge_recovers_interrupted_swap(spark, tmp_path):
+    target = os.path.join(str(tmp_path), "tbl")
+    batch = spark.createDataFrame(
+        [("k1", "v1", "insert", 1)], "id string, v string, operation string, ts_ms long"
+    )
+    merge_into_parquet(spark, target, batch, key=["id"])
+    # Simulate a crash between the two swap renames: target gone, .old- left.
+    os.rename(target, target + ".old-deadbeef")
+    batch2 = spark.createDataFrame(
+        [("k2", "v2", "insert", 2)], "id string, v string, operation string, ts_ms long"
+    )
+    merge_into_parquet(spark, target, batch2, key=["id"])
+    assert sorted(r["id"] for r in spark.read.parquet(target).collect()) == ["k1", "k2"]
+
+
+def test_apply_changelog_last_event_wins(spark):
+    tgt = _target(spark)
+    ev = spark.createDataFrame(
+        [
+            ("e001", "x", 1, "update", 10),
+            ("e001", "y", 2, "delete", 20),  # later → e001 deleted
+            ("e004", "dave", 40, "insert", 5),
+        ],
+        "id string, name string, score int, operation string, ts_ms long",
+    )
+    out = {r["id"]: r for r in apply_changelog(tgt, ev, key=["id"]).collect()}
+    assert "e001" not in out
+    assert out["e004"].name == "dave"
+    assert out["e002"].name == "bob"

@@ -171,3 +171,62 @@ def test_resume_without_loss(spark, tmp_path):
         assert got == {2, 3, 4}, f"rows inserted while down must be delivered exactly once, got {got}"
     finally:
         q2.stop()
+
+
+def test_offset_discovery_uses_row_group_stats(spark, tmp_path):
+    """Initial/latest offset must come from parquet footer statistics, not a
+    data scan (scale rule: O(row groups) driver work, never O(rows))."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from siddhi_io_cdc_spark.sources.polling import CDCPollStreamReader
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    tbl = pa.table({"event_id": list(range(1, 5001)), "v": [str(i) for i in range(5000)]})
+    pq.write_table(tbl, f"{path}/part-0.parquet", row_group_size=500)
+
+    reader = CDCPollStreamReader.__new__(CDCPollStreamReader)
+    reader.path = path
+    reader.column = "event_id"
+    mn, mx = reader._stats_minmax()
+    assert (mn, mx) == (1, 5000)
+
+    # Poison the data-scan path: stats alone must answer _current_max.
+    reader._col_values = lambda *a, **k: (_ for _ in ()).throw(AssertionError("full scan!"))
+    assert reader._current_max() == 5000
+
+
+def test_gap_scan_is_windowed(spark, tmp_path):
+    """Gap-wait contiguity check reads only (last, last+maxKeysPerTrigger]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from siddhi_io_cdc_spark.sources.polling import CDCPollStreamReader
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    ids = [i for i in range(1, 1001) if i != 500] + [5000]
+    pq.write_table(pa.table({"event_id": ids}), f"{path}/part-0.parquet")
+
+    reader = CDCPollStreamReader.__new__(CDCPollStreamReader)
+    reader.path = path
+    reader.column = "event_id"
+    reader.wait_on_missed = True
+    reader.missed_timeout = 1e9
+    reader.max_keys_per_trigger = 100
+
+    seen = {}
+    orig = CDCPollStreamReader._col_values
+    def spy(self, low=None, high=None):
+        seen["bounds"] = (low, high)
+        return orig(self, low=low, high=high)
+    reader._col_values = spy.__get__(reader)
+
+    off = reader._advance({"last": 0})
+    assert seen["bounds"] == (0, 100)       # bounded window, not full backlog
+    assert off["last"] == 100                # contiguous through the window
+
+    off2 = reader._advance({"last": 450})
+    assert off2["last"] == 499               # stops at the 500 gap
+    assert off2["gap_next"] == 500
