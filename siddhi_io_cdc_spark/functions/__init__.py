@@ -1,0 +1,52 @@
+"""LLM-data-pipeline operators: dedup, similarity search, text analysis,
+multimodal column plumbing. See the submodule docstrings for the 100 TB
+design notes; everything row-level is JVM built-ins, Python appears only in
+the clearly-stubbed multimodal decoders (Arrow-batched)."""
+
+from siddhi_io_cdc_spark.functions.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+    token_shingles,
+)
+from siddhi_io_cdc_spark.functions.similarity import (
+    ann_cosine,
+    cosine,
+    dot,
+    embedding_near_dup_pairs,
+    topk_cosine,
+)
+from siddhi_io_cdc_spark.functions.text import (
+    fingerprint,
+    lang_detect,
+    normalize_text,
+    quality_score,
+    text_stats,
+    token_count,
+    word_count,
+)
+
+__all__ = [
+    "ann_cosine",
+    "cosine",
+    "dedup_exact",
+    "dot",
+    "embedding_near_dup_pairs",
+    "fingerprint",
+    "lang_detect",
+    "minhash_lsh_pairs",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "normalize_text",
+    "quality_score",
+    "simhash64",
+    "simhash_pairs",
+    "text_stats",
+    "token_count",
+    "token_shingles",
+    "topk_cosine",
+    "word_count",
+]

@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Design rule for 100 TB: NEVER all-pairs. Every near-dup variant reduces the
+candidate space with a bucketing shuffle (LSH bands / simhash chunks) and
+verifies only within buckets — the join keys are the bucket ids, so Spark
+co-partitions both sides and the verify join is a plain shuffled hash join
+on a high-cardinality key. Exact dedup is one hash-aggregate (map-side
+partial) on the normalized-text hash.
+
+All hot-path expressions are JVM built-ins (xxhash64/md5/array ops); no
+Python touches a row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.text import normalize_text
+
+# A large prime < 2^31 for minhash modular arithmetic (fits comfortably in
+# long multiplication without overflow of intermediates mattering — Java long
+# arithmetic wraps deterministically either way).
+_MERSENNE_P = 2_147_483_647
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup: keep the smallest-id document per (normalized) text.
+
+    One hash aggregation on ``md5(normalized text)`` — the 128-bit digest is
+    the group key, so the shuffle carries 16 bytes + id per row instead of
+    the document body. Returns the surviving rows (all original columns).
+    """
+    key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), key.alias("__k"))
+        .groupBy("__k")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__k")
+    )
+    # Broadcast-free semi join on the id: both sides shuffle on id once.
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def token_shingles(col: Column | str, k: int = 5) -> Column:
+    """Array of k-token shingles (strings) over whitespace tokens of the
+    normalized text. Short documents (< k tokens) yield one whole-text
+    shingle so they still participate."""
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(shingles)
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature: array<long> of length ``num_hashes``.
+
+    h_i(s) = (a_i * xxhash64(s) + b_i) mod P with (a_i, b_i) derived
+    deterministically from ``seed``. array_min over a transform — O(shingles)
+    JVM work per hash function, no shuffle.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
+    mins = [
+        F.array_min(F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P))))
+        for a, b in coeffs
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH + exact Jaccard verify.
+
+    Pipeline: shingle → signature → explode ``bands`` band-hashes → self-join
+    on (band, band_hash) → distinct candidate pairs → verify exact shingle
+    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale shape: the only joins are equi-joins on band buckets and on ids —
+    no cartesian anywhere; candidate volume is bounded by bucket collisions
+    (tunable via bands/rows-per-band).
+    """
+    assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
+    rows_per_band = num_hashes // bands
+
+    sh = df.select(
+        F.col(id_col).alias("__id"), token_shingles(text_col, shingle_k).alias("__sh")
+    )
+    sig = sh.select(
+        "__id", "__sh", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig")
+    )
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__id", "__b.band", "__b.bkey")
+
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band", "bkey"], how="inner")
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash64(col: Column | str, tokens: Column | None = None) -> Column:
+    """64-bit SimHash of the whitespace tokens of the normalized text.
+
+    Per bit b: sum over tokens of ±1 by bit b of xxhash64(token); bit set if
+    the vote is positive. O(64·tokens) JVM expressions per row, no shuffle.
+    """
+    toks = tokens if tokens is not None else F.split(normalize_text(col), " ")
+
+    def _bit_votes(t: Column) -> Column:
+        # Bit positions are unrolled as Python ints (shiftright needs a
+        # literal); one xxhash64 per token, 64 mask tests — all codegen.
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(64)
+            ]
+        )
+
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(acc, _bit_votes(t), lambda a, v: a + v),
+    )
+    # Combine sign bits with a literal powers-of-two array (bit 63 is the
+    # sign bit: 1<<63 as a signed long is MIN_LONG).
+    powers = F.array(
+        *[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of the four 16-bit chunks
+    (pigeonhole: any pair within hamming ≤ 3 of 64 bits shares at least one
+    exact 16-bit chunk... for chunk count 4 > max_hamming), verify with
+    bit_count(xor) ≤ max_hamming."""
+    assert max_hamming < 4, "4-chunk blocking guarantees recall only for hamming < 4"
+    h = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__h"))
+    chunks = h.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("__h"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__c"),
+    ).select("__id", "__h", "__c.chunk", "__c.ckey")
+    pairs = (
+        chunks.alias("l")
+        .join(chunks.alias("r"), on=["chunk", "ckey"], how="inner")
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.bit_count(F.col("l.__h").bitwiseXOR(F.col("r.__h"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = 8,
+    num_hashes: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup: same LSH blocking as minhash_lsh_pairs
+    but over character n-grams (robust to token-boundary edits)."""
+    norm = normalize_text(text_col)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
+            lambda i: norm.substr(i, F.lit(n)),
+        )
+    )
+    sh = df.select(F.col(id_col).alias("__id"), grams.alias("__sh"))
+    sig = sh.select("__id", "__sh", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig"))
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("__b"),
+    ).select("__id", "__b.band", "__b.bkey")
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band", "bkey"], how="inner")
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

@@ -1,0 +1,142 @@
+"""Multimodal column conventions + decode/feature plumbing.
+
+Convention: a multimodal asset is an opaque ``binary`` payload column plus a
+typed metadata struct (``mm_meta``) carrying modality/mime/dims. All Spark
+plumbing — schema, partition-preserving ``mapInPandas``, Arrow batch shapes —
+is real and tested; the actual media decoding is STUBBED (this container has
+no image/audio libraries): ``decode_image`` tries Pillow and otherwise
+produces a clearly-marked deterministic fake so pipelines are testable
+end-to-end. Swap the inner function for a real decoder in production; the
+Spark-side contract does not change.
+
+Scale notes: payloads stay in Arrow buffers end-to-end (binary columns are
+zero-copy through ``mapInPandas``); feature extraction batches by
+``spark.sql.execution.arrow.maxRecordsPerBatch``; nothing here shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MM_META_SCHEMA = T.StructType(
+    [
+        T.StructField("modality", T.StringType(), False),  # image|audio|video|text
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, src_col: str, modality: str = "image", mime: str | None = None
+) -> DataFrame:
+    """Wrap a column into the (payload binary, mm_meta struct) convention.
+
+    For tests the payload derives deterministically from ``src_col`` text."""
+    return df.withColumn("payload", F.encode(F.col(src_col).cast("string"), "UTF-8")).withColumn(
+        "mm_meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+IMAGE_FEATURES_SCHEMA = "id long, width int, height int, mean_intensity double"
+
+
+def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode image payloads → (id, width, height, mean_intensity).
+
+    Real decode requires Pillow; absent that, a DETERMINISTIC FAKE decoder
+    derives pseudo-dimensions and intensity from the payload bytes (marked by
+    width/height being byte-derived). The ``mapInPandas`` plumbing — Arrow
+    batch in, Arrow batch out, partition-preserving — is the production shape.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    src = df.select(F.col(id_col).alias("id"), "payload")
+
+    def _decode(batches: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ws, hs, means = [], [], [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                b = bytes(payload)
+                if have_pil:
+                    img = Image.open(io.BytesIO(b))  # pragma: no cover (no PIL here)
+                    w, h = img.size
+                    mean = 0.0
+                    raise NotImplementedError(
+                        "real decode path requires pixel access; wire your decoder here"
+                    )
+                # Deterministic fake: dims/intensity from the bytes themselves.
+                w = 16 + (b[0] % 64) if b else 16
+                h = 16 + (b[-1] % 64) if b else 16
+                mean = (sum(b) / len(b)) if b else 0.0
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                means.append(round(mean, 6))
+            yield pd.DataFrame({"id": ids, "width": ws, "height": hs, "mean_intensity": means})
+
+    return src.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, n_frames_col: str = "mm_meta") -> DataFrame:
+    """Video frame sampling plan: emit one row per sampled frame index.
+
+    Pure JVM (sequence + explode); the per-frame decode then runs through
+    ``decode_image_features``. Rows without frame counts are dropped."""
+    n = F.col(f"{n_frames_col}.n_frames")
+    return (
+        df.where(n.isNotNull() & (n > 0))
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n - 1, F.lit(every_n))))
+    )
+
+
+def extract_embedding(df: DataFrame, id_col: str = "doc_id", dim: int = 16) -> DataFrame:
+    """STUB feature extractor: deterministic pseudo-embedding from payload
+    bytes (stands in for a model forward pass; Arrow-batched, vectorized
+    numpy — the exact batch shape a real encoder UDF uses)."""
+
+    src = df.select(F.col(id_col).alias("id"), "payload")
+
+    def _embed(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if b.size == 0:
+                    out.append([0.0] * dim)
+                    continue
+                # Fold bytes into `dim` buckets deterministically.
+                pad = (-b.size) % dim
+                v = np.pad(b, (0, pad)).reshape(-1, dim).sum(axis=0).astype("float64")
+                nrm = float(np.linalg.norm(v)) or 1.0
+                out.append([round(float(x), 6) for x in (v / nrm)])
+            yield pd.DataFrame({"id": pdf["id"], "embedding": out})
+
+    return src.mapInPandas(_embed, schema="id long, embedding array<double>")

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, both pure DataFrame ops:
+
+- **Brute-force top-k** — exact: score every row with a JVM fold
+  (``zip_with`` + ``aggregate`` in double precision), then ``orderBy +
+  limit`` (Spark executes that as TakeOrdered: per-partition top-k then a
+  driver merge of k·partitions rows — no full sort, no shuffle of the data).
+- **LSH-bucketed ANN** — the scale path: sign-of-projection bits against
+  ``nbits`` fixed random hyperplanes (seeded, generated driver-side once)
+  give every vector a bucket id; the query probes its own bucket plus all
+  buckets within hamming distance ``probe_hamming``, then brute-forces only
+  those rows. Bucketing is a narrow projection; the probe is a pushdown-able
+  equality/IN filter on the bucket column, so at 100 TB with a
+  bucket-partitioned layout only the probed partitions are read.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two array columns — left-to-right JVM
+    fold, deterministic."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_lit_vec(v: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``.
+
+    Deterministic: ties break on ``id_col``. Returns (id, score)."""
+    q = _as_lit_vec(query_vec)
+    scored = df.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, nbits: int = 16, seed: int = 42):
+    """Deterministic random hyperplanes (numpy RandomState, driver-side)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.randn(nbits, dim)
+
+
+def lsh_bucket(vec_col: Column, planes) -> Column:
+    """Sign-LSH bucket id: bit i = [plane_i · v > 0]. Pure JVM fold per plane."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        bit = F.when(dot(vec_col, _as_lit_vec(p)) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def ann_cosine(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: LSH bucket filter, then exact cosine in the probed
+    buckets. ``probe_hamming`` trades recall for scan volume (buckets probed
+    = sum_{i≤h} C(nbits, i))."""
+    import numpy as np
+
+    planes = hyperplanes(len(query_vec), nbits, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    qbucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(p, qv)) > 0:
+            qbucket |= 1 << i
+    probes = {qbucket}
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(nbits), h):
+            b = qbucket
+            for i in bits:
+                b ^= 1 << i
+            probes.add(b)
+
+    bucketed = df.withColumn("__bucket", lsh_bucket(F.col(vec_col), planes))
+    candidates = bucketed.where(F.col("__bucket").isin(sorted(probes)))
+    return topk_cosine(candidates, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket on sign-LSH, verify
+    cosine ≥ threshold within buckets only (never all-pairs). Recall misses
+    pairs straddling a hyperplane; raise recall by lowering ``nbits``."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, nbits, seed)
+    b = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), on="__bucket", how="inner")
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.round(cosine(F.col("l.__v"), F.col("r.__v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+    return pairs

@@ -1,0 +1,124 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Every operator here is built from ``pyspark.sql.functions`` only — whole-stage
+codegen, zero per-row Python — so the same expressions hold at 100 TB. Each
+has an exact ANSI-SQL restatement (see ``__spark_entry__.oracle_sql``), which
+is what makes them oracle-checkable.
+
+Scale notes: all transforms are narrow (no shuffle); aggregating wrappers
+(e.g. corpus stats) are single hash-aggregations with map-side partial
+aggregation for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: BPE-ish token pattern: letter runs, digit runs, single punctuation marks.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Punctuation class used by quality scoring (explicit list — portable between
+#: Java regex and RE2, unlike POSIX classes).
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+
+#: Small per-language marker-word profiles for the n-gram/stopword heuristic
+#: language id. Ordered dict: ties break toward the earlier language.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "las", "y", "es", "una"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["in", "it", "that", "for", "on", "as"]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for dedup/fingerprinting: lowercase, trim, collapse
+    whitespace runs to single spaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def word_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count(col: Column | str, pattern: str = TOKEN_RE) -> Column:
+    """BPE-ish token count: number of TOKEN_RE matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern))
+
+
+def _marker_count(col: Column, words: list[str]) -> Column:
+    ascii_words = [w for w in words if w.isascii()]
+    cnt = F.lit(0)
+    if ascii_words:
+        cnt = F.regexp_count(F.lower(col), F.lit(r"\b(" + "|".join(ascii_words) + r")\b"))
+    for w in words:
+        if not w.isascii():  # \b is undefined around CJK; plain substring count
+            cnt = cnt + F.regexp_count(col, F.lit(w))
+    return cnt
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-word hit counts (the language-id signal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {lang: _marker_count(c, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_detect(col: Column | str) -> Column:
+    """Heuristic language id: argmax of marker-word counts, ties broken by
+    profile order, 'und' when no marker hits at all."""
+    scores = lang_scores(col)
+    langs = list(scores)
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        s = scores[lang]
+        best_lang = F.when(s > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(s > best_score, s).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-document statistics columns: ``n_chars_calc``, ``n_words``,
+    ``n_tokens``, ``punct_ratio``, ``stopword_ratio``."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_words = word_count(c)
+    stop_hits = _marker_count(c, STOPWORDS_EN)
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("n_tokens", token_count(c))
+        .withColumn(
+            "punct_ratio",
+            F.round(F.regexp_count(c, F.lit(PUNCT_RE)) / F.greatest(n_chars, F.lit(1)), 6),
+        )
+        .withColumn("stopword_ratio", F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0,1]: length band + stopword presence −
+    punctuation excess. Deterministic arithmetic, SQL-restatable."""
+    stats = text_stats(df, text_col)
+    length_ok = (F.col("n_chars_calc") >= 100) & (F.col("n_chars_calc") <= 20000)
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_ratio") > 0.05, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") < 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return stats.withColumn("quality_score", F.round(score, 2))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Stable 128-bit document fingerprint: md5 of the normalized text.
+    (md5 chosen deliberately: bit-identical in Spark and DuckDB, so the
+    fingerprint itself is oracle-checkable.)"""
+    return F.md5(normalize_text(col))

@@ -1,0 +1,126 @@
+"""LLM-pipeline operators over the driver fixtures (documents/embeddings)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions import (
+    ann_cosine,
+    dedup_exact,
+    embedding_near_dup_pairs,
+    fingerprint,
+    lang_detect,
+    minhash_lsh_pairs,
+    quality_score,
+    simhash64,
+    simhash_pairs,
+    text_stats,
+    token_count,
+    topk_cosine,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_dedup_exact_removes_planted_duplicate(spark, docs):
+    base = docs.limit(5)
+    # Plant a duplicate of doc 0 with a higher id and different whitespace.
+    dup = base.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text"))).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = dedup_exact(base.unionByName(dup))
+    assert out.count() == 5
+    assert out.where(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, docs):
+    base = docs.limit(30)
+    # Near-dup: doc 0's text with one word appended.
+    nd = base.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    pairs = minhash_lsh_pairs(base.unionByName(nd), jaccard_threshold=0.7).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 100000 for r in pairs), pairs
+
+
+def test_simhash_near_dup(spark, docs):
+    base = docs.limit(20)
+    nd = base.limit(1).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    both = base.unionByName(nd)
+    # Identical docs hash identically; the near-dup is within small hamming.
+    h = {r["doc_id"]: r["h"] for r in both.select("doc_id", simhash64("text").alias("h")).collect()}
+    assert bin(h[0] ^ h[100000]).count("1") <= 6
+    pairs = simhash_pairs(both, max_hamming=3).collect()
+    assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_text_stats_and_quality(spark, docs):
+    out = quality_score(docs.limit(10)).collect()
+    for r in out:
+        assert r["n_chars_calc"] == len(r["text"])
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["n_words"] > 0
+
+
+def test_token_count_and_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("Hello, world 42!",), ("Hello, world 42!",)], "text string")
+    rows = df.select(
+        token_count("text").alias("t"), fingerprint("text").alias("f")
+    ).collect()
+    # hello / , / world / 42 / !
+    assert rows[0]["t"] == 5
+    assert rows[0]["f"] == rows[1]["f"] and len(rows[0]["f"]) == 32
+
+
+def test_lang_detect_markers(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("der hund und die katze ist",), ("xyzzy plugh",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(lang_detect("text")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_topk_cosine_self_is_top1(spark, emb):
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = topk_cosine(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 0 and abs(top[0]["score"] - 1.0) < 1e-6
+    assert len(top) == 5
+    assert all(top[i]["score"] >= top[i + 1]["score"] for i in range(4))
+
+
+def test_ann_matches_brute_force_top1(spark, emb):
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ann = ann_cosine(emb, q, k=3, nbits=6, probe_hamming=1).collect()
+    # Query's own vector lives in the query's bucket → always recalled.
+    assert ann[0]["vec_id"] == 0
+
+
+def test_embedding_near_dup_pairs_finds_clone(spark, emb):
+    base = emb.limit(50)
+    clone = base.limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_near_dup_pairs(base.unionByName(clone), threshold=0.99).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 100000 and r["cosine"] >= 0.999 for r in pairs)

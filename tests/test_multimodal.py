@@ -1,0 +1,49 @@
+"""Multimodal column plumbing: payload/metadata conventions + stubbed decode
+(Arrow-batched mapInPandas — the production batch shape, fake inner decoder)."""
+
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.multimodal import (
+    attach_payload,
+    decode_image_features,
+    extract_embedding,
+    sample_frames,
+)
+
+
+def test_attach_and_decode_deterministic(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    mm = attach_payload(docs, "text", modality="image")
+    assert dict(mm.dtypes)["payload"] == "binary"
+    feats = decode_image_features(mm).orderBy("id")
+    rows = feats.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
+        assert 0 <= r["mean_intensity"] <= 255
+    # Deterministic: same input → same features.
+    assert feats.collect() == decode_image_features(mm).orderBy("id").collect()
+
+
+def test_extract_embedding_unit_norm(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(4)
+    emb = extract_embedding(attach_payload(docs, "text"), dim=8).collect()
+    for r in emb:
+        assert len(r["embedding"]) == 8
+        assert abs(sum(x * x for x in r["embedding"]) - 1.0) < 1e-3
+
+
+def test_sample_frames_plan(spark):
+    df = spark.createDataFrame([(1,)], "id long").withColumn(
+        "mm_meta",
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(95).alias("n_frames"),
+        ),
+    )
+    idx = [r["frame_idx"] for r in sample_frames(df, every_n=10).collect()]
+    assert idx == [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
