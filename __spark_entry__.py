@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC query (multi-op envelope flattening)
+on sf0.001. ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 plus the LLM-pipeline operators; ``oracle_sql()`` gives the
+DuckDB restatement for every SQL-expressible one (the LSH/ANN/multimodal
+entries are deliberately rows-only — their semantics are not ANSI-SQL
+expressible; pytest covers them behaviorally).
+
+Determinism rules used throughout (so value-hashes match the oracle):
+- money aggregates run over ``decimal(18,2)`` casts (exact, associative,
+  partition-order independent) and only the FINAL value is cast to double;
+- float outputs are either raw passthrough values (bit-exact in both
+  engines) or rounded with ``round(x, 6)``;
+- every top-k has a total deterministic order (score desc, then id).
 """
 
 from __future__ import annotations
@@ -12,27 +20,529 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions import dedup_exact, lang_detect, quality_score, text_stats
+from siddhi_io_cdc_spark.functions.dedup import minhash_lsh_pairs, simhash_pairs
+from siddhi_io_cdc_spark.functions.multimodal import attach_payload, decode_image_features
+from siddhi_io_cdc_spark.functions.similarity import ann_cosine, topk_cosine
+from siddhi_io_cdc_spark.functions.text import (
+    LANG_MARKERS,
+    PUNCT_RE,
+    STOPWORDS_EN,
+    TOKEN_RE,
+    fingerprint,
+)
+from siddhi_io_cdc_spark.operators.flatten import flatten, lowercase_columns, schema_map
+from siddhi_io_cdc_spark.operators.mutate import (
+    apply_changelog,
+    delete_on,
+    insert_into,
+    update_on,
+)
+from siddhi_io_cdc_spark.plans import relational as R
+from siddhi_io_cdc_spark.sources.envelope import synthetic_changelog
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic changelogs (shared by Spark queries and oracles).
+# op: event_id%10 in 0..6 -> insert, 7..8 -> update, 9 -> delete.
+# ---------------------------------------------------------------------------
+
+EVENT_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+# events.parquet carries a TIMESTAMP(NANOS) column Spark cannot infer; an
+# explicit schema prunes it at the scan (we never need it) and keeps these
+# queries runnable in any vanilla SparkSession.
+_EVENTS_SCHEMA = "event_id long, user_id long, event_type string, value double, props string"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.schema(_EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet").select(*EVENT_COLS)
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    m = F.col("event_id") % 10
+    op = F.when(m <= 6, F.lit("c")).when(m <= 8, F.lit("u")).otherwise(F.lit("d"))
+    return synthetic_changelog(
+        ev,
+        op_col=op,
+        before_exprs={
+            "user_id": F.col("user_id") + 1000,
+            "event_type": F.concat(F.lit("prev_"), F.col("event_type")),
+            "value": F.col("value") + 1.5,
+        },
+        source_ts_ms=F.col("event_id") * 2,
+        ts_ms=F.col("event_id") * 3,
+    )
+
+
+def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- CDC event-shaping ------------------------------------------------------
+
+
+def q_flatten_insert(spark, sf_dir):
+    return flatten(_events_changelog(spark, sf_dir), operations=["insert"])
+
+
+def q_flatten_update(spark, sf_dir):
+    return flatten(_events_changelog(spark, sf_dir), operations=["update"])
+
+
+def q_flatten_delete(spark, sf_dir):
+    return flatten(_events_changelog(spark, sf_dir), operations=["delete"])
+
+
+def q_flatten_multi_op(spark, sf_dir):
+    return flatten(_events_changelog(spark, sf_dir), operations=["insert", "update", "delete"])
+
+
+def q_flatten_insert_delete(spark, sf_dir):
+    return flatten(_events_changelog(spark, sf_dir), operations=["insert", "delete"])
+
+
+def q_keyvalue_mapping(spark, sf_dir):
+    flat = flatten(_events_changelog(spark, sf_dir), operations=["insert"])
+    return schema_map(flat, mapping={"id": "event_id", "etype": "event_type"})
+
+
+def q_lowercase_columns(spark, sf_dir):
+    cust = _customer(spark, sf_dir)
+    upper = cust.toDF(*[c.upper() for c in cust.columns])
+    return lowercase_columns(upper)
+
+
+def q_int_widening(spark, sf_dir):
+    cust = _customer(spark, sf_dir).select(
+        "c_custkey", F.col("c_nationkey").cast("smallint").alias("c_nationkey")
+    )
+    env = synthetic_changelog(cust, op_col=F.lit("c"))
+    return flatten(env, operations=["insert"])
+
+
+def q_decimal_compat(spark, sf_dir):
+    cust = _customer(spark, sf_dir).select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal")
+    )
+    env = synthetic_changelog(cust, op_col=F.lit("c"))
+    return flatten(env, operations=["insert"], compat_decimal=True)
+
+
+# -- CDC source offset logic (batch restatements of S9/S10) -----------------
+
+
+def q_offset_discovery(spark, sf_dir):
+    return _events(spark, sf_dir).agg(
+        F.coalesce(F.max("event_id"), F.lit(-1)).alias("last_offset")
+    )
+
+
+def q_incremental_scan(spark, sf_dir):
+    return (
+        spark.read.schema(_EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_id") > 9000)
+        .select("event_id", "user_id", "value")
+    )
+
+
+# -- Mutating query surface (Q1/Q3/Q4 + CDC apply) --------------------------
+
+
+def q_insert_into(spark, sf_dir):
+    cust = _customer(spark, sf_dir)
+    src = cust.where(F.col("c_custkey") <= 100).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    return insert_into(cust, src)
+
+
+def q_update_on(spark, sf_dir):
+    cust = _customer(spark, sf_dir)
+    src = cust.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("UPDATED").alias("c_mktsegment"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    return update_on(cust, src, on=["c_custkey"])
+
+
+def q_delete_on(spark, sf_dir):
+    cust = _customer(spark, sf_dir)
+    src = cust.where(F.col("c_custkey") % 5 == 0).select("c_custkey")
+    return delete_on(cust, src, on=["c_custkey"])
+
+
+def q_apply_changelog(spark, sf_dir):
+    cust = _customer(spark, sf_dir)
+    updates = cust.where(F.col("c_custkey") % 4 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("upd_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("update").alias("operation"),
+        F.lit(10).cast("long").alias("ts_ms"),
+    )
+    deletes = cust.where(F.col("c_custkey") % 4 == 1).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("delete").alias("operation"),
+        F.lit(10).cast("long").alias("ts_ms"),
+    )
+    inserts = cust.where(F.col("c_custkey") <= 50).select(
+        (F.col("c_custkey") + 2000000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("insert").alias("operation"),
+        F.lit(10).cast("long").alias("ts_ms"),
+    )
+    events = updates.unionByName(deletes).unionByName(inserts)
+    return apply_changelog(cust, events, key=["c_custkey"])
+
+
+# -- LLM pipeline -----------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup_exact(_docs(spark, sf_dir)).select("doc_id")
+
+
+def q_text_stats(spark, sf_dir):
+    return text_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "n_chars_calc", "n_words", "n_tokens", "punct_ratio", "stopword_ratio"
+    )
+
+
+def q_lang_detect(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_detect(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir)).select("doc_id", "quality_score")
+
+
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_topk_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return topk_cosine(emb, q, k=10).select("vec_id")
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """Rows-only: plant 5 deterministic near-dups, recover them via LSH."""
+    docs = _docs(spark, sf_dir)
+    nd = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return minhash_lsh_pairs(docs.unionByName(nd), jaccard_threshold=0.7).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    nd = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return simhash_pairs(docs.unionByName(nd), max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_cosine(emb, q, k=10, nbits=8, probe_hamming=1).select("vec_id")
+
+
+def q_multimodal_decode(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(200)
+    return decode_image_features(attach_payload(docs, "text")).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: multi-op CDC envelope flattening on sf0.001."""
+    return q_flatten_multi_op(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # CDC event shaping (E1-E9, E13)
+        "cdc_flatten_insert": q_flatten_insert,
+        "cdc_flatten_update": q_flatten_update,
+        "cdc_flatten_delete": q_flatten_delete,
+        "cdc_flatten_multi_op": q_flatten_multi_op,
+        "cdc_flatten_insert_delete": q_flatten_insert_delete,
+        "cdc_keyvalue_mapping": q_keyvalue_mapping,
+        "cdc_lowercase_columns": q_lowercase_columns,
+        "cdc_int_widening": q_int_widening,
+        "cdc_decimal_compat": q_decimal_compat,
+        # Polling-source offset logic (S9/S10)
+        "cdc_offset_discovery": q_offset_discovery,
+        "cdc_incremental_scan": q_incremental_scan,
+        # Mutating query surface (Q1/Q3/Q4 + apply)
+        "cdc_insert_into": q_insert_into,
+        "cdc_update_on": q_update_on,
+        "cdc_delete_on": q_delete_on,
+        "cdc_apply_changelog": q_apply_changelog,
+        # Relational surface (§2.5, Catalyst-native)
+        "rel_pricing_summary": R.pricing_summary,
+        "rel_shipping_priority": R.shipping_priority,
+        "rel_local_supplier_volume": R.local_supplier_volume,
+        "rel_top_orders_per_customer": R.top_orders_per_customer,
+        "rel_returnflag_rollup": R.returnflag_rollup,
+        "rel_distinct_parts": lambda s, d: R.distinct_parts_per_flag(s, d).select(
+            "l_returnflag", "n_parts"
+        ),
+        "rel_nations_except": R.nations_except,
+        "rel_nations_intersect": R.nations_intersect,
+        "rel_order_priority": R.order_priority_counts,
+        # LLM pipeline
+        "llm_dedup_exact": q_dedup_exact,
+        "llm_text_stats": q_text_stats,
+        "llm_lang_detect": q_lang_detect,
+        "llm_quality_score": q_quality_score,
+        "llm_fingerprint": q_fingerprint,
+        "llm_topk_cosine": q_topk_cosine,
+        # Rows-only (not ANSI-SQL expressible: LSH banding / stub decode)
+        "llm_minhash_pairs": q_minhash_pairs,
+        "llm_simhash_pairs": q_simhash_pairs,
+        "llm_ann_cosine": q_ann_cosine,
+        "llm_multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles. Built from the same constants as the Spark expressions so
+# they cannot drift (marker lists, token/punct regexes).
+# ---------------------------------------------------------------------------
+
+_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+_M = "(event_id % 10)"
+
+_BEFORE = {
+    "event_id": "event_id",
+    "user_id": "user_id + 1000",
+    "event_type": "'prev_' || event_type",
+    "value": "value + 1.5",
+    "props": "props",
+}
+_DEFAULT = {
+    "event_id": "0",
+    "user_id": "0",
+    "event_type": "''",
+    "value": "0.0",
+    "props": "''",
+}
+
+
+def _marker_sql(words: list[str], target: str = "lower(text)") -> str:
+    ascii_words = [w for w in words if w.isascii()]
+    parts = []
+    if ascii_words:
+        alt = "|".join(ascii_words)
+        parts.append(f"len(regexp_extract_all({target}, '\\b({alt})\\b'))")
+    for w in words:
+        if not w.isascii():
+            parts.append(f"len(regexp_extract_all(text, '{w}'))")
+    return " + ".join(parts)
+
+
+def _lang_detect_sql() -> str:
+    score_cols = ", ".join(
+        f"{_marker_sql(words)} AS s_{lang}" for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    mx = f"greatest({', '.join('s_' + lg for lg in langs)})"
+    case = f"CASE WHEN {mx} = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return (
+        f"SELECT doc_id, {case} AS lang_pred FROM "
+        f"(SELECT doc_id, text, {score_cols} FROM documents)"
+    )
+
+
+_WORDS = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+_STOPS = _marker_sql(STOPWORDS_EN)
+_TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       {_WORDS} AS n_words,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+       round(len(regexp_extract_all(text, '{PUNCT_RE.replace("'", "''")}')) / greatest(length(text), 1), 6) AS punct_ratio,
+       round(({_STOPS}) / greatest({_WORDS}, 1), 6) AS stopword_ratio
+FROM documents
+"""
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       round(
+         (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN round(({_STOPS}) / greatest({_WORDS}, 1), 6) > 0.05 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN round(len(regexp_extract_all(text, '{PUNCT_RE.replace("'", "''")}')) / greatest(length(text), 1), 6) < 0.2 THEN 0.2 ELSE 0.0 END)
+       , 2) AS quality_score
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    after_cols = ", ".join(EVENT_COLS)
+    before_cols = ", ".join(f"{_BEFORE[c]} AS before_{c}" for c in EVENT_COLS)
+    multi_after = ", ".join(
+        f"CASE WHEN {_M} = 9 THEN {_DEFAULT[c]} ELSE {c} END AS {c}" for c in EVENT_COLS
+    )
+    multi_before = ", ".join(
+        f"CASE WHEN {_M} <= 6 THEN {_DEFAULT[c]} ELSE {_BEFORE[c]} END AS before_{c}"
+        for c in EVENT_COLS
+    )
+    id_after = ", ".join(
+        f"CASE WHEN {_M} = 9 THEN {_DEFAULT[c]} ELSE {c} END AS {c}" for c in EVENT_COLS
+    )
+    id_before = ", ".join(
+        f"CASE WHEN {_M} <= 6 THEN {_DEFAULT[c]} ELSE {_BEFORE[c]} END AS before_{c}"
+        for c in EVENT_COLS
+    )
+    rev = "sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))"
+    return {
+        "cdc_flatten_insert": f"SELECT {after_cols} FROM events WHERE {_M} <= 6",
+        "cdc_flatten_update": f"SELECT {after_cols}, {before_cols} FROM events WHERE {_M} IN (7, 8)",
+        "cdc_flatten_delete": f"SELECT {before_cols} FROM events WHERE {_M} = 9",
+        "cdc_flatten_multi_op": f"""
+            SELECT {multi_after}, {multi_before},
+                   CASE WHEN {_M} <= 6 THEN 'insert' WHEN {_M} <= 8 THEN 'update' ELSE 'delete' END AS operation,
+                   event_id * 2 AS source_ts_ms, event_id * 3 AS ts_ms
+            FROM events""",
+        "cdc_flatten_insert_delete": f"""
+            SELECT {id_after}, {id_before},
+                   CASE WHEN {_M} <= 6 THEN 'insert' ELSE 'delete' END AS operation,
+                   event_id * 2 AS source_ts_ms, event_id * 3 AS ts_ms
+            FROM events WHERE {_M} <= 6 OR {_M} = 9""",
+        "cdc_keyvalue_mapping": f"SELECT event_id AS id, event_type AS etype FROM events WHERE {_M} <= 6",
+        "cdc_lowercase_columns": "SELECT * FROM customer",
+        "cdc_int_widening": "SELECT c_custkey, CAST(c_nationkey AS INTEGER) AS c_nationkey FROM customer",
+        "cdc_decimal_compat": "SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal FROM customer",
+        "cdc_offset_discovery": "SELECT COALESCE(MAX(event_id), -1) AS last_offset FROM events",
+        "cdc_incremental_scan": "SELECT event_id, user_id, value FROM events WHERE event_id > 9000",
+        "cdc_insert_into": """
+            SELECT * FROM customer
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey <= 100""",
+        "cdc_update_on": """
+            SELECT c_custkey, c_name, c_nationkey,
+                   CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS c_acctbal,
+                   CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+            FROM customer""",
+        "cdc_delete_on": "SELECT * FROM customer WHERE c_custkey % 5 <> 0",
+        "cdc_apply_changelog": """
+            SELECT c_custkey,
+                   CASE WHEN c_custkey % 4 = 0 THEN 'upd_' || c_name ELSE c_name END AS c_name,
+                   c_nationkey, c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey % 4 <> 1
+            UNION ALL
+            SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+            FROM customer WHERE c_custkey <= 50""",
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(""" + rev + """ AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "rel_shipping_priority": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(""" + rev + """ AS DOUBLE) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        "rel_local_supplier_volume": """
+            SELECT n_name, CAST(""" + rev + """ AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name""",
+        "rel_top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 2""",
+        "rel_returnflag_rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "rel_distinct_parts": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem GROUP BY l_returnflag""",
+        "rel_nations_except": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier""",
+        "rel_nations_intersect": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier""",
+        "rel_order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > DATE '1995-06-01')
+            GROUP BY o_orderpriority""",
+        "llm_dedup_exact": f"SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_NORM}",
+        "llm_text_stats": _TEXT_STATS_SQL,
+        "llm_lang_detect": _lang_detect_sql(),
+        "llm_quality_score": _QUALITY_SQL,
+        "llm_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "llm_topk_cosine": """
+            SELECT vec_id FROM (
+              SELECT e.vec_id,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS score
+              FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              ORDER BY score DESC, e.vec_id LIMIT 10)""",
+        # llm_minhash_pairs / llm_simhash_pairs / llm_ann_cosine /
+        # llm_multimodal_decode: rows-only (LSH banding and the stub decoder
+        # are not ANSI-SQL expressible).
+    }

@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes to completion through the noop DSv2 sink (full plan runs,
+nothing is collected to the driver), which is the honest way to time a plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline subset of __spark_entry__.queries(): the CDC core, the heavy
+#: relational plans, and the LLM-pipeline operators.
+BENCH_QUERIES = [
+    "cdc_flatten_multi_op",
+    "cdc_incremental_scan",
+    "cdc_apply_changelog",
+    "rel_pricing_summary",
+    "rel_shipping_priority",
+    "rel_local_supplier_volume",
+    "rel_top_orders_per_customer",
+    "rel_order_priority",
+    "llm_dedup_exact",
+    "llm_text_stats",
+    "llm_fingerprint",
+    "llm_topk_cosine",
+    "llm_minhash_pairs",
+]
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from siddhi_io_cdc_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    os.environ.setdefault("SPARK_GRAFT_CPUS", str(cpus))
+    spark = get_spark("cdc-bench", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entrymod.queries()
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = queries[name](spark, SF_DIR)  # build (and warm the input listing)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

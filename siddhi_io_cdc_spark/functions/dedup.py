@@ -32,19 +32,18 @@ def dedup_exact(
 ) -> DataFrame:
     """Exact dedup: keep the smallest-id document per (normalized) text.
 
-    One hash aggregation on ``md5(normalized text)`` — the 128-bit digest is
-    the group key, so the shuffle carries 16 bytes + id per row instead of
-    the document body. Returns the surviving rows (all original columns).
+    ONE hash aggregation on ``md5(normalized text)``: ``min_by`` carries the
+    whole surviving row through the same shuffle, so there is no second scan
+    and no join back (a single exchange end-to-end; map-side partial
+    aggregation keeps per-key traffic at one row per partition). Returns the
+    surviving rows (all original columns).
     """
     key = F.md5(normalize_text(text_col) if normalize else F.col(text_col))
-    keep = (
-        df.select(F.col(id_col), key.alias("__k"))
-        .groupBy("__k")
-        .agg(F.min(id_col).alias(id_col))
-        .drop("__k")
+    return (
+        df.groupBy(key.alias("__k"))
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__row"))
+        .select("__row.*")
     )
-    # Broadcast-free semi join on the id: both sides shuffle on id once.
-    return df.join(keep, on=id_col, how="left_semi")
 
 
 def token_shingles(col: Column | str, k: int = 5) -> Column:

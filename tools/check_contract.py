@@ -1,0 +1,109 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it to
+the matching ``oracle_sql()`` through DuckDB: row count, sorted column names,
+and an order-insensitive exact value comparison (floats compared bit-exactly,
+mirroring a value-hash). Exit code 1 on any mismatch.
+
+Usage: PYTHONPATH=/root/repo python tools/check_contract.py [names...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm_cell(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    from decimal import Decimal
+
+    if isinstance(v, Decimal):
+        return str(v)
+    return str(v)
+
+
+def _norm_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main(argv: list[str]) -> int:
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from siddhi_io_cdc_spark.session import get_spark
+
+    spark = get_spark("contract-check", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = argv or list(queries)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        if not problems:
+            sn = _norm_rows([tuple(r) for r in srows], scols)
+            on = _norm_rows(orows, ocols)
+            if sn != on:
+                diff = next(
+                    (i, a, b) for i, (a, b) in enumerate(zip(sn, on)) if a != b
+                )
+                problems.append(f"values differ at sorted-row {diff[0]}:\n  spark  {diff[1]}\n  oracle {diff[2]}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
