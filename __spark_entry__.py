@@ -34,6 +34,7 @@ from siddhi_io_cdc_spark.functions.text import (
     fingerprint,
 )
 from siddhi_io_cdc_spark.operators.flatten import flatten, lowercase_columns, schema_map
+from siddhi_io_cdc_spark.operators.mongo import mongo_flatten
 from siddhi_io_cdc_spark.operators.mutate import (
     apply_changelog,
     delete_on,
@@ -137,6 +138,41 @@ def q_decimal_compat(spark, sf_dir):
     )
     env = synthetic_changelog(cust, op_col=F.lit("c"))
     return flatten(env, operations=["insert"], compat_decimal=True)
+
+
+def q_mongo_flatten(spark, sf_dir):
+    """E10-E12: deterministic Mongo changelog built from events, parsed by
+    mongo_flatten (insert after-JSON, update $set patch, delete $oid key)."""
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    m = F.col("event_id") % 10
+    eid = F.col("event_id").cast("string")
+    after = F.concat(
+        F.lit('{"_id": {"$oid": "oid'), eid,
+        F.lit('"}, "name": "n'), F.col("user_id").cast("string"),
+        F.lit('", "volume": {"$numberLong": "'), (F.col("user_id") * 7).cast("string"),
+        F.lit('"}, "active": '), F.when(F.col("user_id") % 2 == 0, "true").otherwise("false"),
+        F.lit("}"),
+    )
+    patch = F.concat(F.lit('{"$set": {"name": "upd'), F.col("user_id").cast("string"), F.lit('"}}'))
+    key = F.concat(F.lit('{"id": {"$oid": "oid'), eid, F.lit('"}}'))
+    env = ev.select(
+        F.when(m <= 6, "c").when(m <= 8, "u").otherwise("d").alias("op"),
+        F.when(m > 6, key).alias("key"),
+        F.when(m <= 6, after).alias("after"),
+        F.when((m == 7) | (m == 8), patch).alias("patch"),
+        F.struct((F.col("event_id") * 2).alias("ts_ms")).alias("source"),
+        (F.col("event_id") * 3).alias("ts_ms"),
+    )
+    row_schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("volume", T.LongType()),
+            T.StructField("active", T.BooleanType()),
+        ]
+    )
+    return mongo_flatten(env, row_schema, operations=["insert", "update", "delete"])
 
 
 # -- CDC source offset logic (batch restatements of S9/S10) -----------------
@@ -312,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lowercase_columns": q_lowercase_columns,
         "cdc_int_widening": q_int_widening,
         "cdc_decimal_compat": q_decimal_compat,
+        "cdc_mongo_flatten": q_mongo_flatten,
         # Polling-source offset logic (S9/S10)
         "cdc_offset_discovery": q_offset_discovery,
         "cdc_incremental_scan": q_incremental_scan,
@@ -457,6 +494,16 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lowercase_columns": "SELECT * FROM customer",
         "cdc_int_widening": "SELECT c_custkey, CAST(c_nationkey AS INTEGER) AS c_nationkey FROM customer",
         "cdc_decimal_compat": "SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal FROM customer",
+        "cdc_mongo_flatten": f"""
+            SELECT 'oid' || CAST(event_id AS VARCHAR) AS id,
+                   CASE WHEN {_M} <= 6 THEN 'n' || CAST(user_id AS VARCHAR)
+                        WHEN {_M} <= 8 THEN 'upd' || CAST(user_id AS VARCHAR)
+                        ELSE NULL END AS name,
+                   CASE WHEN {_M} <= 6 THEN user_id * 7 ELSE NULL END AS volume,
+                   CASE WHEN {_M} <= 6 THEN (user_id % 2 = 0) ELSE NULL END AS active,
+                   CASE WHEN {_M} <= 6 THEN 'insert' WHEN {_M} <= 8 THEN 'update' ELSE 'delete' END AS operation,
+                   event_id * 2 AS source_ts_ms, event_id * 3 AS ts_ms
+            FROM events""",
         "cdc_offset_discovery": "SELECT COALESCE(MAX(event_id), -1) AS last_offset FROM events",
         "cdc_incremental_scan": "SELECT event_id, user_id, value FROM events WHERE event_id > 9000",
         "cdc_insert_into": """

@@ -19,12 +19,29 @@ IDLE_AFTER_SECONDS = 8.0  # ListeningMetrics.java:56 / PollingMetrics.java:56
 
 
 class CDCMetricsListener(StreamingQueryListener):
-    def __init__(self, history_size: int = 10):
+    """Per-source metrics. ``query_name`` (or ``query_id``) scopes the
+    listener to ONE streaming query — listeners are session-global in Spark,
+    so without the filter two concurrent CDC sources would corrupt each
+    other's counters. Unscoped (both None) tracks everything (single-query
+    sessions)."""
+
+    def __init__(self, history_size: int = 10, query_name: str | None = None, query_id: str | None = None):
+        self.query_name = query_name
+        self.query_id = query_id
         self.total_reads = 0
         self.error_count = 0
         self.last_receive_time: float | None = None
         self.events_per_poll = deque(maxlen=history_size)  # PollingMetrics.java:139-149
         self._started = time.time()
+
+        self._ids: set[str] = set()  # ids observed for query_name (start events)
+
+    def _mine(self, name: str | None, qid) -> bool:
+        if self.query_name is not None:
+            return name == self.query_name or str(qid) in self._ids
+        if self.query_id is not None:
+            return str(qid) == str(self.query_id)
+        return True
 
     # -- status ---------------------------------------------------------------
 
@@ -44,9 +61,13 @@ class CDCMetricsListener(StreamingQueryListener):
     # -- listener hooks ---------------------------------------------------------
 
     def onQueryStarted(self, event) -> None:
-        pass
+        # Terminated events carry no name; remember the id→name binding here.
+        if self.query_name is not None and event.name == self.query_name:
+            self._ids.add(str(event.id))
 
     def onQueryProgress(self, event) -> None:
+        if not self._mine(event.progress.name, event.progress.id):
+            return
         n = int(event.progress.numInputRows)
         self.events_per_poll.append(n)
         if n > 0:
@@ -57,6 +78,8 @@ class CDCMetricsListener(StreamingQueryListener):
         pass
 
     def onQueryTerminated(self, event) -> None:
+        if not self._mine(getattr(event, "name", None), event.id):
+            return
         if event.exception is not None:
             self.error_count += 1
 
