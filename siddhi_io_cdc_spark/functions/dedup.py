@@ -103,9 +103,13 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
     rows_per_band = num_hashes // bands
 
+    # Persist the shingle sets: they feed BOTH sides of the bucket self-join
+    # and both sides of the verify join — without this the shingle+signature
+    # pipeline (the expensive part) re-executes four times. At cluster scale
+    # this materializes id+shingles once (MEMORY_AND_DISK, spills fine).
     sh = df.select(
         F.col(id_col).alias("__id"), token_shingles(text_col, shingle_k).alias("__sh")
-    )
+    ).persist()
     sig = sh.select(
         "__id", "__sh", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig")
     )
@@ -122,7 +126,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("__b"),
-    ).select("__id", "__b.band", "__b.bkey")
+    ).select("__id", "__b.band", "__b.bkey").persist()
 
     cand = (
         banded.alias("l")
@@ -196,7 +200,9 @@ def simhash_pairs(
     exact 16-bit chunk... for chunk count 4 > max_hamming), verify with
     bit_count(xor) ≤ max_hamming."""
     assert max_hamming < 4, "4-chunk blocking guarantees recall only for hamming < 4"
-    h = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__h"))
+    # Persist: the 64-bit vote fold is the expensive part and feeds both
+    # sides of the chunk self-join.
+    h = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__h")).persist()
     chunks = h.select(
         "__id",
         "__h",
@@ -248,7 +254,7 @@ def ngram_jaccard_pairs(
             lambda i: norm.substr(i, F.lit(n)),
         )
     )
-    sh = df.select(F.col(id_col).alias("__id"), grams.alias("__sh"))
+    sh = df.select(F.col(id_col).alias("__id"), grams.alias("__sh")).persist()
     sig = sh.select("__id", "__sh", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig"))
     rows_per_band = num_hashes // bands
     banded = sig.select(

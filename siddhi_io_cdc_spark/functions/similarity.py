@@ -131,11 +131,12 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, nbits, seed)
+    # Persist: the nbits-plane projection feeds both sides of the self-join.
     b = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-    )
+    ).persist()
     pairs = (
         b.alias("l")
         .join(b.alias("r"), on="__bucket", how="inner")

@@ -69,6 +69,34 @@ def read_changelog_stream(
     return reader.json(path)
 
 
+def parse_kafka_envelope(df: DataFrame, row_schema: StructType, lenient: bool = False) -> DataFrame:
+    """Turn a Kafka-shaped DataFrame into typed envelope rows.
+
+    ``df`` has the columns ``readStream.format("kafka")`` produces (binary
+    ``key``/``value`` + topic/partition/offset metadata); the value payload
+    is a Debezium-JSON envelope. This is the production listening path
+    (SURVEY.md §7: Debezium Server/Connect → Kafka → Spark): the engine
+    itself stays outside Spark, and this parse is the only CDC-specific code
+    — one ``from_json`` per record, JVM-side.
+
+    ``lenient=False`` keeps malformed payloads as NULL-op rows the caller can
+    route to a dead-letter sink (``FAILFAST`` would kill the stream — the
+    reference's engine logs-and-continues instead, ChangeDataCapture.java:90).
+    Kafka offsets/partitions ride along as ``_kafka_*`` metadata columns.
+    """
+    env = envelope_schema(row_schema)
+    parsed = df.select(
+        F.from_json(F.col("value").cast("string"), env).alias("__env"),
+        F.col("topic").alias("_kafka_topic"),
+        F.col("partition").alias("_kafka_partition"),
+        F.col("offset").alias("_kafka_offset"),
+    )
+    out = parsed.select("__env.*", "_kafka_topic", "_kafka_partition", "_kafka_offset")
+    if not lenient:
+        return out
+    return out.filter(F.col("op").isNotNull())
+
+
 def synthetic_changelog(
     df: DataFrame,
     op_col,

@@ -34,10 +34,27 @@ def max_offset_query(table: str, polling_column: str) -> str:
     return f"(SELECT MAX({polling_column}) AS max_off FROM {table}) AS seed"
 
 
-def incremental_query(table: str, polling_column: str, columns: Sequence[str] | None = None) -> str:
+def incremental_query(
+    table: str,
+    polling_column: str,
+    columns: Sequence[str] | None = None,
+    select_query_override: str | None = None,
+) -> str:
     """Base subquery for the incremental scan; the range predicate is applied
-    via ``predicates=`` so it executes remotely per partition."""
+    via ``predicates=`` so it executes remotely per partition.
+
+    ``select_query_override`` is the parity hook for the reference's
+    per-vendor ``recordSelectQuery`` YAML override
+    (``PollingStrategy.java:127-205``, S11): ``{{TABLE_NAME}}`` and
+    ``{{COLUMN_LIST}}`` placeholders are substituted; the WHERE condition
+    stays predicate-driven (Spark pushes it per partition).
+    """
     cols = ", ".join(columns) if columns else "*"
+    if select_query_override:
+        q = select_query_override.replace("{{TABLE_NAME}}", table).replace(
+            "{{COLUMN_LIST}}", cols
+        )
+        return f"({q}) AS incr"
     return f"(SELECT {cols} FROM {table}) AS incr"
 
 

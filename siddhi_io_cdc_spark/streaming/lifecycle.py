@@ -1,0 +1,55 @@
+"""Query lifecycle: error callbacks and checkpoint-based restart (T10/T11).
+
+The reference distinguishes retryable connection failures (triggering Siddhi
+reconnection) from fatal app errors (``CDCSource.java:651-685``,
+``CDCPoller.CompletionCallback`` :214-221). Under Spark the restartable unit
+is the whole streaming query: a failed query restarted from its checkpoint
+resumes exactly where it stopped (§3.3 → checkpoint mapping), so the retry
+policy lives OUTSIDE the query, here.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.errors.exceptions.captured import StreamingQueryException
+
+
+def run_with_restarts(
+    start_query: Callable[[], "object"],
+    max_restarts: int = 3,
+    backoff_seconds: float = 1.0,
+    on_error: Callable[[Exception, int], None] | None = None,
+    is_retryable: Callable[[Exception], bool] | None = None,
+    await_seconds: float | None = None,
+) -> int:
+    """Run a streaming query, restarting it from its checkpoint on failure.
+
+    ``start_query`` builds AND starts the query (it must use a fixed
+    ``checkpointLocation`` — that is what makes a restart lossless, mirror of
+    TestCaseOfCDCPollingMode.java:393-515). ``on_error`` is the reference's
+    completion-callback hook (:214-221); ``is_retryable`` plays the
+    ConnectionUnavailable-vs-fatal split (default: everything retryable).
+    Returns the number of restarts performed. Exponential backoff between
+    attempts; the final failure re-raises.
+    """
+    restarts = 0
+    while True:
+        query = start_query()
+        try:
+            if await_seconds is None:
+                query.awaitTermination()
+            else:
+                query.awaitTermination(await_seconds)
+                query.stop()
+            return restarts
+        except StreamingQueryException as exc:  # query died
+            if on_error is not None:
+                on_error(exc, restarts)
+            if is_retryable is not None and not is_retryable(exc):
+                raise
+            if restarts >= max_restarts:
+                raise
+            time.sleep(backoff_seconds * (2**restarts))
+            restarts += 1
