@@ -4,6 +4,7 @@ from siddhi_io_cdc_spark.operators.flatten import (
     schema_map,
     type_default,
 )
+from siddhi_io_cdc_spark.operators.mongo import MONGO_ENVELOPE_SCHEMA, mongo_flatten
 from siddhi_io_cdc_spark.operators.mutate import (
     apply_changelog,
     delete_on,
@@ -17,6 +18,8 @@ __all__ = [
     "lowercase_columns",
     "schema_map",
     "type_default",
+    "MONGO_ENVELOPE_SCHEMA",
+    "mongo_flatten",
     "apply_changelog",
     "delete_on",
     "insert_into",

@@ -1,4 +1,5 @@
+from siddhi_io_cdc_spark.streaming.lifecycle import run_with_restarts
 from siddhi_io_cdc_spark.streaming.metrics import CDCMetricsListener
 from siddhi_io_cdc_spark.streaming.triggers import cron_run, interval_trigger
 
-__all__ = ["CDCMetricsListener", "cron_run", "interval_trigger"]
+__all__ = ["CDCMetricsListener", "cron_run", "interval_trigger", "run_with_restarts"]
