@@ -328,6 +328,34 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_image_features(attach_payload(docs, "text")).orderBy("id")
 
 
+def q_ngram_pairs(spark, sf_dir):
+    """Rows-only: char-3-gram Jaccard near-dups among planted variants."""
+    from siddhi_io_cdc_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    nd = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xyz")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return ngram_jaccard_pairs(docs.unionByName(nd), threshold=0.8).orderBy("id_a", "id_b")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Rows-only: embedding-cosine near-dup pairs among planted clones."""
+    from siddhi_io_cdc_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    clone = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+    )
+    return embedding_near_dup_pairs(emb.unionByName(clone), threshold=0.99).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -379,6 +407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Rows-only (not ANSI-SQL expressible: LSH banding / stub decode)
         "llm_minhash_pairs": q_minhash_pairs,
         "llm_simhash_pairs": q_simhash_pairs,
+        "llm_ngram_pairs": q_ngram_pairs,
+        "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_ann_cosine": q_ann_cosine,
         "llm_multimodal_decode": q_multimodal_decode,
     }
