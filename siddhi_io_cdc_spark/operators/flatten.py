@@ -169,6 +169,24 @@ def flatten(
     return out.select(*cols)
 
 
+def ordered_within_partitions(df: DataFrame, key: str | Sequence[str], order_col: str = "ts_ms") -> DataFrame:
+    """Per-key event ordering inside each partition.
+
+    The reference delivers events in strict per-source order from a single
+    thread (CDCSource.java:436; per-row offset bump
+    DefaultPollingStrategy.java:155). Spark parallelizes within a micro-batch,
+    so the engine-level guarantee becomes: co-locate each key's events
+    (``repartition(key)``) and sort within the partition by the event
+    sequence — downstream ``foreachBatch``/``mapInPandas`` consumers then see
+    each key's events in order without any global (driver-side) sort. This is
+    the documented semantic difference from the reference (SURVEY.md §4);
+    global total order would serialize the cluster and is deliberately not
+    offered.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    return df.repartition(*[F.col(k) for k in keys]).sortWithinPartitions(*keys, order_col)
+
+
 def lowercase_columns(df: DataFrame) -> DataFrame:
     """E8: polling-mode events lowercase all column names
     (``polling/strategies/DefaultPollingStrategy.java:147-156``)."""
