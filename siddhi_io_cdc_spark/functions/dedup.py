@@ -65,19 +65,31 @@ def minhash_signature(
     """MinHash signature: array<long> of length ``num_hashes``.
 
     h_i(s) = (a_i * xxhash64(s) + b_i) mod P with (a_i, b_i) derived
-    deterministically from ``seed``. array_min over a transform — O(shingles)
-    JVM work per hash function, no shuffle.
+    deterministically from ``seed``. Implemented as ONE fold over the
+    shingle array that keeps a running array of per-function minima — a
+    single expression tree (compact codegen) and a single pass per row,
+    instead of ``num_hashes`` independent array_min scans. No shuffle.
     """
     import random
 
     rnd = random.Random(seed)
     coeffs = [(rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P)) for _ in range(num_hashes)]
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-    mins = [
-        F.array_min(F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P))))
-        for a, b in coeffs
-    ]
-    return F.array(*mins)
+    a_vec = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
+    b_vec = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
+    zero = F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes)
+    return F.aggregate(
+        shingles,
+        zero,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.zip_with(
+                a_vec,
+                b_vec,
+                lambda a, b: F.pmod(a * F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)) + b, F.lit(_MERSENNE_P)),
+            ),
+            lambda m, h: F.least(m, h),
+        ),
+    )
 
 
 def minhash_lsh_pairs(

@@ -14,6 +14,31 @@ import time
 from collections.abc import Callable
 
 from pyspark.errors.exceptions.captured import StreamingQueryException
+from pyspark.sql import DataFrame
+
+
+def exactly_once_dedupe(
+    stream: DataFrame,
+    identity_cols: list[str],
+    event_time_col: str | None = None,
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """At-least-once → effectively-once: drop replayed events by identity.
+
+    The reference commits offsets after every event
+    (``ChangeDataCapture.java:88``) to shrink the replay window; Spark
+    replays at micro-batch granularity instead, so a non-idempotent sink
+    sees duplicates after a crash. Streaming ``dropDuplicates`` on the event
+    identity (e.g. ``[polling_column]`` or ``[key, ts_ms]``) closes that
+    window; with ``event_time_col`` a watermark bounds the dedup state so it
+    doesn't grow forever (state is hash-partitioned by identity across the
+    cluster — the 100 TB shape).
+    """
+    s = stream
+    if event_time_col is not None:
+        s = s.withWatermark(event_time_col, watermark_delay)
+        return s.dropDuplicates([*identity_cols, event_time_col])
+    return s.dropDuplicates(list(identity_cols))
 
 
 def run_with_restarts(
