@@ -257,6 +257,20 @@ def q_apply_changelog(spark, sf_dir):
     return apply_changelog(cust, events, key=["c_custkey"])
 
 
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation — identical result to a plain
+    groupBy (decomposable aggregates only), hot keys sharded across
+    reducers."""
+    from siddhi_io_cdc_spark.plans.skew import salted_agg
+
+    return salted_agg(
+        _events(spark, sf_dir),
+        ["user_id"],
+        {"n": ("count", "*"), "sum_eid": ("sum", "event_id")},
+        salt=8,
+    )
+
+
 # -- LLM pipeline -----------------------------------------------------------
 
 
@@ -397,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_nations_except": R.nations_except,
         "rel_nations_intersect": R.nations_intersect,
         "rel_order_priority": R.order_priority_counts,
+        "rel_salted_agg": q_salted_agg,
         # LLM pipeline
         "llm_dedup_exact": q_dedup_exact,
         "llm_text_stats": q_text_stats,
@@ -606,6 +621,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE EXISTS (SELECT 1 FROM lineitem
                           WHERE l_orderkey = o_orderkey AND l_shipdate > DATE '1995-06-01')
             GROUP BY o_orderpriority""",
+        "rel_salted_agg": """
+            SELECT user_id, count(*) AS n, sum(event_id) AS sum_eid
+            FROM events GROUP BY user_id""",
         "llm_dedup_exact": f"SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_NORM}",
         "llm_text_stats": _TEXT_STATS_SQL,
         "llm_lang_detect": _lang_detect_sql(),

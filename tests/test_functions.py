@@ -124,3 +124,26 @@ def test_embedding_near_dup_pairs_finds_clone(spark, emb):
     )
     pairs = embedding_near_dup_pairs(base.unionByName(clone), threshold=0.99).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 100000 and r["cosine"] >= 0.999 for r in pairs)
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.plans.skew import salted_agg
+
+    ev = (
+        spark.read.schema("event_id long, user_id long, value double")
+        .parquet(f"{sf_dir}/events.parquet")
+    )
+    salted = salted_agg(
+        ev, ["user_id"], {"n": ("count", "*"), "sum_eid": ("sum", "event_id")}, salt=8
+    )
+    plain = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("sum_eid")
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="non-decomposable"):
+        salted_agg(ev, ["user_id"], {"a": ("avg", "value")})
