@@ -22,8 +22,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: relational plans, and the LLM-pipeline operators.
 BENCH_QUERIES = [
     "cdc_flatten_multi_op",
+    "cdc_mongo_flatten",
     "cdc_incremental_scan",
     "cdc_apply_changelog",
+    "rel_salted_agg",
     "rel_pricing_summary",
     "rel_shipping_priority",
     "rel_local_supplier_volume",

@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: pin the scale properties (pushdown,
+broadcast joins, shuffle-free flattening, TakeOrdered top-k, map-side
+partial aggregation) so they can't silently regress."""
+
+import contextlib
+import io
+
+import pytest
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()  # simple mode: each physical node appears exactly once
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_incremental_scan_pushes_filter(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["cdc_incremental_scan"](spark, sf_dir))
+    assert "PushedFilters" in p and "GreaterThan(event_id,9000)" in p
+
+
+def test_snowflake_join_broadcasts_all_dims(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["rel_local_supplier_volume"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in p
+    # The region filter reaches the scan.
+    assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_flatten_is_shuffle_free(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["cdc_flatten_multi_op"](spark, sf_dir))
+    assert "Exchange" not in p  # narrow ops only — holds at any scale
+
+
+def test_topk_uses_take_ordered(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["llm_topk_cosine"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p  # per-partition heaps, no global sort
+
+
+def test_pricing_summary_partial_aggregates(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["rel_pricing_summary"](spark, sf_dir))
+    assert "partial_sum" in p  # map-side combine before the single exchange
+    assert p.count("Exchange") <= 2  # agg exchange (+AQE wrapper), nothing else
+
+
+def test_update_on_broadcasts_change_set(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["cdc_update_on"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p and "BuildRight" in p  # table never shuffles
+
+
+def test_dedup_exact_single_exchange(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["llm_dedup_exact"](spark, sf_dir))
+    assert p.count("Exchange") == 1  # one shuffle end-to-end (min_by agg)
