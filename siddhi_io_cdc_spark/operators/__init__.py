@@ -8,7 +8,9 @@ from siddhi_io_cdc_spark.operators.mongo import MONGO_ENVELOPE_SCHEMA, mongo_fla
 from siddhi_io_cdc_spark.operators.mutate import (
     apply_changelog,
     delete_on,
+    foreach_batch_bucketed_merge,
     insert_into,
+    merge_into_bucketed_parquet,
     merge_into_parquet,
     update_on,
 )
@@ -24,5 +26,7 @@ __all__ = [
     "delete_on",
     "insert_into",
     "merge_into_parquet",
+    "merge_into_bucketed_parquet",
+    "foreach_batch_bucketed_merge",
     "update_on",
 ]

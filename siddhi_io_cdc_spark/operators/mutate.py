@@ -82,6 +82,7 @@ def apply_changelog(
     key: Sequence[str],
     seq_col: str = "ts_ms",
     op_col: str = "operation",
+    broadcast_events: bool = True,
 ) -> DataFrame:
     """Materialize flattened CDC events onto a table (CDC apply).
 
@@ -91,8 +92,11 @@ def apply_changelog(
     insert/update → row replaced/added. Unaffected target rows pass through.
 
     This is the batch-idempotent core that ``foreachBatch`` re-runs safely on
-    replay. Scale shape: events ≪ target, so the two joins broadcast the
-    change-set; the target scan stays shuffle-free.
+    replay. Scale shape: a micro-batch change-set is ≪ target, so the two
+    joins broadcast it and the target scan stays shuffle-free. For a huge
+    BACKFILL change-set pass ``broadcast_events=False`` — the joins become
+    shuffled hash joins (AQE still broadcasts if the aggregated set turns
+    out small) instead of OOMing the driver with a forced broadcast.
     """
     keys = list(key)
     row_cols = target.columns
@@ -101,7 +105,8 @@ def apply_changelog(
         .agg(F.max(F.struct(F.col(seq_col), F.col(op_col), *[c for c in row_cols if c not in keys])).alias("__last"))
         .select(*keys, F.col(f"__last.{op_col}").alias("__op"), *[F.col(f"__last.{c}").alias(c) for c in row_cols if c not in keys])
     )
-    survivors = target.join(F.broadcast(w_latest.select(*keys)), on=keys, how="left_anti")
+    maybe_bcast = F.broadcast if broadcast_events else (lambda d: d)
+    survivors = target.join(maybe_bcast(w_latest.select(*keys)), on=keys, how="left_anti")
     upserts = w_latest.filter(F.col("__op") != F.lit("delete")).select(*row_cols)
     return survivors.unionByName(upserts)
 
@@ -153,6 +158,104 @@ def merge_into_parquet(
         shutil.rmtree(swap_old, ignore_errors=True)
     else:
         os.rename(tmp, target_path)
+
+
+BUCKET_COL = "__bucket"
+
+
+def merge_into_bucketed_parquet(
+    spark,
+    target_path: str,
+    batch_df: DataFrame,
+    key: Sequence[str],
+    num_buckets: int = 64,
+    seq_col: str = "ts_ms",
+    op_col: str = "operation",
+    table_columns: Sequence[str] | None = None,
+) -> None:
+    """Partition-pruned merge: the scale-correct parquet mutation store.
+
+    The table is laid out hash-bucketed on the merge key
+    (``{target}/__bucket=k/``). A micro-batch touches only the buckets its
+    keys hash into, so per batch we: (1) read ONLY those partitions
+    (partition pruning on the bucket column), (2) apply the changelog to
+    that slice, (3) rewrite ONLY those partitions via dynamic partition
+    overwrite. I/O per batch is O(touched buckets), not O(table) — the plain
+    -parquet equivalent of a lakehouse ``MERGE INTO``; with Delta/Iceberg
+    this whole function collapses into their merge statement behind the same
+    call signature.
+    """
+    keys = list(key)
+    bucket_expr = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
+    if not os.path.exists(target_path):
+        if table_columns is None:
+            meta = {op_col, seq_col, "operation", "source_ts_ms", "ts_ms"}
+            table_columns = [
+                c for c in batch_df.columns if c not in meta and not c.startswith("before_")
+            ]
+        empty = spark.createDataFrame([], batch_df.select(*table_columns).schema)
+        merged = apply_changelog(empty, batch_df, key=keys, seq_col=seq_col, op_col=op_col)
+        merged.withColumn(BUCKET_COL, bucket_expr).write.partitionBy(BUCKET_COL).parquet(
+            target_path
+        )
+        return
+
+    touched = [
+        r[0] for r in batch_df.select(bucket_expr.alias("b")).distinct().collect()
+    ]  # ≤ num_buckets small ints — a driver-safe collect
+    target = (
+        spark.read.parquet(target_path)
+        .where(F.col(BUCKET_COL).isin(touched))  # partition-pruned scan
+        .drop(BUCKET_COL)
+    )
+    merged = apply_changelog(target, batch_df, key=keys, seq_col=seq_col, op_col=op_col)
+    # Stage the merged buckets first: Spark cannot overwrite partitions it is
+    # lazily reading from (self-overwrite). The staging write is O(touched
+    # buckets), so the partition-pruned cost model holds.
+    staging = target_path + ".stage-" + uuid.uuid4().hex
+    merged.withColumn(BUCKET_COL, bucket_expr).write.partitionBy(BUCKET_COL).parquet(staging)
+    try:
+        present = {
+            int(os.path.basename(d).split("=", 1)[1])
+            for d in (os.listdir(staging) if os.path.isdir(staging) else [])
+            if d.startswith(BUCKET_COL + "=")
+        }
+        if present:
+            (
+                spark.read.parquet(staging)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BUCKET_COL)
+                .parquet(target_path)
+            )
+        # Dynamic overwrite cannot write an EMPTY partition: a bucket whose
+        # rows were all deleted keeps its stale files. Drop those directories.
+        for b in set(touched) - present:
+            shutil.rmtree(os.path.join(target_path, f"{BUCKET_COL}={b}"), ignore_errors=True)
+        # A fully-emptied store must stay readable: keep one zero-row bucket
+        # dir so the parquet schema survives.
+        if not any(d.startswith(BUCKET_COL + "=") for d in os.listdir(target_path)):
+            # No lineage to the (now-deleted) target files: fresh empty frame.
+            spark.createDataFrame([], merged.schema).write.parquet(
+                os.path.join(target_path, f"{BUCKET_COL}=0")
+            )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def foreach_batch_bucketed_merge(
+    spark, target_path: str, key: Sequence[str], num_buckets: int = 64,
+    seq_col: str = "ts_ms", op_col: str = "operation",
+):
+    """``writeStream.foreachBatch`` adapter for :func:`merge_into_bucketed_parquet`."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_into_bucketed_parquet(
+            spark, target_path, batch_df, key=key, num_buckets=num_buckets,
+            seq_col=seq_col, op_col=op_col,
+        )
+
+    return _apply
 
 
 def _recover_interrupted_swap(target_path: str) -> None:

@@ -100,3 +100,56 @@ def test_apply_changelog_last_event_wins(spark):
     assert "e001" not in out
     assert out["e004"].name == "dave"
     assert out["e002"].name == "bob"
+
+
+def test_bucketed_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    import glob
+    import time as _time
+
+    from siddhi_io_cdc_spark.operators.mutate import merge_into_bucketed_parquet
+
+    target = os.path.join(str(tmp_path), "store")
+    seed = spark.createDataFrame(
+        [(i, f"name{i}", "insert", 1) for i in range(100)],
+        "id long, name string, operation string, ts_ms long",
+    )
+    merge_into_bucketed_parquet(spark, target, seed, key=["id"], num_buckets=8)
+    table = spark.read.parquet(target)
+    assert table.count() == 100
+    assert len(glob.glob(f"{target}/__bucket=*")) > 1
+
+    before = {f: os.path.getmtime(f) for f in glob.glob(f"{target}/__bucket=*/*.parquet")}
+    _time.sleep(0.05)
+
+    # One-key update touches exactly one bucket.
+    batch = spark.createDataFrame(
+        [(7, "UPDATED", "update", 2)], "id long, name string, operation string, ts_ms long"
+    )
+    merge_into_bucketed_parquet(spark, target, batch, key=["id"], num_buckets=8)
+    got = {r["id"]: r["name"] for r in spark.read.parquet(target).collect()}
+    assert got[7] == "UPDATED" and got[8] == "name8" and len(got) == 100
+
+    after_files = glob.glob(f"{target}/__bucket=*/*.parquet")
+    changed_dirs = {
+        os.path.basename(os.path.dirname(f))
+        for f in after_files
+        if f not in before or os.path.getmtime(f) != before[f]
+    }
+    assert len(changed_dirs) == 1  # partition-pruned: one bucket rewritten
+
+
+def test_bucketed_merge_delete_empties_bucket(spark, tmp_path):
+    from siddhi_io_cdc_spark.operators.mutate import merge_into_bucketed_parquet
+
+    target = os.path.join(str(tmp_path), "store2")
+    seed = spark.createDataFrame(
+        [(1, "a", "insert", 1), (2, "b", "insert", 1)],
+        "id long, name string, operation string, ts_ms long",
+    )
+    merge_into_bucketed_parquet(spark, target, seed, key=["id"], num_buckets=4)
+    wipe = spark.createDataFrame(
+        [(1, "a", "delete", 2), (2, "b", "delete", 2)],
+        "id long, name string, operation string, ts_ms long",
+    )
+    merge_into_bucketed_parquet(spark, target, wipe, key=["id"], num_buckets=4)
+    assert spark.read.parquet(target).count() == 0
