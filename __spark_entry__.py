@@ -337,6 +337,15 @@ def q_ann_cosine(spark, sf_dir):
     return ann_cosine(emb, q, k=10, nbits=8, probe_hamming=1).select("vec_id")
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF ANN probing ALL lists == exact top-k → fully oracle-checkable."""
+    from siddhi_io_cdc_spark.functions.similarity import ivf_ann_cosine
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_ann_cosine(emb, q, k=10, nlist=8, nprobe=8).select("vec_id")
+
+
 def q_multimodal_decode(spark, sf_dir):
     docs = _docs(spark, sf_dir).limit(200)
     return decode_image_features(attach_payload(docs, "text")).orderBy("id")
@@ -425,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ngram_pairs": q_ngram_pairs,
         "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_ann_cosine": q_ann_cosine,
+        "llm_ivf_ann": q_ivf_ann,
         "llm_multimodal_decode": q_multimodal_decode,
     }
 
@@ -637,7 +647,18 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS score
               FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
               ORDER BY score DESC, e.vec_id LIMIT 10)""",
-        # llm_minhash_pairs / llm_simhash_pairs / llm_ann_cosine /
-        # llm_multimodal_decode: rows-only (LSH banding and the stub decoder
-        # are not ANSI-SQL expressible).
+        # llm_ivf_ann probes every inverted list (nprobe == nlist) → exact
+        # top-k, so the brute-force oracle applies verbatim.
+        "llm_ivf_ann": """
+            SELECT vec_id FROM (
+              SELECT e.vec_id,
+                     round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                              * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS score
+              FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              ORDER BY score DESC, e.vec_id LIMIT 10)""",
+        # llm_minhash_pairs / llm_simhash_pairs / llm_ngram_pairs /
+        # llm_embedding_near_dup / llm_ann_cosine / llm_multimodal_decode:
+        # rows-only (LSH banding and the stub decoder are not ANSI-SQL
+        # expressible).
     }

@@ -17,6 +17,7 @@ from siddhi_io_cdc_spark.functions.similarity import (
     cosine,
     dot,
     embedding_near_dup_pairs,
+    ivf_ann_cosine,
     topk_cosine,
 )
 from siddhi_io_cdc_spark.functions.text import (
@@ -36,6 +37,7 @@ __all__ = [
     "dot",
     "embedding_near_dup_pairs",
     "fingerprint",
+    "ivf_ann_cosine",
     "lang_detect",
     "minhash_lsh_pairs",
     "minhash_signature",

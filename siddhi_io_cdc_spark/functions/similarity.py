@@ -116,6 +116,61 @@ def ann_cosine(
     return topk_cosine(candidates, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def ivf_assign(vec_col: Column, centroids) -> Column:
+    """IVF list assignment: index of the nearest (highest-dot) centroid.
+
+    ``centroids`` is a small (nlist × dim) array generated driver-side; the
+    argmax is an unrolled JVM expression chain — no UDF, no shuffle. On a
+    100 TB corpus this column becomes the partition key of the vector
+    layout, so probes read only the probed lists' partitions."""
+    best_idx = F.lit(0)
+    best_dot = dot(vec_col, _as_lit_vec(centroids[0]))
+    for i, c in enumerate(centroids[1:], start=1):
+        d = dot(vec_col, _as_lit_vec(c))
+        best_idx = F.when(d > best_dot, F.lit(i)).otherwise(best_idx)
+        best_dot = F.when(d > best_dot, d).otherwise(best_dot)
+    return best_idx
+
+
+def ivf_centroids(dim: int, nlist: int = 16, seed: int = 42):
+    """Deterministic pseudo-centroids (unit-normalized random directions).
+
+    A production index would train these with k-means over a sample; the
+    probe/assign machinery is identical, so the plumbing here is the real
+    thing with a stub trainer (same stance as the multimodal decoders)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    c = rs.randn(nlist, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_ann_cosine(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: assign vectors to inverted lists by nearest centroid,
+    probe only the ``nprobe`` lists nearest the query, exact-rescore there.
+
+    Complement to :func:`ann_cosine` (sign-LSH): IVF adapts to the data
+    direction structure, LSH needs no training. Scan volume ≈ nprobe/nlist
+    of the corpus."""
+    import numpy as np
+
+    centroids = ivf_centroids(len(query_vec), nlist, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    probe_lists = np.argsort(-(centroids @ qv))[:nprobe].tolist()
+    assigned = df.withColumn("__list", ivf_assign(F.col(vec_col), centroids))
+    candidates = assigned.where(F.col("__list").isin(probe_lists))
+    return topk_cosine(candidates, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -147,3 +147,17 @@ def test_salted_agg_matches_plain_groupby(spark, sf_dir):
 
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(ev, ["user_id"], {"a": ("avg", "value")})
+
+
+def test_ivf_ann_recalls_query_vector(spark, emb):
+    from siddhi_io_cdc_spark.functions.similarity import ivf_ann_cosine, topk_cosine
+
+    q = emb.where(F.col("vec_id") == 7).select("embedding").first()[0]
+    ann = ivf_ann_cosine(emb, q, k=5, nlist=8, nprobe=3)
+    rows = ann.collect()
+    # The query's own vector is always in its own (probed) list.
+    assert rows[0]["vec_id"] == 7 and abs(rows[0]["score"] - 1.0) < 1e-6
+    # Probing all lists degenerates to exact brute force.
+    full = ivf_ann_cosine(emb, q, k=5, nlist=8, nprobe=8).collect()
+    brute = topk_cosine(emb, q, k=5).collect()
+    assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
