@@ -379,6 +379,93 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+# -- Temporal joins & window aggregations (custom operators) ----------------
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: trades (even event_ids) pick up the latest preceding
+    quote (odd event_ids) per user — union+window plan, no row explosion."""
+    from siddhi_io_cdc_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    trades = ev.where(F.col("event_id") % 2 == 0).select(
+        "user_id", F.col("event_id").alias("trade_time"), F.col("value").alias("trade_value")
+    )
+    quotes = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", F.col("event_id").alias("quote_time"), F.col("value").alias("quote_value")
+    )
+    return asof_join(trades, quotes, on=["user_id"], left_time="trade_time", right_time="quote_time")
+
+
+def q_range_join(spark, sf_dir):
+    """Binned interval join: orders-per-14-day-window around sampled orders."""
+    from siddhi_io_cdc_spark.operators.temporal import bucketed_range_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    epoch = F.lit("1970-01-01").cast("date")
+    iv = orders.where(F.col("o_orderkey") % 997 == 0).select(
+        F.col("o_orderkey").alias("iid"),
+        F.datediff(F.col("o_orderdate"), epoch).alias("lo_day"),
+        (F.datediff(F.col("o_orderdate"), epoch) + 13).alias("hi_day"),
+    )
+    pts = orders.select(
+        F.col("o_orderkey").alias("pid"), F.datediff(F.col("o_orderdate"), epoch).alias("p_day")
+    )
+    joined = bucketed_range_join(pts, iv, "p_day", "lo_day", "hi_day", bucket_width=14, how="left_intervals")
+    return joined.groupBy("iid").agg(F.count("pid").alias("n_orders"))
+
+
+def q_tumbling_window(spark, sf_dir):
+    from siddhi_io_cdc_spark.streaming.windows import tumbling_agg
+
+    return tumbling_agg(
+        _events(spark, sf_dir),
+        F.timestamp_seconds(F.col("event_id")),
+        100,
+        {"n": F.count(F.lit(1)), "sum_value": F.sum(_dec("value")).cast("double")},
+    )
+
+
+def q_sliding_window(spark, sf_dir):
+    from siddhi_io_cdc_spark.streaming.windows import sliding_agg
+
+    return sliding_agg(
+        _events(spark, sf_dir),
+        F.timestamp_seconds(F.col("event_id")),
+        100,
+        40,
+        {"n": F.count(F.lit(1)), "sum_value": F.sum(_dec("value")).cast("double")},
+    )
+
+
+def q_session_window(spark, sf_dir):
+    from siddhi_io_cdc_spark.streaming.windows import session_agg
+
+    return session_agg(
+        _events(spark, sf_dir),
+        F.timestamp_seconds(F.col("event_id")),
+        30,
+        {"n": F.count(F.lit(1))},
+        keys=["user_id"],
+    )
+
+
+def q_label_centroids(spark, sf_dir):
+    from siddhi_io_cdc_spark.functions.similarity import label_centroids
+
+    return label_centroids(_emb(spark, sf_dir), dim=16)
+
+
+def q_top_ngrams(spark, sf_dir):
+    from siddhi_io_cdc_spark.functions.text import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -420,7 +507,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_nations_except": R.nations_except,
         "rel_nations_intersect": R.nations_intersect,
         "rel_order_priority": R.order_priority_counts,
+        "rel_custdist": R.customer_order_distribution,
+        "rel_small_qty_revenue": R.small_quantity_revenue,
+        "rel_customers_without_orders": R.customers_without_orders,
         "rel_salted_agg": q_salted_agg,
+        # Temporal joins & windows (custom operators over §2.5 surface)
+        "rel_asof_join": q_asof_join,
+        "rel_range_join": q_range_join,
+        "win_tumbling": q_tumbling_window,
+        "win_sliding": q_sliding_window,
+        "win_session": q_session_window,
         # LLM pipeline
         "llm_dedup_exact": q_dedup_exact,
         "llm_text_stats": q_text_stats,
@@ -428,6 +524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_quality_score": q_quality_score,
         "llm_fingerprint": q_fingerprint,
         "llm_topk_cosine": q_topk_cosine,
+        "llm_top_ngrams": q_top_ngrams,
+        "llm_label_centroids": q_label_centroids,
         # Rows-only (not ANSI-SQL expressible: LSH banding / stub decode)
         "llm_minhash_pairs": q_minhash_pairs,
         "llm_simhash_pairs": q_simhash_pairs,
@@ -634,11 +732,94 @@ def oracle_sql() -> dict[str, str]:
         "rel_salted_agg": """
             SELECT user_id, count(*) AS n, sum(event_id) AS sum_eid
             FROM events GROUP BY user_id""",
+        "rel_custdist": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count""",
+        "rel_small_qty_revenue": """
+            SELECT p_brand,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN (SELECT l_partkey AS pk,
+                         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                         count(*) AS cnt
+                  FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.pk
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 2 * a.cnt < a.sum_qty
+            GROUP BY p_brand""",
+        "rel_customers_without_orders": """
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+            FROM customer WHERE c_custkey NOT IN
+                 (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment""",
+        "rel_asof_join": f"""
+            SELECT t.user_id, t.trade_time, t.trade_value, q.quote_time, q.quote_value
+            FROM (SELECT user_id, event_id AS trade_time, value AS trade_value
+                  FROM events WHERE event_id % 2 = 0) t
+            ASOF LEFT JOIN
+                 (SELECT user_id, event_id AS quote_time, value AS quote_value
+                  FROM events WHERE event_id % 2 = 1) q
+            ON t.user_id = q.user_id AND q.quote_time <= t.trade_time""",
+        "rel_range_join": """
+            SELECT i.iid, count(p.o_orderkey) AS n_orders
+            FROM (SELECT o_orderkey AS iid, o_orderdate AS lo,
+                         o_orderdate + INTERVAL 13 DAY AS hi
+                  FROM orders WHERE o_orderkey % 997 = 0) i
+            LEFT JOIN orders p ON p.o_orderdate BETWEEN i.lo AND i.hi
+            GROUP BY i.iid""",
+        "win_tumbling": """
+            SELECT (event_id // 100) * 100 AS window_start, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1""",
+        "win_sliding": """
+            SELECT ws AS window_start, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM (SELECT ((event_id // 40) - unnest(generate_series(0, 2))) * 40 AS ws,
+                         event_id, value
+                  FROM events)
+            WHERE event_id < ws + 100
+            GROUP BY ws""",
+        # Session semantics pinned by test: events exactly gap seconds apart
+        # MERGE (inclusive); a strictly larger gap breaks the session.
+        "win_session": """
+            WITH s AS (
+              SELECT user_id, event_id AS t,
+                     CASE WHEN lag(event_id) OVER w IS NULL
+                               OR event_id - lag(event_id) OVER w > 30
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+            g AS (
+              SELECT user_id, t,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM s)
+            SELECT user_id, min(t) AS session_start, count(*) AS n
+            FROM g GROUP BY user_id, sid""",
         "llm_dedup_exact": f"SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_NORM}",
         "llm_text_stats": _TEXT_STATS_SQL,
         "llm_lang_detect": _lang_detect_sql(),
         "llm_quality_score": _QUALITY_SQL,
         "llm_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "llm_top_ngrams": f"""
+            SELECT ngram, count(*) AS n_occurrences FROM (
+              SELECT w[j] || ' ' || w[j+1] AS ngram FROM (
+                SELECT unnest(generate_series(1, len(w) - 1)) AS j, w FROM (
+                  SELECT string_split({_NORM}, ' ') AS w FROM documents)))
+            GROUP BY ngram ORDER BY n_occurrences DESC, ngram LIMIT 20""",
+        "llm_label_centroids": (
+            "SELECT label, count(*) AS n_vectors, "
+            + ", ".join(
+                f"round(CAST(sum(CAST(CAST(embedding[{i + 1}] AS DOUBLE) AS DECIMAL(28,9))) AS DOUBLE)"
+                f" / count(*), 6) AS d{i}"
+                for i in range(16)
+            )
+            + " FROM embeddings GROUP BY label"
+        ),
         "llm_topk_cosine": """
             SELECT vec_id FROM (
               SELECT e.vec_id,

@@ -205,3 +205,30 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     return pairs
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int = 16,
+) -> DataFrame:
+    """Per-label centroid of an embedding column, as ``d0..d{dim-1}`` doubles.
+
+    One hash-aggregate on the label — partial (map-side) sums mean the
+    shuffle carries ``n_labels x dim`` decimals, not rows. Element sums run
+    in EXACT decimal (associative → partition-order independent), and only
+    the final mean divides in double and rounds — so the result is
+    bit-stable and oracle-comparable. Dimensions are unrolled as columns
+    (dim is small and known), keeping everything in whole-stage codegen.
+    """
+    v = F.col(vec_col)
+    sums = [
+        F.sum(v[i].cast("double").cast("decimal(28,9)")).alias(f"__s{i}") for i in range(dim)
+    ]
+    out = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n_vectors"), *sums)
+    means = [
+        F.round(F.col(f"__s{i}").cast("double") / F.col("n_vectors"), 6).alias(f"d{i}")
+        for i in range(dim)
+    ]
+    return out.select(label_col, "n_vectors", *means)

@@ -122,3 +122,38 @@ def fingerprint(col: Column | str) -> Column:
     (md5 chosen deliberately: bit-identical in Spark and DuckDB, so the
     fingerprint itself is oracle-checkable.)"""
     return F.md5(normalize_text(col))
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Array of word n-grams over the normalized text (space-joined).
+
+    Pure array expressions (codegen'd): split → slide an ``n``-wide slice.
+    Texts with fewer than ``n`` words yield an empty array (the ``when``
+    guard matters: ``F.sequence(1, 0)`` would DESCEND, not return empty).
+    """
+    words = F.split(normalize_text(col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngrams(
+    df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams: explode → count → deterministic top-k.
+
+    Scale shape: explode is narrow; the count is one hash-aggregate with
+    map-side combine (the n-gram key space is long-tailed, so partial
+    aggregation collapses most of the volume before the shuffle); top-k is
+    TakeOrdered (per-partition heap, no global sort). Ties break on the
+    n-gram string so the result is total-ordered and hash-stable.
+    """
+    return (
+        df.select(F.explode(word_ngrams(text_col, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+    )

@@ -145,3 +145,64 @@ def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: outer-join surface — how many customers placed k
+    orders, including k=0 (the left-outer + double-aggregate shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str, frac: float = 0.5) -> DataFrame:
+    """TPC-H Q17-shaped: correlated-aggregate surface — revenue from
+    lineitems whose quantity is below ``frac`` x that part's average
+    quantity, grouped by brand.
+
+    The correlated subquery is decorrelated into a per-part aggregate +
+    broadcast-friendly equi-join (what Catalyst itself does to Q17). The
+    threshold compare is kept in EXACT decimal arithmetic —
+    ``2*qty*cnt < sum_qty`` instead of ``qty < 0.5*avg`` — so the boundary
+    cannot flip under float rounding (and the result hash-matches any
+    engine computing the same rational numbers).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    inv_frac = int(round(1.0 / frac))  # frac=0.5 → qty * 2 * cnt < sum_qty
+    return (
+        li.join(per_part, li.l_partkey == F.col("pk"))
+        .where(_dec("l_quantity") * inv_frac * F.col("cnt") < F.col("sum_qty"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str, priority: str = "1-URGENT") -> DataFrame:
+    """Anti-join surface (TPC-H Q22-flavored): customers with no order of
+    the given priority, counted per market segment with their total account
+    balance. (Filtered to a priority class so the anti-join is non-trivial
+    at every scale factor — with no filter, every customer has orders.)"""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == priority)
+    return (
+        cust.join(orders.select("o_custkey").distinct(), cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Time-window aggregations: tumbling, sliding (hopping), session.
+
+SURVEY.md §2.5 records that the reference has NO streaming windows of its own
+(events are delivered one at a time; windowing lives in siddhi-core). In the
+Spark re-expression these are first-class: ``F.window`` / ``F.session_window``
+group-bys that run identically on batch DataFrames and on Structured
+Streaming inputs (add ``withWatermark`` upstream for late-data bounds — see
+``tests/test_windows.py`` for the streaming variant).
+
+All three emit ``window_start`` as epoch SECONDS (long) rather than a
+timestamp struct so results are engine-portable and hash-stable.
+
+Scale shape: each is a single hash-aggregate — one shuffle on
+(key, window), partial aggregation map-side, no Python in the row path.
+Sliding windows multiply rows by ``width/step`` inside the *aggregate
+input* (Spark expands them in the generated code, not as a materialized
+explode). Session windows shuffle on the key and merge sessions inside the
+aggregation operator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["tumbling_agg", "sliding_agg", "session_agg"]
+
+
+def _ts(ts_col: str | Column) -> Column:
+    c = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    return c
+
+
+def _win_cols(keys: Sequence[str]) -> list[Column]:
+    return [F.col(k) for k in keys]
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str | Column,
+    width_seconds: int,
+    aggs: dict[str, Column],
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Non-overlapping fixed windows: ``[k*width, (k+1)*width)``."""
+    win = F.window(_ts(ts_col), f"{width_seconds} seconds")
+    out = df.groupBy(*_win_cols(keys), win.alias("__w")).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return out.select(
+        *keys, F.col("__w.start").cast("long").alias("window_start"), *aggs.keys()
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str | Column,
+    width_seconds: int,
+    step_seconds: int,
+    aggs: dict[str, Column],
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Overlapping (hopping) windows: starts at every multiple of ``step``;
+    each event lands in ``width/step`` windows (windows aligned to the epoch,
+    negative starts included — same contract as ``F.window``)."""
+    win = F.window(_ts(ts_col), f"{width_seconds} seconds", f"{step_seconds} seconds")
+    out = df.groupBy(*_win_cols(keys), win.alias("__w")).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return out.select(
+        *keys, F.col("__w.start").cast("long").alias("window_start"), *aggs.keys()
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str | Column,
+    gap_seconds: int,
+    aggs: dict[str, Column],
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Data-driven windows: an event within ``gap`` (INCLUSIVE — verified
+    empirically: events at t and t+gap merge) of the session's last event
+    extends it; a strictly larger gap starts a new session.
+
+    Emits ``session_start`` (epoch seconds) per key."""
+    win = F.session_window(_ts(ts_col), f"{gap_seconds} seconds")
+    out = df.groupBy(*_win_cols(keys), win.alias("__w")).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )
+    return out.select(
+        *keys, F.col("__w.start").cast("long").alias("session_start"), *aggs.keys()
+    )

@@ -1,0 +1,94 @@
+"""Window aggregations (streaming/windows.py): batch semantics pinned, plus
+a real Structured Streaming run with watermarked tumbling windows."""
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+
+def test_tumbling_buckets(spark):
+    df = spark.createDataFrame([(0, 1.0), (99, 2.0), (100, 3.0), (250, 4.0)], "t long, v double")
+    got = {
+        r.window_start: (r.n, r.sv)
+        for r in tumbling_agg(
+            df, F.timestamp_seconds("t"), 100, {"n": F.count(F.lit(1)), "sv": F.sum("v")}
+        ).collect()
+    }
+    assert got == {0: (2, 3.0), 100: (1, 3.0), 200: (1, 4.0)}
+
+
+def test_sliding_epoch_aligned_with_negative_starts(spark):
+    df = spark.createDataFrame([(50,)], "t long")
+    got = sorted(
+        r.window_start
+        for r in sliding_agg(df, F.timestamp_seconds("t"), 100, 40, {"n": F.count(F.lit(1))}).collect()
+    )
+    assert got == [-40, 0, 40]  # every epoch-aligned window containing t=50
+
+
+def test_session_gap_inclusive_merge(spark):
+    # 0,29 merge (gap 29<30); 30 after 29 still merges (inclusive); 95 breaks.
+    df = spark.createDataFrame([(0,), (29,), (59,), (95,)], "t long")
+    got = sorted(
+        (r.session_start, r.n)
+        for r in session_agg(df, F.timestamp_seconds("t"), 30, {"n": F.count(F.lit(1))}).collect()
+    )
+    assert got == [(0, 3), (95, 1)]
+
+
+def test_session_keys_partition_sessions(spark):
+    df = spark.createDataFrame([("a", 0), ("a", 10), ("b", 5)], "k string, t long")
+    got = sorted(
+        (r.k, r.session_start, r.n)
+        for r in session_agg(
+            df, F.timestamp_seconds("t"), 30, {"n": F.count(F.lit(1))}, keys=["k"]
+        ).collect()
+    )
+    assert got == [("a", 0, 2), ("b", 5, 1)]
+
+
+def test_tumbling_streaming_with_watermark(spark, tmp_path):
+    """The same tumbling_agg call runs unchanged on a streaming input with a
+    watermark (append mode emits a window once the watermark passes it)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def _append(ts_values):
+        pq.write_table(
+            pa.table({"t": pa.array(ts_values, pa.int64())}),
+            os.path.join(src, f"p-{time.time_ns()}.parquet"),
+        )
+
+    _append([0, 50, 99])
+    stream = (
+        spark.readStream.schema("t long")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_seconds("t"))
+        .withWatermark("ts", "10 seconds")
+    )
+    out = tumbling_agg(stream, F.col("ts"), 100, {"n": F.count(F.lit(1))})
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumble_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Watermark (max 99 - 10 = 89) hasn't passed window [0,100) yet.
+        assert spark.sql("select * from tumble_stream").count() == 0
+        _append([250])  # advances watermark to 240 → closes [0,100)
+        q.processAllAvailable()
+        _append([400])  # closes [200,300)
+        q.processAllAvailable()
+        got = {r.window_start: r.n for r in spark.sql("select * from tumble_stream").collect()}
+        assert got[0] == 3 and got[200] == 1
+    finally:
+        q.stop()
