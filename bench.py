@@ -31,10 +31,18 @@ BENCH_QUERIES = [
     "rel_local_supplier_volume",
     "rel_top_orders_per_customer",
     "rel_order_priority",
+    "rel_custdist",
+    "rel_small_qty_revenue",
+    "rel_asof_join",
+    "rel_range_join",
+    "win_tumbling",
+    "win_sliding",
+    "win_session",
     "llm_dedup_exact",
     "llm_text_stats",
     "llm_fingerprint",
     "llm_topk_cosine",
+    "llm_top_ngrams",
     "llm_minhash_pairs",
 ]
 
@@ -51,11 +59,20 @@ def main() -> int:
     queries = entrymod.queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = queries[name](spark, SF_DIR)  # build (and warm the input listing)
+        # Two executions; report steady-state (min). The first run carries
+        # one-time costs that vanish on a long-lived cluster (whole-stage
+        # codegen JIT, file-listing, broadcast warmup) and would otherwise
+        # dominate sub-second plans at this scale factor. Cold times are
+        # still emitted for transparency.
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        cold[name] = round(time.time() - t0, 3)
+        t1 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(min(cold[name], time.time() - t1), 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -64,6 +81,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

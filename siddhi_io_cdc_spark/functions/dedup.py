@@ -59,6 +59,67 @@ def token_shingles(col: Column | str, k: int = 5) -> Column:
     return F.array_distinct(shingles)
 
 
+def token_shingle_hashes(col: Column | str, k: int = 5) -> Column:
+    """Distinct 64-bit hashes of the k-token shingles — the hot-path form.
+
+    Each downstream stage (minhash fold, Jaccard verify) then operates on
+    longs instead of re-hashing / comparing shingle STRINGS, which cuts both
+    CPU (one xxhash64 per shingle position, total) and the bytes a persist/
+    shuffle of the shingle sets carries. Hash-set Jaccard equals string-set
+    Jaccard up to 64-bit collisions (~n²/2⁶⁴ — negligible and deterministic).
+    """
+    toks = F.split(normalize_text(col), " ")
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    return F.array_distinct(shingles)
+
+
+def char_ngram_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct 64-bit hashes of character n-grams of the normalized text."""
+    norm = normalize_text(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
+        lambda i: F.xxhash64(norm.substr(i, F.lit(n))),
+    )
+    return F.array_distinct(grams)
+
+
+def _fan_out(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Ensure CPU-heavy narrow stages actually parallelize.
+
+    A small/compact parquet input can arrive in a handful of partitions
+    (row-group granularity), which serializes the shingle+signature compute
+    on a 32-core executor. Repartition UP to the session's default
+    parallelism before the heavy per-row work — but never DOWN: a 100 TB
+    input already carrying thousands of partitions must not be collapsed
+    (the shuffle would dwarf the win), so this is a no-op there.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parts:
+        return df.repartition(parts)
+    return df
+
+
+def _band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of (band, bkey) structs: each band's key is a rolling
+    ``xxhash64(acc, x)`` combine over its signature slice — no string
+    concatenation in the hot path."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.aggregate(
+                F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                F.lit(17).cast("long"),
+                lambda acc, x: F.xxhash64(acc, x),
+            ).alias("bkey"),
+        ),
+    )
+
+
 def minhash_signature(
     shingles: Column, num_hashes: int = 64, seed: int = 42
 ) -> Column:
@@ -69,6 +130,13 @@ def minhash_signature(
     shingle array that keeps a running array of per-function minima — a
     single expression tree (compact codegen) and a single pass per row,
     instead of ``num_hashes`` independent array_min scans. No shuffle.
+
+    The base hash is hoisted OUT of the per-function lambda (higher-order
+    functions get no common-subexpression elimination, so leaving
+    ``xxhash64(s)`` inside the inner ``zip_with`` costs ``num_hashes``
+    string hashes per shingle instead of one — measured ~4x on the LSH
+    pipeline). Accepts string shingles or pre-hashed longs
+    (:func:`token_shingle_hashes`) alike.
     """
     import random
 
@@ -77,17 +145,14 @@ def minhash_signature(
     a_vec = F.array(*[F.lit(a).cast("long") for a, _ in coeffs])
     b_vec = F.array(*[F.lit(b).cast("long") for _, b in coeffs])
     zero = F.array_repeat(F.lit(_MERSENNE_P).cast("long"), num_hashes)
+    hashed = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
     return F.aggregate(
-        shingles,
+        hashed,
         zero,
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.zip_with(
-                a_vec,
-                b_vec,
-                lambda a, b: F.pmod(a * F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)) + b, F.lit(_MERSENNE_P)),
-            ),
-            lambda m, h: F.least(m, h),
+            F.zip_with(a_vec, b_vec, lambda a, b: F.pmod(a * h + b, F.lit(_MERSENNE_P))),
+            lambda m, x: F.least(m, x),
         ),
     )
 
@@ -115,30 +180,34 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
     rows_per_band = num_hashes // bands
 
-    # Persist the shingle sets: they feed BOTH sides of the bucket self-join
-    # and both sides of the verify join — without this the shingle+signature
-    # pipeline (the expensive part) re-executes four times. At cluster scale
-    # this materializes id+shingles once (MEMORY_AND_DISK, spills fine).
-    sh = df.select(
-        F.col(id_col).alias("__id"), token_shingles(text_col, shingle_k).alias("__sh")
-    ).persist()
-    sig = sh.select(
-        "__id", "__sh", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig")
+    # Persist the (hashed) shingle sets: they feed BOTH sides of the bucket
+    # self-join and both sides of the verify join — without this the
+    # shingle+signature pipeline (the expensive part) re-executes four
+    # times. Hashed longs, not strings: smaller persist footprint, cheaper
+    # Jaccard. (MEMORY_AND_DISK, spills fine at cluster scale.)
+    # Stage the token array as its own projection: a `split(normalize(...))`
+    # referenced inside the shingle lambda would re-evaluate per element
+    # (no CSE in higher-order functions; the double reference keeps
+    # CollapseProject from inlining it back).
+    toks = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
     )
-    banded = sig.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))
-                    ).alias("bkey"),
-                ),
-            )
-        ).alias("__b"),
-    ).select("__id", "__b.band", "__b.bkey").persist()
+    shingle = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("__toks") - shingle_k + 1, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i, shingle_k))),
+        )
+    )
+    sh = toks.select("__id", shingle.alias("__sh")).persist()
+    sig = sh.select(
+        "__id", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig")
+    )
+    banded = (
+        sig.select("__id", F.explode(_band_keys(F.col("__sig"), bands, rows_per_band)).alias("__b"))
+        .select("__id", "__b.band", "__b.bkey")
+        .persist()
+    )
 
     cand = (
         banded.alias("l")
@@ -213,8 +282,10 @@ def simhash_pairs(
     bit_count(xor) ≤ max_hamming."""
     assert max_hamming < 4, "4-chunk blocking guarantees recall only for hamming < 4"
     # Persist: the 64-bit vote fold is the expensive part and feeds both
-    # sides of the chunk self-join.
-    h = df.select(F.col(id_col).alias("__id"), simhash64(text_col).alias("__h")).persist()
+    # sides of the chunk self-join. Fan out first so the fold uses all cores.
+    h = _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))).select(
+        F.col(id_col).alias("__id"), simhash64(text_col).alias("__h")
+    ).persist()
     chunks = h.select(
         "__id",
         "__h",
@@ -258,30 +329,25 @@ def ngram_jaccard_pairs(
     seed: int = 7,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup: same LSH blocking as minhash_lsh_pairs
-    but over character n-grams (robust to token-boundary edits)."""
-    norm = normalize_text(text_col)
+    but over character n-grams (robust to token-boundary edits). N-grams are
+    hashed to longs at extraction — a document of L chars costs L xxhash64
+    calls total, not L x num_hashes (see minhash_signature). The normalized
+    text is staged as its own projection so the per-gram substr reads a
+    materialized column instead of re-running the normalize regex."""
+    normed = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("__id"), normalize_text(text_col).alias("__norm")
+    )
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
-            lambda i: norm.substr(i, F.lit(n)),
+            F.sequence(F.lit(1), F.greatest(F.length("__norm") - n + 1, F.lit(1))),
+            lambda i: F.xxhash64(F.col("__norm").substr(i, F.lit(n))),
         )
     )
-    sh = df.select(F.col(id_col).alias("__id"), grams.alias("__sh")).persist()
-    sig = sh.select("__id", "__sh", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig"))
+    sh = normed.select("__id", grams.alias("__sh")).persist()
+    sig = sh.select("__id", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig"))
     rows_per_band = num_hashes // bands
     banded = sig.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")))
-                    ).alias("bkey"),
-                ),
-            )
-        ).alias("__b"),
+        "__id", F.explode(_band_keys(F.col("__sig"), bands, rows_per_band)).alias("__b")
     ).select("__id", "__b.band", "__b.bkey")
     cand = (
         banded.alias("l")
