@@ -346,6 +346,24 @@ def q_ivf_ann(spark, sf_dir):
     return ivf_ann_cosine(emb, q, k=10, nlist=8, nprobe=8).select("vec_id")
 
 
+def q_near_dedup(spark, sf_dir):
+    """Rows-only (iterative components): end-to-end near-dedup — plant 5
+    clones, LSH-pair them, collapse each cluster to its canonical doc."""
+    from siddhi_io_cdc_spark.functions.dedup import dedup_near
+
+    docs = _docs(spark, sf_dir)
+    nd = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(nd)
+    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.7)
+    return dedup_near(corpus, pairs).select("doc_id").orderBy("doc_id")
+
+
 def q_multimodal_decode(spark, sf_dir):
     docs = _docs(spark, sf_dir).limit(200)
     return decode_image_features(attach_payload(docs, "text")).orderBy("id")
@@ -528,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_label_centroids": q_label_centroids,
         # Rows-only (not ANSI-SQL expressible: LSH banding / stub decode)
         "llm_minhash_pairs": q_minhash_pairs,
+        "llm_near_dedup": q_near_dedup,
         "llm_simhash_pairs": q_simhash_pairs,
         "llm_ngram_pairs": q_ngram_pairs,
         "llm_embedding_near_dup": q_embedding_near_dup,

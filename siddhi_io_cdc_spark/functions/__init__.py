@@ -4,12 +4,15 @@ design notes; everything row-level is JVM built-ins, Python appears only in
 the clearly-stubbed multimodal decoders (Arrow-batched)."""
 
 from siddhi_io_cdc_spark.functions.dedup import (
+    connected_components,
     dedup_exact,
+    dedup_near,
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash64,
     simhash_pairs,
+    token_shingle_hashes,
     token_shingles,
 )
 from siddhi_io_cdc_spark.functions.similarity import (
@@ -18,6 +21,7 @@ from siddhi_io_cdc_spark.functions.similarity import (
     dot,
     embedding_near_dup_pairs,
     ivf_ann_cosine,
+    label_centroids,
     topk_cosine,
 )
 from siddhi_io_cdc_spark.functions.text import (
@@ -27,13 +31,16 @@ from siddhi_io_cdc_spark.functions.text import (
     quality_score,
     text_stats,
     token_count,
+    top_ngrams,
     word_count,
 )
 
 __all__ = [
     "ann_cosine",
     "cosine",
+    "connected_components",
     "dedup_exact",
+    "dedup_near",
     "dot",
     "embedding_near_dup_pairs",
     "fingerprint",
@@ -48,7 +55,10 @@ __all__ = [
     "simhash_pairs",
     "text_stats",
     "token_count",
+    "token_shingle_hashes",
     "token_shingles",
+    "top_ngrams",
+    "label_centroids",
     "topk_cosine",
     "word_count",
 ]

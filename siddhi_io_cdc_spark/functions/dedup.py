@@ -366,3 +366,80 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: (node, component),
+    component = smallest node id reachable. Only nodes that appear in a pair
+    are returned.
+
+    Distributed min-label propagation: each iteration joins labels across
+    edges and takes the per-node minimum — data never leaves the cluster,
+    the driver only checks a scalar convergence count. Iterations needed =
+    graph diameter (near-dup clusters are shallow; ``max_iterations`` is a
+    hard stop, raising if not converged so a pathological chain cannot
+    silently mislabel). ``localCheckpoint`` cuts the growing lineage each
+    round — without it the plan doubles per iteration.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("neighbor_component", "component")
+                ).alias("component"),
+                (F.coalesce("neighbor_component", "component") < F.col("component")).alias("__chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+    )
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """End-to-end near-dedup: given candidate/verified pairs (from
+    :func:`minhash_lsh_pairs` / :func:`simhash_pairs` / ...), keep ONE
+    canonical row (smallest id) per connected component plus every row that
+    belongs to no pair. Returns the surviving rows with all columns.
+
+    The survivors filter is an equi-join against the component labels —
+    broadcast-friendly (labels ≪ corpus: only near-dup members carry one).
+    """
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    return (
+        df.join(labels, df[id_col] == labels.node, "left")
+        .where(F.col("node").isNull() | (F.col(id_col) == F.col("component")))
+        .drop("node", "component")
+    )

@@ -5,6 +5,7 @@ from siddhi_io_cdc_spark.operators.flatten import (
     type_default,
 )
 from siddhi_io_cdc_spark.operators.mongo import MONGO_ENVELOPE_SCHEMA, mongo_flatten
+from siddhi_io_cdc_spark.operators.temporal import asof_join, bucketed_range_join
 from siddhi_io_cdc_spark.operators.mutate import (
     apply_changelog,
     delete_on,
@@ -16,6 +17,8 @@ from siddhi_io_cdc_spark.operators.mutate import (
 )
 
 __all__ = [
+    "asof_join",
+    "bucketed_range_join",
     "flatten",
     "lowercase_columns",
     "schema_map",

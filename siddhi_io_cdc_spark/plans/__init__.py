@@ -1,6 +1,8 @@
 """Headline relational query plans (Catalyst-native surface, SURVEY.md §2.5)."""
 
 from siddhi_io_cdc_spark.plans.relational import (
+    customer_order_distribution,
+    customers_without_orders,
     distinct_parts_per_flag,
     local_supplier_volume,
     nations_except,
@@ -9,10 +11,13 @@ from siddhi_io_cdc_spark.plans.relational import (
     pricing_summary,
     returnflag_rollup,
     shipping_priority,
+    small_quantity_revenue,
     top_orders_per_customer,
 )
 
 __all__ = [
+    "customer_order_distribution",
+    "customers_without_orders",
     "distinct_parts_per_flag",
     "local_supplier_volume",
     "nations_except",
@@ -21,5 +26,6 @@ __all__ = [
     "pricing_summary",
     "returnflag_rollup",
     "shipping_priority",
+    "small_quantity_revenue",
     "top_orders_per_customer",
 ]

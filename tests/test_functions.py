@@ -161,3 +161,26 @@ def test_ivf_ann_recalls_query_vector(spark, emb):
     full = ivf_ann_cosine(emb, q, k=5, nlist=8, nprobe=8).collect()
     brute = topk_cosine(emb, q, k=5).collect()
     assert [r["vec_id"] for r in full] == [r["vec_id"] for r in brute]
+
+
+def test_connected_components_chains(spark):
+    from siddhi_io_cdc_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.component for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_near_keeps_canonical_and_untouched(spark):
+    from siddhi_io_cdc_spark.functions.dedup import dedup_near
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+    survivors = sorted(r.doc_id for r in dedup_near(docs, pairs).collect())
+    assert survivors == [0, 1, 3, 5]  # cluster {1,2,4} → keep 1; 0/3/5 untouched

@@ -59,3 +59,29 @@ def test_update_on_broadcasts_change_set(spark, sf_dir, entrymod):
 def test_dedup_exact_single_exchange(spark, sf_dir, entrymod):
     p = plan_of(entrymod.queries()["llm_dedup_exact"](spark, sf_dir))
     assert p.count("Exchange") == 1  # one shuffle end-to-end (min_by agg)
+
+
+def test_asof_join_single_shuffle_no_explosion(spark, sf_dir, entrymod):
+    """Union+window formulation: exactly one key exchange, no join node at
+    all (the naive formulation would show a range-condition join)."""
+    p = plan_of(entrymod.queries()["rel_asof_join"](spark, sf_dir))
+    assert "Join" not in p  # no row-exploding join — window over union
+    assert "WindowExec" in p or "Window" in p
+    assert p.count("Exchange") <= 2  # key repartition (+AQE wrapper)
+
+
+def test_range_join_is_equi_bucket_join(spark, sf_dir, entrymod):
+    """Binned interval join must plan as an equi hash join on the bucket,
+    never a broadcast nested loop / cartesian."""
+    p = plan_of(entrymod.queries()["rel_range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_small_qty_revenue_broadcasts_part_dim(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["rel_small_qty_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+
+
+def test_window_aggs_partial_aggregate(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["win_tumbling"](spark, sf_dir))
+    assert "partial_count" in p or "partial_sum" in p  # map-side combine
