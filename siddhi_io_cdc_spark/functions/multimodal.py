@@ -140,3 +140,47 @@ def extract_embedding(df: DataFrame, id_col: str = "doc_id", dim: int = 16) -> D
             yield pd.DataFrame({"id": pdf["id"], "embedding": out})
 
     return src.mapInPandas(_embed, schema="id long, embedding array<double>")
+
+
+AUDIO_FEATURES_SCHEMA = "id long, n_samples int, duration_s double, rms double"
+
+
+def decode_audio_features(
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000
+) -> DataFrame:
+    """Decode audio payloads → (id, n_samples, duration_s, rms).
+
+    Same contract as :func:`decode_image_features`: the Spark plumbing
+    (Arrow-batched ``mapInPandas``, partition-preserving, vectorized numpy
+    inside the batch) is the production shape; the codec itself is a
+    DETERMINISTIC FAKE that treats the payload bytes as 8-bit PCM — swap the
+    inner function for soundfile/librosa in production. ``sample_rate``
+    falls back to the given default when ``mm_meta.sample_rate`` is NULL.
+    """
+    src = df.select(
+        F.col(id_col).alias("id"),
+        "payload",
+        F.coalesce(F.col("mm_meta.sample_rate"), F.lit(sample_rate)).alias("__sr"),
+    )
+
+    def _decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ns, dur, rms = [], [], []
+            for payload, sr in zip(pdf["payload"], pdf["__sr"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = int(b.size)
+                ns.append(n)
+                dur.append(round(n / float(sr), 6))
+                if n:
+                    x = (b.astype("float64") - 128.0) / 128.0  # fake 8-bit PCM
+                    rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
+                else:
+                    rms.append(0.0)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "n_samples": ns, "duration_s": dur, "rms": rms}
+            )
+
+    return src.mapInPandas(_decode, schema=AUDIO_FEATURES_SCHEMA)

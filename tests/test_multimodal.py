@@ -47,3 +47,35 @@ def test_sample_frames_plan(spark):
     )
     idx = [r["frame_idx"] for r in sample_frames(df, every_n=10).collect()]
     assert idx == [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+
+
+def test_audio_features_deterministic_and_batched(spark):
+    from siddhi_io_cdc_spark.functions.multimodal import attach_payload, decode_audio_features
+
+    df = spark.createDataFrame([(1, "abcd"), (2, "")], "doc_id long, text string")
+    mm = attach_payload(df, "text", modality="audio")
+    rows = {r.id: r for r in decode_audio_features(mm, sample_rate=4).collect()}
+    assert rows[1].n_samples == 4 and rows[1].duration_s == 1.0 and rows[1].rms > 0
+    assert rows[2].n_samples == 0 and rows[2].rms == 0.0
+    # Deterministic: same input → identical features on a second run.
+    again = {r.id: r.rms for r in decode_audio_features(mm, sample_rate=4).collect()}
+    assert again == {k: v.rms for k, v in rows.items()}
+
+
+def test_frame_sample_then_decode_composes(spark):
+    from pyspark.sql import functions as F
+    from siddhi_io_cdc_spark.functions.multimodal import (
+        attach_payload,
+        decode_image_features,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame([(1, "vid")], "doc_id long, text string")
+    mm = attach_payload(df, "text", modality="video").withColumn(
+        "mm_meta",
+        F.col("mm_meta").withField("n_frames", F.lit(25)),
+    )
+    frames = sample_frames(mm, every_n=10)
+    assert sorted(r.frame_idx for r in frames.collect()) == [0, 10, 20]
+    feats = decode_image_features(frames.withColumn("doc_id", F.col("doc_id") * 100 + F.col("frame_idx")))
+    assert feats.count() == 3
