@@ -145,7 +145,13 @@ def q_mongo_flatten(spark, sf_dir):
     mongo_flatten (insert after-JSON, update $set patch, delete $oid key)."""
     from pyspark.sql import types as T
 
-    ev = _events(spark, sf_dir)
+    from siddhi_io_cdc_spark.util import fan_out
+
+    # The JSON build+parse is narrow CPU-heavy work; a single-row-group
+    # parquet input would serialize it on one core (production Mongo
+    # changelogs arrive over many Kafka partitions — fan_out restores that
+    # shape, and is a no-op on an already-partitioned input).
+    ev = fan_out(_events(spark, sf_dir))
     m = F.col("event_id") % 10
     eid = F.col("event_id").cast("string")
     after = F.concat(
@@ -484,6 +490,41 @@ def q_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of: each trade picks up the EARLIEST following quote."""
+    from siddhi_io_cdc_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    trades = ev.where(F.col("event_id") % 2 == 0).select(
+        "user_id", F.col("event_id").alias("trade_time"), F.col("value").alias("trade_value")
+    )
+    quotes = ev.where(F.col("event_id") % 2 == 1).select(
+        "user_id", F.col("event_id").alias("quote_time"), F.col("value").alias("quote_value")
+    )
+    return asof_join(
+        trades, quotes, on=["user_id"], left_time="trade_time", right_time="quote_time",
+        direction="forward",
+    )
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join — result identical to the plain join."""
+    from siddhi_io_cdc_spark.plans.skew import salted_join
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    cust = _customer(spark, sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return salted_join(ev, cust, on=["user_id"], salt=8)
+
+
+def q_curate(spark, sf_dir):
+    """Flagship curation pipeline: lang filter → quality filter → exact dedup."""
+    from siddhi_io_cdc_spark.functions.dedup import curate_documents
+
+    return curate_documents(_docs(spark, sf_dir), lang="en", min_quality=0.6).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -532,11 +573,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Temporal joins & windows (custom operators over §2.5 surface)
         "rel_asof_join": q_asof_join,
         "rel_range_join": q_range_join,
+        "rel_asof_forward": q_asof_forward,
+        "rel_salted_join": q_salted_join,
         "win_tumbling": q_tumbling_window,
         "win_sliding": q_sliding_window,
         "win_session": q_session_window,
         # LLM pipeline
         "llm_dedup_exact": q_dedup_exact,
+        "llm_curate": q_curate,
         "llm_text_stats": q_text_stats,
         "llm_lang_detect": q_lang_detect,
         "llm_quality_score": q_quality_score,
@@ -592,7 +636,8 @@ def _marker_sql(words: list[str], target: str = "lower(text)") -> str:
     return " + ".join(parts)
 
 
-def _lang_detect_sql() -> str:
+def _lang_case_parts() -> tuple[str, str]:
+    """(score_cols, case_expr) — shared by the lang-detect and curate oracles."""
     score_cols = ", ".join(
         f"{_marker_sql(words)} AS s_{lang}" for lang, words in LANG_MARKERS.items()
     )
@@ -601,6 +646,11 @@ def _lang_detect_sql() -> str:
     case = f"CASE WHEN {mx} = 0 THEN 'und' " + " ".join(
         f"WHEN s_{lg} = {mx} THEN '{lg}'" for lg in langs
     ) + " END"
+    return score_cols, case
+
+
+def _lang_detect_sql() -> str:
+    score_cols, case = _lang_case_parts()
     return (
         f"SELECT doc_id, {case} AS lang_pred FROM "
         f"(SELECT doc_id, text, {score_cols} FROM documents)"
@@ -619,15 +669,23 @@ SELECT doc_id,
 FROM documents
 """
 
-_QUALITY_SQL = f"""
-SELECT doc_id,
-       round(
+_QUALITY_EXPR = f"""round(
          (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END)
          + (CASE WHEN round(({_STOPS}) / greatest({_WORDS}, 1), 6) > 0.05 THEN 0.4 ELSE 0.0 END)
          + (CASE WHEN round(len(regexp_extract_all(text, '{PUNCT_RE.replace("'", "''")}')) / greatest(length(text), 1), 6) < 0.2 THEN 0.2 ELSE 0.0 END)
-       , 2) AS quality_score
-FROM documents
-"""
+       , 2)"""
+
+_QUALITY_SQL = f"SELECT doc_id, {_QUALITY_EXPR} AS quality_score\nFROM documents"
+
+
+def _curate_sql(lang: str = "en", min_quality: float = 0.6) -> str:
+    score_cols, case = _lang_case_parts()
+    return f"""
+        SELECT MIN(doc_id) AS doc_id FROM (
+          SELECT doc_id, text, {case} AS lang_pred, {_QUALITY_EXPR} AS quality_score
+          FROM (SELECT doc_id, text, {score_cols} FROM documents))
+        WHERE lang_pred = '{lang}' AND quality_score >= {min_quality}
+        GROUP BY {_NORM}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -783,6 +841,17 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT user_id, event_id AS quote_time, value AS quote_value
                   FROM events WHERE event_id % 2 = 1) q
             ON t.user_id = q.user_id AND q.quote_time <= t.trade_time""",
+        "rel_asof_forward": """
+            SELECT t.user_id, t.trade_time, t.trade_value, q.quote_time, q.quote_value
+            FROM (SELECT user_id, event_id AS trade_time, value AS trade_value
+                  FROM events WHERE event_id % 2 = 0) t
+            ASOF LEFT JOIN
+                 (SELECT user_id, event_id AS quote_time, value AS quote_value
+                  FROM events WHERE event_id % 2 = 1) q
+            ON t.user_id = q.user_id AND q.quote_time >= t.trade_time""",
+        "rel_salted_join": """
+            SELECT e.event_id, e.user_id, c.c_mktsegment
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
         "rel_range_join": """
             SELECT i.iid, count(p.o_orderkey) AS n_orders
             FROM (SELECT o_orderkey AS iid, o_orderdate AS lo,
@@ -820,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(t) AS session_start, count(*) AS n
             FROM g GROUP BY user_id, sid""",
         "llm_dedup_exact": f"SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_NORM}",
+        "llm_curate": _curate_sql(),
         "llm_text_stats": _TEXT_STATS_SQL,
         "llm_lang_detect": _lang_detect_sql(),
         "llm_quality_score": _QUALITY_SQL,

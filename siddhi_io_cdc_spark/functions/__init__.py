@@ -5,6 +5,7 @@ the clearly-stubbed multimodal decoders (Arrow-batched)."""
 
 from siddhi_io_cdc_spark.functions.dedup import (
     connected_components,
+    curate_documents,
     dedup_exact,
     dedup_near,
     minhash_lsh_pairs,
@@ -39,6 +40,7 @@ __all__ = [
     "ann_cosine",
     "cosine",
     "connected_components",
+    "curate_documents",
     "dedup_exact",
     "dedup_near",
     "dot",

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from siddhi_io_cdc_spark.functions.text import normalize_text
+from siddhi_io_cdc_spark.util import fan_out as _fan_out
 
 # A large prime < 2^31 for minhash modular arithmetic (fits comfortably in
 # long multiplication without overflow of intermediates mattering — Java long
@@ -87,20 +88,6 @@ def char_ngram_hashes(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _fan_out(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Ensure CPU-heavy narrow stages actually parallelize.
-
-    A small/compact parquet input can arrive in a handful of partitions
-    (row-group granularity), which serializes the shingle+signature compute
-    on a 32-core executor. Repartition UP to the session's default
-    parallelism before the heavy per-row work — but never DOWN: a 100 TB
-    input already carrying thousands of partitions must not be collapsed
-    (the shuffle would dwarf the win), so this is a no-op there.
-    """
-    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parts:
-        return df.repartition(parts)
-    return df
 
 
 def _band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -443,3 +430,27 @@ def dedup_near(
         .where(F.col("node").isNull() | (F.col(id_col) == F.col("component")))
         .drop("node", "component")
     )
+
+
+def curate_documents(
+    df: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The training-data curation pipeline in one call: language filter →
+    quality filter → exact dedup (smallest-id winner).
+
+    Composition of fully declarative stages, so Catalyst fuses the two
+    filters into the scan (predicate pushdown of the computed columns'
+    conjuncts) and the only shuffle is exact-dedup's single hash-aggregate.
+    Near-dedup (:func:`dedup_near`) composes after this when wanted.
+    """
+    from siddhi_io_cdc_spark.functions.text import lang_detect, quality_score
+
+    scored = quality_score(df.withColumn("lang_pred", lang_detect(text_col)), text_col)
+    kept = scored.where(
+        (F.col("lang_pred") == lang) & (F.col("quality_score") >= min_quality)
+    ).drop("lang_pred", "quality_score")
+    return dedup_exact(kept, text_col=text_col, id_col=id_col)

@@ -49,3 +49,34 @@ def salted_agg(
             for name, (fn, col) in aggs.items()
         ]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: shard the (large, skewed) ``left`` side across
+    ``salt`` sub-keys and REPLICATE each ``right`` row to all of them.
+
+    The hot key's rows land on ``salt`` different reducers instead of one.
+    Cost: the right side is shuffled ``salt`` x — use only when right is the
+    small side and AQE's runtime skew splitting (on for sort-merge joins)
+    isn't available, e.g. when the join must hash-partition for a downstream
+    stage. Result is identical to ``left.join(right, on, how)``.
+
+    Supported ``how``: inner / left (replication breaks right-outer
+    semantics — each right row appears ``salt`` times).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    lsalt = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(k) for k in on], F.monotonically_increasing_id()), F.lit(salt)),
+    )
+    rsalt = right.withColumn("__rep", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))).withColumnRenamed(
+        "__rep", "__salt"
+    )
+    return lsalt.join(rsalt, on=[*on, "__salt"], how=how).drop("__salt")

@@ -184,3 +184,19 @@ def test_dedup_near_keeps_canonical_and_untouched(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
     survivors = sorted(r.doc_id for r in dedup_near(docs, pairs).collect())
     assert survivors == [0, 1, 3, 5]  # cluster {1,2,4} → keep 1; 0/3/5 untouched
+
+
+def test_curate_documents_filters_and_dedups(spark):
+    from siddhi_io_cdc_spark.functions.dedup import curate_documents
+
+    good = "the cat sat on the mat and it is a fine day for all of us here today. " * 4
+    docs = spark.createDataFrame(
+        [
+            (1, good),               # survives
+            (2, good),               # exact dup of 1 → dropped
+            (3, "der hund und die katze und der vogel sind nicht da heute. " * 4),  # German
+            (4, "x" * 150),          # no stopwords → low quality
+        ],
+        "doc_id long, text string",
+    )
+    assert sorted(r.doc_id for r in curate_documents(docs).collect()) == [1]

@@ -85,3 +85,20 @@ def test_small_qty_revenue_broadcasts_part_dim(spark, sf_dir, entrymod):
 def test_window_aggs_partial_aggregate(spark, sf_dir, entrymod):
     p = plan_of(entrymod.queries()["win_tumbling"](spark, sf_dir))
     assert "partial_count" in p or "partial_sum" in p  # map-side combine
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.plans.skew import salted_join
+
+    left = spark.createDataFrame([(i % 3, i) for i in range(30)], "k long, v long")
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (5, "e")], "k long, tag string")
+    got = sorted(tuple(r) for r in salted_join(left, right, ["k"], salt=4).collect())
+    want = sorted(tuple(r) for r in left.join(right, "k").collect())
+    assert got == want
+    lgot = sorted(
+        tuple(r) for r in salted_join(left, right, ["k"], salt=4, how="left").collect()
+    )
+    lwant = sorted(tuple(r) for r in left.join(right, "k", "left").collect())
+    assert lgot == lwant
