@@ -490,6 +490,55 @@ def q_top_ngrams(spark, sf_dir):
     return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
 
 
+def q_json_props(spark, sf_dir):
+    """Scalar JSON surface (§2.5): extract a JSON field JVM-side and
+    aggregate — get_json_object stays inside whole-stage codegen."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_scalar_funcs(spark, sf_dir):
+    """Scalar date/string surface (§2.5): year extraction + substring keys."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.substring("o_orderpriority", 1, 1).alias("pri"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+def q_pattern_match(spark, sf_dir):
+    """CEP-style sequence detection (A followed-by B within a horizon) as an
+    as-of join with tolerance: for each 'purchase' event, the latest
+    preceding 'click' by the same user no more than 50 event-ids earlier.
+    Siddhi delegates patterns to siddhi-core; this is the Spark-first
+    equivalent for the followed-by operator — one shuffle, no explosion."""
+    from siddhi_io_cdc_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("value").alias("purchase_value")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id")
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_time="purchase_id",
+        right_time="click_id", tolerance=50,
+    ).where(F.col("click_id").isNotNull())
+
+
 def q_asof_forward(spark, sf_dir):
     """Forward as-of: each trade picks up the EARLIEST following quote."""
     from siddhi_io_cdc_spark.operators.temporal import asof_join
@@ -575,6 +624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_join": q_range_join,
         "rel_asof_forward": q_asof_forward,
         "rel_salted_join": q_salted_join,
+        "rel_json_props": q_json_props,
+        "rel_scalar_funcs": q_scalar_funcs,
+        "rel_pattern_match": q_pattern_match,
         "win_tumbling": q_tumbling_window,
         "win_sliding": q_sliding_window,
         "win_session": q_session_window,
@@ -852,6 +904,27 @@ def oracle_sql() -> dict[str, str]:
         "rel_salted_join": """
             SELECT e.event_id, e.user_id, c.c_mktsegment
             FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+        "rel_json_props": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
+        "rel_scalar_funcs": """
+            SELECT EXTRACT(year FROM o_orderdate) AS yr,
+                   substr(o_orderpriority, 1, 1) AS pri,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY 1, 2""",
+        "rel_pattern_match": """
+            SELECT user_id, purchase_id, purchase_value, click_id
+            FROM (SELECT p.user_id, p.purchase_id, p.purchase_value, c.click_id
+                  FROM (SELECT user_id, event_id AS purchase_id, value AS purchase_value
+                        FROM events WHERE event_type = 'purchase') p
+                  ASOF LEFT JOIN
+                       (SELECT user_id, event_id AS click_id
+                        FROM events WHERE event_type = 'click') c
+                  ON p.user_id = c.user_id AND c.click_id <= p.purchase_id)
+            WHERE click_id IS NOT NULL AND purchase_id - click_id <= 50""",
         "rel_range_join": """
             SELECT i.iid, count(p.o_orderkey) AS n_orders
             FROM (SELECT o_orderkey AS iid, o_orderdate AS lo,
