@@ -8,6 +8,7 @@ pandas-UDF paths).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -35,6 +36,13 @@ def get_spark(app_name: str = "siddhi-io-cdc-spark", shuffle_partitions: int | N
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "spark-graft-warehouse"),
+            ),
+        )
     )
     return builder.getOrCreate()
 
