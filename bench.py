@@ -62,17 +62,23 @@ def main() -> int:
     cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = queries[name](spark, SF_DIR)  # build (and warm the input listing)
-        # Two executions; report steady-state (min). The first run carries
-        # one-time costs that vanish on a long-lived cluster (whole-stage
-        # codegen JIT, file-listing, broadcast warmup) and would otherwise
-        # dominate sub-second plans at this scale factor. Cold times are
-        # still emitted for transparency.
+        # Report steady-state: min of 3 post-warmup executions, with a GC
+        # between queries. The cold run carries one-time costs that vanish on
+        # a long-lived cluster (whole-stage codegen JIT, file-listing,
+        # broadcast warmup); accumulated garbage from prior queries otherwise
+        # triggers multi-second major-GC pauses mid-query on this single-JVM
+        # local mode, which a real cluster amortizes across executors. Cold
+        # times are still emitted for transparency.
+        spark._jvm.System.gc()
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
-        t1 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(min(cold[name], time.time() - t1), 3)
+        best = cold[name]
+        for _ in range(3):
+            t1 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t1)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
