@@ -574,6 +574,81 @@ def q_curate(spark, sf_dir):
     return curate_documents(_docs(spark, sf_dir), lang="en", min_quality=0.6).select("doc_id")
 
 
+def q_rollup_multi(spark, sf_dir):
+    """Incremental multi-granularity rollup (siddhi `define aggregation`):
+    one full-data shuffle at the finest level, coarser levels cascade from
+    the finer partials (see plans/rollup.py)."""
+    from siddhi_io_cdc_spark.plans.rollup import incremental_rollup
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_id").alias("t"), "event_type", "value"
+    )
+    return incremental_rollup(ev, "t", ["event_type"], "value", granularities=(60, 600, 3600))
+
+
+def q_pattern_absent(spark, sf_dir):
+    """CEP absence pattern (`click -> not purchase for 50`): clicks with no
+    purchase by the same user strictly within the next 50 event-ids."""
+    from siddhi_io_cdc_spark.operators.cep import absent_pattern
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id")
+    )
+    return absent_pattern(
+        clicks, purchases, on=["user_id"], left_time="click_id",
+        right_time="purchase_id", within=50,
+    )
+
+
+def q_pattern_sequence(spark, sf_dir):
+    """CEP counting sequence (`error[3]`): rows completing 3 immediately-
+    consecutive error events per user."""
+    from siddhi_io_cdc_spark.operators.cep import consecutive_runs
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type")
+    return consecutive_runs(ev, ["user_id"], "event_id", F.col("event_type") == "error", k=3)
+
+
+def q_output_every_nth(spark, sf_dir):
+    """Output rate limiting (`output every 10 events` per user)."""
+    from siddhi_io_cdc_spark.operators.rate_limit import every_nth_per_key
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "value")
+    return every_nth_per_key(ev, ["user_id"], "event_id", n=10)
+
+
+def q_output_snapshot(spark, sf_dir):
+    """Output rate limiting (`output snapshot every 500 sec` per user):
+    latest event per user per 500-wide bucket of event_id."""
+    from siddhi_io_cdc_spark.operators.rate_limit import snapshot_per_window
+
+    ev = _events(spark, sf_dir).select("user_id", F.col("event_id").alias("t"), "value")
+    return snapshot_per_window(ev, ["user_id"], "t", 500, order_col="t")
+
+
+def q_cube_orders(spark, sf_dir):
+    """Grouping-sets surface (§2.5): CUBE over (order year, priority) with
+    GROUPING flags so subtotal rows are unambiguous."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice"),
+    )
+    return (
+        orders.cube("yr", "pri")
+        .agg(
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.grouping("pri").cast("int").alias("g_pri"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -627,6 +702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_json_props": q_json_props,
         "rel_scalar_funcs": q_scalar_funcs,
         "rel_pattern_match": q_pattern_match,
+        "rel_pattern_absent": q_pattern_absent,
+        "rel_pattern_sequence": q_pattern_sequence,
+        "rel_rollup_multi": q_rollup_multi,
+        "rel_output_every_nth": q_output_every_nth,
+        "rel_output_snapshot": q_output_snapshot,
+        "rel_cube": q_cube_orders,
         "win_tumbling": q_tumbling_window,
         "win_sliding": q_sliding_window,
         "win_session": q_session_window,
@@ -925,6 +1006,51 @@ def oracle_sql() -> dict[str, str]:
                         FROM events WHERE event_type = 'click') c
                   ON p.user_id = c.user_id AND c.click_id <= p.purchase_id)
             WHERE click_id IS NOT NULL AND purchase_id - click_id <= 50""",
+        "rel_pattern_absent": """
+            SELECT c.user_id, c.event_id AS click_id
+            FROM events c
+            WHERE c.event_type = 'click' AND NOT EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                  AND p.event_id > c.event_id AND p.event_id <= c.event_id + 50)""",
+        "rel_pattern_sequence": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run
+                FROM events)
+            WHERE run = 3""",
+        "rel_rollup_multi": """
+            SELECT event_type, CAST(g AS INT) AS granularity_sec,
+                   (event_id // g) * g AS bucket_start,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   count(*) AS n_events,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events, (SELECT unnest([60, 600, 3600]) AS g)
+            GROUP BY 1, 2, 3""",
+        "rel_output_every_nth": """
+            SELECT user_id, event_id, event_type, value FROM (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+                FROM events)
+            WHERE rn % 10 = 0""",
+        "rel_output_snapshot": """
+            SELECT user_id, t, value, window_start FROM (
+                SELECT user_id, event_id AS t, value,
+                       (event_id // 500) * 500 AS window_start,
+                       row_number() OVER (PARTITION BY user_id, event_id // 500
+                                          ORDER BY event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1""",
+        "rel_cube": """
+            SELECT EXTRACT(year FROM o_orderdate) AS yr, o_orderpriority AS pri,
+                   CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS INT) AS g_yr,
+                   CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY CUBE (1, 2)""",
         "rel_range_join": """
             SELECT i.iid, count(p.o_orderkey) AS n_orders
             FROM (SELECT o_orderkey AS iid, o_orderdate AS lo,

@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "rel_small_qty_revenue",
     "rel_asof_join",
     "rel_range_join",
+    "rel_rollup_multi",
+    "rel_pattern_absent",
     "win_tumbling",
     "win_sliding",
     "win_session",

@@ -4,7 +4,9 @@ from siddhi_io_cdc_spark.operators.flatten import (
     schema_map,
     type_default,
 )
+from siddhi_io_cdc_spark.operators.cep import absent_pattern, consecutive_runs
 from siddhi_io_cdc_spark.operators.mongo import MONGO_ENVELOPE_SCHEMA, mongo_flatten
+from siddhi_io_cdc_spark.operators.rate_limit import every_nth_per_key, snapshot_per_window
 from siddhi_io_cdc_spark.operators.temporal import asof_join, bucketed_range_join
 from siddhi_io_cdc_spark.operators.mutate import (
     apply_changelog,
@@ -17,8 +19,12 @@ from siddhi_io_cdc_spark.operators.mutate import (
 )
 
 __all__ = [
+    "absent_pattern",
     "asof_join",
     "bucketed_range_join",
+    "consecutive_runs",
+    "every_nth_per_key",
+    "snapshot_per_window",
     "flatten",
     "lowercase_columns",
     "schema_map",

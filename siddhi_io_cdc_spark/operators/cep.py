@@ -1,0 +1,87 @@
+"""CEP pattern operators beyond followed-by (siddhi-core pattern surface).
+
+Siddhi's pattern language (inherited by every siddhi-io-* source, including
+the reference — its README routes cdc events into siddhi apps that can use
+``from e1=A -> e2=B``, ``not B for t``, ``e[3]`` etc.) has three families:
+
+- **followed-by within** — covered by ``operators.temporal.asof_join`` with a
+  tolerance (one shuffle, no explosion);
+- **absence** (``A -> not B for t``): an A event with NO B event in the
+  window after it — ``absent_pattern`` below;
+- **counting / sequence** (``e[k]``: k immediately-consecutive matches):
+  ``consecutive_runs`` below.
+
+Both are pure Catalyst plans (anti-join / window functions) — no UDFs, no
+driver loops — so they hold at 100 TB: one hash-partitioned shuffle on the
+pattern key, per-key work linear in that key's events.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def absent_pattern(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    within: int | float,
+) -> DataFrame:
+    """``A -> not B for t``: left rows with no right row strictly after them
+    within ``within`` time units, per key.
+
+    Implemented as a LEFT ANTI join with the time range folded into the join
+    condition: Catalyst plans an equi-join on ``on`` (hash-partitioned both
+    sides) with the range as a join filter, and anti-join short-circuits at
+    the first match. Strictly-after semantics: a right event at exactly
+    ``left_time`` does NOT suppress the left row (siddhi's followed-by is
+    strictly later).
+
+    For a heavily skewed pattern key, prefer the as-of restatement
+    (``asof_join(..., direction="forward", tolerance=within)`` + null test),
+    which processes each key in a single ordered pass.
+    """
+    keys = list(on)
+    # Only the keys and the time survive on the anti side — column pruning at
+    # the scan, and no name collisions with left regardless of right's schema.
+    r = right.select(*keys, F.col(right_time).alias("__rt"))
+    cond: Column = F.lit(True)
+    for k in keys:
+        cond = cond & (left[k] == r[k])
+    cond = cond & (r["__rt"] > left[left_time]) & (r["__rt"] <= left[left_time] + within)
+    return left.join(r, cond, "left_anti")
+
+
+def consecutive_runs(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    flag: Column,
+    k: int,
+) -> DataFrame:
+    """``e[k]``: rows that complete a run of ``k`` immediately-consecutive
+    events matching ``flag``, per key, in ``order_col`` order.
+
+    A windowed sum of the flag over the trailing ``k`` rows equals ``k``
+    exactly when the current row and its k-1 predecessors all match — the
+    standard SQL restatement of siddhi's counting sequence, identical in any
+    window-function engine (which is what makes it oracle-checkable).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(k - 1), Window.currentRow)
+    )
+    return (
+        df.withColumn("__run", F.sum(flag.cast("int")).over(w))
+        .where(F.col("__run") == k)
+        .drop("__run")
+    )

@@ -1,0 +1,97 @@
+"""Incremental multi-granularity time rollup (siddhi ``define aggregation``).
+
+Siddhi-core's incremental aggregation (``define aggregation A from S select
+sum(x) ... aggregate by ts every seconds...years``) maintains one aggregate
+table per time granularity and answers range queries from the coarsest
+granularity that covers them. The reference inherits this surface from
+siddhi-core (SURVEY.md §2.5); tests of the cdc source feed such aggregations
+downstream.
+
+Spark-first restatement: a **cascading aggregation**. The raw data is
+aggregated once at the finest granularity (the only full-data shuffle), and
+every coarser level re-aggregates the *previous level's partials* — sum of
+sums, sum of counts, min of mins, max of maxes. At 100 TB the finest level is
+orders of magnitude smaller than the input, so levels 2..n shuffle near-zero
+bytes; this mirrors exactly how siddhi's IncrementalExecutor chains
+second→minute→hour→... executors, but gets partial aggregation, AQE
+partition coalescing, and spill handling from Catalyst for free.
+
+Determinism: sums run over ``decimal(18,2)`` casts (exact, associative ⇒
+partition-order independent and equal to a direct one-shot aggregation at
+every granularity, which is what the DuckDB oracle computes); min/max/count
+are exact on the raw values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def incremental_rollup(
+    df: DataFrame,
+    time_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    granularities: Sequence[int] = (60, 3600, 86400),
+) -> DataFrame:
+    """Aggregate ``value_col`` per ``keys`` at every time granularity.
+
+    ``time_col`` is integer seconds (epoch-style). ``granularities`` are
+    bucket widths in seconds, finest first; each must divide the next so
+    coarser buckets are exact unions of finer ones (the property siddhi's
+    incremental chain relies on).
+
+    Returns one row per (keys, granularity_sec, bucket_start) with
+    ``sum_value`` / ``n_events`` / ``min_value`` / ``max_value``.
+    """
+    gs = sorted(int(g) for g in granularities)
+    if not gs or gs[0] <= 0:
+        raise ValueError(f"granularities must be positive, got {granularities!r}")
+    for fine, coarse in zip(gs, gs[1:]):
+        if coarse % fine != 0:
+            raise ValueError(
+                f"each granularity must divide the next (got {fine} -> {coarse}); "
+                "otherwise coarse buckets are not unions of fine ones"
+            )
+    keys = list(keys)
+
+    def bucket(col: str, width: int) -> F.Column:
+        return (F.floor(F.col(col) / width) * width).cast("long").alias("bucket_start")
+
+    cur = (
+        df.groupBy(*keys, bucket(time_col, gs[0]))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__sum"),
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(value_col).alias("__min"),
+            F.max(value_col).alias("__max"),
+        )
+    )
+    levels = [cur.withColumn("granularity_sec", F.lit(gs[0]).cast("int"))]
+    for g in gs[1:]:
+        # Re-aggregate the FINER level's partials — never the raw data again.
+        cur = (
+            cur.groupBy(*keys, bucket("bucket_start", g))
+            .agg(
+                F.sum("__sum").alias("__sum"),
+                F.sum("__cnt").alias("__cnt"),
+                F.min("__min").alias("__min"),
+                F.max("__max").alias("__max"),
+            )
+        )
+        levels.append(cur.withColumn("granularity_sec", F.lit(g).cast("int")))
+
+    out = reduce(DataFrame.unionByName, levels)
+    return out.select(
+        *keys,
+        "granularity_sec",
+        "bucket_start",
+        F.col("__sum").cast("double").alias("sum_value"),
+        F.col("__cnt").alias("n_events"),
+        F.col("__min").alias("min_value"),
+        F.col("__max").alias("max_value"),
+    )

@@ -1,0 +1,101 @@
+"""Incremental rollup, CEP absence/counting patterns, output rate limiting."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.operators.cep import absent_pattern, consecutive_runs
+from siddhi_io_cdc_spark.operators.rate_limit import every_nth_per_key, snapshot_per_window
+from siddhi_io_cdc_spark.plans.rollup import incremental_rollup
+
+
+def test_rollup_levels_agree_with_direct_agg(spark):
+    df = spark.range(0, 1000).selectExpr(
+        "id AS t", "CAST(id % 3 AS STRING) AS k", "CAST(id % 7 AS DOUBLE) AS v"
+    )
+    out = incremental_rollup(df, "t", ["k"], "v", granularities=(10, 100)).collect()
+    fine = [r for r in out if r.granularity_sec == 10]
+    coarse = [r for r in out if r.granularity_sec == 100]
+    assert len(fine) == 300 and len(coarse) == 30  # 3 keys x 100 / x 10 buckets
+    # cascaded coarse level == direct aggregation at width 100
+    direct = {
+        (r.k, r.bucket_start): (r.s, r.n, r.mn, r.mx)
+        for r in df.groupBy("k", (F.floor(F.col("t") / 100) * 100).cast("long").alias("bucket_start"))
+        .agg(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    for r in coarse:
+        assert direct[(r.k, r.bucket_start)] == (r.sum_value, r.n_events, r.min_value, r.max_value)
+
+
+def test_rollup_rejects_non_nesting_granularities(spark):
+    df = spark.range(1).selectExpr("id AS t", "'a' AS k", "1.0 AS v")
+    with pytest.raises(ValueError, match="divide the next"):
+        incremental_rollup(df, "t", ["k"], "v", granularities=(10, 25))
+
+
+def test_absent_pattern_strictly_after(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 50), (2, 10)], "u long, lt long"
+    )
+    right = spark.createDataFrame(
+        # u=1: B at 15 suppresses A@10 (within 20); B at 100 too far for A@50.
+        # u=2: B at exactly 10 (not strictly after) and at 31 (outside 20).
+        [(1, 15), (1, 100), (2, 10), (2, 31)],
+        "u long, rt long",
+    )
+    got = sorted(
+        (r.u, r.lt)
+        for r in absent_pattern(left, right, on=["u"], left_time="lt", right_time="rt", within=20).collect()
+    )
+    assert got == [(1, 50), (2, 10)]
+
+
+def test_consecutive_runs_finds_k_in_a_row(spark):
+    rows = [(1, i, t) for i, t in enumerate(["ok", "err", "err", "err", "ok", "err", "err"])]
+    rows += [(2, i, "err") for i in range(3)]
+    df = spark.createDataFrame(rows, "u long, seq long, typ string")
+    got = sorted(
+        (r.u, r.seq)
+        for r in consecutive_runs(df, ["u"], "seq", F.col("typ") == "err", k=3).collect()
+    )
+    # u=1: run of 3 completes at seq=3 only (5,6 is just 2); u=2 completes at 2.
+    assert got == [(1, 3), (2, 2)]
+
+
+def test_every_nth_per_key(spark):
+    df = spark.range(0, 10).selectExpr("id % 2 AS u", "id AS t")
+    got = sorted((r.u, r.t) for r in every_nth_per_key(df, ["u"], "t", n=2).collect())
+    # per key the events in order are [0,2,4,6,8] / [1,3,5,7,9]; every 2nd:
+    assert got == [(0, 2), (0, 6), (1, 3), (1, 7)]
+
+
+def test_snapshot_per_window_last_and_first(spark):
+    df = spark.createDataFrame(
+        [(1, 5, 100), (1, 9, 101), (1, 12, 102), (2, 3, 103)],
+        "u long, t long, eid long",
+    )
+    last = sorted(
+        (r.u, r.window_start, r.eid)
+        for r in snapshot_per_window(df, ["u"], "t", 10, "eid").collect()
+    )
+    assert last == [(1, 0, 101), (1, 10, 102), (2, 0, 103)]
+    first = sorted(
+        (r.u, r.window_start, r.eid)
+        for r in snapshot_per_window(df, ["u"], "t", 10, "eid", first=True).collect()
+    )
+    assert first == [(1, 0, 100), (1, 10, 102), (2, 0, 103)]
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_dir):
+    """§2.5 sketch surface: HLL approx within 5% of exact on orders keys."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = orders.agg(
+        F.approx_count_distinct("o_custkey").alias("a"),
+        F.countDistinct("o_custkey").alias("e"),
+    ).collect()[0]
+    assert abs(row.a - row.e) / row.e < 0.05
