@@ -575,15 +575,15 @@ def q_curate(spark, sf_dir):
 
 
 def q_rollup_multi(spark, sf_dir):
-    """Incremental multi-granularity rollup (siddhi `define aggregation`):
-    one full-data shuffle at the finest level, coarser levels cascade from
-    the finer partials (see plans/rollup.py)."""
-    from siddhi_io_cdc_spark.plans.rollup import incremental_rollup
+    """Multi-granularity rollup (siddhi `define aggregation`): single-pass
+    batch plan — one scan, one shuffle of map-side-collapsed partials (the
+    cascading incremental variant lives in plans/rollup.py too)."""
+    from siddhi_io_cdc_spark.plans.rollup import rollup_single_pass
 
     ev = _events(spark, sf_dir).select(
         F.col("event_id").alias("t"), "event_type", "value"
     )
-    return incremental_rollup(ev, "t", ["event_type"], "value", granularities=(60, 600, 3600))
+    return rollup_single_pass(ev, "t", ["event_type"], "value", granularities=(60, 600, 3600))
 
 
 def q_pattern_absent(spark, sf_dir):

@@ -1,6 +1,6 @@
 """Headline relational query plans (Catalyst-native surface, SURVEY.md §2.5)."""
 
-from siddhi_io_cdc_spark.plans.rollup import incremental_rollup
+from siddhi_io_cdc_spark.plans.rollup import incremental_rollup, rollup_single_pass
 from siddhi_io_cdc_spark.plans.relational import (
     customer_order_distribution,
     customers_without_orders,
@@ -19,6 +19,7 @@ from siddhi_io_cdc_spark.plans.relational import (
 __all__ = [
     "customer_order_distribution",
     "incremental_rollup",
+    "rollup_single_pass",
     "customers_without_orders",
     "distinct_parts_per_flag",
     "local_supplier_volume",

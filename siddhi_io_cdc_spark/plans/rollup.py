@@ -7,14 +7,21 @@ granularity that covers them. The reference inherits this surface from
 siddhi-core (SURVEY.md §2.5); tests of the cdc source feed such aggregations
 downstream.
 
-Spark-first restatement: a **cascading aggregation**. The raw data is
-aggregated once at the finest granularity (the only full-data shuffle), and
-every coarser level re-aggregates the *previous level's partials* — sum of
-sums, sum of counts, min of mins, max of maxes. At 100 TB the finest level is
-orders of magnitude smaller than the input, so levels 2..n shuffle near-zero
-bytes; this mirrors exactly how siddhi's IncrementalExecutor chains
-second→minute→hour→... executors, but gets partial aggregation, AQE
-partition coalescing, and spill handling from Catalyst for free.
+Two Spark-first restatements, picked by use:
+
+- ``rollup_single_pass`` (batch): each row explodes into its (granularity,
+  bucket) pairs and ONE ``groupBy`` aggregates them all. Map-side partial
+  aggregation collapses every task's rows to its distinct (key, granularity,
+  bucket) groups **before** the only shuffle, so the exchange carries
+  near-zero bytes and the raw data is scanned exactly once. This is the
+  right plan for a one-shot query at 100 TB.
+- ``incremental_rollup`` (materialization): the raw data is aggregated once
+  at the finest granularity, and every coarser level re-aggregates the
+  *previous level's partials* — sum of sums, min of mins, ... — mirroring
+  siddhi's IncrementalExecutor chain (second→minute→hour executors). The
+  finest level is persisted so union branches don't rescan the input; this
+  is the shape you materialize per micro-batch and re-aggregate coarser
+  tiers from, not the one-shot batch plan.
 
 Determinism: sums run over ``decimal(18,2)`` casts (exact, associative ⇒
 partition-order independent and equal to a direct one-shot aggregation at
@@ -29,6 +36,60 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _check_granularities(granularities: Sequence[int]) -> list[int]:
+    gs = sorted(int(g) for g in granularities)
+    if not gs or gs[0] <= 0:
+        raise ValueError(f"granularities must be positive, got {granularities!r}")
+    for fine, coarse in zip(gs, gs[1:]):
+        if coarse % fine != 0:
+            raise ValueError(
+                f"each granularity must divide the next (got {fine} -> {coarse}); "
+                "otherwise coarse buckets are not unions of fine ones"
+            )
+    return gs
+
+
+_OUT_COLS = ("sum_value", "n_events", "min_value", "max_value")
+
+
+def rollup_single_pass(
+    df: DataFrame,
+    time_col: str,
+    keys: Sequence[str],
+    value_col: str,
+    granularities: Sequence[int] = (60, 3600, 86400),
+) -> DataFrame:
+    """One-shot multi-granularity rollup: one scan, one shuffle.
+
+    Each row is exploded into its (granularity_sec, bucket_start) pairs and
+    a single ``groupBy`` aggregates all tiers. Partial (map-side)
+    aggregation reduces each task to its distinct groups before the
+    exchange, so the shuffle volume is O(groups), not O(rows × tiers).
+    """
+    gs = _check_granularities(granularities)
+    keys = list(keys)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(g).cast("int").alias("granularity_sec"),
+                (F.floor(F.col(time_col) / g) * g).cast("long").alias("bucket_start"),
+            )
+            for g in gs
+        ]
+    )
+    return (
+        df.select(*keys, F.explode(pairs).alias("__gb"), value_col)
+        .groupBy(*keys, F.col("__gb.granularity_sec").alias("granularity_sec"),
+                 F.col("__gb.bucket_start").alias("bucket_start"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
 
 
 def incremental_rollup(
@@ -46,17 +107,12 @@ def incremental_rollup(
     incremental chain relies on).
 
     Returns one row per (keys, granularity_sec, bucket_start) with
-    ``sum_value`` / ``n_events`` / ``min_value`` / ``max_value``.
+    ``sum_value`` / ``n_events`` / ``min_value`` / ``max_value``. The
+    finest level is persisted (it is the expensive one — the only full-data
+    shuffle); coarser tiers and the final union re-aggregate it without
+    rescanning the input.
     """
-    gs = sorted(int(g) for g in granularities)
-    if not gs or gs[0] <= 0:
-        raise ValueError(f"granularities must be positive, got {granularities!r}")
-    for fine, coarse in zip(gs, gs[1:]):
-        if coarse % fine != 0:
-            raise ValueError(
-                f"each granularity must divide the next (got {fine} -> {coarse}); "
-                "otherwise coarse buckets are not unions of fine ones"
-            )
+    gs = _check_granularities(granularities)
     keys = list(keys)
 
     def bucket(col: str, width: int) -> F.Column:
@@ -70,6 +126,10 @@ def incremental_rollup(
             F.min(value_col).alias("__min"),
             F.max(value_col).alias("__max"),
         )
+        # Every union branch and every coarser tier descends from this frame;
+        # without the persist each branch would rescan and re-aggregate the
+        # raw input (AQE does not reuse these stages statically).
+        .persist()
     )
     levels = [cur.withColumn("granularity_sec", F.lit(gs[0]).cast("int"))]
     for g in gs[1:]:

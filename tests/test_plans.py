@@ -102,3 +102,29 @@ def test_salted_join_matches_plain_join(spark):
     )
     lwant = sorted(tuple(r) for r in left.join(right, "k", "left").collect())
     assert lgot == lwant
+
+
+def test_absent_pattern_is_keyed_anti_join(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["rel_pattern_absent"](spark, sf_dir))
+    assert "LeftAnti" in p
+    # equi-key join with the range as a filter — never a nested loop over
+    # the cross product
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_pattern_sequence_single_shuffle(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["rel_pattern_sequence"](spark, sf_dir))
+    assert p.count("Exchange") == 1
+
+
+def test_rollup_single_scan_single_shuffle(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["rel_rollup_multi"](spark, sf_dir))
+    assert p.count("FileScan") == 1  # raw data read exactly once
+    assert p.count("Exchange") == 1  # one shuffle of collapsed partials
+    assert "partial_sum" in p
+
+
+def test_rate_limit_single_shuffle(spark, sf_dir, entrymod):
+    for key in ("rel_output_every_nth", "rel_output_snapshot"):
+        p = plan_of(entrymod.queries()[key](spark, sf_dir))
+        assert p.count("Exchange") == 1, key

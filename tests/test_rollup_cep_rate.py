@@ -32,6 +32,40 @@ def test_rollup_levels_agree_with_direct_agg(spark):
         assert direct[(r.k, r.bucket_start)] == (r.sum_value, r.n_events, r.min_value, r.max_value)
 
 
+def test_single_pass_rollup_matches_cascade(spark):
+    from siddhi_io_cdc_spark.plans.rollup import rollup_single_pass
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS t", "CAST(id % 3 AS STRING) AS k", "CAST(id % 7 AS DOUBLE) AS v"
+    )
+    cascade = {
+        (r.k, r.granularity_sec, r.bucket_start): (r.sum_value, r.n_events, r.min_value, r.max_value)
+        for r in incremental_rollup(df, "t", ["k"], "v", granularities=(10, 100)).collect()
+    }
+    single = {
+        (r.k, r.granularity_sec, r.bucket_start): (r.sum_value, r.n_events, r.min_value, r.max_value)
+        for r in rollup_single_pass(df, "t", ["k"], "v", granularities=(10, 100)).collect()
+    }
+    assert cascade == single
+
+
+def test_single_pass_rollup_plan_one_scan_one_exchange(spark):
+    import contextlib
+    import io
+
+    from siddhi_io_cdc_spark.plans.rollup import rollup_single_pass
+
+    df = spark.range(0, 100).selectExpr("id AS t", "'a' AS k", "1.0 AS v")
+    plan = rollup_single_pass(df, "t", ["k"], "v", granularities=(10, 100))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain()
+    p = buf.getvalue()
+    # single shuffle; partial agg runs before it (map-side collapse)
+    assert p.count("Exchange") == 1
+    assert "partial_sum" in p
+
+
 def test_rollup_rejects_non_nesting_granularities(spark):
     df = spark.range(1).selectExpr("id AS t", "'a' AS k", "1.0 AS v")
     with pytest.raises(ValueError, match="divide the next"):
