@@ -32,6 +32,8 @@ from siddhi_io_cdc_spark.functions.text import (
     STOPWORDS_EN,
     TOKEN_RE,
     fingerprint,
+    scrub_pii,
+    strip_markup,
 )
 from siddhi_io_cdc_spark.operators.flatten import flatten, lowercase_columns, schema_map
 from siddhi_io_cdc_spark.operators.mongo import mongo_flatten
@@ -630,6 +632,21 @@ def q_output_snapshot(spark, sf_dir):
     return snapshot_per_window(ev, ["user_id"], "t", 500, order_col="t")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """Training-data hygiene: markup strip then PII masking, over documents
+    salted with deterministic synthetic markup/emails/phones/IPs (the raw
+    fixture text has no PII, so the transforms must visibly fire)."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.lit('<p class="x">'), F.col("text"),
+        F.lit("</p> contact: user"), did,
+        F.lit("@example.com &amp; +1 (555) 000-"), did,
+        F.lit(" ip 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+    )
+    return docs.select("doc_id", scrub_pii(strip_markup(dirty)).alias("clean"))
+
+
 def q_cube_orders(spark, sf_dir):
     """Grouping-sets surface (§2.5): CUBE over (order year, priority) with
     GROUPING flags so subtotal rows are unambiguous."""
@@ -721,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_topk_cosine": q_topk_cosine,
         "llm_top_ngrams": q_top_ngrams,
         "llm_label_centroids": q_label_centroids,
+        "llm_pii_scrub": q_pii_scrub,
         # Rows-only (not ANSI-SQL expressible: LSH banding / stub decode)
         "llm_minhash_pairs": q_minhash_pairs,
         "llm_near_dedup": q_near_dedup,
@@ -1093,6 +1111,26 @@ def oracle_sql() -> dict[str, str]:
         "llm_lang_detect": _lang_detect_sql(),
         "llm_quality_score": _QUALITY_SQL,
         "llm_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "llm_pii_scrub": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     '<p class="x">' || text || '</p> contact: user' || doc_id ||
+                     '@example.com &amp; +1 (555) 000-' || doc_id ||
+                     ' ip 10.0.0.' || (doc_id % 256) AS t
+              FROM documents),
+            stripped AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(t,
+                       '<[^>]+>', ' ', 'g'),
+                       '&[A-Za-z]+;|&#[0-9]+;', ' ', 'g'),
+                       '\s+', ' ', 'g')) AS t
+              FROM dirty)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                     '\+?\d[\d ().-]{6,}\d', '[PHONE]', 'g') AS clean
+            FROM stripped""",
         "llm_top_ngrams": f"""
             SELECT ngram, count(*) AS n_occurrences FROM (
               SELECT w[j] || ' ' || w[j+1] AS ngram FROM (

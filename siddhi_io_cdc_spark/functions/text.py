@@ -171,3 +171,41 @@ def top_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
         .limit(k)
     )
+
+
+#: PII patterns — written to mean the same thing in Java regex (Spark) and
+#: RE2 (DuckDB): no lookaround, no POSIX classes. Scrub order matters:
+#: emails first (their local part contains digits a phone pattern could eat),
+#: then IPs (dotted quads), then phone-like digit runs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d ().-]{6,}\d"
+
+#: Markup patterns for boilerplate stripping.
+HTML_TAG_RE = r"<[^>]+>"
+HTML_ENTITY_RE = r"&[A-Za-z]+;|&#[0-9]+;"
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Mask emails / IPv4s / phone-like digit runs with ``[EMAIL]`` /
+    ``[IP]`` / ``[PHONE]`` tokens.
+
+    A standard training-data hygiene pass; regex-only, so it stays inside
+    whole-stage codegen. Bracket tokens (not angle brackets) so a later
+    markup strip cannot eat the placeholders.
+    """
+    c = F.regexp_replace(col, EMAIL_RE, "[EMAIL]")
+    c = F.regexp_replace(c, IP_RE, "[IP]")
+    return F.regexp_replace(c, PHONE_RE, "[PHONE]")
+
+
+def strip_markup(col: Column | str) -> Column:
+    """Drop HTML tags and entities, collapse the leftover whitespace.
+
+    The cheap deterministic boilerplate pass (full DOM-aware extraction
+    needs an external parser — out of scope by design); run it BEFORE
+    ``scrub_pii`` so tag attributes can't hide PII.
+    """
+    c = F.regexp_replace(col, HTML_TAG_RE, " ")
+    c = F.regexp_replace(c, HTML_ENTITY_RE, " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

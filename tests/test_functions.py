@@ -200,3 +200,28 @@ def test_curate_documents_filters_and_dedups(spark):
         "doc_id long, text string",
     )
     assert sorted(r.doc_id for r in curate_documents(docs).collect()) == [1]
+
+
+def test_scrub_pii_masks_each_kind(spark):
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.functions import scrub_pii, strip_markup
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at jo.doe+x@sub.example.co.uk today",),
+            ("server at 192.168.0.17 responded",),
+            ("call +1 (555) 010-9922 now",),
+            ("<div class='x'>kept &amp; cleaned</div>",),
+            ("no pii here",),
+        ],
+        "t string",
+    )
+    got = [r.c for r in df.select(scrub_pii(strip_markup(F.col("t"))).alias("c")).collect()]
+    assert got == [
+        "mail me at [EMAIL] today",
+        "server at [IP] responded",
+        "call [PHONE] now",
+        "kept cleaned",
+        "no pii here",
+    ]
