@@ -115,6 +115,32 @@ def q_flatten_insert_delete(spark, sf_dir):
     return flatten(_events_changelog(spark, sf_dir), operations=["insert", "delete"])
 
 
+def q_flatten_snapshot(spark, sf_dir):
+    """Initial-snapshot consumption (Debezium op 'r'): bootstrap reads are
+    insert-shaped and selectable alongside live inserts — a Spark-first
+    extension (the reference logs-and-drops 'r')."""
+    ev = _events(spark, sf_dir)
+    m = F.col("event_id") % 10
+    op = (
+        F.when(m <= 2, F.lit("r"))
+        .when(m <= 6, F.lit("c"))
+        .when(m <= 8, F.lit("u"))
+        .otherwise(F.lit("d"))
+    )
+    env = synthetic_changelog(
+        ev,
+        op_col=op,
+        before_exprs={
+            "user_id": F.col("user_id") + 1000,
+            "event_type": F.concat(F.lit("prev_"), F.col("event_type")),
+            "value": F.col("value") + 1.5,
+        },
+        source_ts_ms=F.col("event_id") * 2,
+        ts_ms=F.col("event_id") * 3,
+    )
+    return flatten(env, operations=["insert", "snapshot"])
+
+
 def q_keyvalue_mapping(spark, sf_dir):
     flat = flatten(_events_changelog(spark, sf_dir), operations=["insert"])
     return schema_map(flat, mapping={"id": "event_id", "etype": "event_type"})
@@ -682,6 +708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_flatten_delete": q_flatten_delete,
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_flatten_insert_delete": q_flatten_insert_delete,
+        "cdc_flatten_snapshot": q_flatten_snapshot,
         "cdc_keyvalue_mapping": q_keyvalue_mapping,
         "cdc_lowercase_columns": q_lowercase_columns,
         "cdc_int_widening": q_int_widening,
@@ -859,6 +886,12 @@ def oracle_sql() -> dict[str, str]:
     rev = "sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6)))"
     return {
         "cdc_flatten_insert": f"SELECT {after_cols} FROM events WHERE {_M} <= 6",
+        "cdc_flatten_snapshot": f"""
+            SELECT {after_cols},
+                   {", ".join(f"{_DEFAULT[c]} AS before_{c}" for c in EVENT_COLS)},
+                   CASE WHEN {_M} <= 2 THEN 'snapshot' ELSE 'insert' END AS operation,
+                   event_id * 2 AS source_ts_ms, event_id * 3 AS ts_ms
+            FROM events WHERE {_M} <= 6""",
         "cdc_flatten_update": f"SELECT {after_cols}, {before_cols} FROM events WHERE {_M} IN (7, 8)",
         "cdc_flatten_delete": f"SELECT {before_cols} FROM events WHERE {_M} = 9",
         "cdc_flatten_multi_op": f"""

@@ -29,7 +29,13 @@ from pyspark.sql import types as T
 
 from siddhi_io_cdc_spark.sources.envelope import OP_NAMES
 
-_VALID_OPS = ("insert", "update", "delete")
+#: "snapshot" (Debezium op 'r', initial-sync reads) is a Spark-first
+#: extension: the reference DROPS 'r' records with a log line
+#: (RdbmsChangeDataCapture.java:128-131 default branch; constant defined at
+#: CDCSourceConstants.java:65 but never matched). Consuming the snapshot is
+#: how a 100 TB bootstrap load arrives, so we accept it as an insert-shaped
+#: op when explicitly requested.
+_VALID_OPS = ("insert", "update", "delete", "snapshot")
 BEFORE_PREFIX = "before_"  # util/CDCSourceConstants.java:58
 
 
@@ -142,7 +148,7 @@ def flatten(
             cols.append(widen(before_c, f.dataType).alias(f"{BEFORE_PREFIX}{f.name}"))
     else:
         (op,) = ops
-        if op == "insert":
+        if op in ("insert", "snapshot"):  # snapshot = insert-shaped (after.*)
             cols = [widen(F.col(f"after.{f.name}"), f.dataType).alias(f.name) for f in row_schema.fields]
         elif op == "update":
             cols = [widen(F.col(f"after.{f.name}"), f.dataType).alias(f.name) for f in row_schema.fields] + [

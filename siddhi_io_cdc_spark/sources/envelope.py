@@ -106,11 +106,12 @@ def synthetic_changelog(
 ) -> DataFrame:
     """Wrap a batch table into envelope rows, deterministically.
 
-    - ``op_col``: Column evaluating to 'c'/'u'/'d' per row.
+    - ``op_col``: Column evaluating to 'c'/'u'/'d' (or 'r' for
+      initial-snapshot reads) per row.
     - ``before_exprs``: for 'u'/'d' rows, the before-image columns; any row
       column not listed keeps its current value in the before image.
-    - insert rows get ``before = NULL``; delete rows get ``after = NULL``
-      (exactly the image layout Debezium produces).
+    - insert/snapshot rows get ``before = NULL``; delete rows get
+      ``after = NULL`` (exactly the image layout Debezium produces).
 
     This is the hermetic stand-in for a live binlog: tests and the DuckDB
     oracle can both derive the same envelope from the same parquet rows.
@@ -128,7 +129,7 @@ def synthetic_changelog(
         ts_ms = F.lit(0).cast("long")
     return df.select(
         op.alias("op"),
-        F.when(op != F.lit("c"), before_struct).alias("before"),
+        F.when(op.isin("u", "d"), before_struct).alias("before"),
         F.when(op != F.lit("d"), after_struct).alias("after"),
         F.struct(source_ts_ms.cast("long").alias("ts_ms")).alias("source"),
         ts_ms.cast("long").alias("ts_ms"),

@@ -179,3 +179,25 @@ def test_compat_decimal_collapse(spark):
     assert compat.schema["qty"].dataType.simpleString() == "bigint"
     r = compat.collect()[0]
     assert r["amount"] == 12.34 and r["qty"] == 7
+
+
+def test_snapshot_op_consumed_when_requested(spark):
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.operators.flatten import flatten
+    from siddhi_io_cdc_spark.sources.envelope import synthetic_changelog
+
+    base = spark.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+    # first half snapshot reads ('r'), second half live inserts ('c')
+    env = synthetic_changelog(base, F.when(F.col("k") < 5, "r").otherwise("c"))
+    # reference behavior: 'r' rows dropped unless requested
+    assert flatten(env, operations=["insert"]).count() == 5
+    got = flatten(env, operations=["snapshot"]).count()
+    assert got == 5
+    both = flatten(env, operations=["insert", "snapshot"])
+    assert both.count() == 10
+    ops = {r.operation for r in both.select("operation").distinct().collect()}
+    assert ops == {"insert", "snapshot"}
+    # snapshot rows are insert-shaped: before image NULL -> defaults
+    snap = both.where(F.col("operation") == "snapshot").limit(1).collect()[0]
+    assert snap.before_k == 0 and snap.k < 5
