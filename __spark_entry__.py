@@ -673,6 +673,19 @@ def q_pii_scrub(spark, sf_dir):
     return docs.select("doc_id", scrub_pii(strip_markup(dirty)).alias("clean"))
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact percentile aggregate (§2.5 sort-based agg surface). Exact
+    `percentile` interpolates identically to DuckDB's quantile_cont, so it
+    is hash-checkable; at 100 TB swap in approx_percentile (t-digest,
+    mergeable partials — tolerance-tested in tests/test_rollup_cep_rate.py)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_cube_orders(spark, sf_dir):
     """Grouping-sets surface (§2.5): CUBE over (order year, priority) with
     GROUPING flags so subtotal rows are unambiguous."""
@@ -752,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_output_every_nth": q_output_every_nth,
         "rel_output_snapshot": q_output_snapshot,
         "rel_cube": q_cube_orders,
+        "rel_percentiles": q_percentiles,
         "win_tumbling": q_tumbling_window,
         "win_sliding": q_sliding_window,
         "win_session": q_session_window,
@@ -1057,6 +1071,10 @@ def oracle_sql() -> dict[str, str]:
                         FROM events WHERE event_type = 'click') c
                   ON p.user_id = c.user_id AND c.click_id <= p.purchase_id)
             WHERE click_id IS NOT NULL AND purchase_id - click_id <= 50""",
+        "rel_percentiles": """
+            SELECT event_type, quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90, count(*) AS n
+            FROM events GROUP BY event_type""",
         "rel_pattern_absent": """
             SELECT c.user_id, c.event_id AS click_id
             FROM events c

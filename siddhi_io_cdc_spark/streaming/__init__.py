@@ -1,3 +1,4 @@
+from siddhi_io_cdc_spark.streaming.cep import absent_pattern_stream
 from siddhi_io_cdc_spark.streaming.lifecycle import run_with_restarts
 from siddhi_io_cdc_spark.streaming.metrics import CDCMetricsListener
 from siddhi_io_cdc_spark.streaming.rollup_sink import (
@@ -10,6 +11,7 @@ from siddhi_io_cdc_spark.streaming.windows import session_agg, sliding_agg, tumb
 
 __all__ = [
     "CDCMetricsListener",
+    "absent_pattern_stream",
     "cron_run",
     "foreach_batch_rollup",
     "interval_trigger",
