@@ -7,6 +7,7 @@ from siddhi_io_cdc_spark.sources.connectors import (
 from siddhi_io_cdc_spark.sources.envelope import (
     ENVELOPE_METADATA_FIELDS,
     envelope_schema,
+    parse_kafka_avro_envelope,
     parse_kafka_envelope,
     read_changelog_stream,
     synthetic_changelog,
@@ -16,6 +17,7 @@ from siddhi_io_cdc_spark.sources.polling import CDCPollDataSource, register_cdc_
 __all__ = [
     "ENVELOPE_METADATA_FIELDS",
     "envelope_schema",
+    "parse_kafka_avro_envelope",
     "parse_kafka_envelope",
     "build_capture_config",
     "parse_connection_url",

@@ -97,6 +97,51 @@ def parse_kafka_envelope(df: DataFrame, row_schema: StructType, lenient: bool = 
     return out.filter(F.col("op").isNotNull())
 
 
+def parse_kafka_avro_envelope(
+    df: DataFrame, avro_schema_json: str, strip_confluent_header: bool = True
+) -> DataFrame:
+    """Kafka listening path for Avro-serialized Debezium envelopes.
+
+    Debezium deployments with a schema registry ship Avro, not JSON; the
+    payload is the same envelope (before/after/source/op/ts_ms), so this is
+    ``parse_kafka_envelope`` with ``from_avro`` in place of ``from_json``.
+    ``avro_schema_json`` is the writer schema (from the registry's
+    ``/schemas`` endpoint — registry HTTP lookup is deliberately out of
+    scope; pass the schema explicitly). ``strip_confluent_header`` drops the
+    5-byte Confluent wire-format prefix (magic byte + schema id) first.
+
+    Requires the ``spark-avro`` package on the session's classpath (it is
+    not bundled with pyspark); without it this raises a clear error at plan
+    time rather than an opaque JVM failure.
+    """
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as e:  # pragma: no cover - import shape differs per version
+        raise RuntimeError(
+            "parse_kafka_avro_envelope needs the spark-avro package "
+            "(org.apache.spark:spark-avro_2.13). Start the session with "
+            "spark.jars.packages set accordingly."
+        ) from e
+    payload = F.col("value")
+    if strip_confluent_header:
+        payload = F.expr("substring(value, 6, length(value) - 5)")
+    try:
+        parsed = df.select(
+            from_avro(payload, avro_schema_json).alias("__env"),
+            F.col("topic").alias("_kafka_topic"),
+            F.col("partition").alias("_kafka_partition"),
+            F.col("offset").alias("_kafka_offset"),
+        )
+        return parsed.select("__env.*", "_kafka_topic", "_kafka_partition", "_kafka_offset")
+    except Exception as e:
+        if "AVRO_NOT_LOADED" in str(e):
+            raise RuntimeError(
+                "the Avro data source is not loaded in this SparkSession; "
+                "add org.apache.spark:spark-avro_2.13 via spark.jars.packages"
+            ) from e
+        raise
+
+
 def synthetic_changelog(
     df: DataFrame,
     op_col,

@@ -115,3 +115,35 @@ def test_streaming_window_agg_over_cdc_source(spark, tmp_path):
     q.awaitTermination(120)
     got = {str(r["ws"]): r["n"] for r in spark.sql("select * from win_sink").collect()}
     assert sorted(got.values()) == [2, 2]
+
+
+def test_avro_envelope_raises_clear_error_without_spark_avro(spark):
+    """The avro connector jar isn't bundled with pyspark; the gated path
+    must fail with an actionable message (and work when the jar is added —
+    exercised implicitly by the same code path)."""
+    import pytest
+
+    from siddhi_io_cdc_spark.sources.envelope import parse_kafka_avro_envelope
+
+    kafka_shaped = spark.createDataFrame(
+        [(b"k", b"\x00\x00\x00\x00\x01payload", "t", 0, 0)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    schema = '{"type":"record","name":"env","fields":[{"name":"op","type":"string"}]}'
+    try:
+        from pyspark.sql.avro.functions import from_avro  # noqa: F401
+
+        have_import = True
+    except ImportError:
+        have_import = False
+    if not have_import:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            parse_kafka_avro_envelope(kafka_shaped, schema)
+    else:
+        # python-side import exists; JVM data source may still be missing
+        try:
+            parse_kafka_avro_envelope(kafka_shaped, schema).collect()
+        except RuntimeError as e:
+            assert "spark-avro" in str(e)
+        except Exception as e:
+            assert "AVRO" in str(e).upper()
