@@ -99,3 +99,47 @@ def cdc_read_stream(
             )
         env = read_changelog_stream(spark, opts["path"], row_schema)
     return flatten(env, operations=operations)
+
+
+def cdc_bootstrap_then_stream(
+    spark: SparkSession,
+    options: dict,
+    config_reader: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Initial-load + change-tail composition for polling mode.
+
+    Returns ``(snapshot, stream)``:
+
+    - ``snapshot`` — a BATCH frame of every row with polling column ≤ the
+      high-water mark pinned at call time (the 100 TB initial load: plain
+      distributed parquet scan, no streaming machinery in the way);
+    - ``stream`` — a ``cdc-poll`` stream seeded at that same mark, so it
+      delivers strictly-after rows: no gap and no overlap with the
+      snapshot even while rows keep landing during the bootstrap.
+
+    This is the Spark-first equivalent of Debezium's snapshot-then-binlog
+    handover (the listening-mode engine does this inside the connector;
+    op='r' rows — see ``operators.flatten`` snapshot support).
+    """
+    opts = validate_source_options(resolve_config_overrides(options, config_reader))
+    if opts["mode"] != "polling":
+        raise WrongConfigurationError(
+            "cdc_bootstrap_then_stream is a polling-mode composition; listening "
+            "mode gets its snapshot from the connector (op='r' events)"
+        )
+    if not opts.get("path"):
+        raise WrongConfigurationError("polling mode needs option 'path'")
+    path, col = opts["path"], opts["polling.column"]
+
+    from pyspark.sql import functions as F
+
+    hwm_row = spark.read.parquet(path).agg(F.max(col).alias("mx")).collect()[0]
+    hwm = hwm_row.mx
+    base = spark.read.parquet(path)
+    if hwm is None:
+        snapshot = base  # empty table: empty snapshot, stream from the start
+        stream_opts = {**options, "start.from": "earliest"}
+    else:
+        snapshot = base.where(F.col(col) <= F.lit(hwm))
+        stream_opts = {**options, "start.from": str(int(hwm))}
+    return snapshot, cdc_read_stream(spark, stream_opts, config_reader=config_reader)

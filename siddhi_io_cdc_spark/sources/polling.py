@@ -163,11 +163,22 @@ class CDCPollStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self.start_from == "earliest":
             off = {"last": EMPTY_SENTINEL}
-        else:
+        elif self.start_from == "latest":
             mx = self._current_max()
             # Reference seeds with the current table max so only NEW rows flow
             # (DefaultPollingStrategy.java:109-132); -1 when the table is empty.
             off = {"last": EMPTY_SENTINEL if mx is None else _jsonable(mx)}
+        else:
+            # Explicit high-water mark: deliver strictly-after rows. This is
+            # the snapshot-bootstrap seam (api.cdc_bootstrap_then_stream):
+            # batch-load everything <= hwm, stream everything > hwm.
+            try:
+                off = {"last": int(self.start_from)}
+            except ValueError:
+                raise ValueError(
+                    f"startFrom must be 'latest', 'earliest' or an integer "
+                    f"high-water mark, got {self.start_from!r}"
+                ) from None
         self._prev = off
         return off
 
@@ -303,7 +314,8 @@ class CDCPollStreamReader(DataSourceStreamReader):
 class CDCPollDataSource(DataSource):
     """``spark.readStream.format("cdc-poll")`` — polling-mode CDC source.
 
-    Options: ``path``, ``pollingColumn``, ``startFrom`` (latest|earliest),
+    Options: ``path``, ``pollingColumn``, ``startFrom``
+    (latest|earliest|<integer hwm>),
     ``waitOnMissedRecord`` (bool), ``missedRecordWaitingTimeout`` (seconds,
     -1 = wait forever), ``numPartitions``.
 

@@ -147,3 +147,45 @@ def test_avro_envelope_raises_clear_error_without_spark_avro(spark):
             assert "spark-avro" in str(e)
         except Exception as e:
             assert "AVRO" in str(e).upper()
+
+
+def test_bootstrap_then_stream_no_gap_no_overlap(spark, tmp_path):
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from siddhi_io_cdc_spark.api import cdc_bootstrap_then_stream
+
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl)
+
+    def append(ids):
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64())}),
+            os.path.join(tbl, f"p-{time.time_ns()}.parquet"),
+        )
+
+    append([1, 2, 3])
+    snapshot, stream = cdc_bootstrap_then_stream(
+        spark, {"mode": "polling", "path": tbl, "polling.column": "id"}
+    )
+    snap_ids = sorted(r.id for r in snapshot.collect())
+    assert snap_ids == [1, 2, 3]
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("boot_tail")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from boot_tail").count() == 0  # no overlap
+        append([4, 5])
+        q.processAllAvailable()
+        got = sorted(r.id for r in spark.sql("select * from boot_tail").collect())
+        assert got == [4, 5]  # no gap
+    finally:
+        q.stop()
