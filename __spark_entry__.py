@@ -686,6 +686,25 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition signals."""
+    from siddhi_io_cdc_spark.functions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).select(
+        "doc_id", "dup_word_frac", "dup_bigram_frac"
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling: 40% of 'en', all of 'de', other
+    languages dropped — the reproducible training-mix rebalance."""
+    from siddhi_io_cdc_spark.functions.text import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), rates={"en": 0.4, "de": 1.0}, stratum_col="lang"
+    ).select("doc_id", "lang")
+
+
 def q_cube_orders(spark, sf_dir):
     """Grouping-sets surface (§2.5): CUBE over (order year, priority) with
     GROUPING flags so subtotal rows are unambiguous."""
@@ -780,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_top_ngrams": q_top_ngrams,
         "llm_label_centroids": q_label_centroids,
         "llm_pii_scrub": q_pii_scrub,
+        "llm_repetition": q_repetition,
+        "llm_stratified_sample": q_stratified_sample,
         # Rows-only (not ANSI-SQL expressible: LSH banding / stub decode)
         "llm_minhash_pairs": q_minhash_pairs,
         "llm_near_dedup": q_near_dedup,
@@ -1162,6 +1183,21 @@ def oracle_sql() -> dict[str, str]:
         "llm_lang_detect": _lang_detect_sql(),
         "llm_quality_score": _QUALITY_SQL,
         "llm_fingerprint": f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+        "llm_repetition": f"""
+            SELECT doc_id,
+                   round(1 - len(list_distinct(w))::DOUBLE / len(w), 6) AS dup_word_frac,
+                   CASE WHEN len(w) >= 2
+                        THEN round(1 - len(list_distinct(g))::DOUBLE / len(g), 6)
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM (
+              SELECT doc_id, w,
+                     list_transform(generate_series(1, len(w) - 1),
+                                    j -> w[j] || ' ' || w[j + 1]) AS g
+              FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents))""",
+        "llm_stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE (lang = 'de')
+               OR (lang = 'en' AND substr(md5(doc_id::VARCHAR), 1, 8) < '{format(int(0.4 * 16**8), "08x")}')""",
         "llm_pii_scrub": r"""
             WITH dirty AS (
               SELECT doc_id,

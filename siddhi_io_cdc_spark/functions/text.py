@@ -209,3 +209,79 @@ def strip_markup(col: Column | str) -> Column:
     c = F.regexp_replace(col, HTML_TAG_RE, " ")
     c = F.regexp_replace(c, HTML_ENTITY_RE, " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality filters).
+
+    Adds ``dup_word_frac`` (1 − distinct/total words) and ``dup_bigram_frac``
+    (1 − distinct/total word 2-grams): high values flag boilerplate/spam
+    documents that token-level dedup misses. Pure array expressions — the
+    token array is staged once (higher-order functions don't CSE).
+    """
+    words = F.split(normalize_text(text_col), " ")
+    staged = df.withColumn("__w", words)
+    grams = F.when(
+        F.size("__w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.withColumn("__g", grams)
+    frac = lambda arr: F.when(
+        F.size(arr) > 0,
+        F.round(1.0 - F.size(F.array_distinct(arr)) / F.size(arr), 6),
+    ).otherwise(F.lit(0.0))
+    return staged.withColumn("dup_word_frac", frac(F.col("__w"))).withColumn(
+        "dup_bigram_frac", frac(F.col("__g"))
+    ).drop("__w", "__g")
+
+
+def _hex_bucket(id_col: str, salt: str) -> Column:
+    """First 8 hex chars of md5(salt || id): uniform in [0, 16^8), compared
+    LEXICOGRAPHICALLY against a hex threshold (lowercase hex order == numeric
+    order) — bit-identical in every engine that has md5, no bigint conv."""
+    return F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8)
+
+
+def _rate_threshold(rate: float) -> str:
+    return format(min(int(rate * 16**8), 16**8 - 1), "08x")
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Reproducible ``rate``-sample keyed on identity, not randomness.
+
+    A row is kept iff the first 8 hex digits of ``md5(salt || id)`` fall
+    under ``rate`` — the same rows are selected on every engine, every run,
+    every partitioning (Spark's ``sample()`` is seed-deterministic but
+    partition-dependent; this is not, and it is oracle-checkable). Change
+    ``salt`` to draw an independent sample.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return df
+    return df.where(_hex_bucket(id_col, salt) < F.lit(_rate_threshold(rate)))
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, float], stratum_col: str, id_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages/sources in a training mix). ``rates`` maps stratum value →
+    keep rate; strata not listed are dropped. Same md5 mechanism as
+    :func:`deterministic_sample` — reproducible and engine-portable."""
+    for v, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {v!r} must be in [0, 1], got {r}")
+    bucket = _hex_bucket(id_col, salt)
+    keep = F.lit(False)
+    for v, r in rates.items():
+        in_stratum = F.col(stratum_col) == v
+        keep = F.when(
+            in_stratum, F.lit(True) if r >= 1.0 else bucket < F.lit(_rate_threshold(r))
+        ).otherwise(keep)
+    return df.where(keep)

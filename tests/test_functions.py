@@ -225,3 +225,35 @@ def test_scrub_pii_masks_each_kind(spark):
         "kept cleaned",
         "no pii here",
     ]
+
+
+def test_deterministic_sample_reproducible_and_sized(spark, sf_dir):
+    from siddhi_io_cdc_spark.functions.text import deterministic_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(r.doc_id for r in deterministic_sample(docs, 0.3).select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), 0.3).select("doc_id").collect()
+    )
+    assert a == b  # partitioning-independent
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n  # near the requested rate
+    salted = sorted(
+        r.doc_id for r in deterministic_sample(docs, 0.3, salt="s2").select("doc_id").collect()
+    )
+    assert salted != a  # independent draw
+    assert deterministic_sample(docs, 1.0).count() == n
+
+
+def test_repetition_stats_flags_repeats(spark):
+    from siddhi_io_cdc_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ fully"), (3, "x")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.dup_word_frac, r.dup_bigram_frac) for r in repetition_stats(df).collect()}
+    assert got[1] == (0.75, round(2 / 3, 6))  # fracs are round(x, 6)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (0.0, 0.0)  # single word: no bigrams
