@@ -6,6 +6,11 @@ from siddhi_io_cdc_spark.streaming.rollup_sink import (
     merge_rollup_batch,
     read_rollup,
 )
+from siddhi_io_cdc_spark.streaming.stateful import (
+    followed_by_stream,
+    latest_value,
+    running_counts,
+)
 from siddhi_io_cdc_spark.streaming.triggers import cron_run, interval_trigger
 from siddhi_io_cdc_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
@@ -13,11 +18,14 @@ __all__ = [
     "CDCMetricsListener",
     "absent_pattern_stream",
     "cron_run",
+    "followed_by_stream",
     "foreach_batch_rollup",
     "interval_trigger",
     "merge_rollup_batch",
     "read_rollup",
+    "latest_value",
     "run_with_restarts",
+    "running_counts",
     "session_agg",
     "sliding_agg",
     "tumbling_agg",

@@ -95,3 +95,74 @@ def latest_value(
     return stream.groupBy(*keys).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def followed_by_stream(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    first_col: str,
+    second_col: str,
+    within: int,
+) -> DataFrame:
+    """Siddhi pattern ``every e1=A -> e2=B within t`` as a streaming state
+    machine (the CEP piece Spark's built-in operators cannot express: the
+    match must CONSUME the A event so each A pairs with at most one B).
+
+    ``first_col`` / ``second_col`` are boolean columns marking A and B
+    events; ``time_col`` is an integer event-time (same unit as ``within``).
+    Emits one row per match: key, ``first_time``, ``second_time``. Pending
+    A events ride in the state store (checkpointed, hash-partitioned by
+    key) and survive micro-batch boundaries; stale pending state is pruned
+    against the key's max seen time. Within a key, events are processed in
+    ``time_col`` order inside each batch; cross-batch disorder beyond
+    ``within`` is out of contract (run behind the gap-wait source or a
+    per-key ordering stage for strict ordering).
+
+    Matching rule (siddhi's ``every``-followed-by): a B event pairs with
+    the EARLIEST pending A with ``A.time < B.time <= A.time + within``.
+    """
+    keys = list(key_cols)
+    out_schema = StructType(
+        [stream.schema[k] for k in keys]
+        + [StructField("first_time", LongType(), False),
+           StructField("second_time", LongType(), False)]
+    )
+    # Pending A times as a comma-joined string: state schemas are flat rows,
+    # and the pending set is bounded by `within` after pruning.
+    from pyspark.sql.types import StringType
+
+    state_schema = StructType([StructField("pending", StringType(), True)])
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        pending: list[int] = []
+        if state.exists and state.get[0]:
+            pending = [int(x) for x in state.get[0].split(",")]
+        rows = []
+        max_t = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(time_col)
+            for t, is_a, is_b in zip(pdf[time_col], pdf[first_col], pdf[second_col]):
+                t = int(t)
+                max_t = t if max_t is None else max(max_t, t)
+                if is_b:
+                    for i, a in enumerate(pending):
+                        if a < t <= a + within:
+                            rows.append((a, t))
+                            del pending[i]  # consume: one B per A
+                            break
+                if is_a:
+                    pending.append(t)
+        if max_t is not None:
+            pending = [a for a in pending if a + within >= max_t]
+        state.update((",".join(str(a) for a in sorted(pending)),))
+        if rows:
+            yield pd.DataFrame(
+                [{**dict(zip(keys, key)), "first_time": a, "second_time": b} for a, b in rows]
+            )
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -115,3 +115,61 @@ def test_exactly_once_dedupe_drops_replayed_events(spark, tmp_path):
         assert got == [("u1", 1), ("u2", 2), ("u3", 3)], got
     finally:
         q.stop()
+
+
+def test_followed_by_stream_matches_across_batches(spark, tmp_path):
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.streaming.stateful import followed_by_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def append(rows):  # (user, t, typ)
+        pq.write_table(
+            pa.table(
+                {
+                    "u": pa.array([r[0] for r in rows], pa.int64()),
+                    "t": pa.array([r[1] for r in rows], pa.int64()),
+                    "typ": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            os.path.join(src, f"p-{_time.time_ns()}.parquet"),
+        )
+
+    # batch 1: A@10 (u1) unmatched yet; A@5+B@12 (u2) match in-batch;
+    # B@100 (u3) with no A.
+    append([(1, 10, "a"), (2, 5, "a"), (2, 12, "b"), (3, 100, "b")])
+    stream = (
+        spark.readStream.schema("u long, t long, typ string").parquet(src)
+        .withColumn("is_a", F.col("typ") == "a")
+        .withColumn("is_b", F.col("typ") == "b")
+    )
+    out = followed_by_stream(stream, ["u"], "t", "is_a", "is_b", within=20)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fb_matches")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.u, r.first_time, r.second_time)
+               for r in spark.sql("select * from fb_matches").collect()}
+        assert got == {(2, 5, 12)}
+        # batch 2: u1's B arrives within window -> cross-batch match; a second
+        # B@28 for u2 must NOT re-match the consumed A@5.
+        append([(1, 25, "b"), (2, 24, "b")])
+        q.processAllAvailable()
+        got = {(r.u, r.first_time, r.second_time)
+               for r in spark.sql("select * from fb_matches").collect()}
+        assert got == {(2, 5, 12), (1, 10, 25)}
+    finally:
+        q.stop()
