@@ -641,6 +641,37 @@ def q_pattern_sequence(spark, sf_dir):
     return consecutive_runs(ev, ["user_id"], "event_id", F.col("event_type") == "error", k=3)
 
 
+def q_pattern_both(spark, sf_dir):
+    """CEP logical-AND pattern: signup and error by the same user within
+    100 event-ids of each other (either order)."""
+    from siddhi_io_cdc_spark.operators.cep import both_pattern
+
+    ev = _events(spark, sf_dir)
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id")
+    )
+    return both_pattern(
+        signups, errors, on=["user_id"], left_time="signup_id",
+        right_time="error_id", within=100,
+    )
+
+
+def q_pattern_immediate(spark, sf_dir):
+    """CEP strict sequence (`view, purchase`): purchases whose immediately
+    preceding event (same user, no events between) was a view."""
+    from siddhi_io_cdc_spark.operators.cep import immediate_sequence
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "event_type")
+    return immediate_sequence(
+        ev, ["user_id"], "event_id",
+        first=F.col("event_type") == "view",
+        second=F.col("event_type") == "purchase",
+    )
+
+
 def q_output_every_nth(spark, sf_dir):
     """Output rate limiting (`output every 10 events` per user)."""
     from siddhi_io_cdc_spark.operators.rate_limit import every_nth_per_key
@@ -780,6 +811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pattern_match": q_pattern_match,
         "rel_pattern_absent": q_pattern_absent,
         "rel_pattern_sequence": q_pattern_sequence,
+        "rel_pattern_both": q_pattern_both,
+        "rel_pattern_immediate": q_pattern_immediate,
         "rel_rollup_multi": q_rollup_multi,
         "rel_output_every_nth": q_output_every_nth,
         "rel_output_snapshot": q_output_snapshot,
@@ -1111,6 +1144,19 @@ def oracle_sql() -> dict[str, str]:
                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS run
                 FROM events)
             WHERE run = 3""",
+        "rel_pattern_both": """
+            SELECT s.user_id, s.event_id AS signup_id, e.event_id AS error_id
+            FROM events s JOIN events e
+              ON e.user_id = s.user_id AND e.event_type = 'error'
+             AND abs(e.event_id - s.event_id) <= 100
+            WHERE s.event_type = 'signup'""",
+        "rel_pattern_immediate": """
+            SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       lag(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ok
+                FROM events)
+            WHERE prev_ok = 1 AND event_type = 'purchase'""",
         "rel_rollup_multi": """
             SELECT event_type, CAST(g AS INT) AS granularity_sec,
                    (event_id // g) * g AS bucket_start,

@@ -4,7 +4,12 @@ from siddhi_io_cdc_spark.operators.flatten import (
     schema_map,
     type_default,
 )
-from siddhi_io_cdc_spark.operators.cep import absent_pattern, consecutive_runs
+from siddhi_io_cdc_spark.operators.cep import (
+    absent_pattern,
+    both_pattern,
+    consecutive_runs,
+    immediate_sequence,
+)
 from siddhi_io_cdc_spark.operators.mongo import MONGO_ENVELOPE_SCHEMA, mongo_flatten
 from siddhi_io_cdc_spark.operators.rate_limit import every_nth_per_key, snapshot_per_window
 from siddhi_io_cdc_spark.operators.temporal import asof_join, bucketed_range_join
@@ -21,8 +26,10 @@ from siddhi_io_cdc_spark.operators.mutate import (
 __all__ = [
     "absent_pattern",
     "asof_join",
+    "both_pattern",
     "bucketed_range_join",
     "consecutive_runs",
+    "immediate_sequence",
     "every_nth_per_key",
     "snapshot_per_window",
     "flatten",

@@ -85,3 +85,49 @@ def consecutive_runs(
         .where(F.col("__run") == k)
         .drop("__run")
     )
+
+
+def both_pattern(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    within: int | float,
+) -> DataFrame:
+    """``A and B within t`` (logical-AND pattern, either order): pairs of
+    left/right events per key at most ``within`` apart.
+
+    A plain equi-join on the key with the symmetric time bound as a join
+    filter — hash-partitioned both sides, per-key work proportional to the
+    matching pairs (which is the OUTPUT, so no wasted explosion).
+    """
+    keys = list(on)
+    r = right.select(*keys, F.col(right_time).alias("__rt"))
+    cond: Column = F.lit(True)
+    for k in keys:
+        cond = cond & (left[k] == r[k])
+    cond = cond & (F.abs(r["__rt"] - left[left_time]) <= within)
+    out = left.join(r, cond, "inner")
+    # left[c] disambiguates the shared key columns in the join output.
+    return out.select(*[left[c] for c in left.columns], F.col("__rt").alias(right_time))
+
+
+def immediate_sequence(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    first: Column,
+    second: Column,
+) -> DataFrame:
+    """Siddhi sequence ``e1, e2`` (STRICT succession): rows where the
+    current event matches ``second`` and the immediately-preceding event in
+    the key's stream matched ``first`` — no events in between, unlike
+    followed-by. One lag window, oracle-checkable in any SQL engine.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        df.withColumn("__prev_ok", F.lag(first.cast("int")).over(w))
+        .where((F.col("__prev_ok") == 1) & second)
+        .drop("__prev_ok")
+    )

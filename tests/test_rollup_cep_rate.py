@@ -133,3 +133,38 @@ def test_approx_count_distinct_within_tolerance(spark, sf_dir):
         F.countDistinct("o_custkey").alias("e"),
     ).collect()[0]
     assert abs(row.a - row.e) / row.e < 0.05
+
+
+def test_both_pattern_either_order_within(spark):
+    left = spark.createDataFrame([(1, 100), (2, 100)], "u long, lt long")
+    right = spark.createDataFrame(
+        [(1, 90), (1, 150), (1, 300), (2, 201)], "u long, rt long"
+    )
+    from siddhi_io_cdc_spark.operators.cep import both_pattern
+
+    got = sorted(
+        (r.u, r.lt, r.rt)
+        for r in both_pattern(left, right, ["u"], "lt", "rt", within=100).collect()
+    )
+    # u1: 90 (before, within) and 150 match; 300 too far. u2: 201 too far.
+    assert got == [(1, 100, 90), (1, 100, 150)]
+
+
+def test_immediate_sequence_strict_succession(spark):
+    rows = [
+        (1, 0, "view"), (1, 1, "purchase"),      # match
+        (1, 2, "view"), (1, 3, "click"), (1, 4, "purchase"),  # broken by click
+        (2, 0, "purchase"),                      # no predecessor
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, typ string")
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.operators.cep import immediate_sequence
+
+    got = sorted(
+        (r.u, r.t)
+        for r in immediate_sequence(
+            df, ["u"], "t", F.col("typ") == "view", F.col("typ") == "purchase"
+        ).collect()
+    )
+    assert got == [(1, 1)]
