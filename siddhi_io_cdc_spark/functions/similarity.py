@@ -120,16 +120,16 @@ def ivf_assign(vec_col: Column, centroids) -> Column:
     """IVF list assignment: index of the nearest (highest-dot) centroid.
 
     ``centroids`` is a small (nlist × dim) array generated driver-side; the
-    argmax is an unrolled JVM expression chain — no UDF, no shuffle. On a
-    100 TB corpus this column becomes the partition key of the vector
-    layout, so probes read only the probed lists' partitions."""
-    best_idx = F.lit(0)
-    best_dot = dot(vec_col, _as_lit_vec(centroids[0]))
-    for i, c in enumerate(centroids[1:], start=1):
-        d = dot(vec_col, _as_lit_vec(c))
-        best_idx = F.when(d > best_dot, F.lit(i)).otherwise(best_idx)
-        best_dot = F.when(d > best_dot, d).otherwise(best_dot)
-    return best_idx
+    argmax is array_position(dots, array_max(dots)) over an array of nlist
+    dot products — no UDF, no shuffle, and the expression tree is LINEAR in
+    nlist. (A when-chain carrying the running best duplicates the previous
+    best's subtree at every step — exponential tree growth that froze
+    Catalyst analysis beyond nlist≈12.) Ties resolve to the lowest index,
+    matching a strict-greater running argmax. On a 100 TB corpus this
+    column becomes the partition key of the vector layout, so probes read
+    only the probed lists' partitions."""
+    dots = F.array(*[dot(vec_col, _as_lit_vec(c)) for c in centroids])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def ivf_centroids(dim: int, nlist: int = 16, seed: int = 42):
