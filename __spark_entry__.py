@@ -672,6 +672,39 @@ def q_pattern_immediate(spark, sf_dir):
     )
 
 
+def q_length_window(spark, sf_dir):
+    """Siddhi `window.length(5)`: trailing-5-events running sum/count per
+    user (count-based sliding window)."""
+    from siddhi_io_cdc_spark.streaming.windows import length_window_agg
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
+    out = length_window_agg(
+        ev, ["user_id"], "event_id",
+        # aggs must be bare aggregate functions (`.over` attaches to them);
+        # the exact-decimal sum is cast to double AFTER the window.
+        {"run_sum_dec": F.sum(F.col("value").cast("decimal(18,2)")),
+         "run_n": F.count(F.lit(1))},
+        length=5,
+    )
+    return out.select(
+        "user_id", "event_id", "value",
+        F.col("run_sum_dec").cast("double").alias("run_sum"), "run_n",
+    )
+
+
+def q_length_batch(spark, sf_dir):
+    """Siddhi `window.lengthBatch(5)`: tumbling 5-event batches per user."""
+    from siddhi_io_cdc_spark.streaming.windows import length_batch_agg
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "value")
+    return length_batch_agg(
+        ev, ["user_id"], "event_id",
+        {"batch_sum": F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+         "batch_n": F.count(F.lit(1))},
+        length=5,
+    )
+
+
 def q_output_every_nth(spark, sf_dir):
     """Output rate limiting (`output every 10 events` per user)."""
     from siddhi_io_cdc_spark.operators.rate_limit import every_nth_per_key
@@ -818,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_output_snapshot": q_output_snapshot,
         "rel_cube": q_cube_orders,
         "rel_percentiles": q_percentiles,
+        "win_length": q_length_window,
+        "win_length_batch": q_length_batch,
         "win_tumbling": q_tumbling_window,
         "win_sliding": q_sliding_window,
         "win_session": q_session_window,
@@ -1194,6 +1229,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders WHERE o_orderkey % 997 = 0) i
             LEFT JOIN orders p ON p.o_orderdate BETWEEN i.lo AND i.hi
             GROUP BY i.iid""",
+        "win_length": """
+            SELECT user_id, event_id, value,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)))
+                        OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+                   count(*) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS run_n
+            FROM events""",
+        "win_length_batch": """
+            SELECT user_id, batch_no,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS batch_sum,
+                   count(*) AS batch_n
+            FROM (SELECT user_id, value,
+                         (row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1) // 5
+                             AS batch_no
+                  FROM events)
+            GROUP BY user_id, batch_no""",
         "win_tumbling": """
             SELECT (event_id // 100) * 100 AS window_start, count(*) AS n,
                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -12,7 +12,13 @@ from siddhi_io_cdc_spark.streaming.stateful import (
     running_counts,
 )
 from siddhi_io_cdc_spark.streaming.triggers import cron_run, interval_trigger
-from siddhi_io_cdc_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+from siddhi_io_cdc_spark.streaming.windows import (
+    length_batch_agg,
+    length_window_agg,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
 
 __all__ = [
     "CDCMetricsListener",
@@ -21,6 +27,8 @@ __all__ = [
     "followed_by_stream",
     "foreach_batch_rollup",
     "interval_trigger",
+    "length_batch_agg",
+    "length_window_agg",
     "merge_rollup_batch",
     "read_rollup",
     "latest_value",

@@ -24,6 +24,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = ["tumbling_agg", "sliding_agg", "session_agg"]
 
@@ -92,4 +93,55 @@ def session_agg(
     )
     return out.select(
         *keys, F.col("__w.start").cast("long").alias("session_start"), *aggs.keys()
+    )
+
+
+def length_window_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    aggs: dict[str, Column],
+    length: int,
+) -> DataFrame:
+    """Siddhi ``window.length(N)``: per event, aggregates over the trailing
+    ``N`` events of its key (count-based sliding window).
+
+    ``aggs`` maps output name → aggregate over the window frame (e.g.
+    ``F.sum("v")``); each is applied with ``rowsBetween(-(N-1), 0)``. One
+    shuffle on the key, then a single sorted pass — the count-window analog
+    of a windowed aggregation, oracle-checkable in any SQL engine.
+    """
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(length - 1), Window.currentRow)
+    )
+    out = df
+    for name, col in aggs.items():
+        out = out.withColumn(name, col.over(w))
+    return out
+
+
+def length_batch_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    aggs: dict[str, Column],
+    length: int,
+) -> DataFrame:
+    """Siddhi ``window.lengthBatch(N)``: tumbling count windows — one output
+    row per key per completed-or-final batch of ``N`` consecutive events.
+
+    Events are numbered per key in ``order_col`` order and grouped by
+    ``batch_no = (row_number - 1) // N``; one window pass + one hash
+    aggregation (both on the same key shuffle).
+    """
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    rn = F.row_number().over(Window.partitionBy(*keys).orderBy(order_col))
+    staged = df.withColumn("batch_no", ((rn - F.lit(1)) / length).cast("long"))
+    return staged.groupBy(*keys, "batch_no").agg(
+        *[c.alias(n) for n, c in aggs.items()]
     )

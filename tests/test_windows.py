@@ -92,3 +92,29 @@ def test_tumbling_streaming_with_watermark(spark, tmp_path):
         assert got[0] == 3 and got[200] == 1
     finally:
         q.stop()
+
+
+def test_length_window_trailing_n(spark):
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.streaming.windows import length_window_agg
+
+    df = spark.createDataFrame([(1, t, 1.0) for t in range(5)], "u long, t long, v double")
+    got = {
+        r.t: r.n
+        for r in length_window_agg(df, ["u"], "t", {"n": F.count(F.lit(1))}, length=3).collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 3, 3: 3, 4: 3}  # ramps up then holds at N
+
+
+def test_length_batch_tumbling_counts(spark):
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.streaming.windows import length_batch_agg
+
+    df = spark.createDataFrame([(1, t) for t in range(7)], "u long, t long")
+    got = {
+        r.batch_no: r.n
+        for r in length_batch_agg(df, ["u"], "t", {"n": F.count(F.lit(1))}, length=3).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 1}  # two full batches + the remainder
