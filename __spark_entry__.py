@@ -672,6 +672,14 @@ def q_pattern_immediate(spark, sf_dir):
     )
 
 
+def q_frequent(spark, sf_dir):
+    """Siddhi `window.frequent(2)`: two most frequent event types per user."""
+    from siddhi_io_cdc_spark.operators.rate_limit import frequent_items
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    return frequent_items(ev, ["user_id"], "event_type", k=2)
+
+
 def q_length_window(spark, sf_dir):
     """Siddhi `window.length(5)`: trailing-5-events running sum/count per
     user (count-based sliding window)."""
@@ -851,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_output_snapshot": q_output_snapshot,
         "rel_cube": q_cube_orders,
         "rel_percentiles": q_percentiles,
+        "win_frequent": q_frequent,
         "win_length": q_length_window,
         "win_length_batch": q_length_batch,
         "win_tumbling": q_tumbling_window,
@@ -1229,6 +1238,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders WHERE o_orderkey % 997 = 0) i
             LEFT JOIN orders p ON p.o_orderdate BETWEEN i.lo AND i.hi
             GROUP BY i.iid""",
+        "win_frequent": """
+            SELECT user_id, event_type, n_occurrences FROM (
+                SELECT user_id, event_type, count(*) AS n_occurrences,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY count(*) DESC, event_type ASC) AS rk
+                FROM events GROUP BY user_id, event_type)
+            WHERE rk <= 2""",
         "win_length": """
             SELECT user_id, event_id, value,
                    CAST(sum(CAST(value AS DECIMAL(18,2)))

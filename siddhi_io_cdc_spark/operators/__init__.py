@@ -11,7 +11,11 @@ from siddhi_io_cdc_spark.operators.cep import (
     immediate_sequence,
 )
 from siddhi_io_cdc_spark.operators.mongo import MONGO_ENVELOPE_SCHEMA, mongo_flatten
-from siddhi_io_cdc_spark.operators.rate_limit import every_nth_per_key, snapshot_per_window
+from siddhi_io_cdc_spark.operators.rate_limit import (
+    every_nth_per_key,
+    frequent_items,
+    snapshot_per_window,
+)
 from siddhi_io_cdc_spark.operators.temporal import asof_join, bucketed_range_join
 from siddhi_io_cdc_spark.operators.mutate import (
     apply_changelog,
@@ -31,6 +35,7 @@ __all__ = [
     "consecutive_runs",
     "immediate_sequence",
     "every_nth_per_key",
+    "frequent_items",
     "snapshot_per_window",
     "flatten",
     "lowercase_columns",

@@ -67,3 +67,26 @@ def snapshot_per_window(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def frequent_items(
+    df: DataFrame, keys: Sequence[str], item_col: str, k: int
+) -> DataFrame:
+    """Siddhi ``window.frequent(k)``: the ``k`` most frequent item values
+    per key (count desc, item asc on ties — total order, so deterministic).
+
+    Exact two-phase plan: hash-aggregate counts (map-side partials), then a
+    rank window over the (small) per-key count table. At 100 TB the count
+    table is |keys|x|distinct items|, not |rows| — the heavy lifting stays
+    in the partial aggregation. (Siddhi's own implementation is the exact
+    Misra-Gries variant; here exactness is free from the aggregation.)
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = df.groupBy(*keys, item_col).agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.partitionBy(*keys).orderBy(F.col("n_occurrences").desc(), F.col(item_col).asc())
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -168,3 +168,16 @@ def test_immediate_sequence_strict_succession(spark):
         ).collect()
     )
     assert got == [(1, 1)]
+
+
+def test_frequent_items_top_k_with_ties(spark):
+    from siddhi_io_cdc_spark.operators.rate_limit import frequent_items
+
+    rows = [(1, "a")] * 3 + [(1, "b")] * 2 + [(1, "c")] * 2 + [(2, "z")]
+    df = spark.createDataFrame(rows, "u long, item string")
+    got = sorted(
+        (r.u, r.item, r.n_occurrences)
+        for r in frequent_items(df, ["u"], "item", k=2).collect()
+    )
+    # tie between b and c at 2 -> item asc wins (b)
+    assert got == [(1, "a", 3), (1, "b", 2), (2, "z", 1)]
