@@ -184,3 +184,62 @@ def decode_audio_features(
             )
 
     return src.mapInPandas(_decode, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize image payloads to ``width``×``height`` → same (payload,
+    mm_meta) convention with updated dims.
+
+    Spark contract identical to the other decoders: partition-preserving
+    Arrow-batched ``mapInPandas``, binary in/binary out. The resampler
+    tries Pillow; without it (this container) it produces a clearly-fake
+    deterministic payload of exactly ``width*height`` bytes (byte-striding
+    the source), so downstream batch shapes and sizes are production-true.
+    """
+    if width < 1 or height < 1:
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
+    src = df.select(F.col(id_col).alias("id"), "payload", "mm_meta")
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mm_meta", MM_META_SCHEMA, True),
+        ]
+    )
+
+    def _resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        try:  # pragma: no cover - Pillow not in this container
+            import io as _io
+
+            from PIL import Image
+
+            def one(b: bytes) -> bytes:
+                img = Image.open(_io.BytesIO(b)).resize((width, height))
+                buf = _io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue()
+
+        except ImportError:
+
+            def one(b: bytes) -> bytes:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n = width * height
+                if arr.size == 0:
+                    return bytes(n)
+                idx = (np.arange(n) * max(arr.size // n, 1)) % arr.size
+                return arr[idx].tobytes()
+
+        for pdf in batches:
+            payloads = [one(bytes(p)) if p is not None else None for p in pdf["payload"]]
+            metas = [
+                {**(m if isinstance(m, dict) else m), "width": width, "height": height}
+                for m in pdf["mm_meta"]
+            ]
+            yield pd.DataFrame({"id": pdf["id"], "payload": payloads, "mm_meta": metas})
+
+    return src.mapInPandas(_resize, schema=out_schema)

@@ -79,3 +79,19 @@ def test_frame_sample_then_decode_composes(spark):
     assert sorted(r.frame_idx for r in frames.collect()) == [0, 10, 20]
     feats = decode_image_features(frames.withColumn("doc_id", F.col("doc_id") * 100 + F.col("frame_idx")))
     assert feats.count() == 3
+
+
+def test_resize_images_updates_payload_and_meta(spark, sf_dir):
+    from siddhi_io_cdc_spark.functions.multimodal import attach_payload, resize_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    mm = attach_payload(docs, "text", modality="image", mime="image/raw")
+    out = resize_images(mm, width=4, height=3).collect()
+    assert len(out) == 8
+    for r in out:
+        assert len(r.payload) == 12  # exactly width*height bytes (stub codec)
+        assert r.mm_meta.width == 4 and r.mm_meta.height == 3
+        assert r.mm_meta.modality == "image"
+    # deterministic: same input -> same bytes
+    again = resize_images(mm, width=4, height=3).collect()
+    assert [bytes(r.payload) for r in out] == [bytes(r.payload) for r in again]
