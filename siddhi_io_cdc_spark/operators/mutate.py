@@ -76,6 +76,31 @@ def delete_on(target: DataFrame, source: DataFrame, on: Sequence[str]) -> DataFr
     return target.join(F.broadcast(source.select(*keys).dropDuplicates(keys)), on=keys, how="left_anti")
 
 
+def rekey_deletes(events: DataFrame, keys: Sequence[str], op_col: str = "operation") -> DataFrame:
+    """Move delete-event keys from the before image into the key columns.
+
+    Multi-op flatten fills a delete's missing after-image with type defaults
+    (E5), so its current key column holds a DEFAULT, not the key — anything
+    that groups, joins, or buckets on the key must re-key deletes from
+    ``before_<k>`` first. Single-op delete frames (before_ columns only) are
+    re-keyed wholesale. Idempotent: after normalization the key and before
+    key agree, so applying it again is a no-op.
+    """
+    ev_cols = set(events.columns)
+    key_exprs = []
+    for kcol in keys:
+        b = f"before_{kcol}"
+        if kcol in ev_cols and b in ev_cols:
+            key_exprs.append(
+                F.when(F.col(op_col) == "delete", F.col(b)).otherwise(F.col(kcol)).alias(kcol)
+            )
+        elif kcol not in ev_cols and b in ev_cols:
+            key_exprs.append(F.col(b).alias(kcol))
+        else:
+            key_exprs.append(F.col(kcol))
+    return events.select(*key_exprs, *[F.col(c) for c in events.columns if c not in keys])
+
+
 def apply_changelog(
     target: DataFrame,
     events: DataFrame,
@@ -100,6 +125,7 @@ def apply_changelog(
     """
     keys = list(key)
     row_cols = target.columns
+    events = rekey_deletes(events, keys, op_col)
     w_latest = (
         events.groupBy(*keys)
         .agg(F.max(F.struct(F.col(seq_col), F.col(op_col), *[c for c in row_cols if c not in keys])).alias("__last"))
@@ -186,6 +212,9 @@ def merge_into_bucketed_parquet(
     call signature.
     """
     keys = list(key)
+    # Touched-bucket discovery must see the REAL delete keys (they live in
+    # the before image) or a delete's bucket is never read/rewritten.
+    batch_df = rekey_deletes(batch_df, keys, op_col)
     bucket_expr = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
     if not os.path.exists(target_path):
         if table_columns is None:

@@ -153,3 +153,21 @@ def test_bucketed_merge_delete_empties_bucket(spark, tmp_path):
     )
     merge_into_bucketed_parquet(spark, target, wipe, key=["id"], num_buckets=4)
     assert spark.read.parquet(target).count() == 0
+
+
+def test_apply_changelog_deletes_keyed_from_before_image(spark):
+    """flatten's multi-op delete rows carry type DEFAULTS in the current
+    columns and the real key in before_<k> — apply must re-key them."""
+    from siddhi_io_cdc_spark.operators.flatten import flatten
+    from siddhi_io_cdc_spark.sources.envelope import synthetic_changelog
+
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double")
+    env = synthetic_changelog(
+        base,
+        F.when(F.col("k") == 3, "d").otherwise("c"),
+        ts_ms=F.col("k"),
+    )
+    flat = flatten(env, operations=["insert", "delete"])
+    target = spark.createDataFrame([], "k long, v double")
+    out = {r.k: r.v for r in apply_changelog(target, flat, key=["k"]).collect()}
+    assert out == {1: 10.0, 2: 20.0}  # k=3's delete must not strand a k=0 row
