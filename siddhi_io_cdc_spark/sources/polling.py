@@ -330,7 +330,21 @@ class CDCPollDataSource(DataSource):
     def schema(self):
         import pyarrow.dataset as ds
 
-        return _arrow_to_struct(ds.dataset(self.options["path"], format="parquet").schema)
+        full = _arrow_to_struct(ds.dataset(self.options["path"], format="parquet").schema)
+        cols = self.options.get("columns")
+        if not cols:
+            return full
+        # Explicit column projection: prunes the scan at the parquet reader
+        # (partition.columns) AND skips columns whose types the Arrow
+        # transfer can't carry (e.g. TIMESTAMP(NANOS) fixture columns).
+        want = [c.strip() for c in cols.split(",") if c.strip()]
+        have = {f.name for f in full.fields}
+        missing = [c for c in want if c not in have]
+        if missing:
+            raise ValueError(f"cdc-poll 'columns' not in table schema: {missing}")
+        from pyspark.sql.types import StructType
+
+        return StructType([f for f in full.fields if f.name in want])
 
     def streamReader(self, schema):
         return CDCPollStreamReader(schema, self.options)
