@@ -230,3 +230,41 @@ def test_gap_scan_is_windowed(spark, tmp_path):
     off2 = reader._advance({"last": 450})
     assert off2["last"] == 499               # stops at the 500 gap
     assert off2["gap_next"] == 500
+
+
+def test_columns_option_prunes_schema(spark, tmp_path):
+    import os
+    import time as _t
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "tbl")
+    os.makedirs(tbl)
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "a": pa.array(["x", "y"], pa.string()),
+                  "b": pa.array([1.0, 2.0], pa.float64())}),
+        os.path.join(tbl, f"p-{_t.time_ns()}.parquet"),
+    )
+    register_cdc_poll(spark)
+    stream = (
+        spark.readStream.format("cdc-poll")
+        .option("path", tbl)
+        .option("pollingColumn", "id")
+        .option("startFrom", "earliest")
+        .option("columns", "id,b")
+        .load()
+    )
+    assert stream.columns == ["id", "b"]
+    q = (
+        stream.writeStream.format("memory").queryName("pruned_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from pruned_sink order by id").collect()
+        assert [(r.id, r.b) for r in rows] == [(1, 1.0), (2, 2.0)]
+    finally:
+        q.stop()
