@@ -120,12 +120,31 @@ def foreach_batch_rollup(
     granularity: int = 60,
     num_buckets: int = 16,
 ) -> Callable[[DataFrame, int], None]:
-    """``writeStream.foreachBatch`` adapter for :func:`merge_rollup_batch`."""
+    """``writeStream.foreachBatch`` adapter for :func:`merge_rollup_batch`,
+    with replay protection.
+
+    Unlike the changelog merge (idempotent: last-event-per-key overwrite),
+    an ADDITIVE merge double-counts on redelivery — and foreachBatch
+    redelivers the last batch whenever a crash lands between sink success
+    and checkpoint commit. Each applied batch id is recorded under
+    ``<store>/_applied_batches/``; a replayed id is skipped, which restores
+    exactly-once for the standard replay case. (A crash strictly inside
+    the merge itself can still leave a partially-updated store — the same
+    guarantee any non-transactional store gives; a lakehouse MERGE closes
+    that window behind this same signature.)
+    """
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        marker_dir = os.path.join(store_path, "_applied_batches")
+        marker = os.path.join(marker_dir, str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed batch: already applied
         merge_rollup_batch(
             spark, store_path, batch_df, time_col, keys, value_col, granularity, num_buckets
         )
+        os.makedirs(marker_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("applied")
 
     return _apply
 

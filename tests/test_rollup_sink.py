@@ -102,3 +102,16 @@ def test_streaming_cdc_poll_to_rollup_store(spark, tmp_path):
         [(i, str(i % 2), float(i % 5)) for i in range(75)], "t long, k string, v double"
     )
     assert _rollup_state(spark, store, (10, 100)) == _batch_state(df, (10, 100))
+
+
+def test_replayed_batch_not_double_counted(spark, tmp_path):
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame([(1, "a", 2.0), (15, "a", 3.0)], "t long, k string, v double")
+    fb = foreach_batch_rollup(spark, store, "t", ["k"], "v", granularity=10)
+    fb(df, 0)
+    fb(df, 0)  # crash-restart redelivery of the SAME batch id
+    state = _rollup_state(spark, store, (10,))
+    assert state == {("a", 10, 0): (2.0, 1, 2.0, 2.0), ("a", 10, 10): (3.0, 1, 3.0, 3.0)}
+    fb(df, 1)  # a genuinely new batch still applies
+    state = _rollup_state(spark, store, (10,))
+    assert state[("a", 10, 0)] == (4.0, 2, 2.0, 2.0)
