@@ -131,3 +131,55 @@ def test_apply_changelog_matches_sequential_simulation(spark, ops, n_initial):
         r.k: r.v for r in apply_changelog(target, flat, key=["k"]).collect()
     }
     assert got == state
+
+
+@given(
+    left_times=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    right_times=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tolerance=st.one_of(st.none(), st.integers(0, 20)),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_pandas_merge_asof(spark, left_times, right_times, direction, tolerance):
+    """The union+ordered-window as-of join must agree with pandas
+    merge_asof (allow_exact_matches=True) on random keyed time series,
+    both directions, with and without tolerance."""
+    import pandas as pd
+
+    from siddhi_io_cdc_spark.operators.temporal import asof_join
+
+    # dedupe (key, time) pairs: merge_asof tie order among equal right
+    # times is positional, ours is deterministic-by-payload; distinct
+    # times sidestep an ambiguity neither engine defines.
+    lrows = sorted({(u, t) for u, t in left_times})
+    rrows = sorted({(u, t) for u, t in right_times})
+    ldf = spark.createDataFrame([(u, t) for u, t in lrows], "u long, lt long")
+    rdf = spark.createDataFrame(
+        [(u, t, t * 10.0) for u, t in rrows], "u long, rt long, payload double"
+    )
+    got = {
+        (r.u, r.lt): (r.rt, r.payload)
+        for r in asof_join(
+            ldf, rdf, on=["u"], left_time="lt", right_time="rt",
+            direction=direction, tolerance=tolerance,
+        ).collect()
+    }
+
+    lpd = pd.DataFrame(lrows, columns=["u", "lt"]).sort_values("lt")
+    rpd = pd.DataFrame(
+        [(u, t, t * 10.0) for u, t in rrows], columns=["u", "rt", "payload"]
+    ).sort_values("rt")
+    merged = pd.merge_asof(
+        lpd, rpd, left_on="lt", right_on="rt", by="u",
+        direction=direction, tolerance=tolerance,
+    )
+    want = {}
+    for _, row in merged.iterrows():
+        rt = None if pd.isna(row["rt"]) else int(row["rt"])
+        pl = None if pd.isna(row["payload"]) else float(row["payload"])
+        want[(int(row["u"]), int(row["lt"]))] = (rt, pl)
+    assert got == want
