@@ -183,3 +183,69 @@ def test_asof_join_matches_pandas_merge_asof(spark, left_times, right_times, dir
         pl = None if pd.isna(row["payload"]) else float(row["payload"])
         want[(int(row["u"]), int(row["lt"]))] = (rt, pl)
     assert got == want
+
+
+@given(
+    points=st.lists(st.integers(0, 60), min_size=1, max_size=20, unique=True),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 15)), min_size=1, max_size=10
+    ),
+    width=st.integers(1, 12),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bucketed_range_join_matches_naive(spark, points, intervals, width):
+    from siddhi_io_cdc_spark.operators.temporal import bucketed_range_join
+
+    pts = spark.createDataFrame([(p,) for p in points], "p long")
+    ivs = spark.createDataFrame(
+        [(i, lo, lo + span) for i, (lo, span) in enumerate(intervals)],
+        "iid long, lo long, hi long",
+    )
+    got = sorted(
+        (r.iid, r.p)
+        for r in bucketed_range_join(pts, ivs, "p", "lo", "hi", bucket_width=width).collect()
+    )
+    want = sorted(
+        (i, p)
+        for i, (lo, span) in enumerate(intervals)
+        for p in points
+        if lo <= p <= lo + span
+    )
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=20
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_bfs(spark, edges):
+    from siddhi_io_cdc_spark.functions.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+
+    # ground truth: BFS min-label
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for start in sorted(adj):
+        if start in want:
+            continue
+        comp, stack, seen = [], [start], {start}
+        while stack:
+            n = stack.pop()
+            comp.append(n)
+            for m in adj[n] - seen:
+                seen.add(m)
+                stack.append(m)
+        label = min(comp)
+        for n in comp:
+            want[n] = label
+    assert got == want
