@@ -506,6 +506,59 @@ def q_session_window(spark, sf_dir):
     )
 
 
+def q_unique_window(spark, sf_dir):
+    """Siddhi ``window.unique(key)``: final window content = latest event
+    per unique key (here: per user x event_type, ordered by event_id)."""
+    from siddhi_io_cdc_spark.streaming.windows import unique_window
+
+    return unique_window(
+        _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value"),
+        unique_keys=["user_id", "event_type"],
+        order_col="event_id",
+    )
+
+
+def q_sort_window(spark, sf_dir):
+    """Siddhi ``window.sort(N, value, 'desc')`` partitioned per user: the 3
+    highest-value events each user's window retains (ties by event_id)."""
+    from siddhi_io_cdc_spark.streaming.windows import sort_window
+
+    return sort_window(
+        _events(spark, sf_dir).select("event_id", "user_id", "value"),
+        sort_cols=[F.col("value").desc(), F.col("event_id").asc()],
+        length=3,
+        keys=["user_id"],
+    )
+
+
+def q_pattern_or(spark, sf_dir):
+    """Siddhi logical-OR pattern ``e1=purchase or e2=error``: one firing per
+    matching event, branch recorded (first branch wins on overlap)."""
+    from siddhi_io_cdc_spark.operators.cep import or_pattern
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    return or_pattern(
+        ev,
+        first=F.col("event_type") == "purchase",
+        second=F.col("event_type") == "error",
+    )
+
+
+def q_pattern_runs(spark, sf_dir):
+    """Siddhi count quantifier ``click<2:4>``: maximal consecutive-click
+    runs of length 2..4 per user (gaps-and-islands, one shuffle)."""
+    from siddhi_io_cdc_spark.operators.cep import match_runs
+
+    return match_runs(
+        _events(spark, sf_dir),
+        keys=["user_id"],
+        order_col="event_id",
+        flag=F.col("event_type") == "click",
+        min_count=2,
+        max_count=4,
+    ).select("user_id", "run_start", "run_end", "run_len")
+
+
 def q_label_centroids(spark, sf_dir):
     from siddhi_io_cdc_spark.functions.similarity import label_centroids
 
@@ -865,6 +918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_tumbling": q_tumbling_window,
         "win_sliding": q_sliding_window,
         "win_session": q_session_window,
+        "win_unique": q_unique_window,
+        "win_sort": q_sort_window,
+        "rel_pattern_or": q_pattern_or,
+        "rel_pattern_runs": q_pattern_runs,
         # LLM pipeline
         "llm_dedup_exact": q_dedup_exact,
         "llm_curate": q_curate,
@@ -1291,6 +1348,38 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT user_id, min(t) AS session_start, count(*) AS n
             FROM g GROUP BY user_id, sid""",
+        "win_unique": """
+            SELECT event_id, user_id, event_type, value FROM (
+                SELECT event_id, user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1""",
+        "win_sort": """
+            SELECT event_id, user_id, value FROM (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events)
+            WHERE rn <= 3""",
+        "rel_pattern_or": """
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_type = 'purchase' THEN 'first' ELSE 'second' END
+                       AS matched_branch
+            FROM events WHERE event_type IN ('purchase', 'error')""",
+        "rel_pattern_runs": """
+            WITH s AS (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+              FROM events),
+            m AS (
+              SELECT user_id, event_id,
+                     rn - row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS isl
+              FROM s WHERE event_type = 'click')
+            SELECT user_id, min(event_id) AS run_start, max(event_id) AS run_end,
+                   count(*) AS run_len
+            FROM m GROUP BY user_id, isl
+            HAVING count(*) BETWEEN 2 AND 4""",
         "llm_dedup_exact": f"SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY {_NORM}",
         "llm_curate": _curate_sql(),
         "llm_text_stats": _TEXT_STATS_SQL,

@@ -9,6 +9,8 @@ from siddhi_io_cdc_spark.operators.cep import (
     both_pattern,
     consecutive_runs,
     immediate_sequence,
+    match_runs,
+    or_pattern,
 )
 from siddhi_io_cdc_spark.operators.mongo import MONGO_ENVELOPE_SCHEMA, mongo_flatten
 from siddhi_io_cdc_spark.operators.rate_limit import (
@@ -34,6 +36,8 @@ __all__ = [
     "bucketed_range_join",
     "consecutive_runs",
     "immediate_sequence",
+    "match_runs",
+    "or_pattern",
     "every_nth_per_key",
     "frequent_items",
     "snapshot_per_window",

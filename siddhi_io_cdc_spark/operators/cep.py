@@ -131,3 +131,58 @@ def immediate_sequence(
         .where((F.col("__prev_ok") == 1) & second)
         .drop("__prev_ok")
     )
+
+
+def or_pattern(df: DataFrame, first: Column, second: Column) -> DataFrame:
+    """Siddhi logical-OR pattern ``e1=A or e2=B``: an event matching either
+    branch fires the pattern once; ``matched_branch`` records which branch
+    won (``first`` takes precedence when both match, mirroring siddhi's
+    left-to-right branch evaluation).
+
+    A single filtered scan with a CASE projection — no union (one scan of
+    the input, not two), no shuffle, fully codegen'd.
+    """
+    return df.where(first | second).withColumn(
+        "matched_branch", F.when(first, F.lit("first")).otherwise(F.lit("second"))
+    )
+
+
+def match_runs(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    flag: Column,
+    min_count: int,
+    max_count: int | None = None,
+) -> DataFrame:
+    """Siddhi count quantifier ``e<m:n>``: maximal runs of consecutive
+    events matching ``flag`` whose length is in ``[min_count, max_count]``
+    (``max_count=None`` = unbounded, i.e. ``e<m:>``).
+
+    Gaps-and-islands: number all events per key, number the matching events
+    per key, and the difference is constant within a maximal run. Emits one
+    row per qualifying run: ``(keys..., run_start, run_end, run_len)``.
+
+    Scale shape: two ``row_number`` passes and the final aggregation all
+    share the same key partitioning — ONE shuffle total; per-key work is a
+    linear ordered pass. No self-joins, no explosion.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if max_count is not None and max_count < min_count:
+        raise ValueError(f"max_count {max_count} < min_count {min_count}")
+    w_all = Window.partitionBy(*keys).orderBy(order_col)
+    matched = (
+        df.withColumn("__rn", F.row_number().over(w_all))
+        .where(flag)
+        .withColumn("__isl", F.col("__rn") - F.row_number().over(w_all))
+    )
+    runs = matched.groupBy(*keys, "__isl").agg(
+        F.min(order_col).alias("run_start"),
+        F.max(order_col).alias("run_end"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    cond = F.col("run_len") >= min_count
+    if max_count is not None:
+        cond = cond & (F.col("run_len") <= max_count)
+    return runs.where(cond).drop("__isl")

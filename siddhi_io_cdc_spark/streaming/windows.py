@@ -26,7 +26,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["tumbling_agg", "sliding_agg", "session_agg"]
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "length_window_agg",
+    "length_batch_agg",
+    "unique_window",
+    "sort_window",
+]
 
 
 def _ts(ts_col: str | Column) -> Column:
@@ -145,3 +153,57 @@ def length_batch_agg(
     return staged.groupBy(*keys, "batch_no").agg(
         *[c.alias(n) for n, c in aggs.items()]
     )
+
+
+def unique_window(
+    df: DataFrame,
+    unique_keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Siddhi ``window.unique(key)``: the window holds exactly the LATEST
+    event per unique key — a new event for a key expires the old one.
+
+    Batch restatement: the final window content = last event per key in
+    ``order_col`` order. One shuffle on the unique key, one ordered pass
+    (``row_number() = 1`` descending). ``order_col`` must totally order each
+    key's events (an event sequence / offset column) or the result is
+    nondeterministic.
+
+    Streaming equivalent: ``df.groupBy(keys).agg(F.max_by(...))`` in update
+    mode, or ``applyInPandasWithState`` keeping the latest row — same
+    semantics, state bounded by the key cardinality.
+    """
+    w = Window.partitionBy(*unique_keys).orderBy(F.col(order_col).desc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def sort_window(
+    df: DataFrame,
+    sort_cols: Sequence[Column],
+    length: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Siddhi ``window.sort(N, attr, order)``: the window retains the ``N``
+    top events by the sort attribute(s).
+
+    Batch restatement: top-N rows in ``sort_cols`` order, per key when
+    ``keys`` is given. ``sort_cols`` must be a TOTAL order (tie-break with a
+    unique column) for deterministic output.
+
+    Scale shape: with keys, ``row_number`` over the key shuffle (per-key
+    work linear, no global sort). Without keys a global ``orderBy + limit``
+    — Spark plans TakeOrdered: each partition keeps its local top-N and only
+    N rows per partition reach the driver-side final merge; never a full
+    global sort.
+    """
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    cols = list(sort_cols)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(*cols)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= length)
+            .drop("__rn")
+        )
+    return df.orderBy(*cols).limit(length)

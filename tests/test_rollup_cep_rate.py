@@ -181,3 +181,38 @@ def test_frequent_items_top_k_with_ties(spark):
     )
     # tie between b and c at 2 -> item asc wins (b)
     assert got == [(1, "a", 3), (1, "b", 2), (2, "z", 1)]
+
+
+def test_or_pattern_branch_precedence(spark):
+    from siddhi_io_cdc_spark.operators.cep import or_pattern
+
+    df = spark.createDataFrame(
+        [(1, "buy"), (2, "err"), (3, "view"), (4, "buy")], "eid long, typ string"
+    )
+    got = sorted(
+        (r.eid, r.matched_branch)
+        for r in or_pattern(
+            df, first=F.col("typ") == "buy", second=F.col("typ").isin("err", "buy")
+        ).collect()
+    )
+    # eid=4 matches both branches -> 'first' wins; 'view' fires nothing.
+    assert got == [(1, "first"), (2, "second"), (4, "first")]
+
+
+def test_match_runs_count_quantifier_bounds(spark):
+    from siddhi_io_cdc_spark.operators.cep import match_runs
+
+    # u=1: runs of 1, 3, 2; u=2: run of 5 (excluded by max_count=4).
+    flags = {1: "x--xxx-xx", 2: "xxxxx"}
+    rows = [(u, i, c == "x") for u, s in flags.items() for i, c in enumerate(s)]
+    df = spark.createDataFrame(rows, "u long, seq long, f boolean")
+    got = sorted(
+        (r.u, r.run_start, r.run_end, r.run_len)
+        for r in match_runs(df, ["u"], "seq", F.col("f"), 2, 4).collect()
+    )
+    assert got == [(1, 3, 5, 3), (1, 7, 8, 2)]
+    unbounded = sorted(
+        (r.u, r.run_len)
+        for r in match_runs(df, ["u"], "seq", F.col("f"), 2).collect()
+    )
+    assert unbounded == [(1, 2), (1, 3), (2, 5)]

@@ -118,3 +118,41 @@ def test_length_batch_tumbling_counts(spark):
         for r in length_batch_agg(df, ["u"], "t", {"n": F.count(F.lit(1))}, length=3).collect()
     }
     assert got == {0: 3, 1: 3, 2: 1}  # two full batches + the remainder
+
+
+def test_unique_window_latest_per_key(spark):
+    from siddhi_io_cdc_spark.streaming.windows import unique_window
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1.0), (1, "a", 20, 2.0), (1, "b", 5, 3.0), (2, "a", 7, 4.0)],
+        "u long, k string, seq long, v double",
+    )
+    got = sorted(
+        (r.u, r.k, r.seq, r.v)
+        for r in unique_window(df, ["u", "k"], "seq").collect()
+    )
+    # latest event per (u, k); the (1,a,10) event was expired by (1,a,20).
+    assert got == [(1, "a", 20, 2.0), (1, "b", 5, 3.0), (2, "a", 7, 4.0)]
+
+
+def test_sort_window_top_n_per_key_and_global(spark):
+    from siddhi_io_cdc_spark.streaming.windows import sort_window
+
+    df = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, 9.0), (1, 3, 7.0), (1, 4, 9.0), (2, 5, 1.0)],
+        "u long, eid long, v double",
+    )
+    per_key = sorted(
+        (r.u, r.eid)
+        for r in sort_window(
+            df, [F.col("v").desc(), F.col("eid")], length=2, keys=["u"]
+        ).collect()
+    )
+    # u=1 keeps the two highest v (tie at 9.0 broken by eid: 2 then 4); u=2 all.
+    assert per_key == [(1, 2), (1, 4), (2, 5)]
+
+    global_top = sorted(
+        r.eid
+        for r in sort_window(df, [F.col("v").desc(), F.col("eid")], length=3).collect()
+    )
+    assert global_top == [2, 3, 4]
