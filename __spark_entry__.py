@@ -559,6 +559,28 @@ def q_pattern_runs(spark, sf_dir):
     ).select("user_id", "run_start", "run_end", "run_len")
 
 
+def q_knn_join(spark, sf_dir):
+    """Exact k-NN similarity JOIN (broadcast queries + partition-local
+    top-k prune): 5 neighbors for each of the vec_id%100==0 query rows."""
+    from siddhi_io_cdc_spark.functions.similarity import knn_join
+
+    emb = _emb(spark, sf_dir)
+    return knn_join(emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup. The fixture text has no newlines, so
+    both engines synthesize identical paragraph breaks first (every
+    ' table ' token becomes a separator — same trick as the pii-scrub
+    oracle's synthesized dirty text)."""
+    from siddhi_io_cdc_spark.functions.dedup import paragraph_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace("text", " table ", "\n\n").alias("text")
+    )
+    return paragraph_dedup(docs)
+
+
 def q_label_centroids(spark, sf_dir):
     from siddhi_io_cdc_spark.functions.similarity import label_centroids
 
@@ -935,6 +957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pii_scrub": q_pii_scrub,
         "llm_repetition": q_repetition,
         "llm_stratified_sample": q_stratified_sample,
+        "llm_knn_join": q_knn_join,
+        "llm_paragraph_dedup": q_paragraph_dedup,
         # Rows-only (not ANSI-SQL expressible: LSH banding / stub decode)
         "llm_minhash_pairs": q_minhash_pairs,
         "llm_near_dedup": q_near_dedup,
@@ -1454,6 +1478,35 @@ def oracle_sql() -> dict[str, str]:
                               * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS score
               FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
               ORDER BY score DESC, e.vec_id LIMIT 10)""",
+        "llm_knn_join": """
+            SELECT query_id, neighbor_id, score, rank FROM (
+              SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS rank
+              FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                                * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS score
+                FROM embeddings e,
+                     (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q))
+            WHERE rank <= 5""",
+        "llm_paragraph_dedup": r"""
+            WITH split AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(text, ' table ', chr(10)||chr(10), 'g'),
+                                  chr(10)||chr(10)) AS ps
+              FROM documents),
+            p AS (
+              SELECT doc_id, j AS para_idx,
+                     regexp_replace(trim(lower(ps[j])), '\s+', ' ', 'g') AS para
+              FROM (SELECT doc_id, unnest(generate_series(1, len(ps))) AS j, ps FROM split)),
+            ranked AS (
+              SELECT doc_id, para_idx,
+                     count(*) OVER (PARTITION BY para) AS n_copies,
+                     row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+              FROM p WHERE para <> '')
+            SELECT doc_id, para_idx, n_copies FROM ranked WHERE rn = 1""",
         # llm_minhash_pairs / llm_simhash_pairs / llm_ngram_pairs /
         # llm_embedding_near_dup / llm_ann_cosine / llm_multimodal_decode:
         # rows-only (LSH banding and the stub decoder are not ANSI-SQL

@@ -47,6 +47,50 @@ def dedup_exact(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup: split every document on
+    ``sep``, normalize each paragraph, and keep only the FIRST occurrence
+    (smallest ``(doc_id, para_idx)``) of each distinct paragraph.
+
+    Returns ``(doc_id, para_idx, n_copies)`` — the surviving paragraph
+    coordinates (1-based index) with how many copies existed corpus-wide.
+    This is the line/paragraph dedup step of LLM data pipelines (boilerplate
+    headers/footers repeat across millions of pages; document-level dedup
+    never sees them).
+
+    Scale shape: posexplode is a narrow generator (no shuffle); the
+    min-struct aggregation is ONE hash exchange on the paragraph hash with
+    map-side partials — the same single-shuffle shape as
+    :func:`dedup_exact`, at paragraph granularity. No window over the full
+    explosion, no join back.
+    """
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__i", "__p"),
+    ).select(
+        "doc_id",
+        (F.col("__i") + 1).alias("para_idx"),
+        normalize_text(F.col("__p")).alias("__norm"),
+    ).where(F.col("__norm") != "")
+    return (
+        paras.groupBy(F.md5(F.col("__norm")).alias("__k"))
+        .agg(
+            F.min(F.struct("doc_id", "para_idx")).alias("__first"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            F.col("__first.doc_id").alias("doc_id"),
+            F.col("__first.para_idx").alias("para_idx"),
+            "n_copies",
+        )
+    )
+
+
 def token_shingles(col: Column | str, k: int = 5) -> Column:
     """Array of k-token shingles (strings) over whitespace tokens of the
     normalized text. Short documents (< k tokens) yield one whole-text

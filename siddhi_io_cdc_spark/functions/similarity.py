@@ -207,6 +207,72 @@ def embedding_near_dup_pairs(
     return pairs
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_vec_col: str | None = None,
+    q_id_col: str | None = None,
+) -> DataFrame:
+    """Exact k-NN similarity JOIN: for every query row, the top-``k``
+    corpus rows by cosine. Returns ``(query_id, neighbor_id, score, rank)``.
+
+    Scale shape (Q queries x N corpus rows):
+
+    1. The query side is BROADCAST — scoring is a narrow pass over the
+       corpus, no shuffle of the big side, Q·N scores computed JVM-side.
+    2. A ``mapInPandas`` partial top-k keeps only ``Q x k`` candidates *per
+       corpus partition* (Arrow-batched heaps; memory O(Q·k), emits at
+       iterator end) — so the only shuffle carries ``Q·k·partitions`` tiny
+       rows instead of Q·N.
+    3. A final per-query ``row_number`` over the pruned candidates gives the
+       exact answer: any row pruned locally ranked below k within its
+       partition, so it cannot be in the global top-k.
+
+    Deterministic: scores rounded to 6 places BEFORE ranking, ties broken by
+    neighbor id. For Q beyond broadcast size, pre-bucket both sides with
+    :func:`lsh_bucket` and knn-join per bucket.
+    """
+    from pyspark.sql.window import Window
+
+    q_vec_col = q_vec_col or vec_col
+    q_id_col = q_id_col or id_col
+    q = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(q_vec_col).cast("array<double>").alias("__qv"),
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("score"),
+    )
+    types = dict(scored.dtypes)
+    out_schema = (
+        f"query_id {types['query_id']}, neighbor_id {types['neighbor_id']}, score double"
+    )
+
+    def _local_topk(batches):
+        import pandas as pd
+
+        best: "pd.DataFrame | None" = None
+        for pdf in batches:
+            pool = pdf if best is None else pd.concat([best, pdf], ignore_index=True)
+            pool = pool.sort_values(
+                ["query_id", "score", "neighbor_id"], ascending=[True, False, True]
+            )
+            best = pool.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    pruned = scored.mapInPandas(_local_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    )
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

@@ -292,3 +292,59 @@ def test_ivf_assign_linear_at_large_nlist(spark):
     t0 = time.time()
     ivf_ann_cosine(emb, [0.1] * 16, k=5, nlist=64, nprobe=4).collect()
     assert time.time() - t0 < 60
+
+
+def test_knn_join_exact_vs_bruteforce(spark):
+    """Pruned knn_join equals brute-force per-query ranking, across a
+    multi-partition corpus (exercises the mapInPandas local top-k)."""
+    from siddhi_io_cdc_spark.functions.similarity import cosine, knn_join
+
+    emb = spark.range(0, 60).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), j -> CAST(hash(id, j) % 100 AS FLOAT) / 100) AS embedding",
+    ).repartition(7)
+    queries = emb.where("vec_id IN (3, 41)")
+    got = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in knn_join(emb, queries, k=4).collect()
+    )
+    assert len(got) == 8  # 2 queries x k
+    # brute force in Spark itself, per query
+    from pyspark.sql import functions as F
+
+    for qid in (3, 41):
+        qv = emb.where(f"vec_id = {qid}").collect()[0].embedding
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        brute = [
+            r.vec_id
+            for r in emb.select(
+                "vec_id", F.round(cosine(F.col("embedding"), qlit), 6).alias("s")
+            )
+            .orderBy(F.col("s").desc(), "vec_id")
+            .limit(4)
+            .collect()
+        ]
+        mine = [n for q, _, n in got if q == qid]
+        assert mine == brute, (qid, mine, brute)
+        assert brute[0] == qid  # self-match ranks first
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from siddhi_io_cdc_spark.functions.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Header text\n\nunique one\n\n"),
+            (2, "header   TEXT\n\nunique two"),
+            (3, "unique one\n\nHeader text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.para_idx): r.n_copies
+        for r in paragraph_dedup(docs).collect()
+    }
+    # 'header text' appears 3x (normalization collapses case/whitespace),
+    # 'unique one' 2x — first (doc_id, para_idx) occurrence survives; the
+    # trailing empty paragraph of doc 1 is dropped.
+    assert got == {(1, 1): 3, (1, 2): 2, (2, 2): 1}
