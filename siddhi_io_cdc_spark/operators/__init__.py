@@ -22,6 +22,7 @@ from siddhi_io_cdc_spark.operators.temporal import asof_join, bucketed_range_joi
 from siddhi_io_cdc_spark.operators.mutate import (
     apply_changelog,
     delete_on,
+    evolve_target_schema,
     foreach_batch_bucketed_merge,
     insert_into,
     merge_into_bucketed_parquet,
@@ -49,6 +50,7 @@ __all__ = [
     "mongo_flatten",
     "apply_changelog",
     "delete_on",
+    "evolve_target_schema",
     "insert_into",
     "merge_into_parquet",
     "merge_into_bucketed_parquet",

@@ -101,6 +101,37 @@ def rekey_deletes(events: DataFrame, keys: Sequence[str], op_col: str = "operati
     return events.select(*key_exprs, *[F.col(c) for c in events.columns if c not in keys])
 
 
+def evolve_target_schema(
+    target: DataFrame, events: DataFrame, op_col: str = "operation"
+) -> tuple[DataFrame, DataFrame]:
+    """Schema evolution for the CDC apply path (additive, the Debezium
+    reality: upstream ``ALTER TABLE ADD COLUMN`` starts shipping envelopes
+    with a new field).
+
+    - a row-image column in ``events`` that ``target`` lacks is added to the
+      target as typed NULLs (historical rows predate the column);
+    - a target column missing from ``events`` (dropped upstream) is fed NULL
+      for new/updated rows, historical rows keep their values.
+
+    Returns the aligned ``(target, events)`` pair — feed straight into
+    :func:`apply_changelog`. Pure projections (no shuffle, no data rewrite:
+    with columnar storage the NULL column is metadata-only until rows carry
+    values). Type CHANGES of an existing column are not auto-resolved: that
+    needs a policy decision, so it surfaces as the union type error.
+    """
+    meta = {op_col, "operation", "source_ts_ms", "ts_ms"}
+    ev_types = dict(events.dtypes)
+    tgt_types = dict(target.dtypes)
+    for c in events.columns:
+        if c in meta or c.startswith("before_") or c in tgt_types:
+            continue
+        target = target.withColumn(c, F.lit(None).cast(ev_types[c]))
+    for c in target.columns:
+        if c not in ev_types:
+            events = events.withColumn(c, F.lit(None).cast(tgt_types[c]))
+    return target, events
+
+
 def apply_changelog(
     target: DataFrame,
     events: DataFrame,
@@ -152,6 +183,7 @@ def merge_into_parquet(
     seq_col: str = "ts_ms",
     op_col: str = "operation",
     table_columns: Sequence[str] | None = None,
+    evolve: bool = False,
 ) -> None:
     """Apply one micro-batch of flattened CDC events to a parquet table.
 
@@ -174,6 +206,8 @@ def merge_into_parquet(
         target = spark.createDataFrame([], batch_df.select(*table_columns).schema)
     else:
         target = spark.read.parquet(target_path)
+    if evolve:
+        target, batch_df = evolve_target_schema(target, batch_df, op_col=op_col)
     merged = apply_changelog(target, batch_df, key=key, seq_col=seq_col, op_col=op_col)
     tmp = target_path + ".tmp-" + uuid.uuid4().hex
     merged.write.mode("overwrite").parquet(tmp)
@@ -198,6 +232,7 @@ def merge_into_bucketed_parquet(
     seq_col: str = "ts_ms",
     op_col: str = "operation",
     table_columns: Sequence[str] | None = None,
+    evolve: bool = False,
 ) -> None:
     """Partition-pruned merge: the scale-correct parquet mutation store.
 
@@ -237,6 +272,8 @@ def merge_into_bucketed_parquet(
         .where(F.col(BUCKET_COL).isin(touched))  # partition-pruned scan
         .drop(BUCKET_COL)
     )
+    if evolve:
+        target, batch_df = evolve_target_schema(target, batch_df, op_col=op_col)
     merged = apply_changelog(target, batch_df, key=keys, seq_col=seq_col, op_col=op_col)
     # Stage the merged buckets first: Spark cannot overwrite partitions it is
     # lazily reading from (self-overwrite). The staging write is O(touched

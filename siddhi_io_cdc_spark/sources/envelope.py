@@ -69,7 +69,12 @@ def read_changelog_stream(
     return reader.json(path)
 
 
-def parse_kafka_envelope(df: DataFrame, row_schema: StructType, lenient: bool = False) -> DataFrame:
+def parse_kafka_envelope(
+    df: DataFrame,
+    row_schema: StructType,
+    lenient: bool = False,
+    drop_tombstones: bool = True,
+) -> DataFrame:
     """Turn a Kafka-shaped DataFrame into typed envelope rows.
 
     ``df`` has the columns ``readStream.format("kafka")`` produces (binary
@@ -83,7 +88,16 @@ def parse_kafka_envelope(df: DataFrame, row_schema: StructType, lenient: bool = 
     route to a dead-letter sink (``FAILFAST`` would kill the stream — the
     reference's engine logs-and-continues instead, ChangeDataCapture.java:90).
     Kafka offsets/partitions ride along as ``_kafka_*`` metadata columns.
+
+    ``drop_tombstones`` removes Debezium delete-tombstones (records with a
+    key but a NULL value, emitted for Kafka log compaction) BEFORE parsing —
+    a pushdown-able IS NOT NULL on the binary column, no JSON work spent on
+    them. The reference drops them too, just implicitly: a null Connect
+    value NPEs in ``createMap`` and the empty map is discarded
+    (``RdbmsChangeDataCapture.java:55-59``, ``ChangeDataCapture.java:135``).
     """
+    if drop_tombstones:
+        df = df.filter(F.col("value").isNotNull())
     env = envelope_schema(row_schema)
     parsed = df.select(
         F.from_json(F.col("value").cast("string"), env).alias("__env"),

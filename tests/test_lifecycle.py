@@ -131,3 +131,21 @@ def test_run_with_restarts_gives_up(spark, tmp_path):
 
     with pytest.raises(StreamingQueryException):
         run_with_restarts(start_query, max_restarts=1, backoff_seconds=0.05)
+
+
+def test_parse_kafka_envelope_drops_tombstones(spark):
+    """Debezium delete-tombstones (key, NULL value) are dropped before the
+    JSON parse — matching the reference's implicit NPE-drop
+    (RdbmsChangeDataCapture.java:55-59)."""
+    payloads = [
+        '{"op": "d", "before": {"id": "e1", "name": "a"}, "after": null, '
+        '"source": {"ts_ms": 5}, "ts_ms": 6}',
+        None,  # the tombstone that follows a delete
+        '{"op": "c", "before": null, "after": {"id": "e2", "name": "b"}, '
+        '"source": {"ts_ms": 7}, "ts_ms": 8}',
+    ]
+    env = parse_kafka_envelope(_kafka_df(spark, payloads), ROW_SCHEMA)
+    assert env.count() == 2
+    assert sorted(r.op for r in env.collect()) == ["c", "d"]
+    kept = parse_kafka_envelope(_kafka_df(spark, payloads), ROW_SCHEMA, drop_tombstones=False)
+    assert kept.count() == 3  # opt-out keeps the NULL-op row for auditing

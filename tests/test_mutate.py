@@ -171,3 +171,37 @@ def test_apply_changelog_deletes_keyed_from_before_image(spark):
     target = spark.createDataFrame([], "k long, v double")
     out = {r.k: r.v for r in apply_changelog(target, flat, key=["k"]).collect()}
     assert out == {1: 10.0, 2: 20.0}  # k=3's delete must not strand a k=0 row
+
+
+def test_merge_evolves_schema_on_new_column(spark, tmp_path):
+    """Additive evolution: a column appearing mid-stream lands as typed
+    NULLs on historical rows; a column dropped upstream reads NULL on new
+    rows but keeps historical values."""
+    from siddhi_io_cdc_spark.operators.mutate import evolve_target_schema
+
+    target = os.path.join(str(tmp_path), "evolve")
+    b1 = spark.createDataFrame(
+        [("k1", "v1", "insert", 1)], "id string, v string, operation string, ts_ms long"
+    )
+    merge_into_parquet(spark, target, b1, key=["id"])
+    # upstream ALTER TABLE ADD COLUMN w
+    b2 = spark.createDataFrame(
+        [("k2", "v2", 7, "insert", 2)],
+        "id string, v string, w long, operation string, ts_ms long",
+    )
+    merge_into_parquet(spark, target, b2, key=["id"], evolve=True)
+    got = {r.id: (r.v, r.w) for r in spark.read.parquet(target).collect()}
+    assert got == {"k1": ("v1", None), "k2": ("v2", 7)}
+
+    # upstream drops v: new rows get NULL v, k1/k2 keep theirs
+    b3 = spark.createDataFrame(
+        [("k3", 9, "insert", 3)], "id string, w long, operation string, ts_ms long"
+    )
+    merge_into_parquet(spark, target, b3, key=["id"], evolve=True)
+    got = {r.id: (r.v, r.w) for r in spark.read.parquet(target).collect()}
+    assert got == {"k1": ("v1", None), "k2": ("v2", 7), "k3": (None, 9)}
+
+    # pure-projection check, no store: after alignment every target column
+    # is present on the events side (events keep their extra meta columns).
+    t, e = evolve_target_schema(spark.read.parquet(target), b2)
+    assert set(t.columns) <= set(e.columns)
