@@ -506,6 +506,57 @@ def q_session_window(spark, sf_dir):
     )
 
 
+def _history_changelog(spark, sf_dir):
+    """Changelog keyed by user_id (before-image keeps the key, so deletes
+    re-key to the same user), flattened multi-op — the input to the SCD2
+    history materialization."""
+    ev = _events(spark, sf_dir)
+    m = F.col("event_id") % 10
+    op = F.when(m <= 6, F.lit("c")).when(m <= 8, F.lit("u")).otherwise(F.lit("d"))
+    env = synthetic_changelog(
+        ev,
+        op_col=op,
+        before_exprs={"value": F.col("value") + 1.5},
+        source_ts_ms=F.col("event_id") * 2,
+        ts_ms=F.col("event_id") * 3,
+    )
+    return flatten(env, operations=["insert", "update", "delete"])
+
+
+def q_history_scd2(spark, sf_dir):
+    """Changelog -> SCD2 history: one row per key version with a validity
+    interval; deletes become tombstone versions. The 'other half' of the
+    reference's update-on surface (latest state) — same events, full
+    history."""
+    from siddhi_io_cdc_spark.operators.history import changelog_history
+
+    return changelog_history(
+        _history_changelog(spark, sf_dir),
+        key=["user_id"],
+        value_cols=["event_type", "value"],
+    )
+
+
+def q_temporal_lookup(spark, sf_dir):
+    """Point-in-time lookup: enrich a fact sample with each user's state AT
+    the fact's timestamp (as-of machinery: one shuffle, no explosion)."""
+    from siddhi_io_cdc_spark.operators.history import changelog_history, temporal_lookup
+
+    hist = changelog_history(
+        _history_changelog(spark, sf_dir), key=["user_id"], value_cols=["event_type", "value"]
+    )
+    facts = (
+        _events(spark, sf_dir)
+        .where(F.col("event_id") % 7 == 0)
+        .select(
+            F.col("event_id").alias("fid"),
+            "user_id",
+            (F.col("event_id") * 3 + 1).alias("t"),
+        )
+    )
+    return temporal_lookup(facts, hist, on=["user_id"], fact_time="t")
+
+
 def q_unique_window(spark, sf_dir):
     """Siddhi ``window.unique(key)``: final window content = latest event
     per unique key (here: per user x event_type, ordered by event_id)."""
@@ -901,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_update_on": q_update_on,
         "cdc_delete_on": q_delete_on,
         "cdc_apply_changelog": q_apply_changelog,
+        "cdc_history_scd2": q_history_scd2,
+        "cdc_temporal_lookup": q_temporal_lookup,
         # Relational surface (§2.5, Catalyst-native)
         "rel_pricing_summary": R.pricing_summary,
         "rel_shipping_priority": R.shipping_priority,
@@ -1132,6 +1185,43 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT c_custkey + 2000000, c_name, c_nationkey, c_acctbal, c_mktsegment
             FROM customer WHERE c_custkey <= 50""",
+        "cdc_history_scd2": """
+            SELECT user_id,
+                   CASE WHEN op = 'delete' THEN NULL ELSE event_type END AS event_type,
+                   CASE WHEN op = 'delete' THEN NULL ELSE value END AS value,
+                   op = 'delete' AS is_deleted,
+                   valid_from,
+                   lead(valid_from) OVER w AS valid_to,
+                   (lead(valid_from) OVER w IS NULL AND op <> 'delete') AS is_current
+            FROM (SELECT user_id, event_type, value, event_id * 3 AS valid_from,
+                         CASE WHEN event_id % 10 <= 6 THEN 'insert'
+                              WHEN event_id % 10 <= 8 THEN 'update'
+                              ELSE 'delete' END AS op
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)""",
+        "cdc_temporal_lookup": """
+            WITH hist AS (
+              SELECT user_id,
+                     CASE WHEN op = 'delete' THEN NULL ELSE event_type END AS event_type,
+                     CASE WHEN op = 'delete' THEN NULL ELSE value END AS value,
+                     op = 'delete' AS is_deleted,
+                     valid_from, lead(valid_from) OVER w AS valid_to
+              FROM (SELECT user_id, event_type, value, event_id * 3 AS valid_from,
+                           CASE WHEN event_id % 10 <= 6 THEN 'insert'
+                                WHEN event_id % 10 <= 8 THEN 'update'
+                                ELSE 'delete' END AS op
+                    FROM events)
+              WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)),
+            facts AS (
+              SELECT event_id AS fid, user_id, event_id * 3 + 1 AS t
+              FROM events WHERE event_id % 7 = 0)
+            SELECT f.fid, f.user_id, f.t,
+                   CASE WHEN h.is_deleted THEN NULL ELSE h.event_type END AS event_type,
+                   CASE WHEN h.is_deleted THEN NULL ELSE h.value END AS value
+            FROM facts f
+            LEFT JOIN hist h
+              ON h.user_id = f.user_id AND h.valid_from <= f.t
+                 AND (h.valid_to > f.t OR h.valid_to IS NULL)""",
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

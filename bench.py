@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "llm_topk_cosine",
     "llm_top_ngrams",
     "llm_minhash_pairs",
+    "llm_knn_join",
+    "llm_paragraph_dedup",
+    "win_unique",
+    "rel_pattern_runs",
 ]
 
 

@@ -128,3 +128,30 @@ def test_rate_limit_single_shuffle(spark, sf_dir, entrymod):
     for key in ("rel_output_every_nth", "rel_output_snapshot"):
         p = plan_of(entrymod.queries()[key](spark, sf_dir))
         assert p.count("Exchange") == 1, key
+
+
+def test_knn_join_broadcasts_queries_and_prunes(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["llm_knn_join"](spark, sf_dir))
+    # query side broadcast (corpus never shuffled for scoring) ...
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # ... and the only exchange is the per-query rank over the PRUNED rows,
+    # which sits above the Python local-top-k stage.
+    assert p.count("Exchange hashpartitioning(query_id") == 1
+
+
+def test_match_runs_single_shuffle(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["rel_pattern_runs"](spark, sf_dir))
+    # both row_numbers + the run aggregation share one user_id exchange
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_paragraph_dedup_single_exchange_no_join(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["llm_paragraph_dedup"](spark, sf_dir))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p  # min-struct agg, no join-back
+
+
+def test_unique_and_sort_window_one_shuffle(spark, sf_dir, entrymod):
+    for name in ("win_unique", "win_sort"):
+        p = plan_of(entrymod.queries()[name](spark, sf_dir))
+        assert p.count("Exchange hashpartitioning") == 1, name
