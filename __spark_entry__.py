@@ -632,6 +632,20 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(docs)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train/test overlap check: corpus docs sharing >= 2 distinct 3-token
+    shingles with the doc_id%97==0 'benchmark' slice (broadcast probe)."""
+    from siddhi_io_cdc_spark.functions.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        k=3,
+        min_shared=2,
+    )
+
+
 def q_label_centroids(spark, sf_dir):
     from siddhi_io_cdc_spark.functions.similarity import label_centroids
 
@@ -1012,6 +1026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_stratified_sample": q_stratified_sample,
         "llm_knn_join": q_knn_join,
         "llm_paragraph_dedup": q_paragraph_dedup,
+        "llm_decontaminate": q_decontaminate,
         # Rows-only (not ANSI-SQL expressible: LSH banding / stub decode)
         "llm_minhash_pairs": q_minhash_pairs,
         "llm_near_dedup": q_near_dedup,
@@ -1581,6 +1596,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e,
                      (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q))
             WHERE rank <= 5""",
+        "llm_decontaminate": f"""
+            WITH cw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                        FROM documents WHERE doc_id % 97 <> 0),
+            csh AS (SELECT DISTINCT doc_id, array_to_string(list_slice(w, j, j+2), ' ') AS sh
+                    FROM (SELECT doc_id, w,
+                                 unnest(generate_series(1, greatest(len(w)-2, 1))) AS j
+                          FROM cw)),
+            bw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                   FROM documents WHERE doc_id % 97 = 0),
+            bsh AS (SELECT DISTINCT doc_id AS bid, array_to_string(list_slice(w, j, j+2), ' ') AS sh
+                    FROM (SELECT doc_id, w,
+                                 unnest(generate_series(1, greatest(len(w)-2, 1))) AS j
+                          FROM bw))
+            SELECT c.doc_id, count(DISTINCT c.sh) AS n_shared,
+                   count(DISTINCT b.bid) AS n_benchmark_docs
+            FROM csh c JOIN bsh b ON c.sh = b.sh
+            GROUP BY c.doc_id HAVING count(DISTINCT c.sh) >= 2""",
         "llm_paragraph_dedup": r"""
             WITH split AS (
               SELECT doc_id,

@@ -444,6 +444,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    b_text_col: str | None = None,
+    b_id_col: str | None = None,
+    k: int = 5,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥ ``min_shared``
+    distinct k-token shingles with ANY benchmark document. The standard
+    train/test-overlap check of LLM data pipelines (an eval question leaking
+    into pretraining data inflates scores); run it, then anti-join the
+    flagged ids out of the corpus.
+
+    Returns ``(doc_id, n_shared, n_benchmark_docs)`` for flagged docs only.
+
+    Scale shape: both sides reduce to DISTINCT shingle hashes (one xxhash64
+    per shingle position — longs, not strings, cross the join). The
+    benchmark side is tiny by nature (eval suites) and is BROADCAST, so the
+    corpus is never shuffled for the probe; only matching (doc, shingle,
+    benchmark) hits reach the one aggregation exchange. Comparing hashes
+    equals comparing shingle strings up to 64-bit collisions (~n²/2⁶⁴,
+    deterministic — same stance as token_shingle_hashes).
+    """
+    b_text_col = b_text_col or text_col
+    b_id_col = b_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(token_shingle_hashes(text_col, k)).alias("__sh"),
+    )
+    b = (
+        benchmark.select(
+            F.col(b_id_col).alias("__bid"),
+            F.explode(token_shingle_hashes(b_text_col, k)).alias("__sh"),
+        )
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), "__sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("__sh").alias("n_shared"),
+            F.countDistinct("__bid").alias("n_benchmark_docs"),
+        )
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -348,3 +348,27 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     # 'unique one' 2x — first (doc_id, para_idx) occurrence survives; the
     # trailing empty paragraph of doc 1 is dropped.
     assert got == {(1, 1): 3, (1, 2): 2, (2, 2): 1}
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    from siddhi_io_cdc_spark.functions.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text with no overlap at all whatsoever"),
+            (3, "a quick brown fox appears here too somehow today"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "Quick brown fox jumps high")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_shared, r.n_benchmark_docs)
+        for r in decontaminate(corpus, bench, k=3, min_shared=1).collect()
+    }
+    # doc 1 shares 'quick brown fox' + 'brown fox jumps'; doc 3 shares one.
+    assert got == {1: (2, 1), 3: (1, 1)}
+    strict = decontaminate(corpus, bench, k=3, min_shared=2).collect()
+    assert [r.doc_id for r in strict] == [1]
