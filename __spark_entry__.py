@@ -983,6 +983,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_custdist": R.customer_order_distribution,
         "rel_small_qty_revenue": R.small_quantity_revenue,
         "rel_customers_without_orders": R.customers_without_orders,
+        "rel_top_revenue_suppliers": R.top_revenue_suppliers,
+        "rel_supplier_counts_by_size": R.supplier_counts_by_size,
         "rel_salted_agg": q_salted_agg,
         # Temporal joins & windows (custom operators over §2.5 surface)
         "rel_asof_join": q_asof_join,
@@ -1424,6 +1426,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders WHERE o_orderkey % 997 = 0) i
             LEFT JOIN orders p ON p.o_orderdate BETWEEN i.lo AND i.hi
             GROUP BY i.iid""",
+        "rel_top_revenue_suppliers": """
+            SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+            FROM (
+              SELECT l_suppkey, """ + rev + """ AS total_revenue
+              FROM lineitem GROUP BY l_suppkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (
+              SELECT max(r) FROM (SELECT """ + rev + """ AS r FROM lineitem GROUP BY l_suppkey))""",
+        "rel_supplier_counts_by_size": """
+            SELECT p_size, count(DISTINCT l_suppkey) AS n_suppliers
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN
+                  (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 4999 = 0)
+            GROUP BY p_size""",
         "win_frequent": """
             SELECT user_id, event_type, n_occurrences FROM (
                 SELECT user_id, event_type, count(*) AS n_occurrences,

@@ -191,6 +191,61 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str, frac: float = 0.5) 
     )
 
 
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: suppliers whose revenue equals the GLOBAL maximum
+    (the `create view revenue0 ... where total = (select max from view)`
+    correlated-max pattern, decorrelated).
+
+    Shape: one hash-aggregate to per-supplier revenue, then a rank-1 filter
+    in EXACT decimal (ties all surface, no float boundary), then one
+    broadcast join to the supplier dim. The global max never materializes a
+    second scan — the window over the aggregated (tiny) per-supplier frame
+    costs one single-partition pass over n_suppliers rows, not over
+    lineitem.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(
+            (_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))).cast(
+                "decimal(28,6)"
+            )
+        ).alias("total_revenue")
+    )
+    # Global max via an aggregate + broadcast equality join — NOT a global
+    # rank window, which would sort every supplier in ONE partition. Exact
+    # decimal equality keeps ties intact.
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    best = rev.join(F.broadcast(mx), rev.total_revenue == F.col("__mx"))
+    return (
+        best.join(F.broadcast(sup), F.col("sk") == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def supplier_counts_by_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: distinct suppliers per part size, EXCLUDING
+    suppliers that touched a flagged order (the NOT IN subquery as a
+    broadcast anti-join; the flag predicate is arbitrary — what's exercised
+    is the shape). Distinct-count aggregation stacked on an anti-join —
+    both sides pruned to two columns before any exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bad = li.where(F.col("l_orderkey") % 4999 == 0).select("l_suppkey").distinct()
+    pairs = (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_size", "l_suppkey")
+    )
+    return pairs.groupBy("p_size").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str, priority: str = "1-URGENT") -> DataFrame:
     """Anti-join surface (TPC-H Q22-flavored): customers with no order of
     the given priority, counted per market segment with their total account

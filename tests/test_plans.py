@@ -155,3 +155,15 @@ def test_unique_and_sort_window_one_shuffle(spark, sf_dir, entrymod):
     for name in ("win_unique", "win_sort"):
         p = plan_of(entrymod.queries()[name](spark, sf_dir))
         assert p.count("Exchange hashpartitioning") == 1, name
+
+
+def test_top_revenue_suppliers_no_global_window(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["rel_top_revenue_suppliers"](spark, sf_dir))
+    # global max via agg + broadcast join, never a single-partition sort
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_supplier_counts_anti_join_broadcast(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["rel_supplier_counts_by_size"](spark, sf_dir))
+    assert "LeftAnti, BuildRight" in p or ("LeftAnti" in p and "Broadcast" in p)
