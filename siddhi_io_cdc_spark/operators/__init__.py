@@ -18,7 +18,12 @@ from siddhi_io_cdc_spark.operators.rate_limit import (
     frequent_items,
     snapshot_per_window,
 )
-from siddhi_io_cdc_spark.operators.history import changelog_history, temporal_lookup
+from siddhi_io_cdc_spark.operators.history import (
+    changelog_history,
+    foreach_batch_history,
+    merge_history_into_parquet,
+    temporal_lookup,
+)
 from siddhi_io_cdc_spark.operators.temporal import asof_join, bucketed_range_join
 from siddhi_io_cdc_spark.operators.mutate import (
     apply_changelog,
@@ -37,6 +42,8 @@ __all__ = [
     "both_pattern",
     "bucketed_range_join",
     "changelog_history",
+    "foreach_batch_history",
+    "merge_history_into_parquet",
     "temporal_lookup",
     "consecutive_runs",
     "immediate_sequence",

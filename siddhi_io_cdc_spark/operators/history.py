@@ -22,6 +22,9 @@ any size joins against any depth of history without a range explosion.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -30,7 +33,12 @@ from pyspark.sql.window import Window
 
 from siddhi_io_cdc_spark.operators.mutate import rekey_deletes
 
-__all__ = ["changelog_history", "temporal_lookup"]
+__all__ = [
+    "changelog_history",
+    "temporal_lookup",
+    "merge_history_into_parquet",
+    "foreach_batch_history",
+]
 
 
 def changelog_history(
@@ -74,6 +82,119 @@ def changelog_history(
     ).withColumn(
         "is_current", F.col("valid_to").isNull() & ~F.col("is_deleted")
     )
+
+
+def merge_history_into_parquet(
+    spark,
+    target_path: str,
+    batch_df: DataFrame,
+    key: Sequence[str],
+    seq_col: str = "ts_ms",
+    op_col: str = "operation",
+    num_buckets: int = 64,
+    value_cols: Sequence[str] | None = None,
+) -> None:
+    """Incrementally maintain an SCD2 history table from streaming CDC
+    micro-batches (``writeStream.foreachBatch`` body — see
+    :func:`foreach_batch_history`).
+
+    Layout: hash-bucketed on the key (``{target}/__bucket=k/``) like the
+    mutation store. Per batch: (1) read ONLY the buckets the batch's keys
+    hash into, (2) convert those stored versions back to events (a version
+    IS its opening event: ``valid_from`` = seq, tombstone = delete), (3)
+    re-derive history over old+new events for the touched keys, (4) rewrite
+    only those buckets. Versions are deduplicated on ``(key, valid_from)``
+    first, which makes replay after a checkpoint restart idempotent.
+
+    I/O per batch is O(touched buckets + batch); the per-key re-derivation
+    is the same one-ordered-pass plan as :func:`changelog_history` — history
+    depth only costs within the touched keys.
+    """
+    keys = list(key)
+    batch_df = rekey_deletes(batch_df, keys, op_col)
+    if value_cols is None:
+        meta = {op_col, "operation", "source_ts_ms", "ts_ms", seq_col}
+        value_cols = [
+            c
+            for c in batch_df.columns
+            if c not in meta and c not in keys and not c.startswith("before_")
+        ]
+    new_events = batch_df.select(
+        *keys,
+        *value_cols,
+        F.col(op_col).alias("__op"),
+        F.col(seq_col).cast("long").alias("__seq"),
+    )
+    bucket_expr = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_buckets))
+
+    def _derive(events: DataFrame) -> DataFrame:
+        ev = events.dropDuplicates([*keys, "__seq"]).withColumnRenamed("__op", op_col)
+        h = changelog_history(
+            ev.withColumnRenamed("__seq", seq_col),
+            key=keys,
+            seq_col=seq_col,
+            op_col=op_col,
+            value_cols=list(value_cols),
+        )
+        return h.withColumn("__bucket", bucket_expr)
+
+    if not os.path.exists(target_path):
+        _derive(new_events).write.partitionBy("__bucket").parquet(target_path)
+        return
+
+    touched = [r[0] for r in new_events.select(bucket_expr.alias("b")).distinct().collect()]
+    stored = (
+        spark.read.parquet(target_path)
+        .where(F.col("__bucket").isin(touched))
+        .drop("__bucket")
+    )
+    # A stored version is its opening event; tombstones were deletes.
+    old_events = stored.select(
+        *keys,
+        *value_cols,
+        F.when(F.col("is_deleted"), F.lit("delete")).otherwise(F.lit("insert")).alias("__op"),
+        F.col("valid_from").alias("__seq"),
+    )
+    merged = _derive(old_events.unionByName(new_events))
+    staging = target_path + ".stage-" + uuid.uuid4().hex
+    merged.write.partitionBy("__bucket").parquet(staging)
+    try:
+        (
+            spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__bucket")
+            .parquet(target_path)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def foreach_batch_history(
+    spark,
+    target_path: str,
+    key: Sequence[str],
+    seq_col: str = "ts_ms",
+    op_col: str = "operation",
+    num_buckets: int = 64,
+    value_cols: Sequence[str] | None = None,
+):
+    """``writeStream.foreachBatch`` adapter for
+    :func:`merge_history_into_parquet`."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        merge_history_into_parquet(
+            spark,
+            target_path,
+            batch_df,
+            key=key,
+            seq_col=seq_col,
+            op_col=op_col,
+            num_buckets=num_buckets,
+            value_cols=value_cols,
+        )
+
+    return _apply
 
 
 def temporal_lookup(

@@ -88,3 +88,42 @@ def test_history_matches_bruteforce_interval_join(spark):
             last = max(past)
             want = None if last[2] == "delete" else last[1]
         assert got[(k, t)] == want, (k, t, got[(k, t)], want)
+
+
+def test_incremental_history_matches_one_shot(spark, tmp_path):
+    """Micro-batched history maintenance == one-shot changelog_history over
+    all events, and replaying a batch changes nothing (idempotent)."""
+    import os
+
+    from siddhi_io_cdc_spark.operators.history import merge_history_into_parquet
+
+    store = os.path.join(str(tmp_path), "hist")
+    all_rows = [
+        ("k1", "a", "insert", 10),
+        ("k2", "x", "insert", 12),
+        ("k1", "b", "update", 20),
+        ("k1", None, "delete", 30),
+        ("k2", "y", "update", 25),
+        ("k1", "c", "insert", 40),
+    ]
+    schema = "id string, v string, operation string, ts_ms long"
+    b1 = spark.createDataFrame(all_rows[:2], schema)
+    b2 = spark.createDataFrame(all_rows[2:4], schema)
+    b3 = spark.createDataFrame(all_rows[4:], schema)
+    for b in (b1, b2, b3):
+        merge_history_into_parquet(spark, store, b, key=["id"], num_buckets=4)
+    # replay the middle batch (checkpoint-restart double delivery)
+    merge_history_into_parquet(spark, store, b2, key=["id"], num_buckets=4)
+
+    got = {
+        (r.id, r.valid_from): (r.v, r.valid_to, r.is_deleted, r.is_current)
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        (r.id, r.valid_from): (r.v, r.valid_to, r.is_deleted, r.is_current)
+        for r in changelog_history(
+            spark.createDataFrame(all_rows, schema), key=["id"]
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == 6
