@@ -632,6 +632,14 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(docs)
 
 
+def q_distinctive_terms(spark, sf_dir):
+    """TF-IDF-style per-doc keywords, integer-ranked (tf desc, df asc,
+    term) so the ordering is bit-exact in any engine."""
+    from siddhi_io_cdc_spark.functions.text import distinctive_terms
+
+    return distinctive_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_decontaminate(spark, sf_dir):
     """Train/test overlap check: corpus docs sharing >= 2 distinct 3-token
     shingles with the doc_id%97==0 'benchmark' slice (broadcast probe)."""
@@ -1029,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_knn_join": q_knn_join,
         "llm_paragraph_dedup": q_paragraph_dedup,
         "llm_decontaminate": q_decontaminate,
+        "llm_distinctive_terms": q_distinctive_terms,
         # Rows-only (not ANSI-SQL expressible: LSH banding / stub decode)
         "llm_minhash_pairs": q_minhash_pairs,
         "llm_near_dedup": q_near_dedup,
@@ -1612,6 +1621,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e,
                      (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q))
             WHERE rank <= 5""",
+        "llm_distinctive_terms": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term FROM documents),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM tok
+              WHERE term <> '' GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+            SELECT doc_id, term, tf, df, rank FROM (
+              SELECT t.doc_id, t.term, t.tf, d.df,
+                     row_number() OVER (PARTITION BY t.doc_id
+                                        ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+              FROM tf t JOIN dfq d USING (term))
+            WHERE rank <= 3""",
         "llm_decontaminate": f"""
             WITH cw AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
                         FROM documents WHERE doc_id % 97 <> 0),

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: BPE-ish token pattern: letter runs, digit runs, single punctuation marks.
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -184,6 +185,42 @@ PHONE_RE = r"\+?\d[\d ().-]{6,}\d"
 #: Markup patterns for boilerplate stripping.
 HTML_TAG_RE = r"<[^>]+>"
 HTML_ENTITY_RE = r"&[A-Za-z]+;|&#[0-9]+;"
+
+
+def distinctive_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """TF-IDF-style keyword extraction: the ``k`` most distinctive terms
+    per document, ranked by term frequency DESC, document frequency ASC,
+    term ASC.
+
+    This is the tf-idf ORDERING expressed in pure integers: for a fixed
+    document, tf·idf is monotone in tf and antitone in df, so ranking by
+    ``(tf desc, df asc)`` picks the same leaders as the float score while
+    staying bit-exact in any engine (no log/rounding boundary to flip a
+    rank) — which is what makes the result oracle-hashable.
+
+    Scale shape: one explode (narrow) feeding BOTH aggregations — per-doc
+    term counts and corpus document frequencies — then the df table (≤
+    vocabulary size) BROADCASTS back onto the per-doc counts, and the final
+    per-doc top-k is a row_number over the doc-key shuffle. No global sort,
+    no join of two fact-sized sides.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
 
 
 def scrub_pii(col: Column | str) -> Column:

@@ -372,3 +372,31 @@ def test_decontaminate_flags_overlapping_docs(spark):
     assert got == {1: (2, 1), 3: (1, 1)}
     strict = decontaminate(corpus, bench, k=3, min_shared=2).collect()
     assert [r.doc_id for r in strict] == [1]
+
+
+def test_distinctive_terms_integer_tfidf_ranking(spark):
+    from siddhi_io_cdc_spark.functions.text import distinctive_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple common common"),
+            (2, "banana banana common apple"),
+            (3, "common cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df)
+        for r in distinctive_terms(docs, k=2).collect()
+    }
+    # doc 1: apple tf=3; common tf=2 (df 3). doc 2: banana tf=2 df=1 beats
+    # apple/common tf=1 (apple df=2 < common df=3). doc 3: cherry df=1
+    # beats common df=3 at equal tf.
+    assert got == {
+        (1, 1): ("apple", 3, 2),
+        (1, 2): ("common", 2, 3),
+        (2, 1): ("banana", 2, 1),
+        (2, 2): ("apple", 1, 2),
+        (3, 1): ("cherry", 1, 1),
+        (3, 2): ("common", 1, 3),
+    }
