@@ -84,10 +84,12 @@ def parse_kafka_envelope(
     itself stays outside Spark, and this parse is the only CDC-specific code
     — one ``from_json`` per record, JVM-side.
 
-    ``lenient=False`` keeps malformed payloads as NULL-op rows the caller can
-    route to a dead-letter sink (``FAILFAST`` would kill the stream — the
-    reference's engine logs-and-continues instead, ChangeDataCapture.java:90).
-    Kafka offsets/partitions ride along as ``_kafka_*`` metadata columns.
+    ``lenient=False`` keeps malformed payloads as NULL-op rows (with the raw
+    payload in ``_raw_value``) for :func:`split_dead_letter` to route to a
+    dead-letter sink (``FAILFAST`` would kill the stream — the reference's
+    engine logs-and-continues instead, ChangeDataCapture.java:90);
+    ``lenient=True`` silently drops them. Kafka offsets/partitions ride
+    along as ``_kafka_*`` metadata columns.
 
     ``drop_tombstones`` removes Debezium delete-tombstones (records with a
     key but a NULL value, emitted for Kafka log compaction) BEFORE parsing —
@@ -101,14 +103,36 @@ def parse_kafka_envelope(
     env = envelope_schema(row_schema)
     parsed = df.select(
         F.from_json(F.col("value").cast("string"), env).alias("__env"),
+        F.col("value").cast("string").alias("_raw_value"),
         F.col("topic").alias("_kafka_topic"),
         F.col("partition").alias("_kafka_partition"),
         F.col("offset").alias("_kafka_offset"),
     )
-    out = parsed.select("__env.*", "_kafka_topic", "_kafka_partition", "_kafka_offset")
+    out = parsed.select(
+        "__env.*", "_raw_value", "_kafka_topic", "_kafka_partition", "_kafka_offset"
+    )
     if not lenient:
         return out
-    return out.filter(F.col("op").isNotNull())
+    return out.filter(F.col("op").isNotNull()).drop("_raw_value")
+
+
+def split_dead_letter(envelope_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a strict ``parse_kafka_envelope`` result into (good, dead).
+
+    The reference logs-and-continues on unparseable records
+    (``ChangeDataCapture.java:90``); the Spark-first equivalent routes them
+    to a dead-letter sink instead of losing them. ``good`` drops the raw
+    payload (parsed rows don't need it); ``dead`` keeps the raw value plus
+    Kafka provenance so the record can be replayed after a fix. Two filters
+    over one cached/marked scan — Catalyst handles the shared subplan; no
+    shuffle in either branch.
+    """
+    bad = F.col("op").isNull()
+    good = envelope_df.filter(~bad).drop("_raw_value")
+    dead = envelope_df.filter(bad).select(
+        "_raw_value", "_kafka_topic", "_kafka_partition", "_kafka_offset"
+    )
+    return good, dead
 
 
 def parse_kafka_avro_envelope(

@@ -149,3 +149,20 @@ def test_parse_kafka_envelope_drops_tombstones(spark):
     assert sorted(r.op for r in env.collect()) == ["c", "d"]
     kept = parse_kafka_envelope(_kafka_df(spark, payloads), ROW_SCHEMA, drop_tombstones=False)
     assert kept.count() == 3  # opt-out keeps the NULL-op row for auditing
+
+
+def test_split_dead_letter_routes_malformed(spark):
+    from siddhi_io_cdc_spark.sources.envelope import split_dead_letter
+
+    payloads = [
+        "not json at all",
+        '{"op": "c", "before": null, "after": {"id": "x", "name": "y"}, '
+        '"source": {"ts_ms": 1}, "ts_ms": 1}',
+    ]
+    env = parse_kafka_envelope(_kafka_df(spark, payloads), ROW_SCHEMA)
+    good, dead = split_dead_letter(env)
+    assert [r.op for r in good.collect()] == ["c"]
+    assert "_raw_value" not in good.columns
+    d = dead.collect()
+    assert len(d) == 1 and d[0]._raw_value == "not json at all"
+    assert d[0]._kafka_offset == 0  # provenance for replay after a fix
