@@ -135,14 +135,46 @@ def ivf_assign(vec_col: Column, centroids) -> Column:
 def ivf_centroids(dim: int, nlist: int = 16, seed: int = 42):
     """Deterministic pseudo-centroids (unit-normalized random directions).
 
-    A production index would train these with k-means over a sample; the
-    probe/assign machinery is identical, so the plumbing here is the real
-    thing with a stub trainer (same stance as the multimodal decoders)."""
+    The hash-stable default for oracle-checked queries (k-means output is
+    only deterministic up to partitioning); for real recall train with
+    :func:`ivf_train_centroids` and pass the result through the
+    ``centroids`` parameter of :func:`ivf_ann_cosine`."""
     import numpy as np
 
     rs = np.random.RandomState(seed)
     c = rs.randn(nlist, dim)
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+):
+    """Train IVF centroids with distributed k-means (Spark MLlib) over the
+    embedding column. Returns a unit-normalized ``(nlist x dim)`` array for
+    :func:`ivf_ann_cosine` / :func:`ivf_assign` — unit-normalizing makes
+    the max-dot assignment equivalent to max-cosine (|v| is constant per
+    row across centroids).
+
+    At 100 TB train on a sample (``sample_fraction``) — k-means quality
+    saturates long before the full corpus; the assign/probe machinery then
+    runs over everything."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    data = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction is not None:
+        data = data.sample(sample_fraction, seed)
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(data)
+    c = np.array([np.asarray(v) for v in model.clusterCenters()])
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return c / norms
 
 
 def ivf_ann_cosine(
@@ -154,16 +186,20 @@ def ivf_ann_cosine(
     nlist: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """IVF-style ANN: assign vectors to inverted lists by nearest centroid,
     probe only the ``nprobe`` lists nearest the query, exact-rescore there.
 
     Complement to :func:`ann_cosine` (sign-LSH): IVF adapts to the data
     direction structure, LSH needs no training. Scan volume ≈ nprobe/nlist
-    of the corpus."""
+    of the corpus. ``centroids`` accepts a trained ``(nlist x dim)`` array
+    (:func:`ivf_train_centroids`); default = the deterministic pseudo-
+    centroids."""
     import numpy as np
 
-    centroids = ivf_centroids(len(query_vec), nlist, seed)
+    if centroids is None:
+        centroids = ivf_centroids(len(query_vec), nlist, seed)
     qv = np.asarray(query_vec, dtype=float)
     probe_lists = np.argsort(-(centroids @ qv))[:nprobe].tolist()
     assigned = df.withColumn("__list", ivf_assign(F.col(vec_col), centroids))

@@ -400,3 +400,33 @@ def test_distinctive_terms_integer_tfidf_ranking(spark):
         (3, 1): ("cherry", 1, 1),
         (3, 2): ("common", 1, 3),
     }
+
+
+def test_ivf_trained_centroids_recall(spark, sf_dir):
+    """KMeans-trained inverted lists: partial probing with trained
+    centroids recovers most of the exact top-10 (and the machinery accepts
+    an externally trained codebook)."""
+    from siddhi_io_cdc_spark.functions.similarity import (
+        ivf_ann_cosine,
+        ivf_train_centroids,
+        topk_cosine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train_centroids(emb, nlist=8, max_iter=5)
+    assert cents.shape == (8, 64)  # fixture embeddings are 64-dim
+    q = emb.where("vec_id = 7").collect()[0].embedding
+    exact = [r.vec_id for r in topk_cosine(emb, q, k=10).collect()]
+    full_probe = [
+        r.vec_id
+        for r in ivf_ann_cosine(emb, q, k=10, nlist=8, nprobe=8, centroids=cents).collect()
+    ]
+    # probing every trained list is exhaustive -> must equal exact top-k
+    assert full_probe == exact
+    partial = {
+        r.vec_id
+        for r in ivf_ann_cosine(emb, q, k=10, nlist=8, nprobe=4, centroids=cents).collect()
+    }
+    # partial probing of near-uniform random vectors still finds the query
+    # itself and a non-trivial share of its true neighbors
+    assert 7 in partial and len(set(exact) & partial) >= 3
