@@ -127,3 +127,68 @@ def test_incremental_history_matches_one_shot(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 6
+
+
+def test_streaming_enrichment_against_history_store(spark, tmp_path):
+    """E2E composition: a changelog stream maintains the history store via
+    foreachBatch; a second (fact) stream enriches each micro-batch with
+    point-in-time state from that store — the streaming form of a
+    dimension lookup that respects event time."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from siddhi_io_cdc_spark.operators.history import (
+        foreach_batch_history,
+        temporal_lookup,
+    )
+
+    src = os.path.join(str(tmp_path), "chg")
+    facts_src = os.path.join(str(tmp_path), "facts")
+    store = os.path.join(str(tmp_path), "hist")
+    os.makedirs(src)
+    os.makedirs(facts_src)
+    chg_schema = "id string, v string, operation string, ts_ms long"
+
+    def put_chg(rows, name):
+        ids, vs, ops, ts = zip(*rows)
+        pq.write_table(
+            pa.table({"id": list(ids), "v": list(vs), "operation": list(ops),
+                      "ts_ms": pa.array(ts, pa.int64())}),
+            f"{src}/{name}.parquet",
+        )
+
+    put_chg([("k1", "a", "insert", 10), ("k1", "b", "update", 20)], "c1")
+    hq = (
+        spark.readStream.schema(chg_schema).parquet(src)
+        .writeStream.foreachBatch(
+            foreach_batch_history(spark, store, key=["id"], num_buckets=4)
+        )
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck_h"))
+        .start()
+    )
+    hq.processAllAvailable()
+
+    enriched = []
+
+    def enrich(batch_df, batch_id):
+        hist = spark.read.parquet(store).drop("__bucket")
+        out = temporal_lookup(batch_df, hist, on=["id"], fact_time="t")
+        enriched.extend((r.fid, r.v) for r in out.collect())
+
+    pq.write_table(
+        pa.table({"fid": pa.array([1, 2], pa.int64()), "id": ["k1", "k1"],
+                  "t": pa.array([15, 25], pa.int64())}),
+        f"{facts_src}/f1.parquet",
+    )
+    fq = (
+        spark.readStream.schema("fid long, id string, t long").parquet(facts_src)
+        .writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck_f"))
+        .start()
+    )
+    fq.processAllAvailable()
+    fq.stop()
+    hq.stop()
+    assert sorted(enriched) == [(1, "a"), (2, "b")]
