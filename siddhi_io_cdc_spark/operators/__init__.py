@@ -33,6 +33,7 @@ from siddhi_io_cdc_spark.operators.mutate import (
     insert_into,
     merge_into_bucketed_parquet,
     merge_into_parquet,
+    read_bucketed_store,
     update_on,
 )
 
@@ -64,6 +65,7 @@ __all__ = [
     "insert_into",
     "merge_into_parquet",
     "merge_into_bucketed_parquet",
+    "read_bucketed_store",
     "foreach_batch_bucketed_merge",
     "update_on",
 ]

@@ -143,8 +143,10 @@ def merge_history_into_parquet(
         return
 
     touched = [r[0] for r in new_events.select(bucket_expr.alias("b")).distinct().collect()]
+    # mergeSchema: survives additive evolution of the value columns (same
+    # single-footer-sample hazard as the bucketed merge store).
     stored = (
-        spark.read.parquet(target_path)
+        spark.read.option("mergeSchema", "true").parquet(target_path)
         .where(F.col("__bucket").isin(touched))
         .drop("__bucket")
     )

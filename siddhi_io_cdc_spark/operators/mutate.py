@@ -267,8 +267,13 @@ def merge_into_bucketed_parquet(
     touched = [
         r[0] for r in batch_df.select(bucket_expr.alias("b")).distinct().collect()
     ]  # ≤ num_buckets small ints — a driver-safe collect
+    # mergeSchema: after additive evolution, buckets untouched since the
+    # evolution lack the new column in their footers; a single-footer sample
+    # would silently DROP that column (and a later merge would then erase its
+    # values). The union schema costs one footer read per file of the pruned
+    # buckets only.
     target = (
-        spark.read.parquet(target_path)
+        spark.read.option("mergeSchema", "true").parquet(target_path)
         .where(F.col(BUCKET_COL).isin(touched))  # partition-pruned scan
         .drop(BUCKET_COL)
     )
@@ -307,6 +312,18 @@ def merge_into_bucketed_parquet(
             )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def read_bucketed_store(spark, target_path: str) -> DataFrame:
+    """Read a bucketed merge store with the UNION schema.
+
+    Required after additive evolution: buckets untouched since the new
+    column appeared lack it in their parquet footers, and the default
+    single-footer schema sample would silently drop the column for every
+    row. ``mergeSchema`` reads one footer per file — cheap relative to any
+    scan — and yields NULLs for pre-evolution rows.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(target_path).drop(BUCKET_COL)
 
 
 def foreach_batch_bucketed_merge(

@@ -205,3 +205,36 @@ def test_merge_evolves_schema_on_new_column(spark, tmp_path):
     # is present on the events side (events keep their extra meta columns).
     t, e = evolve_target_schema(spark.read.parquet(target), b2)
     assert set(t.columns) <= set(e.columns)
+
+
+def test_bucketed_merge_evolves_schema(spark, tmp_path):
+    from siddhi_io_cdc_spark.operators.mutate import merge_into_bucketed_parquet
+
+    target = os.path.join(str(tmp_path), "bevolve")
+    b1 = spark.createDataFrame(
+        [("k1", "v1", "insert", 1), ("k2", "v2", "insert", 1)],
+        "id string, v string, operation string, ts_ms long",
+    )
+    merge_into_bucketed_parquet(spark, target, b1, key=["id"], num_buckets=4)
+    b2 = spark.createDataFrame(
+        [("k1", "V1", 5, "update", 2), ("k3", "v3", 6, "insert", 2)],
+        "id string, v string, w long, operation string, ts_ms long",
+    )
+    merge_into_bucketed_parquet(spark, target, b2, key=["id"], num_buckets=4, evolve=True)
+    from siddhi_io_cdc_spark.operators.mutate import read_bucketed_store
+
+    got = {r.id: (r.v, r.w) for r in read_bucketed_store(spark, target).collect()}
+    assert got["k1"] == ("V1", 5) and got["k3"] == ("v3", 6)
+    # k2's bucket was untouched by the evolving batch: union schema reads
+    # its missing column as NULL.
+    assert got["k2"] == ("v2", None)
+
+    # A later merge touching ONLY k2's bucket must not erase k1's w values
+    # (the single-footer-sample hazard: without mergeSchema on the internal
+    # read, an un-evolved footer would drop the column for the whole store).
+    b3 = spark.createDataFrame(
+        [("k2", "V2", "update", 3)], "id string, v string, operation string, ts_ms long"
+    )
+    merge_into_bucketed_parquet(spark, target, b3, key=["id"], num_buckets=4, evolve=True)
+    got = {r.id: (r.v, r.w) for r in read_bucketed_store(spark, target).collect()}
+    assert got["k1"] == ("V1", 5) and got["k2"] == ("V2", None) and got["k3"] == ("v3", 6)
