@@ -216,3 +216,38 @@ def test_match_runs_count_quantifier_bounds(spark):
         for r in match_runs(df, ["u"], "seq", F.col("f"), 2).collect()
     )
     assert unbounded == [(1, 2), (1, 3), (2, 5)]
+
+
+def test_match_runs_randomized_against_python_scan(spark):
+    """Property-ish: 40 random flag sequences in one frame agree with a
+    sequential run-length scanner for several (min,max) bounds."""
+    import random
+
+    rnd = random.Random(11)
+    seqs = {u: [rnd.random() < 0.45 for _ in range(rnd.randint(0, 25))] for u in range(40)}
+    rows = [(u, i, f) for u, fs in seqs.items() for i, f in enumerate(fs)]
+    df = spark.createDataFrame(rows, "u long, seq long, f boolean") if rows else None
+
+    def python_runs(flags, mn, mx):
+        runs, start = [], None
+        for i, f in enumerate(flags + [False]):
+            if f and start is None:
+                start = i
+            elif not f and start is not None:
+                ln = i - start
+                if ln >= mn and (mx is None or ln <= mx):
+                    runs.append((start, i - 1, ln))
+                start = None
+        return runs
+
+    from siddhi_io_cdc_spark.operators.cep import match_runs
+
+    for mn, mx in ((1, None), (2, 4), (3, 3)):
+        got = sorted(
+            (r.u, r.run_start, r.run_end, r.run_len)
+            for r in match_runs(df, ["u"], "seq", F.col("f"), mn, mx).collect()
+        )
+        want = sorted(
+            (u, s, e, ln) for u, fs in seqs.items() for s, e, ln in python_runs(fs, mn, mx)
+        )
+        assert got == want, (mn, mx)
