@@ -582,6 +582,21 @@ def q_sort_window(spark, sf_dir):
     )
 
 
+def q_time_length_window(spark, sf_dir):
+    """Siddhi ``window.timeLength(300, 5)`` per user: events within 300
+    event-id units of the user's newest event, capped at the 5 most
+    recent."""
+    from siddhi_io_cdc_spark.streaming.windows import time_length_window
+
+    return time_length_window(
+        _events(spark, sf_dir).select("event_id", "user_id", "value"),
+        keys=["user_id"],
+        ts_col="event_id",
+        horizon=300,
+        length=5,
+    )
+
+
 def q_pattern_or(spark, sf_dir):
     """Siddhi logical-OR pattern ``e1=purchase or e2=error``: one firing per
     matching event, branch recorded (first branch wins on overlap)."""
@@ -1019,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_session": q_session_window,
         "win_unique": q_unique_window,
         "win_sort": q_sort_window,
+        "win_time_length": q_time_length_window,
         "rel_pattern_or": q_pattern_or,
         "rel_pattern_runs": q_pattern_runs,
         # LLM pipeline
@@ -1516,6 +1532,14 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id) AS rn
                 FROM events)
             WHERE rn <= 3""",
+        "win_time_length": """
+            SELECT event_id, user_id, value FROM (
+                SELECT event_id, user_id, value,
+                       max(event_id) OVER (PARTITION BY user_id) AS mx,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY event_id DESC) AS rn
+                FROM events)
+            WHERE event_id > mx - 300 AND rn <= 5""",
         "rel_pattern_or": """
             SELECT event_id, user_id, event_type,
                    CASE WHEN event_type = 'purchase' THEN 'first' ELSE 'second' END

@@ -34,6 +34,7 @@ __all__ = [
     "length_batch_agg",
     "unique_window",
     "sort_window",
+    "time_length_window",
 ]
 
 
@@ -175,6 +176,36 @@ def unique_window(
     """
     w = Window.partitionBy(*unique_keys).orderBy(F.col(order_col).desc())
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def time_length_window(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    horizon: int,
+    length: int,
+) -> DataFrame:
+    """Siddhi ``window.timeLength(T, N)``: the window holds events no older
+    than ``T`` time units (relative to the key's latest event) AND at most
+    the ``N`` most recent — whichever bound is tighter.
+
+    Batch restatement of the final window content. One shuffle on the key:
+    the per-key max timestamp and the recency rank share the same ordered
+    window pass. ``ts_col`` must totally order each key's events for a
+    deterministic N-cut (tie-break upstream if timestamps repeat).
+    """
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    if horizon <= 0:
+        raise ValueError(f"horizon must be > 0, got {horizon}")
+    w_key = Window.partitionBy(*keys)
+    w_recent = w_key.orderBy(F.col(ts_col).desc())
+    return (
+        df.withColumn("__mx", F.max(ts_col).over(w_key))
+        .withColumn("__rn", F.row_number().over(w_recent))
+        .where((F.col(ts_col) > F.col("__mx") - horizon) & (F.col("__rn") <= length))
+        .drop("__mx", "__rn")
+    )
 
 
 def sort_window(

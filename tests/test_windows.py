@@ -156,3 +156,17 @@ def test_sort_window_top_n_per_key_and_global(spark):
         for r in sort_window(df, [F.col("v").desc(), F.col("eid")], length=3).collect()
     )
     assert global_top == [2, 3, 4]
+
+
+def test_time_length_window_dual_bound(spark):
+    from siddhi_io_cdc_spark.streaming.windows import time_length_window
+
+    # u=1: 7 events, horizon cuts at t>40 (max 100) -> {50,60,80,90,100},
+    # then N=3 keeps the newest three. u=2: horizon is the tighter bound.
+    rows = [(1, t) for t in (10, 30, 50, 60, 80, 90, 100)] + [(2, 5), (2, 90), (2, 95)]
+    df = spark.createDataFrame(rows, "u long, t long")
+    got = sorted(
+        (r.u, r.t)
+        for r in time_length_window(df, ["u"], "t", horizon=60, length=3).collect()
+    )
+    assert got == [(1, 80), (1, 90), (1, 100), (2, 90), (2, 95)]
