@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "llm_paragraph_dedup",
     "win_unique",
     "rel_pattern_runs",
+    "cdc_history_scd2",
+    "cdc_temporal_lookup",
+    "llm_decontaminate",
+    "llm_distinctive_terms",
+    "win_time_length",
 ]
 
 

@@ -69,7 +69,7 @@ def paragraph_dedup(
     :func:`dedup_exact`, at paragraph granularity. No window over the full
     explosion, no join back.
     """
-    paras = df.select(
+    paras = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep, -1)).alias("__i", "__p"),
     ).select(
@@ -472,7 +472,9 @@ def decontaminate(
     """
     b_text_col = b_text_col or text_col
     b_id_col = b_id_col or id_col
-    c = corpus.select(
+    # fan_out: the shingle+hash projection is the CPU; a compact parquet
+    # input would otherwise run it on row-group-count cores.
+    c = _fan_out(corpus.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         F.explode(token_shingle_hashes(text_col, k)).alias("__sh"),
     )

@@ -206,7 +206,9 @@ def distinctive_terms(
     per-doc top-k is a row_number over the doc-key shuffle. No global sort,
     no join of two fact-sized sides.
     """
-    toks = df.select(
+    from siddhi_io_cdc_spark.util import fan_out
+
+    toks = fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("term"),
     ).where(F.col("term") != "")

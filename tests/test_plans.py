@@ -167,3 +167,21 @@ def test_top_revenue_suppliers_no_global_window(spark, sf_dir, entrymod):
 def test_supplier_counts_anti_join_broadcast(spark, sf_dir, entrymod):
     p = plan_of(entrymod.queries()["rel_supplier_counts_by_size"](spark, sf_dir))
     assert "LeftAnti, BuildRight" in p or ("LeftAnti" in p and "Broadcast" in p)
+
+
+def test_history_build_single_exchange(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["cdc_history_scd2"](spark, sf_dir))
+    # rekey + lead + is_current all ride one user_id exchange; no joins
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_temporal_lookup_no_explosion(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["cdc_temporal_lookup"](spark, sf_dir))
+    # as-of machinery: union + window, never a range join / nested loop
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["llm_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # corpus never shuffled for the probe
