@@ -430,3 +430,22 @@ def test_ivf_trained_centroids_recall(spark, sf_dir):
     # partial probing of near-uniform random vectors still finds the query
     # itself and a non-trivial share of its true neighbors
     assert 7 in partial and len(set(exact) & partial) >= 3
+
+
+def test_knn_join_breaks_score_ties_by_neighbor_id(spark):
+    """Duplicate corpus vectors score identically — the rank must break
+    ties on neighbor_id so results are deterministic under any
+    partitioning."""
+    from siddhi_io_cdc_spark.functions.similarity import knn_join
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.0]), (4, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    ).repartition(3)
+    out = knn_join(emb, emb.where("vec_id = 1"), k=3).collect()
+    assert [(r.rank, r.neighbor_id) for r in sorted(out, key=lambda r: r.rank)] == [
+        (1, 1),
+        (2, 2),
+        (3, 3),
+    ]
+    assert all(r.score == 1.0 for r in out)
