@@ -2,18 +2,23 @@
 
 Siddhi's pattern language (inherited by every siddhi-io-* source, including
 the reference — its README routes cdc events into siddhi apps that can use
-``from e1=A -> e2=B``, ``not B for t``, ``e[3]`` etc.) has three families:
+``from e1=A -> e2=B``, ``not B for t``, ``e[3]`` etc.), re-expressed here:
 
-- **followed-by within** — covered by ``operators.temporal.asof_join`` with a
+- **followed-by within** — ``operators.temporal.asof_join`` with a
   tolerance (one shuffle, no explosion);
-- **absence** (``A -> not B for t``): an A event with NO B event in the
-  window after it — ``absent_pattern`` below;
-- **counting / sequence** (``e[k]``: k immediately-consecutive matches):
-  ``consecutive_runs`` below.
+- **absence** (``A -> not B for t``) — ``absent_pattern``;
+- **counting / sequence** (``e[k]``) — ``consecutive_runs``; quantifier
+  ranges (``e<m:n>``) — ``match_runs``;
+- **logical-AND** (``A and B within t``) — ``both_pattern``;
+- **logical-OR** (``e1=A or e2=B``) — ``or_pattern``;
+- **strict sequence** (``e1, e2`` immediate) — ``immediate_sequence``;
+- consuming ``every A -> B within t`` (streaming state machine) lives in
+  ``streaming/stateful.py`` (``followed_by_stream``).
 
-Both are pure Catalyst plans (anti-join / window functions) — no UDFs, no
-driver loops — so they hold at 100 TB: one hash-partitioned shuffle on the
-pattern key, per-key work linear in that key's events.
+All batch operators are pure Catalyst plans (anti-joins / window
+functions) — no UDFs, no driver loops — so they hold at 100 TB: one
+hash-partitioned shuffle on the pattern key, per-key work linear in that
+key's events.
 """
 
 from __future__ import annotations

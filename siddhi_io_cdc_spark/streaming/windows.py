@@ -1,4 +1,6 @@
-"""Time-window aggregations: tumbling, sliding (hopping), session.
+"""Window operators: tumbling / sliding / session aggregations plus the
+siddhi count- and retention-based windows (length, lengthBatch, timeLength,
+unique, sort).
 
 SURVEY.md §2.5 records that the reference has NO streaming windows of its own
 (events are delivered one at a time; windowing lives in siddhi-core). In the
