@@ -597,6 +597,19 @@ def q_time_length_window(spark, sf_dir):
     )
 
 
+def q_delay_window(spark, sf_dir):
+    """Siddhi ``window.delay(500)`` per user: events released 500 event-id
+    units after arrival, relative to each user's high-water mark."""
+    from siddhi_io_cdc_spark.streaming.windows import delay_window
+
+    return delay_window(
+        _events(spark, sf_dir).select("event_id", "user_id", "value"),
+        ts_col="event_id",
+        delay=500,
+        keys=["user_id"],
+    )
+
+
 def q_pattern_or(spark, sf_dir):
     """Siddhi logical-OR pattern ``e1=purchase or e2=error``: one firing per
     matching event, branch recorded (first branch wins on overlap)."""
@@ -1035,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_unique": q_unique_window,
         "win_sort": q_sort_window,
         "win_time_length": q_time_length_window,
+        "win_delay": q_delay_window,
         "rel_pattern_or": q_pattern_or,
         "rel_pattern_runs": q_pattern_runs,
         # LLM pipeline
@@ -1532,6 +1546,12 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY value DESC, event_id) AS rn
                 FROM events)
             WHERE rn <= 3""",
+        "win_delay": """
+            SELECT event_id, user_id, value, event_id + 500 AS release_ts FROM (
+                SELECT event_id, user_id, value,
+                       max(event_id) OVER (PARTITION BY user_id) AS mx
+                FROM events)
+            WHERE event_id <= mx - 500""",
         "win_time_length": """
             SELECT event_id, user_id, value FROM (
                 SELECT event_id, user_id, value,

@@ -37,6 +37,7 @@ __all__ = [
     "unique_window",
     "sort_window",
     "time_length_window",
+    "delay_window",
 ]
 
 
@@ -178,6 +179,45 @@ def unique_window(
     """
     w = Window.partitionBy(*unique_keys).orderBy(F.col(order_col).desc())
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def delay_window(
+    df: DataFrame,
+    ts_col: str,
+    delay: int,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Siddhi ``window.delay(t)``: events become visible ``delay`` time
+    units after they occur. Batch restatement of the final window content:
+    events already RELEASED at the stream's high-water mark, i.e.
+    ``ts <= max(ts) - delay`` (per key when ``keys`` is given, else
+    globally), with ``release_ts = ts + delay``.
+
+    Scale shape: keyed → one shuffle (max + filter share it). Global → the
+    high-water mark is a single aggregated row joined back by broadcast,
+    never a single-partition window over the data.
+
+    Streaming equivalent: a processing-time trigger with
+    ``withWatermark(ts, delay)`` + the same filter, or simply a delayed
+    trigger — the batch form exists for oracle-checkable parity.
+    """
+    if delay <= 0:
+        raise ValueError(f"delay must be > 0, got {delay}")
+    if keys:
+        w = Window.partitionBy(*keys)
+        return (
+            df.withColumn("__mx", F.max(ts_col).over(w))
+            .where(F.col(ts_col) <= F.col("__mx") - delay)
+            .drop("__mx")
+            .withColumn("release_ts", F.col(ts_col) + delay)
+        )
+    mx = df.agg(F.max(ts_col).alias("__mx"))
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .where(F.col(ts_col) <= F.col("__mx") - delay)
+        .drop("__mx")
+        .withColumn("release_ts", F.col(ts_col) + delay)
+    )
 
 
 def time_length_window(

@@ -170,3 +170,21 @@ def test_time_length_window_dual_bound(spark):
         for r in time_length_window(df, ["u"], "t", horizon=60, length=3).collect()
     )
     assert got == [(1, 80), (1, 90), (1, 100), (2, 90), (2, 95)]
+
+
+def test_delay_window_releases_past_highwater(spark):
+    from siddhi_io_cdc_spark.streaming.windows import delay_window
+
+    df = spark.createDataFrame(
+        [(1, 10), (1, 40), (1, 100), (2, 5), (2, 50)], "u long, t long"
+    )
+    keyed = sorted(
+        (r.u, r.t, r.release_ts)
+        for r in delay_window(df, "t", delay=50, keys=["u"]).collect()
+    )
+    # u=1 hwm=100 -> t<=50 released: 10, 40; u=2 hwm=50 -> t<=0: none.
+    assert keyed == [(1, 10, 60), (1, 40, 90)]
+    global_rel = sorted(
+        r.t for r in delay_window(df, "t", delay=50).collect()
+    )
+    assert global_rel == [5, 10, 40, 50]  # global hwm=100 -> t<=50
