@@ -185,3 +185,11 @@ def test_temporal_lookup_no_explosion(spark, sf_dir, entrymod):
 def test_decontaminate_broadcasts_benchmark(spark, sf_dir, entrymod):
     p = plan_of(entrymod.queries()["llm_decontaminate"](spark, sf_dir))
     assert "BroadcastHashJoin" in p  # corpus never shuffled for the probe
+
+
+def test_retention_windows_single_shuffle(spark, sf_dir, entrymod):
+    for name in ("win_time_length", "win_delay"):
+        p = plan_of(entrymod.queries()[name](spark, sf_dir))
+        assert p.count("Exchange hashpartitioning") == 1, name
+        # never a global single-partition window
+        assert "Exchange SinglePartition" not in p or "AggregateExec" in p, name
