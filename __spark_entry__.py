@@ -981,64 +981,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering matters: the driver's correctness gate records only the FIRST 50
+    # entries, so positions 1-50 hold one-or-more flagship queries from every
+    # family (13 cdc_*, 14 rel_*, all 10 win_*, 13 llm_*). Positions 51+ are
+    # additional variants of already-represented operators, still covered by
+    # the local oracle gate (tools/check_contract.py) and pytest.
     return {
-        # CDC event shaping (E1-E9, E13)
-        "cdc_flatten_insert": q_flatten_insert,
-        "cdc_flatten_update": q_flatten_update,
-        "cdc_flatten_delete": q_flatten_delete,
+        # --- CDC family flagships (event shaping, polling offsets, mutation,
+        # --- external-table store: E1-E13, S9/S10, Q1-Q5) -------------- 1-13
         "cdc_flatten_multi_op": q_flatten_multi_op,
-        "cdc_flatten_insert_delete": q_flatten_insert_delete,
-        "cdc_flatten_snapshot": q_flatten_snapshot,
+        "cdc_flatten_update": q_flatten_update,
         "cdc_keyvalue_mapping": q_keyvalue_mapping,
-        "cdc_lowercase_columns": q_lowercase_columns,
-        "cdc_int_widening": q_int_widening,
         "cdc_decimal_compat": q_decimal_compat,
         "cdc_mongo_flatten": q_mongo_flatten,
-        # Polling-source offset logic (S9/S10)
         "cdc_offset_discovery": q_offset_discovery,
         "cdc_incremental_scan": q_incremental_scan,
-        # Mutating query surface (Q1/Q3/Q4 + apply)
         "cdc_insert_into": q_insert_into,
         "cdc_update_on": q_update_on,
         "cdc_delete_on": q_delete_on,
         "cdc_apply_changelog": q_apply_changelog,
         "cdc_history_scd2": q_history_scd2,
         "cdc_temporal_lookup": q_temporal_lookup,
-        # Relational surface (§2.5, Catalyst-native)
+        # --- Relational family flagships (§2.5 surface, temporal joins,
+        # --- CEP patterns, rollup, percentiles) ----------------------- 14-27
         "rel_pricing_summary": R.pricing_summary,
         "rel_shipping_priority": R.shipping_priority,
-        "rel_local_supplier_volume": R.local_supplier_volume,
-        "rel_top_orders_per_customer": R.top_orders_per_customer,
-        "rel_returnflag_rollup": R.returnflag_rollup,
-        "rel_distinct_parts": lambda s, d: R.distinct_parts_per_flag(s, d).select(
-            "l_returnflag", "n_parts"
-        ),
-        "rel_nations_except": R.nations_except,
-        "rel_nations_intersect": R.nations_intersect,
-        "rel_order_priority": R.order_priority_counts,
-        "rel_custdist": R.customer_order_distribution,
         "rel_small_qty_revenue": R.small_quantity_revenue,
-        "rel_customers_without_orders": R.customers_without_orders,
-        "rel_top_revenue_suppliers": R.top_revenue_suppliers,
-        "rel_supplier_counts_by_size": R.supplier_counts_by_size,
+        "rel_custdist": R.customer_order_distribution,
         "rel_salted_agg": q_salted_agg,
-        # Temporal joins & windows (custom operators over §2.5 surface)
+        "rel_json_props": q_json_props,
         "rel_asof_join": q_asof_join,
         "rel_range_join": q_range_join,
-        "rel_asof_forward": q_asof_forward,
         "rel_salted_join": q_salted_join,
-        "rel_json_props": q_json_props,
-        "rel_scalar_funcs": q_scalar_funcs,
-        "rel_pattern_match": q_pattern_match,
-        "rel_pattern_absent": q_pattern_absent,
         "rel_pattern_sequence": q_pattern_sequence,
-        "rel_pattern_both": q_pattern_both,
-        "rel_pattern_immediate": q_pattern_immediate,
+        "rel_pattern_or": q_pattern_or,
+        "rel_pattern_runs": q_pattern_runs,
         "rel_rollup_multi": q_rollup_multi,
-        "rel_output_every_nth": q_output_every_nth,
-        "rel_output_snapshot": q_output_snapshot,
-        "rel_cube": q_cube_orders,
         "rel_percentiles": q_percentiles,
+        # --- Window family (complete: all 10 siddhi window types) ----- 28-37
         "win_frequent": q_frequent,
         "win_length": q_length_window,
         "win_length_batch": q_length_batch,
@@ -1049,34 +1029,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_sort": q_sort_window,
         "win_time_length": q_time_length_window,
         "win_delay": q_delay_window,
-        "rel_pattern_or": q_pattern_or,
-        "rel_pattern_runs": q_pattern_runs,
-        # LLM pipeline
+        # --- LLM-pipeline family flagships (one per subfamily: exact /
+        # --- paragraph / minhash / simhash / graph dedup, decontamination,
+        # --- curation, text stats, similarity search, multimodal) ----- 38-50
         "llm_dedup_exact": q_dedup_exact,
+        "llm_paragraph_dedup": q_paragraph_dedup,
+        "llm_minhash_pairs": q_minhash_pairs,
+        "llm_simhash_pairs": q_simhash_pairs,
+        "llm_near_dedup": q_near_dedup,
+        "llm_decontaminate": q_decontaminate,
         "llm_curate": q_curate,
         "llm_text_stats": q_text_stats,
+        "llm_topk_cosine": q_topk_cosine,
+        "llm_knn_join": q_knn_join,
+        "llm_ivf_ann": q_ivf_ann,
+        "llm_distinctive_terms": q_distinctive_terms,
+        "llm_multimodal_decode": q_multimodal_decode,
+        # --- Position 51+: additional variants (local oracle gate) ---------
+        # CDC event-shaping variants
+        "cdc_flatten_insert": q_flatten_insert,
+        "cdc_flatten_delete": q_flatten_delete,
+        "cdc_flatten_insert_delete": q_flatten_insert_delete,
+        "cdc_flatten_snapshot": q_flatten_snapshot,
+        "cdc_lowercase_columns": q_lowercase_columns,
+        "cdc_int_widening": q_int_widening,
+        # Relational variants
+        "rel_local_supplier_volume": R.local_supplier_volume,
+        "rel_top_orders_per_customer": R.top_orders_per_customer,
+        "rel_returnflag_rollup": R.returnflag_rollup,
+        "rel_distinct_parts": lambda s, d: R.distinct_parts_per_flag(s, d).select(
+            "l_returnflag", "n_parts"
+        ),
+        "rel_nations_except": R.nations_except,
+        "rel_nations_intersect": R.nations_intersect,
+        "rel_order_priority": R.order_priority_counts,
+        "rel_customers_without_orders": R.customers_without_orders,
+        "rel_top_revenue_suppliers": R.top_revenue_suppliers,
+        "rel_supplier_counts_by_size": R.supplier_counts_by_size,
+        "rel_asof_forward": q_asof_forward,
+        "rel_scalar_funcs": q_scalar_funcs,
+        "rel_pattern_match": q_pattern_match,
+        "rel_pattern_absent": q_pattern_absent,
+        "rel_pattern_both": q_pattern_both,
+        "rel_pattern_immediate": q_pattern_immediate,
+        "rel_output_every_nth": q_output_every_nth,
+        "rel_output_snapshot": q_output_snapshot,
+        "rel_cube": q_cube_orders,
+        # LLM-pipeline variants
         "llm_lang_detect": q_lang_detect,
         "llm_quality_score": q_quality_score,
         "llm_fingerprint": q_fingerprint,
-        "llm_topk_cosine": q_topk_cosine,
         "llm_top_ngrams": q_top_ngrams,
         "llm_label_centroids": q_label_centroids,
         "llm_pii_scrub": q_pii_scrub,
         "llm_repetition": q_repetition,
         "llm_stratified_sample": q_stratified_sample,
-        "llm_knn_join": q_knn_join,
-        "llm_paragraph_dedup": q_paragraph_dedup,
-        "llm_decontaminate": q_decontaminate,
-        "llm_distinctive_terms": q_distinctive_terms,
-        # Rows-only (not ANSI-SQL expressible: LSH banding / stub decode)
-        "llm_minhash_pairs": q_minhash_pairs,
-        "llm_near_dedup": q_near_dedup,
-        "llm_simhash_pairs": q_simhash_pairs,
         "llm_ngram_pairs": q_ngram_pairs,
         "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_ann_cosine": q_ann_cosine,
-        "llm_ivf_ann": q_ivf_ann,
-        "llm_multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -1330,7 +1340,8 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey AND l_shipdate > DATE '1995-06-01')
             GROUP BY o_orderpriority""",
         "rel_salted_agg": """
-            SELECT user_id, count(*) AS n, sum(event_id) AS sum_eid
+            SELECT user_id, count(*) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_eid
             FROM events GROUP BY user_id""",
         "rel_custdist": """
             SELECT c_count, count(*) AS custdist FROM (
@@ -1377,7 +1388,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
         "rel_json_props": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type""",
         "rel_scalar_funcs": """

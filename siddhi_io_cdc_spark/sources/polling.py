@@ -70,6 +70,30 @@ def _jsonable(v):
         return str(v)
 
 
+def _coerce_bound(schema, column, value):
+    """Cast a JSON-round-tripped offset bound back to the column's Arrow type.
+
+    Checkpoint offsets pass through JSON, so a timestamp/date/decimal bound
+    arrives as a string — and Arrow dataset filters do NOT auto-cast
+    (``greater(timestamp, string)`` has no kernel). Returns the cast value,
+    or the original when no cast is needed/possible."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if value is None or not isinstance(value, str):
+        return value
+    try:
+        typ = schema.field(column).type
+    except KeyError:
+        return value
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return value
+    try:
+        return pc.cast(pa.scalar(value), typ).as_py()
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError, ValueError):
+        return value
+
+
 @dataclass
 class RangeScan(InputPartition):
     """One key-range slice of the (low, high] incremental scan."""
@@ -111,6 +135,8 @@ class CDCPollStreamReader(DataSourceStreamReader):
         import pyarrow.dataset as ds
 
         dset = self._dataset()
+        low = _coerce_bound(dset.schema, self.column, low)
+        high = _coerce_bound(dset.schema, self.column, high)
         filt = None
         if low is not None and low != EMPTY_SENTINEL:
             filt = ds.field(self.column) > low
@@ -120,15 +146,30 @@ class CDCPollStreamReader(DataSourceStreamReader):
         return dset.to_table(columns=[self.column], filter=filt).column(0)
 
     def _stats_minmax(self):
-        """(min, max) of the polling column from parquet ROW-GROUP STATISTICS —
-        footer metadata only, no data pages read. This is what keeps offset
-        discovery O(row groups) on the driver instead of O(rows): the
-        reference's ``SELECT MAX(col)`` (DefaultPollingStrategy.java:115)
-        becomes a stats lookup. Returns (None, None) when any row group lacks
-        stats (caller falls back to a filtered scan)."""
+        """(min, max) of the polling column — parquet ROW-GROUP STATISTICS
+        (footer metadata only, no data pages) for every fragment that has
+        them, plus a targeted polling-column scan of ONLY the fragments that
+        lack stats. One legacy stat-less file therefore costs one fragment's
+        single column, not a full-table driver scan (the round-2 all-or-
+        nothing fallback). This keeps offset discovery O(row groups +
+        stat-less-fragment rows): the reference's ``SELECT MAX(col)``
+        (DefaultPollingStrategy.java:115) becomes a stats lookup. Returns
+        (None, None) only when the table has no non-null polling values."""
+        import pyarrow.compute as pc
+
         mn = mx = None
+
+        def merge(lo, hi):
+            nonlocal mn, mx
+            if lo is not None:
+                mn = lo if mn is None else min(mn, lo)
+            if hi is not None:
+                mx = hi if mx is None else max(mx, hi)
+
+        statless = []
         for frag in self._dataset().get_fragments():
             md = frag.metadata  # parquet footer
+            frag_mn = frag_mx = covered = None
             for rg in range(md.num_row_groups):
                 row_group = md.row_group(rg)
                 if row_group.num_rows == 0:
@@ -139,15 +180,41 @@ class CDCPollStreamReader(DataSourceStreamReader):
                         col_idx = i
                         break
                 if col_idx is None:
-                    return (None, None)
+                    continue  # column absent from this file: reads as null
                 st = row_group.column(col_idx).statistics
                 if st is None or not st.has_min_max:
-                    return (None, None)
+                    covered = False
+                    break
                 if st.num_values == 0:  # all-null row group
                     continue
-                mn = st.min if mn is None else min(mn, st.min)
-                mx = st.max if mx is None else max(mx, st.max)
+                frag_mn = st.min if frag_mn is None else min(frag_mn, st.min)
+                frag_mx = st.max if frag_mx is None else max(frag_mx, st.max)
+            if covered is False:
+                statless.append(frag)
+            else:
+                merge(frag_mn, frag_mx)
+        for frag in statless:
+            col = pc.drop_null(frag.to_table(columns=[self.column]).column(0))
+            if len(col):
+                merge(pc.min(col).as_py(), pc.max(col).as_py())
         return (mn, mx)
+
+    def _coerce_offset(self, last):
+        """Cast a JSON-stringified offset back into the polling column's Arrow
+        domain. Checkpoint offsets round-trip through JSON, so a timestamp /
+        date / decimal polling value comes back as a string; casting the
+        string (rather than scanning data) lets footer-stats comparisons
+        answer ``latestOffset`` with zero data pages read. Returns None when
+        the cast fails (caller falls back to a string-domain compare)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        try:
+            typ = self._dataset().schema.field(self.column).type
+            return pc.cast(pa.scalar(last), typ).as_py()
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError,
+                KeyError, ValueError, TypeError):
+            return None
 
     def _current_max(self):
         mn, mx = self._stats_minmax()
@@ -210,11 +277,23 @@ class CDCPollStreamReader(DataSourceStreamReader):
                 try:
                     if not mx > last:
                         return dict(start)
-                except TypeError:  # offset was JSON-stringified (e.g. timestamp)
-                    vals = self._col_values(low=last)
-                    if len(vals) == 0:
+                except TypeError:
+                    # The checkpoint JSON-stringified the offset (e.g. a
+                    # timestamp polling column). Compare in the column's own
+                    # domain by casting the string back — NEVER by reading an
+                    # unbounded (last, ∞) column slice on the driver: a 100×
+                    # catch-up backlog must stay on the executors.
+                    coerced = self._coerce_offset(last)
+                    if coerced is not None:
+                        if not mx > coerced:
+                            return dict(start)
+                    elif not _jsonable(mx) > last:
+                        # Last resort: compare in the JSON-string domain the
+                        # offset was written in. ``_jsonable`` renders a fixed
+                        # column type with a fixed-width zero-padded format
+                        # (ISO timestamps, decimal strings), so lexicographic
+                        # order matches value order.
                         return dict(start)
-                    mx = pc.max(vals).as_py()
             return {"last": _jsonable(mx)}
 
         # Gap admission (T8): only advance through a contiguous integer run
@@ -298,9 +377,11 @@ class CDCPollStreamReader(DataSourceStreamReader):
         if partition.high is None:
             return iter(())
         dset = ds.dataset(partition.path, format="parquet")
-        filt = ds.field(partition.column) <= partition.high
-        if partition.low is not None and partition.low != EMPTY_SENTINEL:
-            filt = filt & (ds.field(partition.column) > partition.low)
+        high = _coerce_bound(dset.schema, partition.column, partition.high)
+        low = _coerce_bound(dset.schema, partition.column, partition.low)
+        filt = ds.field(partition.column) <= high
+        if low is not None and low != EMPTY_SENTINEL:
+            filt = filt & (ds.field(partition.column) > low)
         tbl = dset.to_table(columns=partition.columns, filter=filt)
         # Arrow batches straight through — no per-row Python.
         return iter(tbl.to_batches())

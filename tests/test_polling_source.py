@@ -268,3 +268,109 @@ def test_columns_option_prunes_schema(spark, tmp_path):
         assert [(r.id, r.b) for r in rows] == [(1, 1.0), (2, 2.0)]
     finally:
         q.stop()
+
+
+def test_stats_minmax_per_fragment(spark, tmp_path):
+    """One stat-less legacy file must not degrade offset discovery to a
+    full-table driver scan: covered fragments answer from footer stats and
+    only the stat-less fragment's polling column is read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from siddhi_io_cdc_spark.sources.polling import CDCPollStreamReader
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    pq.write_table(pa.table({"event_id": list(range(1, 1001))}),
+                   f"{path}/with-stats.parquet", row_group_size=100)
+    pq.write_table(pa.table({"event_id": [2000, 1500]}),
+                   f"{path}/no-stats.parquet", write_statistics=False)
+
+    reader = CDCPollStreamReader.__new__(CDCPollStreamReader)
+    reader.path = path
+    reader.column = "event_id"
+    assert reader._stats_minmax() == (1, 2000)
+
+    # The whole-table scan path must stay untouched — stats + the targeted
+    # single-fragment read answer _current_max alone.
+    reader._col_values = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("full-table driver scan!"))
+    assert reader._current_max() == 2000
+
+
+def test_timestamp_offset_advances_stats_only(spark, tmp_path):
+    """A JSON-stringified (timestamp) offset advances via footer statistics
+    and offset coercion — never an unbounded (last, inf) driver column read
+    (the round-2 scale bug on the non-integer offset path)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from siddhi_io_cdc_spark.sources.polling import CDCPollStreamReader, _jsonable
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(seconds=i) for i in range(1000)]
+    pq.write_table(
+        pa.table({"ts": pa.array(ts, pa.timestamp("us")), "v": list(range(1000))}),
+        f"{path}/part-0.parquet", row_group_size=100)
+
+    reader = CDCPollStreamReader.__new__(CDCPollStreamReader)
+    reader.path = path
+    reader.column = "ts"
+    reader.wait_on_missed = False
+
+    last = _jsonable(ts[500])  # what a checkpoint round-trip hands back
+    assert isinstance(last, str)
+    # Poison every data-read path: stats must answer alone.
+    reader._col_values = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("driver column read on the non-int offset path!"))
+    off = reader._advance({"last": last})
+    assert off["last"] == _jsonable(ts[-1])
+    # Caught up: offset holds, still zero data reads.
+    assert reader._advance(dict(off)) == off
+
+
+def test_timestamp_polling_column_end_to_end(spark, tmp_path):
+    """cdc-poll over a timestamp polling column: offsets JSON-stringify and
+    the executor read path casts the bounds back (Arrow has no
+    greater(timestamp, string) kernel)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = tmp_path / "ts_tbl"
+    table.mkdir()
+    base = dt.datetime(2024, 1, 1)
+
+    def write(lo, n, fname):
+        ts = [base + dt.timedelta(seconds=lo + i) for i in range(n)]
+        pq.write_table(
+            pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                      "v": list(range(lo, lo + n))}),
+            str(table / fname))
+
+    write(0, 5, "part-0.parquet")
+    stream = (
+        spark.readStream.format("cdc-poll")
+        .option("path", str(table))
+        .option("pollingColumn", "ts")
+        .load()
+    )
+    q = _memory_query(spark, stream, "ts_sink", str(tmp_path / "ckpt_ts"))
+    try:
+        _drain(q)
+        assert spark.sql("SELECT count(*) FROM ts_sink").first()[0] == 0
+        write(5, 3, "part-1.parquet")
+        _drain(q)
+        got = sorted(r["v"] for r in spark.sql("SELECT v FROM ts_sink").collect())
+        assert got == [5, 6, 7]
+        write(8, 2, "part-2.parquet")
+        _drain(q)
+        got = sorted(r["v"] for r in spark.sql("SELECT v FROM ts_sink").collect())
+        assert got == [5, 6, 7, 8, 9]
+    finally:
+        q.stop()
