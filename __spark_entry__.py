@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from siddhi_io_cdc_spark.functions import dedup_exact, lang_detect, quality_score, text_stats
 from siddhi_io_cdc_spark.functions.dedup import minhash_lsh_pairs, simhash_pairs
-from siddhi_io_cdc_spark.functions.multimodal import attach_payload, decode_image_features
+from siddhi_io_cdc_spark.functions.multimodal import attach_ppm_payload, decode_image_features
 from siddhi_io_cdc_spark.functions.similarity import ann_cosine, topk_cosine
 from siddhi_io_cdc_spark.functions.text import (
     LANG_MARKERS,
@@ -399,8 +399,11 @@ def q_near_dedup(spark, sf_dir):
 
 
 def q_multimodal_decode(spark, sf_dir):
-    docs = _docs(spark, sf_dir).limit(200)
-    return decode_image_features(attach_payload(docs, "text")).orderBy("id")
+    """Real P5 payloads built JVM-side (attach_ppm_payload), parsed back by
+    the real pure-numpy netpbm decoder — every feature has a closed-form SQL
+    restatement, so this runs as an exact value oracle, not rows-only."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return decode_image_features(attach_ppm_payload(docs)).orderBy("id")
 
 
 def q_ngram_pairs(spark, sf_dir):
@@ -1723,8 +1726,17 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
               FROM p WHERE para <> '')
             SELECT doc_id, para_idx, n_copies FROM ranked WHERE rn = 1""",
+        # The P5 fixture pins dims to (4 + id % 13) × (4 + id % 7) and every
+        # pixel to 1 + octet_length(text) % 127, so the decoded features have
+        # this closed form (attach_ppm_payload ↔ _parse_netpbm round-trip):
+        "llm_multimodal_decode": """
+            SELECT doc_id AS id,
+                   CAST(4 + doc_id % 13 AS INTEGER) AS width,
+                   CAST(4 + doc_id % 7 AS INTEGER) AS height,
+                   CAST(1 + octet_length(encode(text)) % 127 AS DOUBLE)
+                       AS mean_intensity
+            FROM documents WHERE doc_id < 200""",
         # llm_minhash_pairs / llm_simhash_pairs / llm_ngram_pairs /
-        # llm_embedding_near_dup / llm_ann_cosine / llm_multimodal_decode:
-        # rows-only (LSH banding and the stub decoder are not ANSI-SQL
-        # expressible).
+        # llm_embedding_near_dup / llm_ann_cosine: rows-only (LSH banding is
+        # not ANSI-SQL expressible).
     }

@@ -3,11 +3,13 @@
 Convention: a multimodal asset is an opaque ``binary`` payload column plus a
 typed metadata struct (``mm_meta``) carrying modality/mime/dims. All Spark
 plumbing — schema, partition-preserving ``mapInPandas``, Arrow batch shapes —
-is real and tested; the actual media decoding is STUBBED (this container has
-no image/audio libraries): ``decode_image`` tries Pillow and otherwise
-produces a clearly-marked deterministic fake so pipelines are testable
-end-to-end. Swap the inner function for a real decoder in production; the
-Spark-side contract does not change.
+is real and tested. Image decoding is REAL for self-describing formats:
+binary netpbm (P5 grayscale / P6 RGB) and uncompressed 8/24/32-bit BMP are
+parsed in pure numpy (no media libraries needed); other codecs go through
+Pillow when importable, else a clearly-marked deterministic fake keeps
+pipelines testable end-to-end. Audio decoding stays a documented fake
+(8-bit-PCM interpretation) — swap the inner function for soundfile/librosa in
+production; the Spark-side contract does not change.
 
 Scale notes: payloads stay in Arrow buffers end-to-end (binary columns are
 zero-copy through ``mapInPandas``); feature extraction batches by
@@ -56,13 +58,101 @@ def attach_payload(
 IMAGE_FEATURES_SCHEMA = "id long, width int, height int, mean_intensity double"
 
 
+def encode_ppm(arr) -> bytes:
+    """Serialize a uint8 numpy array to binary netpbm: H×W → P5 (grayscale),
+    H×W×3 → P6 (RGB). The inverse of :func:`_parse_netpbm`; used by tests and
+    fixtures to produce real image payloads without any media library."""
+    import numpy as np
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        magic, (h, w) = b"P5", a.shape
+    elif a.ndim == 3 and a.shape[2] == 3:
+        magic, (h, w) = b"P6", a.shape[:2]
+    else:
+        raise ValueError(f"expected H×W or H×W×3 uint8 array, got shape {a.shape}")
+    return magic + f"\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
+
+
+def _parse_netpbm(b: bytes):
+    """Parse binary netpbm (P5 grayscale / P6 RGB) → (width, height, pixels)
+    in pure numpy, or None if the payload is not netpbm. Handles ``#``
+    comments and any header whitespace; only 1-byte samples (maxval ≤ 255)
+    are supported — the common case and the only one our fixtures emit."""
+    import numpy as np
+
+    if len(b) < 2 or b[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 1 if b[:2] == b"P5" else 3
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(b):
+        c = b[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            while pos < len(b) and b[pos : pos + 1] != b"\n":
+                pos += 1
+        else:
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(b[start:pos]))
+    if len(tokens) < 3:
+        raise ValueError("truncated netpbm header")
+    pos += 1  # exactly one whitespace byte separates maxval from the raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError(f"netpbm maxval {maxval} > 255 (2-byte samples) unsupported")
+    n = w * h * channels
+    if len(b) - pos < n:
+        raise ValueError(f"netpbm raster truncated: need {n} bytes, have {len(b) - pos}")
+    return w, h, np.frombuffer(b, dtype=np.uint8, count=n, offset=pos)
+
+
+def _parse_bmp(b: bytes):
+    """Parse an uncompressed 8/24/32-bit BMP → (width, height, pixels) in
+    pure numpy, or None if the payload is not BMP. 8-bpp payloads are read as
+    grayscale palette indices; 32-bpp alpha bytes are dropped. Row order
+    (bottom-up vs top-down) is irrelevant to dims/mean."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 2 or b[:2] != b"BM":
+        return None
+    if len(b) < 34:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0 or bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP: compression={compression}, bpp={bpp}")
+    height = abs(h)
+    bytes_per_px = bpp // 8
+    row_data = w * bytes_per_px
+    stride = (row_data + 3) & ~3  # rows pad to 4-byte boundaries
+    rows = [
+        np.frombuffer(b, np.uint8, count=row_data, offset=data_off + r * stride)
+        for r in range(height)
+    ]
+    px = np.concatenate(rows) if rows else np.empty(0, np.uint8)
+    if bpp == 32:
+        px = px.reshape(-1, 4)[:, :3].ravel()  # BGRA → drop alpha
+    return w, height, px
+
+
 def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode image payloads → (id, width, height, mean_intensity).
 
-    Real decode requires Pillow; absent that, a DETERMINISTIC FAKE decoder
-    derives pseudo-dimensions and intensity from the payload bytes (marked by
-    width/height being byte-derived). The ``mapInPandas`` plumbing — Arrow
-    batch in, Arrow batch out, partition-preserving — is the production shape.
+    REAL decode for self-describing formats — binary netpbm (P5/P6) and
+    uncompressed BMP — parsed in pure numpy; other codecs go through Pillow
+    when importable. Unknown payloads fall back to a clearly-marked
+    DETERMINISTIC FAKE (dims/intensity derived from the payload bytes) so
+    hermetic pipelines still run end-to-end. ``mean_intensity`` averages all
+    samples (channels weighted equally). The ``mapInPandas`` plumbing —
+    Arrow batch in, Arrow batch out, partition-preserving — is the
+    production shape.
     """
     try:
         from PIL import Image  # noqa: F401
@@ -78,28 +168,74 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         import pandas as pd
 
+        def one(b: bytes):
+            parsed = _parse_netpbm(b)
+            if parsed is None:
+                parsed = _parse_bmp(b)
+            if parsed is not None:
+                w, h, px = parsed
+                return w, h, round(float(px.mean()) if px.size else 0.0, 6)
+            if have_pil:  # pragma: no cover - Pillow not in this container
+                import numpy as np
+
+                img = Image.open(io.BytesIO(b))
+                a = np.asarray(img.convert("L"), dtype=np.float64)
+                return img.size[0], img.size[1], round(float(a.mean()), 6)
+            # Deterministic fake: dims/intensity from the bytes themselves.
+            w = 16 + (b[0] % 64) if b else 16
+            h = 16 + (b[-1] % 64) if b else 16
+            return w, h, round((sum(b) / len(b)) if b else 0.0, 6)
+
         for pdf in batches:
             ids, ws, hs, means = [], [], [], []
             for i, payload in zip(pdf["id"], pdf["payload"]):
-                b = bytes(payload)
-                if have_pil:
-                    img = Image.open(io.BytesIO(b))  # pragma: no cover (no PIL here)
-                    w, h = img.size
-                    mean = 0.0
-                    raise NotImplementedError(
-                        "real decode path requires pixel access; wire your decoder here"
-                    )
-                # Deterministic fake: dims/intensity from the bytes themselves.
-                w = 16 + (b[0] % 64) if b else 16
-                h = 16 + (b[-1] % 64) if b else 16
-                mean = (sum(b) / len(b)) if b else 0.0
+                w, h, mean = one(bytes(payload))
                 ids.append(i)
                 ws.append(w)
                 hs.append(h)
-                means.append(round(mean, 6))
+                means.append(mean)
             yield pd.DataFrame({"id": ids, "width": ws, "height": hs, "mean_intensity": means})
 
     return src.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build REAL binary PGM (P5) payloads with pure JVM expressions.
+
+    Dimensions derive from the id (``4 + id % 13`` × ``4 + id % 7``) and every
+    pixel equals ``1 + octet_length(text) % 127`` — kept in the ASCII range so
+    ``repeat(char(px)) → encode(UTF-8)`` is byte-exact. The payloads parse
+    through the real :func:`_parse_netpbm` path, and every output feature has
+    a closed-form ANSI-SQL restatement, which is what gives the contract's
+    ``llm_multimodal_decode`` an exact value oracle instead of rows-only."""
+    id_ = F.col(id_col)
+    w = (F.lit(4) + id_ % 13).cast("int")
+    h = (F.lit(4) + id_ % 7).cast("int")
+    px = (F.lit(1) + F.octet_length(F.col(text_col)) % 127).cast("int")
+    out = df.withColumn("__w", w).withColumn("__h", h).withColumn("__px", px)
+    header = F.concat(
+        F.lit("P5\n"),
+        F.col("__w").cast("string"),
+        F.lit(" "),
+        F.col("__h").cast("string"),
+        F.lit("\n255\n"),
+    )
+    raster = F.expr("repeat(char(__px), __w * __h)")
+    return (
+        out.withColumn("payload", F.encode(F.concat(header, raster), "UTF-8"))
+        .withColumn(
+            "mm_meta",
+            F.struct(
+                F.lit("image").alias("modality"),
+                F.lit("image/x-portable-graymap").alias("mime"),
+                F.col("__w").alias("width"),
+                F.col("__h").alias("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.lit(None).cast("int").alias("n_frames"),
+            ),
+        )
+        .drop("__w", "__h", "__px")
+    )
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, n_frames_col: str = "mm_meta") -> DataFrame:

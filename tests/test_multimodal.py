@@ -1,11 +1,20 @@
-"""Multimodal column plumbing: payload/metadata conventions + stubbed decode
-(Arrow-batched mapInPandas — the production batch shape, fake inner decoder)."""
+"""Multimodal column plumbing: payload/metadata conventions + decode.
 
+Real pure-numpy decoders (binary netpbm P5/P6, uncompressed BMP) over
+Arrow-batched mapInPandas — the production batch shape; the deterministic
+fake only handles unknown codecs."""
+
+import struct
+
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from siddhi_io_cdc_spark.functions.multimodal import (
     attach_payload,
+    attach_ppm_payload,
     decode_image_features,
+    encode_ppm,
     extract_embedding,
     sample_frames,
 )
@@ -95,3 +104,72 @@ def test_resize_images_updates_payload_and_meta(spark, sf_dir):
     # deterministic: same input -> same bytes
     again = resize_images(mm, width=4, height=3).collect()
     assert [bytes(r.payload) for r in out] == [bytes(r.payload) for r in again]
+
+
+def _bmp_24(pixels_bgr: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (test-local) — rows padded to
+    4 bytes, bottom-up, BITMAPINFOHEADER."""
+    h, w, _ = pixels_bgr.shape
+    stride = (w * 3 + 3) & ~3
+    raster = b"".join(
+        pixels_bgr[r].astype(np.uint8).tobytes().ljust(stride, b"\x00")
+        for r in range(h)
+    )
+    data_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", data_off + len(raster), 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + info + raster
+
+
+def _decode_one(spark, payload: bytes):
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    return decode_image_features(df).first()
+
+
+def test_decode_p5_exact(spark):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(11, 17), dtype=np.uint8)
+    r = _decode_one(spark, encode_ppm(img))
+    assert (r["width"], r["height"]) == (17, 11)
+    assert r["mean_intensity"] == pytest.approx(float(img.mean()), abs=1e-6)
+
+
+def test_decode_p6_exact_and_comments(spark):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    payload = encode_ppm(img)
+    # Inject a header comment — the parser must skip it.
+    payload = payload.replace(b"P6\n", b"P6\n# test comment\n", 1)
+    r = _decode_one(spark, payload)
+    assert (r["width"], r["height"]) == (9, 5)
+    assert r["mean_intensity"] == pytest.approx(float(img.mean()), abs=1e-6)
+
+
+def test_decode_bmp_exact(spark):
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)  # odd width → padding
+    r = _decode_one(spark, _bmp_24(img))
+    assert (r["width"], r["height"]) == (5, 6)
+    assert r["mean_intensity"] == pytest.approx(float(img.mean()), abs=1e-6)
+
+
+def test_decode_truncated_netpbm_raises(spark):
+    img = np.zeros((4, 4), dtype=np.uint8)
+    bad = encode_ppm(img)[:-3]  # chop the raster
+    df = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="truncated"):
+        decode_image_features(df).collect()
+
+
+def test_attach_ppm_round_trips_through_real_decoder(spark, sf_dir):
+    """attach_ppm_payload builds genuine P5 bytes JVM-side; the real netpbm
+    parser must recover the closed-form dims and pixel value exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    feats = decode_image_features(attach_ppm_payload(docs))
+    expect = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.lit(4) + F.col("doc_id") % 13).cast("int").alias("width"),
+        (F.lit(4) + F.col("doc_id") % 7).cast("int").alias("height"),
+        (F.lit(1) + F.octet_length("text") % 127).cast("double").alias("mean_intensity"),
+    )
+    assert sorted(feats.collect()) == sorted(expect.collect())
