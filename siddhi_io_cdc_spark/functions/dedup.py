@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from siddhi_io_cdc_spark.functions.text import normalize_text
 from siddhi_io_cdc_spark.util import fan_out as _fan_out
+from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
 
 # A large prime < 2^31 for minhash modular arithmetic (fits comfortably in
 # long multiplication without overflow of intermediates mattering — Java long
@@ -266,16 +267,15 @@ def minhash_lsh_pairs(
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i, shingle_k))),
         )
     )
-    sh = toks.select("__id", shingle.alias("__sh")).persist()
+    sh = scoped_persist(toks.select("__id", shingle.alias("__sh")))
     # Signatures are read by the banding AND both sides of the estimate
     # prefilter — persist (tiny: num_hashes longs per doc).
-    sig = sh.select(
-        "__id", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig")
-    ).persist()
-    banded = (
+    sig = scoped_persist(
+        sh.select("__id", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig"))
+    )
+    banded = scoped_persist(
         sig.select("__id", F.explode(_band_keys(F.col("__sig"), bands, rows_per_band)).alias("__b"))
         .select("__id", "__b.band", "__b.bkey")
-        .persist()
     )
 
     cand = (
@@ -297,7 +297,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+    return tag_caches(verified, [sh, sig, banded])
 
 
 def simhash64(col: Column | str, tokens: Column | None = None) -> Column:
@@ -353,9 +353,11 @@ def simhash_pairs(
     assert max_hamming < 4, "4-chunk blocking guarantees recall only for hamming < 4"
     # Persist: the 64-bit vote fold is the expensive part and feeds both
     # sides of the chunk self-join. Fan out first so the fold uses all cores.
-    h = _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))).select(
-        F.col(id_col).alias("__id"), simhash64(text_col).alias("__h")
-    ).persist()
+    h = scoped_persist(
+        _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))).select(
+            F.col(id_col).alias("__id"), simhash64(text_col).alias("__h")
+        )
+    )
     chunks = h.select(
         "__id",
         "__h",
@@ -385,7 +387,7 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs
+    return tag_caches(pairs, [h])
 
 
 def ngram_jaccard_pairs(
@@ -413,10 +415,10 @@ def ngram_jaccard_pairs(
             lambda i: F.xxhash64(F.col("__norm").substr(i, F.lit(n))),
         )
     )
-    sh = normed.select("__id", grams.alias("__sh")).persist()
-    sig = sh.select(
-        "__id", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig")
-    ).persist()
+    sh = scoped_persist(normed.select("__id", grams.alias("__sh")))
+    sig = scoped_persist(
+        sh.select("__id", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig"))
+    )
     rows_per_band = num_hashes // bands
     banded = sig.select(
         "__id", F.explode(_band_keys(F.col("__sig"), bands, rows_per_band)).alias("__b")
@@ -432,7 +434,7 @@ def ngram_jaccard_pairs(
     # banding floods the candidate set; estimate-prefilter before shuffling
     # full gram arrays (measured ~4x on the sf0.1 documents fixture).
     cand = _prefilter_candidates(cand, sig, threshold, num_hashes)
-    return (
+    verified = (
         cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
         .withColumn(
@@ -442,6 +444,7 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return tag_caches(verified, [sh, sig])
 
 
 def decontaminate(

@@ -23,6 +23,8 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
+
 
 def dot(a: Column, b: Column) -> Column:
     """Double-precision dot product of two array columns — left-to-right JVM
@@ -223,11 +225,13 @@ def embedding_near_dup_pairs(
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, nbits, seed)
     # Persist: the nbits-plane projection feeds both sides of the self-join.
-    b = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-    ).persist()
+    b = scoped_persist(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        )
+    )
     pairs = (
         b.alias("l")
         .join(b.alias("r"), on="__bucket", how="inner")
@@ -240,7 +244,7 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .distinct()
     )
-    return pairs
+    return tag_caches(pairs, [b])
 
 
 def knn_join(

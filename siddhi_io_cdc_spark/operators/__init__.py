@@ -30,6 +30,7 @@ from siddhi_io_cdc_spark.operators.mutate import (
     delete_on,
     evolve_target_schema,
     foreach_batch_bucketed_merge,
+    foreach_batch_merge,
     insert_into,
     merge_into_bucketed_parquet,
     merge_into_parquet,
@@ -67,5 +68,6 @@ __all__ = [
     "merge_into_bucketed_parquet",
     "read_bucketed_store",
     "foreach_batch_bucketed_merge",
+    "foreach_batch_merge",
     "update_on",
 ]

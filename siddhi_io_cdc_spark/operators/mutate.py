@@ -355,8 +355,32 @@ def _recover_interrupted_swap(target_path: str) -> None:
             shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
-def foreach_batch_merge(spark, target_path: str, key: Sequence[str], seq_col: str = "ts_ms", op_col: str = "operation"):
-    """``writeStream.foreachBatch`` adapter for :func:`merge_into_parquet`."""
+def foreach_batch_merge(
+    spark,
+    target_path: str,
+    key: Sequence[str],
+    seq_col: str = "ts_ms",
+    op_col: str = "operation",
+    layout: str = "bucketed",
+    num_buckets: int = 64,
+):
+    """``writeStream.foreachBatch`` adapter for the parquet merge store.
+
+    Default ``layout="bucketed"`` routes to
+    :func:`merge_into_bucketed_parquet` — the scale-correct store whose per-
+    batch I/O is O(touched buckets); read it back with
+    :func:`read_bucketed_store`. ``layout="flat"`` is an explicit opt-in to
+    :func:`merge_into_parquet`, whose full-rewrite-per-batch is only sane for
+    tiny tables (it reads back with a plain ``spark.read.parquet``). The two
+    layouts are not interchangeable on disk — pick one per target path.
+    """
+    if layout not in ("bucketed", "flat"):
+        raise ValueError(f"layout must be 'bucketed' or 'flat', got {layout!r}")
+    if layout == "bucketed":
+        return foreach_batch_bucketed_merge(
+            spark, target_path, key=key, num_buckets=num_buckets,
+            seq_col=seq_col, op_col=op_col,
+        )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         merge_into_parquet(spark, target_path, batch_df, key=key, seq_col=seq_col, op_col=op_col)

@@ -2,7 +2,65 @@
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame
+
+# Cache-lifetime bookkeeping for multi-reference pipelines (minhash/simhash/
+# n-gram/embedding near-dup): those operators MUST persist intermediates that
+# feed both sides of a self-join, but a long-lived session running repeated
+# curation jobs would otherwise accrete cached blocks until eviction
+# pressure. Two release mechanisms, combinable:
+#
+# - ``cache_scope()``: every ``scoped_persist`` inside the ``with`` block is
+#   unpersisted at exit — use around a whole job.
+# - ``release_caches(result)``: pipelines tag their result DataFrame with the
+#   intermediates built for it; call after materializing (collect/write) to
+#   free them immediately.
+#
+# Unpersisting is always safe for correctness — a re-evaluated result merely
+# recomputes.
+
+_SCOPES: list[list[DataFrame]] = []
+_CACHE_TAG = "_siddhi_cached_deps"
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` that registers with the innermost :func:`cache_scope`."""
+    df = df.persist()
+    if _SCOPES:
+        _SCOPES[-1].append(df)
+    return df
+
+
+def tag_caches(result: DataFrame, deps: list[DataFrame]) -> DataFrame:
+    """Record ``deps`` (persisted intermediates) on ``result`` for
+    :func:`release_caches`."""
+    setattr(result, _CACHE_TAG, list(deps))
+    return result
+
+
+def release_caches(result: DataFrame) -> None:
+    """Unpersist the intermediates a pipeline cached to build ``result``.
+
+    Call after the result is materialized (collected / written); evaluating
+    the result again afterwards recomputes instead of reading cache."""
+    for df in getattr(result, _CACHE_TAG, []):
+        df.unpersist()
+    setattr(result, _CACHE_TAG, [])
+
+
+@contextlib.contextmanager
+def cache_scope():
+    """Release every pipeline-internal persist created inside the block."""
+    scope: list[DataFrame] = []
+    _SCOPES.append(scope)
+    try:
+        yield
+    finally:
+        _SCOPES.remove(scope)
+        for df in scope:
+            df.unpersist()
 
 
 def fan_out(df: DataFrame, num_partitions: int | None = None) -> DataFrame:

@@ -91,3 +91,33 @@ def test_capture_shape_apply_aggregate(spark, tmp_path):
     assert got[(2, 6)] == (130.0, 2)  # [6,8) = {6,7}
     assert got[(4, 0)] == (99.0, 1)   # [0,4) = {2}
     assert got[(4, 4)] == (220.0, 4)  # [4,8) = {4,5,6,7}
+
+
+def test_default_merge_adapter_is_bucketed(spark, tmp_path):
+    """foreach_batch_merge defaults to the bucketed (partition-pruned) store;
+    the flat full-rewrite layout is an explicit opt-in."""
+    from siddhi_io_cdc_spark.operators.mutate import (
+        BUCKET_COL,
+        foreach_batch_merge,
+        read_bucketed_store,
+    )
+
+    store = str(tmp_path / "store_default")
+    batch = spark.createDataFrame(
+        [(1, 10.0, "insert", 1), (2, 20.0, "insert", 2), (2, 99.0, "update", 3)],
+        "k long, v double, operation string, ts_ms long",
+    )
+    apply_fn = foreach_batch_merge(spark, store, key=["k"], num_buckets=4)
+    apply_fn(batch, 0)
+    apply_fn(batch, 0)  # replay-idempotent
+
+    assert any(d.startswith(BUCKET_COL + "=") for d in os.listdir(store)), (
+        "default layout must be the bucketed store"
+    )
+    state = {r.k: r.v for r in read_bucketed_store(spark, store).collect()}
+    assert state == {1: 10.0, 2: 99.0}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="layout"):
+        foreach_batch_merge(spark, store, key=["k"], layout="nope")
