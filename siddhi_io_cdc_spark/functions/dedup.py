@@ -225,6 +225,69 @@ def minhash_signature(
     )
 
 
+def minhash_prep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared MinHash-LSH front end: ``(sh, sig, banded)`` frames —
+    ``(__id, __sh)`` hashed shingle sets, ``(__id, __sig)`` signatures,
+    ``(__id, band, bkey)`` exploded band keys. Un-persisted; callers decide
+    cache lifetime. Both the batch operator (:func:`minhash_lsh_pairs`) and
+    the incremental streaming index (``streaming/dedup.py``) build on this,
+    which is what guarantees batch ≡ streaming pair parity.
+
+    The token array is staged as its own projection: a ``split(normalize())``
+    referenced inside the shingle lambda would re-evaluate per element (no
+    CSE inside higher-order functions; the double reference keeps
+    CollapseProject from inlining it back). Shingles cross as hashed longs,
+    not strings — smaller persist/shuffle footprint, cheaper Jaccard."""
+    assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
+    rows_per_band = num_hashes // bands
+    toks = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col).alias("__id"),
+        F.split(normalize_text(text_col), " ").alias("__toks"),
+    )
+    shingle = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("__toks") - shingle_k + 1, F.lit(1))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i, shingle_k))),
+        )
+    )
+    sh = toks.select("__id", shingle.alias("__sh"))
+    sig = sh.select(
+        "__id", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig")
+    )
+    banded = sig.select(
+        "__id", F.explode(_band_keys(F.col("__sig"), bands, rows_per_band)).alias("__b")
+    ).select("__id", "__b.band", "__b.bkey")
+    return sh, sig, banded
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame, sh: DataFrame, threshold: float, sh_b: DataFrame | None = None
+) -> DataFrame:
+    """Exact shingle-Jaccard verify of ``(id_a, id_b)`` candidates against
+    one (or two, for cross-source pairs) ``(__id, __sh)`` frames. Returns
+    ``(id_a, id_b, jaccard)`` for pairs at/above ``threshold``."""
+    sh_b = sh if sh_b is None else sh_b
+    return (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh_b.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -245,38 +308,17 @@ def minhash_lsh_pairs(
     no cartesian anywhere; candidate volume is bounded by bucket collisions
     (tunable via bands/rows-per-band).
     """
-    assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
-    rows_per_band = num_hashes // bands
-
+    sh, sig, banded = minhash_prep(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k, seed=seed,
+    )
     # Persist the (hashed) shingle sets: they feed BOTH sides of the bucket
     # self-join and both sides of the verify join — without this the
     # shingle+signature pipeline (the expensive part) re-executes four
-    # times. Hashed longs, not strings: smaller persist footprint, cheaper
-    # Jaccard. (MEMORY_AND_DISK, spills fine at cluster scale.)
-    # Stage the token array as its own projection: a `split(normalize(...))`
-    # referenced inside the shingle lambda would re-evaluate per element
-    # (no CSE in higher-order functions; the double reference keeps
-    # CollapseProject from inlining it back).
-    toks = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col).alias("__id"),
-        F.split(normalize_text(text_col), " ").alias("__toks"),
-    )
-    shingle = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("__toks") - shingle_k + 1, F.lit(1))),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i, shingle_k))),
-        )
-    )
-    sh = scoped_persist(toks.select("__id", shingle.alias("__sh")))
-    # Signatures are read by the banding AND both sides of the estimate
-    # prefilter — persist (tiny: num_hashes longs per doc).
-    sig = scoped_persist(
-        sh.select("__id", minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig"))
-    )
-    banded = scoped_persist(
-        sig.select("__id", F.explode(_band_keys(F.col("__sig"), bands, rows_per_band)).alias("__b"))
-        .select("__id", "__b.band", "__b.bkey")
-    )
+    # times. Signatures are read by the banding AND both sides of the
+    # estimate prefilter — persist (tiny: num_hashes longs per doc).
+    # (MEMORY_AND_DISK, spills fine at cluster scale.)
+    sh, sig, banded = scoped_persist(sh), scoped_persist(sig), scoped_persist(banded)
 
     cand = (
         banded.alias("l")
@@ -286,17 +328,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     cand = _prefilter_candidates(cand, sig, jaccard_threshold, num_hashes)
-    verified = (
-        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .where(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    verified = verify_jaccard_pairs(cand, sh, jaccard_threshold)
     return tag_caches(verified, [sh, sig, banded])
 
 

@@ -1,4 +1,8 @@
 from siddhi_io_cdc_spark.streaming.cep import absent_pattern_stream
+from siddhi_io_cdc_spark.streaming.dedup import (
+    foreach_batch_minhash_dedup,
+    incremental_minhash_pairs,
+)
 from siddhi_io_cdc_spark.streaming.lifecycle import run_with_restarts
 from siddhi_io_cdc_spark.streaming.metrics import CDCMetricsListener
 from siddhi_io_cdc_spark.streaming.rollup_sink import (
@@ -25,7 +29,9 @@ __all__ = [
     "absent_pattern_stream",
     "cron_run",
     "followed_by_stream",
+    "foreach_batch_minhash_dedup",
     "foreach_batch_rollup",
+    "incremental_minhash_pairs",
     "interval_trigger",
     "length_batch_agg",
     "length_window_agg",

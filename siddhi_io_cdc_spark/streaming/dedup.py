@@ -1,0 +1,205 @@
+"""Incremental (streaming) MinHash-LSH near-dedup over a persistent index.
+
+The batch operator (``functions/dedup.py:minhash_lsh_pairs``) needs the whole
+corpus in one frame; a CDC document stream needs each micro-batch's near-dup
+pairs against everything seen so far WITHOUT rescanning the corpus. This
+module keeps a bucket-partitioned LSH index on disk, mirroring the bucketed
+merge-store pattern (``operators/mutate.py:merge_into_bucketed_parquet`` /
+``operators/history.py``):
+
+- ``{store}/bands`` — rows ``(doc_id, band, bkey)`` partitioned by
+  ``__bucket = pmod(xxhash64(band, bkey), num_buckets)``. A new batch probes
+  ONLY the band-buckets its own keys hash into (partition pruning), so probe
+  I/O per trigger is O(batch's buckets), never O(index).
+- ``{store}/docs`` — rows ``(doc_id, __sig, __sh)`` partitioned by
+  ``__bucket = pmod(xxhash64(doc_id), num_buckets)``. The verify step reads
+  only the buckets holding candidate partners.
+
+Per micro-batch the emitted pairs are: in-batch pairs (LSH over the new docs
+alone) ∪ cross pairs (new band keys probed against the pruned index). Both
+use the SAME shingle/signature/band expressions (``minhash_prep``) and the
+same exact-Jaccard verify as the batch operator, so the union of all batches'
+pairs equals ``minhash_lsh_pairs`` over the union of all batches — pinned by
+``tests/test_pipeline_streaming.py::test_incremental_minhash_matches_batch``.
+
+Replay safety (``foreachBatch`` re-runs a batch after a crash): the index
+probe always anti-joins out the current batch's own ids, so a batch whose
+rows were already appended recomputes the SAME pairs; the index append is
+skipped via a per-batch marker file, and the pairs sink writes
+``batch=<id>`` subdirectories with overwrite — all three steps idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.dedup import (
+    _prefilter_candidates,
+    minhash_prep,
+    verify_jaccard_pairs,
+)
+from siddhi_io_cdc_spark.util import scoped_persist
+
+BUCKET_COL = "__bucket"
+
+
+def _bands_path(store: str) -> str:
+    return os.path.join(store, "bands")
+
+
+def _docs_path(store: str) -> str:
+    return os.path.join(store, "docs")
+
+
+def _marker_path(store: str, batch_id) -> str:
+    return os.path.join(store, "_batches", str(batch_id))
+
+
+def incremental_minhash_pairs(
+    spark,
+    store_path: str,
+    batch_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+    seed: int = 42,
+    num_buckets: int = 32,
+    batch_id=None,
+) -> DataFrame:
+    """One incremental step: the batch's near-dup pairs (in-batch + against
+    the index), MATERIALIZED, with the batch then appended to the index.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b``. The result is
+    ``localCheckpoint``-ed before the index append (the pair plan must not
+    lazily re-read index files the append is about to grow), so callers can
+    write/collect it freely.
+    """
+    band_bucket = F.pmod(F.xxhash64("band", "bkey"), F.lit(num_buckets))
+    id_bucket = F.pmod(F.xxhash64("__id"), F.lit(num_buckets))
+
+    sh, sig, banded = minhash_prep(
+        batch_df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k, seed=seed,
+    )
+    sh, sig, banded = scoped_persist(sh), scoped_persist(sig), scoped_persist(banded)
+    step_caches = [sh, sig, banded]
+
+    # --- in-batch pairs (identical to the batch operator over new docs) ----
+    in_cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), on=["band", "bkey"], how="inner")
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    in_cand = _prefilter_candidates(in_cand, sig, jaccard_threshold, num_hashes)
+    pairs = verify_jaccard_pairs(in_cand, sh, jaccard_threshold)
+
+    # --- cross pairs: probe the persisted index, partition-pruned ----------
+    bands_path, docs_path = _bands_path(store_path), _docs_path(store_path)
+    if os.path.exists(bands_path):
+        touched = [
+            r[0] for r in banded.select(band_bucket.alias("b")).distinct().collect()
+        ]  # ≤ num_buckets small ints — driver-safe, same pattern as the merge store
+        new_ids = banded.select("__id").distinct()
+        old_bands = (
+            spark.read.parquet(bands_path)
+            .where(F.col(BUCKET_COL).isin(touched))  # partition-pruned probe
+            .drop(BUCKET_COL)
+            # Replay safety: a re-run batch already lives in the index;
+            # excluding its ids keeps the recomputed pairs identical.
+            .join(F.broadcast(new_ids), on="__id", how="left_anti")
+        )
+        cross_cand = scoped_persist(
+            banded.alias("n")
+            .join(old_bands.alias("o"), on=["band", "bkey"], how="inner")
+            .select(F.col("o.__id").alias("id_a"), F.col("n.__id").alias("id_b"))
+            .distinct()
+        )
+        step_caches.append(cross_cand)
+        cand_buckets = [
+            r[0]
+            for r in cross_cand.select(
+                F.pmod(F.xxhash64("id_a"), F.lit(num_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if cand_buckets:
+            old_docs = (
+                spark.read.parquet(docs_path)
+                .where(F.col(BUCKET_COL).isin(cand_buckets))  # pruned verify read
+                .drop(BUCKET_COL)
+            )
+            old_sig = old_docs.select("__id", "__sig")
+            # Signature prefilter across sources, then exact verify.
+            se = (jaccard_threshold * (1.0 - jaccard_threshold) / num_hashes) ** 0.5
+            cutoff = max(0.0, jaccard_threshold - 3.0 * se)
+            from siddhi_io_cdc_spark.functions.dedup import _sig_agreement
+
+            filtered = (
+                cross_cand.join(
+                    old_sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a")),
+                    "id_a",
+                )
+                .join(
+                    sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b")),
+                    "id_b",
+                )
+                .where(_sig_agreement(F.col("sig_a"), F.col("sig_b"), num_hashes) >= cutoff)
+                .select("id_a", "id_b")
+            )
+            cross = verify_jaccard_pairs(
+                filtered, old_docs.select("__id", "__sh"), jaccard_threshold, sh_b=sh
+            )
+            pairs = pairs.unionByName(
+                cross.select(
+                    F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                    "jaccard",
+                )
+            )
+
+    # Materialize BEFORE growing the index the plan reads from.
+    result = pairs.localCheckpoint()
+
+    # --- append the batch to the index (idempotent per batch_id) -----------
+    marker = None if batch_id is None else _marker_path(store_path, batch_id)
+    if marker is None or not os.path.exists(marker):
+        banded.withColumn(BUCKET_COL, band_bucket).write.mode("append").partitionBy(
+            BUCKET_COL
+        ).parquet(bands_path)
+        sh.join(sig, "__id").select("__id", "__sig", "__sh").withColumn(
+            BUCKET_COL, id_bucket
+        ).write.mode("append").partitionBy(BUCKET_COL).parquet(docs_path)
+        if marker is not None:
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as f:
+                f.write("done")
+    for df in step_caches:
+        df.unpersist()
+    return result
+
+
+def foreach_batch_minhash_dedup(
+    spark, store_path: str, pairs_path: str, **params
+):
+    """``writeStream.foreachBatch`` adapter: per micro-batch, emit new
+    near-dup pairs to ``{pairs_path}/batch=<id>`` (overwrite → replay-
+    idempotent) and fold the batch into the LSH index."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_minhash_pairs(
+            spark, store_path, batch_df, batch_id=batch_id, **params
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"batch={batch_id}")
+        )
+
+    return _apply

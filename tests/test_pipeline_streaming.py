@@ -56,3 +56,97 @@ def test_cdc_poll_feeds_tumbling_window(spark, tmp_path):
         assert got == {0: (2, 3.0), 100: (2, 7.0), 200: (1, 5.0)}
     finally:
         q.stop()
+
+
+def test_incremental_minhash_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming near-dedup parity: replaying the corpus through the
+    incremental LSH index in 3 micro-batches yields EXACTLY the pairs the
+    batch operator finds over the full corpus."""
+    from siddhi_io_cdc_spark.functions.dedup import minhash_lsh_pairs
+    from siddhi_io_cdc_spark.streaming.dedup import incremental_minhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    # Plant cross-batch near-dups: variants of docs 0-4 with shifted ids so
+    # original and variant land in DIFFERENT batches (id % 3 differs).
+    nd = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10_000_001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(nd)
+
+    store = str(tmp_path / "lsh_store")
+    got = set()
+    for i in range(3):
+        batch = corpus.where(F.col("doc_id") % 3 == i)
+        pairs = incremental_minhash_pairs(
+            spark, store, batch, jaccard_threshold=0.7, num_buckets=8, batch_id=i
+        )
+        got |= {(r.id_a, r.id_b, r.jaccard) for r in pairs.collect()}
+
+    expect = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(corpus, jaccard_threshold=0.7).collect()
+    }
+    assert expect, "fixture must plant at least one near-dup pair"
+    assert got == expect
+
+    # Replay of the last batch (foreachBatch crash-recovery): same pairs out,
+    # no index double-count.
+    replay = incremental_minhash_pairs(
+        spark, store, corpus.where(F.col("doc_id") % 3 == 2),
+        jaccard_threshold=0.7, num_buckets=8, batch_id=2,
+    )
+    got_replay = {(r.id_a, r.id_b, r.jaccard) for r in replay.collect()}
+    # replayed emission covers exactly the pairs touching batch 2
+    assert got_replay == {
+        (a, b, j) for (a, b, j) in expect if a % 3 == 2 or b % 3 == 2
+    }
+
+
+def test_foreach_batch_minhash_dedup_stream(spark, sf_dir, tmp_path):
+    """The foreachBatch adapter on a live stream: pairs land under
+    batch=<id> dirs and a replayed batch overwrites, not duplicates."""
+    from siddhi_io_cdc_spark.streaming.dedup import foreach_batch_minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    nd = docs.where(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 10_000_001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(nd)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    corpus.where(F.col("doc_id") % 2 == 0).write.mode("append").parquet(src)
+
+    store, pairs_out = str(tmp_path / "store"), str(tmp_path / "pairs")
+    apply_fn = foreach_batch_minhash_dedup(
+        spark, store, pairs_out, jaccard_threshold=0.7, num_buckets=8
+    )
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        corpus.where(F.col("doc_id") % 2 == 1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    from siddhi_io_cdc_spark.functions.dedup import minhash_lsh_pairs
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in spark.read.parquet(pairs_out).collect()
+    }
+    expect = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(corpus, jaccard_threshold=0.7).collect()
+    }
+    assert expect and got == expect
