@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from siddhi_io_cdc_spark.functions import dedup_exact, lang_detect, quality_score, text_stats
 from siddhi_io_cdc_spark.functions.dedup import minhash_lsh_pairs, simhash_pairs
-from siddhi_io_cdc_spark.functions.multimodal import attach_ppm_payload, decode_image_features
+from siddhi_io_cdc_spark.functions.multimodal import (
+    attach_ppm_payload,
+    attach_wav_payload,
+    decode_audio_features,
+    decode_image_features,
+)
 from siddhi_io_cdc_spark.functions.similarity import ann_cosine, topk_cosine
 from siddhi_io_cdc_spark.functions.text import (
     LANG_MARKERS,
@@ -404,6 +409,13 @@ def q_multimodal_decode(spark, sf_dir):
     restatement, so this runs as an exact value oracle, not rows-only."""
     docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
     return decode_image_features(attach_ppm_payload(docs)).orderBy("id")
+
+
+def q_audio_decode(spark, sf_dir):
+    """Real mono 16-bit PCM WAV payloads (attach_wav_payload) parsed back by
+    the real pure-numpy RIFF decoder — closed-form features, exact oracle."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return decode_audio_features(attach_wav_payload(docs)).orderBy("id")
 
 
 def q_ngram_pairs(spark, sf_dir):
@@ -1090,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ngram_pairs": q_ngram_pairs,
         "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_ann_cosine": q_ann_cosine,
+        "llm_audio_decode": q_audio_decode,
     }
 
 
@@ -1735,6 +1748,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 + doc_id % 7 AS INTEGER) AS height,
                    CAST(1 + octet_length(encode(text)) % 127 AS DOUBLE)
                        AS mean_intensity
+            FROM documents WHERE doc_id < 200""",
+        # The WAV fixture pins 1 + octet_length(text) % 400 constant samples
+        # of amplitude 2048·((id % 16) − 8) at 8 kHz, so rms has the exact
+        # power-of-two closed form |id%16 − 8| / 16:
+        "llm_audio_decode": """
+            SELECT doc_id AS id,
+                   CAST(1 + octet_length(encode(text)) % 400 AS INTEGER)
+                       AS n_samples,
+                   ROUND(CAST(1 + octet_length(encode(text)) % 400 AS DOUBLE)
+                         / 8000, 6) AS duration_s,
+                   CAST(abs((doc_id % 16) - 8) AS DOUBLE) / 16 AS rms
             FROM documents WHERE doc_id < 200""",
         # llm_minhash_pairs / llm_simhash_pairs / llm_ngram_pairs /
         # llm_embedding_near_dup / llm_ann_cosine: rows-only (LSH banding is

@@ -281,17 +281,73 @@ def extract_embedding(df: DataFrame, id_col: str = "doc_id", dim: int = 16) -> D
 AUDIO_FEATURES_SCHEMA = "id long, n_samples int, duration_s double, rms double"
 
 
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Serialize int16 numpy samples to a canonical mono PCM WAV (RIFF)
+    file. The inverse of :func:`_parse_wav`; used by tests and fixtures to
+    produce real audio payloads without any media library."""
+    import struct
+
+    import numpy as np
+
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def _parse_wav(b: bytes):
+    """Parse a PCM WAV (RIFF) payload → (sample_rate, samples in [-1, 1)) in
+    pure numpy, or None if the payload is not RIFF/WAVE. Walks the chunk
+    list (chunks pad to even offsets), supports uncompressed 8/16-bit,
+    downmixes multi-channel by averaging."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sr, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            fmt = (audio_fmt, channels, sr, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, sr, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported WAV: format={audio_fmt}, bits={bits}")
+    if bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float64) / 32768.0
+    else:
+        x = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
+    if channels > 1:
+        x = x[: (x.size // channels) * channels].reshape(-1, channels).mean(axis=1)
+    return sr, x
+
+
 def decode_audio_features(
     df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000
 ) -> DataFrame:
     """Decode audio payloads → (id, n_samples, duration_s, rms).
 
-    Same contract as :func:`decode_image_features`: the Spark plumbing
-    (Arrow-batched ``mapInPandas``, partition-preserving, vectorized numpy
-    inside the batch) is the production shape; the codec itself is a
-    DETERMINISTIC FAKE that treats the payload bytes as 8-bit PCM — swap the
-    inner function for soundfile/librosa in production. ``sample_rate``
-    falls back to the given default when ``mm_meta.sample_rate`` is NULL.
+    REAL decode for PCM WAV (RIFF) payloads — parsed in pure numpy via
+    :func:`_parse_wav` (8/16-bit, multi-channel downmix), with sample rate
+    and counts taken from the file itself. Non-RIFF payloads fall back to
+    the clearly-marked DETERMINISTIC FAKE (bytes as 8-bit PCM at
+    ``mm_meta.sample_rate`` / the given default) so hermetic pipelines still
+    run; swap in soundfile/librosa for compressed codecs. Spark plumbing
+    (Arrow-batched ``mapInPandas``, vectorized numpy inside the batch) is
+    the production shape either way.
     """
     src = df.select(
         F.col(id_col).alias("id"),
@@ -306,12 +362,23 @@ def decode_audio_features(
         for pdf in batches:
             ns, dur, rms = [], [], []
             for payload, sr in zip(pdf["payload"], pdf["__sr"]):
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = int(b.size)
+                b = bytes(payload)
+                parsed = _parse_wav(b)
+                if parsed is not None:
+                    wav_sr, x = parsed
+                    n = int(x.size)
+                    ns.append(n)
+                    dur.append(round(n / float(wav_sr), 6))
+                    rms.append(
+                        round(float(np.sqrt(np.mean(x * x))), 6) if n else 0.0
+                    )
+                    continue
+                raw = np.frombuffer(b, dtype=np.uint8)
+                n = int(raw.size)
                 ns.append(n)
                 dur.append(round(n / float(sr), 6))
                 if n:
-                    x = (b.astype("float64") - 128.0) / 128.0  # fake 8-bit PCM
+                    x = (raw.astype("float64") - 128.0) / 128.0  # fake 8-bit PCM
                     rms.append(round(float(np.sqrt(np.mean(x * x))), 6))
                 else:
                     rms.append(0.0)
@@ -320,6 +387,54 @@ def decode_audio_features(
             )
 
     return src.mapInPandas(_decode, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def attach_wav_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Build REAL mono 16-bit PCM WAV payloads whose features have closed
+    ANSI-SQL forms: ``1 + octet_length(text) % 400`` constant samples of
+    amplitude ``2048·((id % 16) − 8)`` (so rms = |id%16 − 8| / 16 exactly —
+    a power-of-two denominator keeps every engine's arithmetic bit-equal).
+    Payload bytes are produced by :func:`encode_wav` in an Arrow-batched
+    ``mapInPandas`` (fixture-side Python; the decode path under test stays
+    the real parser)."""
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        (F.lit(1) + F.octet_length(F.col(text_col)) % 400).alias("__n"),
+        (F.lit(2048) * ((F.col(id_col) % 16) - 8)).cast("int").alias("__amp"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("mm_meta", MM_META_SCHEMA, True),
+        ]
+    )
+
+    def _build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                encode_wav(np.full(int(n), int(a), dtype=np.int16), sample_rate)
+                for n, a in zip(pdf["__n"], pdf["__amp"])
+            ]
+            metas = [
+                {
+                    "modality": "audio", "mime": "audio/wav",
+                    "width": None, "height": None,
+                    "sample_rate": sample_rate, "n_frames": None,
+                }
+                for _ in payloads
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf["__id"], "payload": payloads, "mm_meta": metas}
+            )
+
+    return src.mapInPandas(_build, schema=out_schema)
 
 
 def resize_images(

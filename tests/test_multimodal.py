@@ -173,3 +173,70 @@ def test_attach_ppm_round_trips_through_real_decoder(spark, sf_dir):
         (F.lit(1) + F.octet_length("text") % 127).cast("double").alias("mean_intensity"),
     )
     assert sorted(feats.collect()) == sorted(expect.collect())
+
+
+def test_decode_wav_exact(spark):
+    """Real 16-bit PCM WAV round-trip: encode_wav → _parse_wav recovers
+    sample count, duration, and rms exactly."""
+    from siddhi_io_cdc_spark.functions.multimodal import (
+        decode_audio_features,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(5)
+    samples = rng.integers(-32768, 32768, size=1234, dtype=np.int16)
+    payload = encode_wav(samples, sample_rate=16000)
+    df = spark.createDataFrame(
+        [(7, bytearray(payload), None)],
+        "doc_id long, payload binary, mm_meta struct<modality:string,mime:string,"
+        "width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = decode_audio_features(df).first()
+    x = samples.astype(np.float64) / 32768.0
+    assert r["n_samples"] == 1234
+    assert r["duration_s"] == pytest.approx(1234 / 16000, abs=1e-6)
+    assert r["rms"] == pytest.approx(float(np.sqrt(np.mean(x * x))), abs=1e-6)
+
+
+def test_decode_wav_stereo_downmix_and_8bit(spark):
+    from siddhi_io_cdc_spark.functions.multimodal import _parse_wav, encode_wav
+
+    # Stereo: interleave L/R; downmix must average.
+    left = np.full(100, 1000, dtype=np.int16)
+    right = np.full(100, 3000, dtype=np.int16)
+    inter = np.empty(200, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    stereo = bytearray(encode_wav(inter, sample_rate=8000))
+    stereo[22:24] = (2).to_bytes(2, "little")  # fmt channels = 2
+    sr, x = _parse_wav(bytes(stereo))
+    assert sr == 8000 and x.size == 100
+    assert x[0] == pytest.approx(2000 / 32768.0)
+
+    # Non-RIFF payloads still take the deterministic fake path.
+    from siddhi_io_cdc_spark.functions.multimodal import decode_audio_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x80" * 50), None)],
+        "doc_id long, payload binary, mm_meta struct<modality:string,mime:string,"
+        "width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    r = decode_audio_features(df, sample_rate=100).first()
+    assert r["n_samples"] == 50 and r["duration_s"] == 0.5 and r["rms"] == 0.0
+
+
+def test_attach_wav_round_trips_through_real_decoder(spark, sf_dir):
+    from siddhi_io_cdc_spark.functions.multimodal import (
+        attach_wav_payload,
+        decode_audio_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    feats = decode_audio_features(attach_wav_payload(docs))
+    expect = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.lit(1) + F.octet_length("text") % 400).cast("int").alias("n_samples"),
+        F.round((F.lit(1) + F.octet_length("text") % 400).cast("double") / 8000, 6)
+        .alias("duration_s"),
+        (F.abs((F.col("doc_id") % 16) - 8).cast("double") / 16).alias("rms"),
+    )
+    assert sorted(feats.collect()) == sorted(expect.collect())
