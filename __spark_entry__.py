@@ -871,6 +871,15 @@ def q_frequent(spark, sf_dir):
     return frequent_items(ev, ["user_id"], "event_type", k=2)
 
 
+def q_lossy_frequent(spark, sf_dir):
+    """Siddhi `window.lossyFrequent(0.22)`: event types covering >= 22% of a
+    user's events (exact in the batch restatement)."""
+    from siddhi_io_cdc_spark.operators.rate_limit import lossy_frequent_items
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    return lossy_frequent_items(ev, ["user_id"], "event_type", support=0.22)
+
+
 def q_length_window(spark, sf_dir):
     """Siddhi `window.length(5)`: trailing-5-events running sum/count per
     user (count-based sliding window)."""
@@ -1103,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_ann_cosine": q_ann_cosine,
         "llm_audio_decode": q_audio_decode,
+        "win_lossy_frequent": q_lossy_frequent,
     }
 
 
@@ -1514,6 +1524,15 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY count(*) DESC, event_type ASC) AS rk
                 FROM events GROUP BY user_id, event_type)
             WHERE rk <= 2""",
+        "win_lossy_frequent": """
+            WITH c AS (SELECT user_id, event_type, count(*) AS n_occurrences
+                       FROM events GROUP BY 1, 2),
+                 t AS (SELECT user_id, count(*) AS total FROM events GROUP BY 1)
+            SELECT c.user_id, c.event_type, c.n_occurrences,
+                   ROUND(CAST(c.n_occurrences AS DOUBLE) / t.total, 6)
+                       AS support_frac
+            FROM c JOIN t USING (user_id)
+            WHERE c.n_occurrences >= t.total * 0.22""",
         "win_length": """
             SELECT user_id, event_id, value,
                    CAST(sum(CAST(value AS DECIMAL(18,2)))

@@ -16,6 +16,7 @@ from siddhi_io_cdc_spark.operators.mongo import MONGO_ENVELOPE_SCHEMA, mongo_fla
 from siddhi_io_cdc_spark.operators.rate_limit import (
     every_nth_per_key,
     frequent_items,
+    lossy_frequent_items,
     snapshot_per_window,
 )
 from siddhi_io_cdc_spark.operators.history import (
@@ -53,6 +54,7 @@ __all__ = [
     "or_pattern",
     "every_nth_per_key",
     "frequent_items",
+    "lossy_frequent_items",
     "snapshot_per_window",
     "flatten",
     "lowercase_columns",

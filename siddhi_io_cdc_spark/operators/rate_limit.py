@@ -90,3 +90,39 @@ def frequent_items(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def lossy_frequent_items(
+    df: DataFrame, keys: Sequence[str], item_col: str, support: float
+) -> DataFrame:
+    """Siddhi ``window.lossyFrequent(support)``: item values occurring in at
+    least ``support`` fraction of each key's events
+    (LossyFrequentWindowProcessor — the reference's window family ships it in
+    siddhi-core 5.1.32 alongside ``frequent``).
+
+    Siddhi implements lossy counting (Manku-Motwani) because it must bound
+    state on an unbounded stream; a batch/micro-batch restatement gets
+    EXACTNESS for free from the same hash-aggregate that powers
+    :func:`frequent_items` — counts are exact, so the emitted set is the true
+    support-threshold set with zero false positives/negatives (a strict
+    upgrade over the streaming approximation, same interface). Returns
+    ``(keys…, item, n_occurrences, support_frac)`` with ``support_frac``
+    rounded to 6 places for engine-portable comparison.
+
+    Scale shape: one shuffle of map-side-collapsed (key, item) partials plus
+    a broadcast-sized per-key totals join — the count table is
+    |keys|·|distinct items|, never |rows|.
+    """
+    if not (0.0 < support <= 1.0):
+        raise ValueError(f"support must be in (0, 1], got {support}")
+    counts = df.groupBy(*keys, item_col).agg(F.count(F.lit(1)).alias("n_occurrences"))
+    totals = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.join(totals, on=list(keys))
+        .where(F.col("n_occurrences") >= F.col("__total") * support)
+        .withColumn(
+            "support_frac",
+            F.round(F.col("n_occurrences") / F.col("__total"), 6),
+        )
+        .drop("__total")
+    )

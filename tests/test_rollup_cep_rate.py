@@ -251,3 +251,26 @@ def test_match_runs_randomized_against_python_scan(spark):
             (u, s, e, ln) for u, fs in seqs.items() for s, e, ln in python_runs(fs, mn, mx)
         )
         assert got == want, (mn, mx)
+
+
+def test_lossy_frequent_support_threshold(spark):
+    """window.lossyFrequent: exact support-threshold set in the batch
+    restatement — no false positives or negatives at the boundary."""
+    from siddhi_io_cdc_spark.operators.rate_limit import lossy_frequent_items
+
+    rows = [("u1", t) for t in ["a"] * 5 + ["b"] * 3 + ["c"] * 2] + [
+        ("u2", t) for t in ["x"] * 9 + ["y"] * 1
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string")
+    got = {
+        (r.user_id, r.event_type): (r.n_occurrences, r.support_frac)
+        for r in lossy_frequent_items(df, ["user_id"], "event_type", 0.3).collect()
+    }
+    # u1: a=0.5 and b=0.3 pass (boundary inclusive), c=0.2 fails;
+    # u2: x=0.9 passes, y=0.1 fails.
+    assert got == {("u1", "a"): (5, 0.5), ("u1", "b"): (3, 0.3), ("u2", "x"): (9, 0.9)}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="support"):
+        lossy_frequent_items(df, ["user_id"], "event_type", 0.0)
