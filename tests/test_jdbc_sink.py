@@ -59,3 +59,61 @@ def test_foreach_batch_merge_against_duckdb(spark, tmp_path):
     rows = dict(con.execute("SELECT id, name FROM login ORDER BY id").fetchall())
     con.close()
     assert rows == {"e1": "updated", "e3": "new"}
+
+
+def test_polling_sql_executes_against_live_db():
+    """The generated polling-mode SQL runs against a LIVE in-process SQL
+    database (DuckDB): seed query, incremental subquery + every range
+    predicate, and the recordSelectQuery override — so S8's JDBC path is
+    executed, not just string-asserted (reference semantics:
+    DefaultPollingStrategy.java:109-145, PollingStrategy.java:127-205)."""
+    import duckdb
+
+    from siddhi_io_cdc_spark.sources.jdbc import (
+        incremental_query,
+        max_offset_query,
+        range_predicates,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE login (id BIGINT, name VARCHAR, ts TIMESTAMP)")
+
+    # Seed on an empty table: NULL → the caller maps to the -1 sentinel.
+    seed = max_offset_query("login", "id")
+    assert con.execute(f"SELECT max_off FROM {seed}").fetchone()[0] is None
+
+    con.execute(
+        "INSERT INTO login SELECT range, 'n' || range, "
+        "TIMESTAMP '2024-01-01' + INTERVAL (range) SECOND FROM range(1, 1001)"
+    )
+    assert con.execute(f"SELECT max_off FROM {seed}").fetchone()[0] == 1000
+
+    # Poll cycle: new rows arrive, the (last, current] scan fans out across
+    # range predicates; their union is exactly the increment, no dup/loss.
+    con.execute(
+        "INSERT INTO login SELECT range, 'n' || range, "
+        "TIMESTAMP '2024-01-01' + INTERVAL (range) SECOND FROM range(1001, 1101)"
+    )
+    base = incremental_query("login", "id")
+    got = []
+    for pred in range_predicates("id", 1000, 1100, num_partitions=4):
+        got += [
+            r[0]
+            for r in con.execute(f"SELECT id FROM {base} WHERE {pred}").fetchall()
+        ]
+    assert sorted(got) == list(range(1001, 1101))
+
+    # Timestamp polling column: the single-predicate fallback must execute
+    # with quoted literals on a real engine.
+    (pred,) = range_predicates("ts", "2024-01-01 00:16:40", "2024-01-01 00:18:20")
+    rows = con.execute(f"SELECT id FROM {base} WHERE {pred}").fetchall()
+    assert sorted(r[0] for r in rows) == list(range(1001, 1101))
+
+    # Vendor recordSelectQuery override template (S11).
+    ov = incremental_query(
+        "login", "id", columns=["id", "name"],
+        select_query_override=(
+            "SELECT {{COLUMN_LIST}} FROM {{TABLE_NAME}} WHERE name IS NOT NULL"
+        ),
+    )
+    assert con.execute(f"SELECT count(*) FROM {ov}").fetchone()[0] == 1100
