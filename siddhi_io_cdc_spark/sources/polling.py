@@ -103,6 +103,7 @@ class RangeScan(InputPartition):
     low: object  # exclusive; None/-1 sentinel = unbounded below
     high: object  # inclusive; None = empty scan
     columns: list = field(default_factory=list)
+    ordered: bool = False  # sort the slice by the polling column before emit
 
 
 class CDCPollStreamReader(DataSourceStreamReader):
@@ -118,6 +119,13 @@ class CDCPollStreamReader(DataSourceStreamReader):
         self.missed_timeout = float(options.get("missedRecordWaitingTimeout") or -1)
         self.num_partitions = int(options.get("numPartitions") or 4)
         self.max_keys_per_trigger = int(options.get("maxKeysPerTrigger") or 1_000_000)
+        # Ordered delivery (reference §4: strict per-source event order,
+        # CDCSource.java:436 single delivery thread). Spark parallelizes, so
+        # the guarantee we offer is: rows within each partition are sorted by
+        # the polling column, and partition ranges are themselves monotone —
+        # a foreachBatch consumer iterating partitions in order sees globally
+        # ordered keys. Costs one in-memory Arrow sort per slice.
+        self.ordered = (options.get("orderByPollingColumn") or "false").lower() == "true"
         self.field_names = [f.name for f in schema.fields]
         self._prev: dict | None = None  # last offset this reader emitted/saw
 
@@ -352,7 +360,7 @@ class CDCPollStreamReader(DataSourceStreamReader):
         self._prev = dict(end)
         low = start.get("last")
         high = end.get("last")
-        empty = [RangeScan(self.path, self.column, None, None, self.field_names)]
+        empty = [RangeScan(self.path, self.column, None, None, self.field_names, self.ordered)]
         if high is None or high == low:
             return empty
         if isinstance(low, int) and isinstance(high, int):
@@ -366,10 +374,12 @@ class CDCPollStreamReader(DataSourceStreamReader):
                 parts, lo = [], low
                 for i in range(self.num_partitions):
                     hi = high if i == self.num_partitions - 1 else lo + step
-                    parts.append(RangeScan(self.path, self.column, lo, hi, self.field_names))
+                    parts.append(
+                        RangeScan(self.path, self.column, lo, hi, self.field_names, self.ordered)
+                    )
                     lo = hi
                 return parts
-        return [RangeScan(self.path, self.column, low, high, self.field_names)]
+        return [RangeScan(self.path, self.column, low, high, self.field_names, self.ordered)]
 
     def read(self, partition: RangeScan):
         import pyarrow.dataset as ds
@@ -383,6 +393,9 @@ class CDCPollStreamReader(DataSourceStreamReader):
         if low is not None and low != EMPTY_SENTINEL:
             filt = filt & (ds.field(partition.column) > low)
         tbl = dset.to_table(columns=partition.columns, filter=filt)
+        if partition.ordered:
+            # Ordered delivery: executor-side Arrow sort of this key slice.
+            tbl = tbl.sort_by(partition.column)
         # Arrow batches straight through — no per-row Python.
         return iter(tbl.to_batches())
 

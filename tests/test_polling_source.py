@@ -374,3 +374,44 @@ def test_timestamp_polling_column_end_to_end(spark, tmp_path):
         assert got == [5, 6, 7, 8, 9]
     finally:
         q.stop()
+
+
+def test_ordered_delivery_option(spark, tmp_path):
+    """orderByPollingColumn=true: rows within a micro-batch arrive sorted by
+    the polling column even when files interleave keys (reference §4
+    ordered-delivery parity, single-partition case = global order)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = tmp_path / "ord_tbl"
+    table.mkdir()
+    pq.write_table(pa.table({"id": [0]}), str(table / "p0.parquet"))
+
+    stream = (
+        spark.readStream.format("cdc-poll")
+        .option("path", str(table))
+        .option("pollingColumn", "id")
+        .option("numPartitions", "1")
+        .option("orderByPollingColumn", "true")
+        .load()
+    )
+    seen = []
+
+    def capture(batch_df, batch_id):
+        seen.extend(r["id"] for r in batch_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(capture)
+        .option("checkpointLocation", str(tmp_path / "ck_ord"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Interleaved keys across files: scan order != key order.
+        pq.write_table(pa.table({"id": [5, 2, 9]}), str(table / "p1.parquet"))
+        pq.write_table(pa.table({"id": [7, 1, 3]}), str(table / "p2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert seen == sorted(seen) and set(seen) == {1, 2, 3, 5, 7, 9}

@@ -249,3 +249,47 @@ def test_connected_components_matches_bfs(spark, edges):
         for n in comp:
             want[n] = label
     assert got == want
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    rgb=st.booleans(),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_netpbm_round_trip(w, h, rgb, data):
+    """encode_ppm → _parse_netpbm recovers dims and every pixel exactly,
+    for P5 and P6 at any size."""
+    import numpy as np
+
+    from siddhi_io_cdc_spark.functions.multimodal import _parse_netpbm, encode_ppm
+
+    seed = data.draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    pw, ph, px = _parse_netpbm(encode_ppm(img))
+    assert (pw, ph) == (w, h)
+    assert np.array_equal(px, img.ravel())
+
+
+@given(
+    n=st.integers(min_value=0, max_value=4000),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_round_trip(n, sr, data):
+    """encode_wav → _parse_wav recovers sample rate and every sample value
+    exactly (int16 / 32768 is lossless in double)."""
+    import numpy as np
+
+    from siddhi_io_cdc_spark.functions.multimodal import _parse_wav, encode_wav
+
+    seed = data.draw(st.integers(min_value=0, max_value=2**31 - 1))
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    psr, x = _parse_wav(encode_wav(s, sr))
+    assert psr == sr and x.size == n
+    assert np.array_equal(x * 32768.0, s.astype(np.float64))
