@@ -109,16 +109,17 @@ def lossy_frequent_items(
     ``(keys…, item, n_occurrences, support_frac)`` with ``support_frac``
     rounded to 6 places for engine-portable comparison.
 
-    Scale shape: one shuffle of map-side-collapsed (key, item) partials plus
-    a broadcast-sized per-key totals join — the count table is
-    |keys|·|distinct items|, never |rows|.
+    Scale shape: ONE scan and one shuffle of map-side-collapsed (key, item)
+    partials; per-key totals derive from the count table itself (a window
+    sum over |keys|·|distinct items| rows, never |rows|), so the input is
+    not read twice.
     """
     if not (0.0 < support <= 1.0):
         raise ValueError(f"support must be in (0, 1], got {support}")
     counts = df.groupBy(*keys, item_col).agg(F.count(F.lit(1)).alias("n_occurrences"))
-    totals = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__total"))
+    total = F.sum("n_occurrences").over(Window.partitionBy(*keys))
     return (
-        counts.join(totals, on=list(keys))
+        counts.withColumn("__total", total)
         .where(F.col("n_occurrences") >= F.col("__total") * support)
         .withColumn(
             "support_frac",
