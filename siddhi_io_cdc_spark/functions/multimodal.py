@@ -444,10 +444,11 @@ def resize_images(
     mm_meta) convention with updated dims.
 
     Spark contract identical to the other decoders: partition-preserving
-    Arrow-batched ``mapInPandas``, binary in/binary out. The resampler
-    tries Pillow; without it (this container) it produces a clearly-fake
-    deterministic payload of exactly ``width*height`` bytes (byte-striding
-    the source), so downstream batch shapes and sizes are production-true.
+    Arrow-batched ``mapInPandas``, binary in/binary out. netpbm payloads
+    (P5/P6) resample for REAL — nearest-neighbor in pure numpy, re-encoded
+    through :func:`encode_ppm`; other codecs go through Pillow when
+    importable; unknown payloads keep the clearly-fake byte-striding so
+    downstream batch shapes and sizes stay production-true.
     """
     if width < 1 or height < 1:
         raise ValueError(f"target dims must be positive, got {width}x{height}")
@@ -469,7 +470,7 @@ def resize_images(
 
             from PIL import Image
 
-            def one(b: bytes) -> bytes:
+            def fallback(b: bytes) -> bytes:
                 img = Image.open(_io.BytesIO(b)).resize((width, height))
                 buf = _io.BytesIO()
                 img.save(buf, format="PNG")
@@ -477,7 +478,7 @@ def resize_images(
 
         except ImportError:
 
-            def one(b: bytes) -> bytes:
+            def fallback(b: bytes) -> bytes:
                 arr = np.frombuffer(b, dtype=np.uint8)
                 n = width * height
                 if arr.size == 0:
@@ -485,10 +486,27 @@ def resize_images(
                 idx = (np.arange(n) * max(arr.size // n, 1)) % arr.size
                 return arr[idx].tobytes()
 
+        def one(b: bytes) -> bytes:
+            parsed = _parse_netpbm(b)
+            if parsed is None:
+                return fallback(b)
+            # Real nearest-neighbor resample, re-encoded as netpbm.
+            src_w, src_h, px = parsed
+            channels = px.size // (src_w * src_h) if src_w * src_h else 1
+            shape = (src_h, src_w) if channels == 1 else (src_h, src_w, channels)
+            img = px.reshape(shape)
+            rows = (np.arange(height) * src_h // height).clip(0, src_h - 1)
+            cols = (np.arange(width) * src_w // width).clip(0, src_w - 1)
+            return encode_ppm(img[rows][:, cols])
+
+        base_meta = {
+            "modality": "image", "mime": None,
+            "width": None, "height": None, "sample_rate": None, "n_frames": None,
+        }
         for pdf in batches:
             payloads = [one(bytes(p)) if p is not None else None for p in pdf["payload"]]
             metas = [
-                {**(m if isinstance(m, dict) else m), "width": width, "height": height}
+                {**(base_meta if m is None else dict(m)), "width": width, "height": height}
                 for m in pdf["mm_meta"]
             ]
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads, "mm_meta": metas})

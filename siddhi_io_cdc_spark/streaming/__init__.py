@@ -1,5 +1,6 @@
 from siddhi_io_cdc_spark.streaming.cep import absent_pattern_stream
 from siddhi_io_cdc_spark.streaming.dedup import (
+    compact_lsh_index,
     foreach_batch_minhash_dedup,
     incremental_minhash_pairs,
 )
@@ -29,6 +30,7 @@ __all__ = [
     "absent_pattern_stream",
     "cron_run",
     "followed_by_stream",
+    "compact_lsh_index",
     "foreach_batch_minhash_dedup",
     "foreach_batch_rollup",
     "incremental_minhash_pairs",

@@ -187,6 +187,38 @@ def incremental_minhash_pairs(
     return result
 
 
+def compact_lsh_index(spark, store_path: str) -> None:
+    """Rewrite the LSH index with one file per bucket.
+
+    Append-per-batch accretes a file per micro-batch per touched bucket; at
+    high trigger rates that is the classic streaming small-files problem
+    (every probe pays per-file open/footer costs). Compaction hash-
+    repartitions each store on the bucket column (each bucket lands in
+    exactly one task → one file), writes to a sibling staging directory, and
+    swaps via atomic renames — crash-safe the same way as
+    ``operators/mutate.py:merge_into_parquet``. Run it as a maintenance job
+    between batches (the index is append-only, so any consistent snapshot
+    compacts safely).
+    """
+    import shutil
+    import uuid
+
+    for sub in (_bands_path(store_path), _docs_path(store_path)):
+        if not os.path.exists(sub):
+            continue
+        df = spark.read.parquet(sub)
+        tmp = sub + ".tmp-" + uuid.uuid4().hex
+        (
+            df.repartition(F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .parquet(tmp)
+        )
+        swap = sub + ".old-" + uuid.uuid4().hex
+        os.rename(sub, swap)
+        os.rename(tmp, sub)
+        shutil.rmtree(swap, ignore_errors=True)
+
+
 def foreach_batch_minhash_dedup(
     spark, store_path: str, pairs_path: str, **params
 ):

@@ -240,3 +240,37 @@ def test_attach_wav_round_trips_through_real_decoder(spark, sf_dir):
         (F.abs((F.col("doc_id") % 16) - 8).cast("double") / 16).alias("rms"),
     )
     assert sorted(feats.collect()) == sorted(expect.collect())
+
+
+def test_resize_netpbm_real_nearest_neighbor(spark):
+    """netpbm payloads resample for real: resized output is itself a valid
+    P5/P6 whose pixels equal numpy nearest-neighbor indexing."""
+    from siddhi_io_cdc_spark.functions.multimodal import (
+        _parse_netpbm,
+        decode_image_features,
+        encode_ppm,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(10, 14), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img)), None)],
+        "doc_id long, payload binary, mm_meta struct<modality:string,mime:string,"
+        "width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    out = resize_images(df, width=7, height=5).first()
+    assert out["mm_meta"]["width"] == 7 and out["mm_meta"]["height"] == 5
+    w, h, px = _parse_netpbm(bytes(out["payload"]))
+    assert (w, h) == (7, 5)
+    rows = (np.arange(5) * 10 // 5).clip(0, 9)
+    cols = (np.arange(7) * 14 // 7).clip(0, 13)
+    assert np.array_equal(px.reshape(5, 7), img[rows][:, cols])
+
+    # The resized payload round-trips through the real decoder.
+    r = decode_image_features(
+        spark.createDataFrame(
+            [(2, bytearray(bytes(out["payload"])))], "doc_id long, payload binary"
+        )
+    ).first()
+    assert (r["width"], r["height"]) == (7, 5)

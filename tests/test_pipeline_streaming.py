@@ -150,3 +150,53 @@ def test_foreach_batch_minhash_dedup_stream(spark, sf_dir, tmp_path):
         for r in minhash_lsh_pairs(corpus, jaccard_threshold=0.7).collect()
     }
     assert expect and got == expect
+
+
+def test_compact_lsh_index_preserves_pairs(spark, sf_dir, tmp_path):
+    """Compaction leaves one file per bucket and does not change what a
+    subsequent batch finds."""
+    import glob
+
+    from siddhi_io_cdc_spark.streaming.dedup import (
+        compact_lsh_index,
+        incremental_minhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(45)
+    nd = docs.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 10_000_001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(nd)
+    store = str(tmp_path / "lsh")
+
+    # Several appends → multiple files per bucket.
+    for i in range(3):
+        incremental_minhash_pairs(
+            spark, store, corpus.where(F.col("doc_id") % 4 == i),
+            jaccard_threshold=0.7, num_buckets=4, batch_id=i,
+        ).collect()
+    rows_before = spark.read.parquet(f"{store}/bands").count()
+
+    compact_lsh_index(spark, store)
+
+    assert spark.read.parquet(f"{store}/bands").count() == rows_before
+    for bucket_dir in glob.glob(f"{store}/bands/__bucket=*"):
+        files = [f for f in os.listdir(bucket_dir) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{bucket_dir}: {files}"
+
+    # The compacted index still probes correctly for the final batch.
+    pairs = incremental_minhash_pairs(
+        spark, store, corpus.where(F.col("doc_id") % 4 == 3),
+        jaccard_threshold=0.7, num_buckets=4, batch_id=3,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    from siddhi_io_cdc_spark.functions.dedup import minhash_lsh_pairs
+
+    expect = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(corpus, jaccard_threshold=0.7).collect()
+        if r.id_a % 4 == 3 or r.id_b % 4 == 3
+    }
+    assert got == expect
