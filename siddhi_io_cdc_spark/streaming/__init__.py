@@ -2,6 +2,7 @@ from siddhi_io_cdc_spark.streaming.cep import absent_pattern_stream
 from siddhi_io_cdc_spark.streaming.dedup import (
     compact_lsh_index,
     foreach_batch_minhash_dedup,
+    incremental_embedding_pairs,
     incremental_minhash_pairs,
 )
 from siddhi_io_cdc_spark.streaming.lifecycle import run_with_restarts
@@ -33,6 +34,7 @@ __all__ = [
     "compact_lsh_index",
     "foreach_batch_minhash_dedup",
     "foreach_batch_rollup",
+    "incremental_embedding_pairs",
     "incremental_minhash_pairs",
     "interval_trigger",
     "length_batch_agg",

@@ -27,6 +27,13 @@ probe always anti-joins out the current batch's own ids, so a batch whose
 rows were already appended recomputes the SAME pairs; the index append is
 skipped via a per-batch marker file, and the pairs sink writes
 ``batch=<id>`` subdirectories with overwrite — all three steps idempotent.
+
+The same pattern covers embeddings: ``incremental_embedding_pairs`` keeps a
+``{store}/vecs`` sign-LSH index (partitioned by ``pmod(bucket, num_buckets)``)
+and emits cosine-verified pairs per batch, equal to
+``functions/similarity.py:embedding_near_dup_pairs`` over the union.
+``compact_lsh_index`` rewrites any of these append-only stores to one file
+per bucket.
 """
 
 from __future__ import annotations
@@ -187,6 +194,96 @@ def incremental_minhash_pairs(
     return result
 
 
+def incremental_embedding_pairs(
+    spark,
+    store_path: str,
+    batch_df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nbits: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    num_buckets: int = 32,
+    batch_id=None,
+) -> DataFrame:
+    """Embedding counterpart of :func:`incremental_minhash_pairs`: per
+    micro-batch near-duplicate pairs by cosine ≥ ``threshold``, probed
+    against a persistent sign-LSH index (``{store}/vecs``: rows
+    ``(__id, __v, __lsh)`` partitioned by ``pmod(__lsh, num_buckets)``).
+
+    Same guarantees as the batch operator
+    (``functions/similarity.py:embedding_near_dup_pairs``, identical planes
+    from the same (dim, nbits, seed)): candidates are bucket collisions
+    only — never all-pairs — and the union over batches equals the batch
+    pair set. Same replay story as the minhash index: probes exclude the
+    current batch's ids, appends are marker-idempotent per ``batch_id``.
+    ``dim`` is inferred from the first row when omitted; pass it explicitly
+    on possibly-empty batches.
+    """
+    from siddhi_io_cdc_spark.functions.similarity import cosine, hyperplanes, lsh_bucket
+
+    if dim is None:
+        first = batch_df.select(vec_col).first()
+        if first is None:
+            return spark.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            ).localCheckpoint()
+        dim = len(first[0])
+    planes = hyperplanes(dim, nbits, seed)
+    part_col = F.pmod(F.col("__lsh"), F.lit(num_buckets))
+
+    b = scoped_persist(
+        batch_df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            lsh_bucket(F.col(vec_col), planes).alias("__lsh"),
+        )
+    )
+
+    def _pairs(left, right):
+        return (
+            left.alias("l")
+            .join(right.alias("r"), on="__lsh", how="inner")
+            .where(F.col("l.__id") != F.col("r.__id"))
+            .select(
+                F.least(F.col("l.__id"), F.col("r.__id")).alias("id_a"),
+                F.greatest(F.col("l.__id"), F.col("r.__id")).alias("id_b"),
+                F.round(cosine(F.col("l.__v"), F.col("r.__v")), 6).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+            .distinct()
+        )
+
+    pairs = _pairs(b, b)
+
+    vecs_path = os.path.join(store_path, "vecs")
+    if os.path.exists(vecs_path):
+        touched = [r[0] for r in b.select(part_col.alias("p")).distinct().collect()]
+        new_ids = b.select("__id").distinct()
+        old = (
+            spark.read.parquet(vecs_path)
+            .where(F.col(BUCKET_COL).isin(touched))  # partition-pruned probe
+            .drop(BUCKET_COL)
+            .join(F.broadcast(new_ids), on="__id", how="left_anti")
+        )
+        pairs = pairs.unionByName(_pairs(b, old))
+
+    result = pairs.localCheckpoint()
+
+    marker = None if batch_id is None else _marker_path(store_path, f"emb-{batch_id}")
+    if marker is None or not os.path.exists(marker):
+        b.withColumn(BUCKET_COL, part_col).write.mode("append").partitionBy(
+            BUCKET_COL
+        ).parquet(vecs_path)
+        if marker is not None:
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as f:
+                f.write("done")
+    b.unpersist()
+    return result
+
+
 def compact_lsh_index(spark, store_path: str) -> None:
     """Rewrite the LSH index with one file per bucket.
 
@@ -203,7 +300,11 @@ def compact_lsh_index(spark, store_path: str) -> None:
     import shutil
     import uuid
 
-    for sub in (_bands_path(store_path), _docs_path(store_path)):
+    for sub in (
+        _bands_path(store_path),
+        _docs_path(store_path),
+        os.path.join(store_path, "vecs"),
+    ):
         if not os.path.exists(sub):
             continue
         df = spark.read.parquet(sub)

@@ -200,3 +200,45 @@ def test_compact_lsh_index_preserves_pairs(spark, sf_dir, tmp_path):
         if r.id_a % 4 == 3 or r.id_b % 4 == 3
     }
     assert got == expect
+
+
+def test_incremental_embedding_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming embedding near-dup parity: replaying the embeddings table
+    in 3 micro-batches through the sign-LSH index yields exactly the batch
+    operator's pair set, and replays are idempotent."""
+    from siddhi_io_cdc_spark.functions.similarity import embedding_near_dup_pairs
+    from siddhi_io_cdc_spark.streaming.dedup import incremental_embedding_pairs
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    # Plant exact-duplicate vectors with shifted ids so the duplicate and its
+    # source land in different batches.
+    dup = vecs.where(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 10_000_001).alias("vec_id"), "embedding"
+    )
+    corpus = vecs.select("vec_id", "embedding").unionByName(dup)
+    dim = len(corpus.select("embedding").first()[0])
+
+    store = str(tmp_path / "emb_store")
+    got = set()
+    for i in range(3):
+        batch = corpus.where(F.col("vec_id") % 3 == i)
+        pairs = incremental_embedding_pairs(
+            spark, store, batch, threshold=0.98, dim=dim, num_buckets=8, batch_id=i
+        )
+        got |= {(r.id_a, r.id_b, r.cosine) for r in pairs.collect()}
+
+    expect = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs(corpus, threshold=0.98, dim=dim).collect()
+    }
+    assert expect, "fixture must plant at least one near-dup pair"
+    assert got == expect
+
+    replay = incremental_embedding_pairs(
+        spark, store, corpus.where(F.col("vec_id") % 3 == 1),
+        threshold=0.98, dim=dim, num_buckets=8, batch_id=1,
+    )
+    got_replay = {(r.id_a, r.id_b, r.cosine) for r in replay.collect()}
+    assert got_replay == {
+        (a, b, c) for (a, b, c) in expect if a % 3 == 1 or b % 3 == 1
+    }
