@@ -94,9 +94,37 @@ def _coerce_bound(schema, column, value):
         return value
 
 
+def _fragment_stats(md, column):
+    """(min, max, covered) of ``column`` from one fragment's parquet footer.
+    ``covered`` is False when any row group lacks min/max statistics (the
+    caller then scans that fragment's column instead of trusting stats)."""
+    frag_mn = frag_mx = None
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        if row_group.num_rows == 0:
+            continue
+        col_idx = None
+        for i in range(row_group.num_columns):
+            if row_group.column(i).path_in_schema == column:
+                col_idx = i
+                break
+        if col_idx is None:
+            continue  # column absent from this file: reads as null
+        st = row_group.column(col_idx).statistics
+        if st is None or not st.has_min_max:
+            return (None, None, False)
+        if st.num_values == 0:  # all-null row group
+            continue
+        frag_mn = st.min if frag_mn is None else min(frag_mn, st.min)
+        frag_mx = st.max if frag_mx is None else max(frag_mx, st.max)
+    return (frag_mn, frag_mx, True)
+
+
 @dataclass
 class RangeScan(InputPartition):
-    """One key-range slice of the (low, high] incremental scan."""
+    """One slice of the (low, high] incremental scan: a group of parquet
+    fragments (``paths``), or the whole directory when ``paths`` is None
+    (key-range slicing for ordered delivery)."""
 
     path: str
     column: str
@@ -104,6 +132,7 @@ class RangeScan(InputPartition):
     high: object  # inclusive; None = empty scan
     columns: list = field(default_factory=list)
     ordered: bool = False  # sort the slice by the polling column before emit
+    paths: list | None = None  # fragment group; None = scan `path`
 
 
 class CDCPollStreamReader(DataSourceStreamReader):
@@ -176,28 +205,8 @@ class CDCPollStreamReader(DataSourceStreamReader):
 
         statless = []
         for frag in self._dataset().get_fragments():
-            md = frag.metadata  # parquet footer
-            frag_mn = frag_mx = covered = None
-            for rg in range(md.num_row_groups):
-                row_group = md.row_group(rg)
-                if row_group.num_rows == 0:
-                    continue
-                col_idx = None
-                for i in range(row_group.num_columns):
-                    if row_group.column(i).path_in_schema == self.column:
-                        col_idx = i
-                        break
-                if col_idx is None:
-                    continue  # column absent from this file: reads as null
-                st = row_group.column(col_idx).statistics
-                if st is None or not st.has_min_max:
-                    covered = False
-                    break
-                if st.num_values == 0:  # all-null row group
-                    continue
-                frag_mn = st.min if frag_mn is None else min(frag_mn, st.min)
-                frag_mx = st.max if frag_mx is None else max(frag_mx, st.max)
-            if covered is False:
+            frag_mn, frag_mx, covered = _fragment_stats(frag.metadata, self.column)
+            if not covered:
                 statless.append(frag)
             else:
                 merge(frag_mn, frag_mx)
@@ -366,9 +375,17 @@ class CDCPollStreamReader(DataSourceStreamReader):
         if isinstance(low, int) and isinstance(high, int):
             if high <= low and low != EMPTY_SENTINEL:
                 return empty
-            if self.num_partitions > 1 and low != EMPTY_SENTINEL and high - low > self.num_partitions:
-                # Range-split a large catch-up scan (SURVEY.md §7 scale rule:
-                # polling-column range-partitioned parallel reads).
+            if (
+                self.ordered
+                and self.num_partitions > 1
+                and low != EMPTY_SENTINEL
+                and high - low > self.num_partitions
+            ):
+                # Ordered delivery keeps KEY-RANGE slicing: partition ranges
+                # are monotone, so in-order partition consumers see globally
+                # ordered keys. The cost — each slice scans every fragment
+                # that may contain its range — is the price of the ordering
+                # guarantee; the default path below never pays it.
                 span = high - low
                 step = span // self.num_partitions
                 parts, lo = [], low
@@ -379,14 +396,53 @@ class CDCPollStreamReader(DataSourceStreamReader):
                     )
                     lo = hi
                 return parts
-        return [RangeScan(self.path, self.column, low, high, self.field_names, self.ordered)]
+        # Default: STORAGE-NATURAL partitioning. One slice = one group of
+        # parquet fragments, so a catch-up scan reads every byte exactly
+        # once regardless of how keys cluster across files — key-range
+        # slicing instead re-reads any fragment whose stats straddle several
+        # ranges (worst case, an unsorted landing zone: num_partitions full
+        # passes). Fragments wholly outside (low, high] are pruned by
+        # footer statistics on the driver; groups are balanced by row count
+        # (greedy LPT).
+        dset = self._dataset()
+        lo_b = _coerce_bound(dset.schema, self.column, low)
+        hi_b = _coerce_bound(dset.schema, self.column, high)
+        keep = []
+        for frag in dset.get_fragments():
+            md = frag.metadata
+            mn, mx, covered = _fragment_stats(md, self.column)
+            if covered and mn is not None:
+                try:
+                    if lo_b is not None and lo_b != EMPTY_SENTINEL and not mx > lo_b:
+                        continue  # every row <= low: already delivered
+                    if hi_b is not None and mn > hi_b:
+                        continue  # every row beyond this batch's high
+                except TypeError:
+                    pass  # incomparable stats: keep (filter decides)
+            keep.append((frag.path, md.num_rows))
+        if not keep:
+            return empty
+        n = min(self.num_partitions, len(keep))
+        groups: list[list[str]] = [[] for _ in range(n)]
+        sizes = [0] * n
+        for path, rows in sorted(keep, key=lambda t: -t[1]):
+            i = sizes.index(min(sizes))
+            groups[i].append(path)
+            sizes[i] += rows
+        return [
+            RangeScan(
+                self.path, self.column, low, high, self.field_names, self.ordered, paths=g
+            )
+            for g in groups
+            if g
+        ]
 
     def read(self, partition: RangeScan):
         import pyarrow.dataset as ds
 
         if partition.high is None:
             return iter(())
-        dset = ds.dataset(partition.path, format="parquet")
+        dset = ds.dataset(partition.paths or partition.path, format="parquet")
         high = _coerce_bound(dset.schema, partition.column, partition.high)
         low = _coerce_bound(dset.schema, partition.column, partition.low)
         filt = ds.field(partition.column) <= high
