@@ -74,6 +74,8 @@ def cdc_read_stream(
             ("missed.record.waiting.timeout", "missedRecordWaitingTimeout"),
             ("num.partitions", "numPartitions"),
             ("max.keys.per.trigger", "maxKeysPerTrigger"),
+            ("order.by.polling.column", "orderByPollingColumn"),
+            ("columns", "columns"),
         ):
             if opts.get(src) is not None:
                 reader = reader.option(dst, str(opts[src]))

@@ -189,3 +189,28 @@ def test_bootstrap_then_stream_no_gap_no_overlap(spark, tmp_path):
         assert got == [4, 5]  # no gap
     finally:
         q.stop()
+
+
+def test_api_passes_ordering_and_projection_options(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from siddhi_io_cdc_spark.api import cdc_read_stream
+
+    tbl = tmp_path / "t"
+    tbl.mkdir()
+    pq.write_table(
+        pa.table({"id": pa.array([1, 2], pa.int64()), "a": ["x", "y"], "b": [1.0, 2.0]}),
+        str(tbl / "p0.parquet"),
+    )
+    df = cdc_read_stream(
+        spark,
+        {
+            "mode": "polling",
+            "path": str(tbl),
+            "polling.column": "id",
+            "order.by.polling.column": "true",
+            "columns": "id,b",
+        },
+    )
+    assert df.columns == ["id", "b"]
