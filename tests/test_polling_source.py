@@ -415,3 +415,40 @@ def test_ordered_delivery_option(spark, tmp_path):
     finally:
         q.stop()
     assert seen == sorted(seen) and set(seen) == {1, 2, 3, 5, 7, 9}
+
+
+def test_partitions_prune_fragments_by_stats(spark, tmp_path):
+    """Storage-natural partitioning: fragments wholly outside (low, high]
+    never appear in any slice (footer-stats pruning), and kept fragments are
+    spread across balanced groups with each file in exactly one slice."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from siddhi_io_cdc_spark.sources.polling import CDCPollStreamReader
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    pq.write_table(pa.table({"id": list(range(1, 101))}), f"{path}/old.parquet")
+    pq.write_table(pa.table({"id": list(range(101, 161))}), f"{path}/mid1.parquet")
+    pq.write_table(pa.table({"id": list(range(161, 201))}), f"{path}/mid2.parquet")
+    pq.write_table(pa.table({"id": list(range(201, 301))}), f"{path}/future.parquet")
+
+    reader = CDCPollStreamReader.__new__(CDCPollStreamReader)
+    reader.path = path
+    reader.column = "id"
+    reader.field_names = ["id"]
+    reader.ordered = False
+    reader.num_partitions = 2
+    reader._prev = None
+
+    parts = reader.partitions({"last": 100}, {"last": 200})
+    all_paths = [p for part in parts for p in (part.paths or [])]
+    names = {os.path.basename(p) for p in all_paths}
+    assert names == {"mid1.parquet", "mid2.parquet"}
+    assert len(all_paths) == len(set(all_paths)), "each fragment in exactly one slice"
+    # Rows delivered are exactly the window, via the executor read path.
+    rows = []
+    for part in parts:
+        for batch in reader.read(part):
+            rows += batch.column(0).to_pylist()
+    assert sorted(rows) == list(range(101, 201))

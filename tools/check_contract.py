@@ -11,10 +11,11 @@ Usage: PYTHONPATH=/root/repo python tools/check_contract.py [names...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
