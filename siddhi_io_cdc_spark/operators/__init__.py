@@ -34,6 +34,7 @@ from siddhi_io_cdc_spark.operators.mutate import (
     foreach_batch_merge,
     insert_into,
     merge_into_bucketed_parquet,
+    merge_into_delta,
     merge_into_parquet,
     read_bucketed_store,
     update_on,
@@ -68,6 +69,7 @@ __all__ = [
     "insert_into",
     "merge_into_parquet",
     "merge_into_bucketed_parquet",
+    "merge_into_delta",
     "read_bucketed_store",
     "foreach_batch_bucketed_merge",
     "foreach_batch_merge",

@@ -355,6 +355,73 @@ def _recover_interrupted_swap(target_path: str) -> None:
             shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
 
+def merge_into_delta(
+    spark,
+    target_path: str,
+    batch_df: DataFrame,
+    key: Sequence[str],
+    seq_col: str = "ts_ms",
+    op_col: str = "operation",
+) -> None:
+    """Apply one micro-batch to a Delta Lake table via ``MERGE INTO`` —
+    the lakehouse backend behind the same signature as the parquet stores.
+
+    Requires the ``delta-spark`` package on the session (not present in this
+    container — the import gate raises a clear error; the call path is
+    exercised hermetically by monkeypatching the gate in tests). Semantics
+    match :func:`apply_changelog`: latest event per key wins by
+    ``(seq_col, op_col)``, delete drops the row, insert/update upserts —
+    replay-idempotent because the merge is keyed, transactional because
+    Delta commits are.
+    """
+    try:
+        from delta.tables import DeltaTable
+    except ImportError as e:  # pragma: no cover - no delta in this container
+        raise ImportError(
+            "merge_into_delta requires the delta-spark package "
+            "(pip install delta-spark and configure the session with "
+            "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension); "
+            "use layout='bucketed' for the plain-parquet store"
+        ) from e
+
+    keys = list(key)
+    events = rekey_deletes(batch_df, keys, op_col)
+    row_cols = [
+        c for c in events.columns
+        if c not in (op_col, seq_col, "source_ts_ms") and not c.startswith("before_")
+    ]
+    latest = (
+        events.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(F.col(seq_col), F.col(op_col), *[c for c in row_cols if c not in keys])
+            ).alias("__last")
+        )
+        .select(
+            *keys,
+            F.col(f"__last.{op_col}").alias("__op"),
+            *[F.col(f"__last.{c}").alias(c) for c in row_cols if c not in keys],
+        )
+    )
+    if not DeltaTable.isDeltaTable(spark, target_path):
+        latest.filter(F.col("__op") != "delete").drop("__op").write.format("delta").save(
+            target_path
+        )
+        return
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    (
+        DeltaTable.forPath(spark, target_path)
+        .alias("t")
+        .merge(latest.alias("s"), cond)
+        .whenMatchedDelete(condition="s.__op = 'delete'")
+        .whenMatchedUpdate(set={c: f"s.{c}" for c in row_cols if c not in keys})
+        .whenNotMatchedInsert(
+            condition="s.__op != 'delete'", values={c: f"s.{c}" for c in row_cols}
+        )
+        .execute()
+    )
+
+
 def foreach_batch_merge(
     spark,
     target_path: str,
@@ -364,23 +431,33 @@ def foreach_batch_merge(
     layout: str = "bucketed",
     num_buckets: int = 64,
 ):
-    """``writeStream.foreachBatch`` adapter for the parquet merge store.
+    """``writeStream.foreachBatch`` adapter for the merge store backends.
 
     Default ``layout="bucketed"`` routes to
-    :func:`merge_into_bucketed_parquet` — the scale-correct store whose per-
-    batch I/O is O(touched buckets); read it back with
-    :func:`read_bucketed_store`. ``layout="flat"`` is an explicit opt-in to
-    :func:`merge_into_parquet`, whose full-rewrite-per-batch is only sane for
-    tiny tables (it reads back with a plain ``spark.read.parquet``). The two
-    layouts are not interchangeable on disk — pick one per target path.
+    :func:`merge_into_bucketed_parquet` — the scale-correct plain-parquet
+    store whose per-batch I/O is O(touched buckets); read it back with
+    :func:`read_bucketed_store`. ``layout="delta"`` routes to
+    :func:`merge_into_delta` (transactional ``MERGE INTO``; needs
+    delta-spark). ``layout="flat"`` is an explicit opt-in to
+    :func:`merge_into_parquet`, whose full-rewrite-per-batch is only sane
+    for tiny tables. Layouts are not interchangeable on disk — pick one per
+    target path.
     """
-    if layout not in ("bucketed", "flat"):
-        raise ValueError(f"layout must be 'bucketed' or 'flat', got {layout!r}")
+    if layout not in ("bucketed", "flat", "delta"):
+        raise ValueError(f"layout must be 'bucketed', 'flat' or 'delta', got {layout!r}")
     if layout == "bucketed":
         return foreach_batch_bucketed_merge(
             spark, target_path, key=key, num_buckets=num_buckets,
             seq_col=seq_col, op_col=op_col,
         )
+    if layout == "delta":
+
+        def _apply_delta(batch_df: DataFrame, batch_id: int) -> None:
+            merge_into_delta(
+                spark, target_path, batch_df, key=key, seq_col=seq_col, op_col=op_col
+            )
+
+        return _apply_delta
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         merge_into_parquet(spark, target_path, batch_df, key=key, seq_col=seq_col, op_col=op_col)

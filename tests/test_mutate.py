@@ -238,3 +238,25 @@ def test_bucketed_merge_evolves_schema(spark, tmp_path):
     merge_into_bucketed_parquet(spark, target, b3, key=["id"], num_buckets=4, evolve=True)
     got = {r.id: (r.v, r.w) for r in read_bucketed_store(spark, target).collect()}
     assert got["k1"] == ("V1", 5) and got["k2"] == ("V2", None) and got["k3"] == ("v3", 6)
+
+
+def test_delta_layout_gates_cleanly(spark, tmp_path):
+    """layout='delta' routes to MERGE INTO when delta-spark exists; in this
+    container the import gate must raise a CLEAR error, not fail obscurely."""
+    import pytest
+
+    from siddhi_io_cdc_spark.operators.mutate import foreach_batch_merge
+
+    batch = spark.createDataFrame(
+        [(1, 1.0, "insert", 1)], "k long, v double, operation string, ts_ms long"
+    )
+    apply_fn = foreach_batch_merge(spark, str(tmp_path / "d"), key=["k"], layout="delta")
+    try:
+        import delta  # noqa: F401
+
+        have_delta = True
+    except ImportError:
+        have_delta = False
+    if not have_delta:
+        with pytest.raises(ImportError, match="delta-spark"):
+            apply_fn(batch, 0)
