@@ -3,9 +3,11 @@
 ``entry(spark)`` runs the flagship CDC query (multi-op envelope flattening)
 on sf0.001. ``queries()`` exposes one callable per implemented operator from
 SURVEY.md §2 plus the LLM-pipeline operators; ``oracle_sql()`` gives the
-DuckDB restatement for every SQL-expressible one (the LSH/ANN/multimodal
-entries are deliberately rows-only — their semantics are not ANSI-SQL
-expressible; pytest covers them behaviorally).
+DuckDB restatement for every SQL-expressible one (six LSH/ANN entries are
+deliberately rows-only — banding/iteration is not ANSI-SQL expressible;
+pytest covers them behaviorally. The multimodal decode queries ARE exact:
+closed-form P5/WAV fixtures). The first 50 keys — the driver's recorded
+window — span all four families: 13 cdc, 14 rel, 10 win, 13 llm.
 
 Determinism rules used throughout (so value-hashes match the oracle):
 - money aggregates run over ``decimal(18,2)`` casts (exact, associative,
