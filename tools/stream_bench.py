@@ -1,9 +1,17 @@
 """Capture-path throughput: events/sec through the cdc-poll source.
 
-Measures a full catch-up (startFrom=earliest) of the sf events table through
-the real streaming source into a noop-equivalent foreachBatch counter —
-the closest analog to the reference's capture-to-delivery path, which it
-runs single-threaded (CDCSource.java:436: one executor thread per source).
+Two figures, both from the query's OWN progress records:
+
+- **catch-up**: a full ``startFrom=earliest`` scan of the sf events table in
+  one batch. This pays every one-time cost (whole-stage-codegen JIT, Python
+  worker spawn, first broadcast) and is therefore the WORST case.
+- **steady state**: fresh event waves appended into the same running query —
+  the marginal per-batch cost of a warm, long-lived stream, which is what a
+  production deployment actually sees.
+
+The reference's capture path is single-threaded per source
+(CDCSource.java:436: one executor thread); this one scales with
+``numPartitions``/executors.
 
 Usage: PYTHONPATH=/root/repo python tools/stream_bench.py [sf_dir]
 Prints one JSON line {"metric": "cdc_poll_catchup_events_per_sec", ...}.
@@ -13,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -24,6 +33,9 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
 
 
 def main() -> int:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     from siddhi_io_cdc_spark.session import get_spark
     from siddhi_io_cdc_spark.sources.polling import register_cdc_poll
 
@@ -32,6 +44,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     register_cdc_poll(spark)
 
+    # Stream from a scratch COPY so steady-state waves can append to it
+    # (the fixture directory is read-only).
+    landing = f"/tmp/stream_bench_landing_{time.time_ns()}"
+    os.makedirs(landing)
+    shutil.copy(f"{SF_DIR}/events.parquet", f"{landing}/events-0.parquet")
+
     counts = {"n": 0}
 
     def count_batch(df, _bid):
@@ -39,7 +57,7 @@ def main() -> int:
 
     q = (
         spark.readStream.format("cdc-poll")
-        .option("path", f"{SF_DIR}/events.parquet")
+        .option("path", landing)
         .option("pollingColumn", "event_id")
         .option("startFrom", "earliest")
         .option("numPartitions", str(cpus))
@@ -51,24 +69,56 @@ def main() -> int:
         .start()
     )
     q.processAllAvailable()
-    # Throughput from the query's OWN progress records: batch duration of
-    # the data-carrying batches only (excludes session/stream startup, which
-    # a long-lived production query amortizes to zero).
     progresses = [
         p if isinstance(p, dict) else json.loads(p.json) for p in q.recentProgress
     ]
-    data_batches = [p for p in progresses if p["numInputRows"] > 0]
+    catchup_batches = [p for p in progresses if p["numInputRows"] > 0]
+    catchup_ms = sum(p["durationMs"]["triggerExecution"] for p in catchup_batches)
+    catchup_events = counts["n"]
+
+    # Steady state: append fresh id-shifted waves into the running query.
+    src_tbl = pq.read_table(
+        f"{SF_DIR}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    id_idx = src_tbl.schema.get_field_index("event_id")
+    for w in range(5):
+        shifted = src_tbl.set_column(
+            id_idx, "event_id", pc.add(src_tbl["event_id"], 100_000_000 * (w + 1))
+        )
+        pq.write_table(shifted, f"{landing}/wave-{w}.parquet")
+        q.processAllAvailable()
+    progresses = [
+        p if isinstance(p, dict) else json.loads(p.json) for p in q.recentProgress
+    ]
     q.stop()
-    busy_ms = sum(p["durationMs"]["triggerExecution"] for p in data_batches)
+    data_batches = [p for p in progresses if p["numInputRows"] > 0]
+    steady_batches = data_batches[len(catchup_batches):]
+    steady_events = counts["n"] - catchup_events
+    steady_ms = sum(p["durationMs"]["triggerExecution"] for p in steady_batches)
+    shutil.rmtree(landing, ignore_errors=True)
+
     print(
         json.dumps(
             {
                 "metric": "cdc_poll_catchup_events_per_sec",
-                "value": round(counts["n"] / (busy_ms / 1000.0), 1) if busy_ms else None,
+                "value": round(catchup_events / (catchup_ms / 1000.0), 1)
+                if catchup_ms
+                else None,
                 "unit": "events/sec",
-                "events": counts["n"],
-                "busy_sec": round(busy_ms / 1000.0, 3),
-                "n_batches": len(data_batches),
+                "catchup": {
+                    "events": catchup_events,
+                    "busy_sec": round(catchup_ms / 1000.0, 3),
+                    "n_batches": len(catchup_batches),
+                },
+                "steady_events_per_sec": round(steady_events / (steady_ms / 1000.0), 1)
+                if steady_ms
+                else None,
+                "steady": {
+                    "events": steady_events,
+                    "busy_sec": round(steady_ms / 1000.0, 3),
+                    "n_batches": len(steady_batches),
+                },
                 "sf_dir": SF_DIR,
             }
         )
