@@ -26,8 +26,10 @@ def summarize(plan: str) -> str:
     n_reused = len(re.findall(r"\bReusedExchange\b", plan))
     n_bcast = len(re.findall(r"BroadcastHashJoin", plan))
     n_shuffle_join = len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan))
-    # toString() marks whole-stage-codegen spans as `*(N) Operator`.
-    n_codegen = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    n_codegen = len(
+        set(re.findall(r"codegen id : (\d+)", plan))
+        or set(re.findall(r"\*\((\d+)\)", plan))
+    )
     n_python = len(re.findall(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", plan))
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     pushed_any = any(p.strip() for p in pushed)
@@ -50,9 +52,15 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     names = sys.argv[1:] or BENCH_QUERIES
+    import contextlib
+    import io
+
     for name in names:
         df = queries[name](spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")  # includes per-operator `codegen id`
+        plan = buf.getvalue()
         print(f"\n===== {name} =====")
         print(summarize(plan))
         if "-v" in os.environ.get("PLAN_AUDIT_FLAGS", ""):
