@@ -452,3 +452,61 @@ def test_partitions_prune_fragments_by_stats(spark, tmp_path):
         for batch in reader.read(part):
             rows += batch.column(0).to_pylist()
     assert sorted(rows) == list(range(101, 201))
+
+
+def test_resume_without_loss_timestamp_column(spark, tmp_path):
+    """Checkpoint-restart with a TIMESTAMP polling column: the offset
+    round-trips through Spark's offset JSON as a string, and the restarted
+    reader must coerce it back and deliver rows that arrived while down —
+    exactly once (the true e2e path of the round-3 offset-coercion fix)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = tmp_path / "ts_resume"
+    table.mkdir()
+    ckpt = str(tmp_path / "ckpt_tsr")
+    out = str(tmp_path / "out_tsr")
+    base = dt.datetime(2024, 1, 1)
+
+    def write(lo, n, fname):
+        ts = [base + dt.timedelta(seconds=lo + i) for i in range(n)]
+        pq.write_table(
+            pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                      "v": list(range(lo, lo + n))}),
+            str(table / fname))
+
+    def file_query():
+        return (
+            spark.readStream.format("cdc-poll")
+            .option("path", str(table))
+            .option("pollingColumn", "ts")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+
+    write(0, 3, "p0.parquet")
+    q = file_query()
+    try:
+        _drain(q)
+        write(3, 2, "p1.parquet")
+        _drain(q)
+        assert {r["v"] for r in spark.read.parquet(out).collect()} == {3, 4}
+    finally:
+        q.stop()
+
+    # Down: more rows land.
+    write(5, 3, "p2.parquet")
+
+    q2 = file_query()
+    try:
+        _drain(q2)
+        got = sorted(r["v"] for r in spark.read.parquet(out).collect())
+        assert got == [3, 4, 5, 6, 7], got
+    finally:
+        q2.stop()
