@@ -586,6 +586,17 @@ def q_unique_window(spark, sf_dir):
     )
 
 
+def q_first_unique_window(spark, sf_dir):
+    """Siddhi ``window.firstUnique(key)``: FIRST event per unique key."""
+    from siddhi_io_cdc_spark.streaming.windows import first_unique_window
+
+    return first_unique_window(
+        _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value"),
+        unique_keys=["user_id", "event_type"],
+        order_col="event_id",
+    )
+
+
 def q_sort_window(spark, sf_dir):
     """Siddhi ``window.sort(N, value, 'desc')`` partitioned per user: the 3
     highest-value events each user's window retains (ties by event_id)."""
@@ -1115,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_cosine": q_ann_cosine,
         "llm_audio_decode": q_audio_decode,
         "win_lossy_frequent": q_lossy_frequent,
+        "win_first_unique": q_first_unique_window,
     }
 
 
@@ -1586,6 +1598,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, user_id, event_type, value,
                        row_number() OVER (PARTITION BY user_id, event_type
                                           ORDER BY event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1""",
+        "win_first_unique": """
+            SELECT event_id, user_id, event_type, value FROM (
+                SELECT event_id, user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY event_id ASC) AS rn
                 FROM events)
             WHERE rn = 1""",
         "win_sort": """

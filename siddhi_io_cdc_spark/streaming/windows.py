@@ -181,6 +181,24 @@ def unique_window(
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
+def first_unique_window(
+    df: DataFrame,
+    unique_keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """Siddhi ``window.firstUnique(key)``: the window holds the FIRST event
+    per unique key — later events for a seen key are dropped (the dual of
+    :func:`unique_window`, FirstUniqueWindowProcessor in siddhi-core 5.1.32).
+
+    Same plan shape: one shuffle on the unique key, one ordered pass with
+    ``row_number() = 1`` ascending. Streaming equivalent:
+    ``groupBy(keys).agg(F.min_by(...))`` in update mode, or dropDuplicates
+    on the key with a watermark.
+    """
+    w = Window.partitionBy(*unique_keys).orderBy(F.col(order_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
 def delay_window(
     df: DataFrame,
     ts_col: str,

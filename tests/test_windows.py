@@ -188,3 +188,18 @@ def test_delay_window_releases_past_highwater(spark):
         r.t for r in delay_window(df, "t", delay=50).collect()
     )
     assert global_rel == [5, 10, 40, 50]  # global hwm=100 -> t<=50
+
+
+def test_first_unique_window_keeps_first_per_key(spark):
+    """window.firstUnique: first event per key survives, later ones drop
+    (the dual of window.unique)."""
+    from siddhi_io_cdc_spark.streaming.windows import first_unique_window, unique_window
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0), (5, "c", 50.0)],
+        "event_id long, k string, v double",
+    )
+    first = {(r.k, r.event_id) for r in first_unique_window(df, ["k"], "event_id").collect()}
+    assert first == {("a", 1), ("b", 3), ("c", 5)}
+    latest = {(r.k, r.event_id) for r in unique_window(df, ["k"], "event_id").collect()}
+    assert latest == {("a", 2), ("b", 4), ("c", 5)}
