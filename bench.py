@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "llm_decontaminate",
     "llm_distinctive_terms",
     "win_time_length",
+    "llm_simhash_pairs",
+    "llm_near_dedup",
+    "llm_multimodal_decode",
+    "llm_audio_decode",
+    "win_lossy_frequent",
 ]
 
 
