@@ -413,6 +413,50 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_image_features(attach_ppm_payload(docs)).orderBy("id")
 
 
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup: three messy variants per page (scheme case,
+    www., tracking params, fragment, explicit port, trailing slash) must
+    collapse to one canonical key with an exact closed-form oracle."""
+    from siddhi_io_cdc_spark.functions.text import url_dedup
+
+    docs = _docs(spark, sf_dir)
+    a = (F.col("doc_id") % 25).cast("string")
+    b = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("HTTPS://WWW.Example"), a, F.lit(".com/path/"), b,
+                     F.lit("/?utm_source=x")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("https://example"), a, F.lit(".com/path/"), b, F.lit("#frag")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://www.example"), a, F.lit(".com:80/path/"), b, F.lit("/"))
+        )
+    )
+    return url_dedup(docs.withColumn("url", url)).orderBy("canonical_url")
+
+
+def q_c4_filters(spark, sf_dir):
+    """C4-style structural line filters over a deterministic multi-line
+    fixture (original text + a punctuated line + a doc_id-dependent third
+    line), so every count has a closed SQL form."""
+    from siddhi_io_cdc_spark.functions.text import c4_line_filters
+
+    docs = _docs(spark, sf_dir).where(F.length(F.trim("text")) > 0)
+    ml = F.concat(
+        F.col("text"),
+        F.lit("\nSecond line here."),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("\nshort one"))
+        .otherwise(F.lit("\nThird line stays.")),
+    )
+    return c4_line_filters(docs.withColumn("text", ml)).select(
+        "doc_id", "n_lines", "n_punct_lines", "n_short_lines", "c4_keep"
+    )
+
+
 def q_audio_decode(spark, sf_dir):
     """Real mono 16-bit PCM WAV payloads (attach_wav_payload) parsed back by
     the real pure-numpy RIFF decoder — closed-form features, exact oracle."""
@@ -1127,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_audio_decode": q_audio_decode,
         "win_lossy_frequent": q_lossy_frequent,
         "win_first_unique": q_first_unique_window,
+        "llm_url_dedup": q_url_dedup,
+        "llm_c4_filters": q_c4_filters,
     }
 
 
@@ -1800,6 +1846,27 @@ def oracle_sql() -> dict[str, str]:
                          / 8000, 6) AS duration_s,
                    CAST(abs((doc_id % 16) - 8) AS DOUBLE) / 16 AS rms
             FROM documents WHERE doc_id < 200""",
+        # All three URL variants collapse to the same canonical key, so the
+        # group key has the closed form below regardless of doc_id % 3:
+        "llm_url_dedup": """
+            SELECT 'example' || (doc_id % 25) || '.com/path/' || (doc_id % 7)
+                       AS canonical_url,
+                   min(doc_id) AS doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1""",
+        # Fixture lines: original text (unpunctuated), 'Second line here.'
+        # (punctuated), and a doc_id%4 branch — so every count is closed-form
+        # except line 1's own word count, which both engines split on ' ':
+        "llm_c4_filters": """
+            SELECT doc_id,
+                   3 AS n_lines,
+                   CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS n_punct_lines,
+                   CAST(CASE WHEN len(string_split(trim(text), ' ')) < 3
+                             THEN 1 ELSE 0 END
+                        + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS n_short_lines,
+                   doc_id % 4 <> 0 AS c4_keep
+            FROM documents WHERE length(trim(text)) > 0""",
         # llm_minhash_pairs / llm_simhash_pairs / llm_ngram_pairs /
         # llm_embedding_near_dup / llm_ann_cosine: rows-only (LSH banding is
         # not ANSI-SQL expressible).

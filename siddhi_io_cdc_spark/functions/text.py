@@ -324,3 +324,64 @@ def stratified_sample(
             in_stratum, F.lit(True) if r >= 1.0 else bucket < F.lit(_rate_threshold(r))
         ).otherwise(keep)
     return df.where(keep)
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical URL for web-corpus dedup: lowercase, scheme and ``www.``
+    stripped, query string / fragment / explicit port / trailing slashes
+    dropped. The standard CommonCrawl-style URL key — two crawls of the
+    same page under http/https, with/without tracking params, hash to the
+    same document group. Pure regexp chain, fully codegen-side.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(F.trim(c))
+    c = F.regexp_replace(c, r"^[a-z][a-z0-9+.-]*://", "")  # scheme
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"[?#].*$", "")  # query string / fragment
+    c = F.regexp_replace(c, r":\d+(?=/|$)", "")  # explicit port
+    return F.regexp_replace(c, r"/+$", "")  # trailing slashes
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by canonical URL: ``(canonical_url, doc_id, n_copies)``
+    keeping the smallest id per group — one hash-aggregate, same single-
+    shuffle shape as :func:`dedup_exact` (functions/dedup.py)."""
+    return (
+        df.groupBy(canonicalize_url(url_col).alias("canonical_url"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def c4_line_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style structural line filters: per document, append
+
+    - ``n_lines`` — number of ``\\n``-separated non-empty lines;
+    - ``n_punct_lines`` — lines ending in terminal punctuation (``.!?"``),
+      the C4 "keep lines that end in punctuation" signal;
+    - ``n_short_lines`` — lines with fewer than 3 whitespace words
+      (C4 drops them);
+    - ``c4_keep`` — the document-level rule: at least one line, and at
+      least half the lines end in terminal punctuation.
+
+    All array expressions over one ``split`` — no shuffle, no Python.
+    (C4 reference: Raffel et al. 2020, §2.2 heuristics.)
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    punct = F.size(F.filter(lines, lambda ln: F.trim(ln).rlike('[.!?"]$')))
+    short = F.size(
+        F.filter(lines, lambda ln: F.size(F.split(F.trim(ln), r"\s+")) < 3)
+    )
+    return (
+        df.withColumn("n_lines", n_lines)
+        .withColumn("n_punct_lines", punct)
+        .withColumn("n_short_lines", short)
+        .withColumn(
+            "c4_keep",
+            (n_lines > 0) & (F.col("n_punct_lines") * 2 >= F.col("n_lines")),
+        )
+    )

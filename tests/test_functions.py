@@ -463,14 +463,71 @@ def test_pipeline_caches_are_releasable(spark, sf_dir):
     def n_cached():
         return len(spark.sparkContext._jsc.getPersistentRDDs())
 
+    # No-growth (not equality): the shared session's ContextCleaner may drop
+    # OTHER tests' stale blocks asynchronously while this test runs.
     base = n_cached()
     for _ in range(3):
         with cache_scope():
             assert minhash_lsh_pairs(docs, jaccard_threshold=0.9).count() >= 0
-    assert n_cached() == base, "cache_scope leaked persisted intermediates"
+    assert n_cached() <= base, "cache_scope leaked persisted intermediates"
 
+    base = n_cached()
     for _ in range(3):
         pairs = simhash_pairs(docs)
         assert pairs.count() >= 0
         release_caches(pairs)
-    assert n_cached() == base, "release_caches leaked persisted intermediates"
+    assert n_cached() <= base, "release_caches leaked persisted intermediates"
+
+
+def test_canonicalize_url_variants(spark):
+    from siddhi_io_cdc_spark.functions.text import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/Path/?q=1#f", "example.com/path"),
+        ("http://example.com:8080/a/b/", "example.com/a/b"),
+        ("example.com/", "example.com"),
+        ("ftp://www.x.org", "x.org"),
+        ("https://host.com:443", "host.com"),
+        ("https://sub.www.com/w", "sub.www.com/w"),  # only a LEADING www. strips
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {r.id: r.cu for r in df.select("id", canonicalize_url("url").alias("cu")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_c4_line_filters_rules(spark):
+    from siddhi_io_cdc_spark.functions.text import c4_line_filters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "First line no punct\nGood sentence here.\nAnother good one."),
+            (2, "one\ntwo"),
+            (3, "  \n\nOnly line stays.\n"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in c4_line_filters(docs).collect()}
+    assert (rows[1].n_lines, rows[1].n_punct_lines, rows[1].n_short_lines) == (3, 2, 0)
+    assert rows[1].c4_keep
+    assert (rows[2].n_lines, rows[2].n_punct_lines, rows[2].n_short_lines) == (2, 0, 2)
+    assert not rows[2].c4_keep
+    assert (rows[3].n_lines, rows[3].n_punct_lines) == (1, 1) and rows[3].c4_keep
+
+
+def test_url_dedup_collapses_variants(spark):
+    from siddhi_io_cdc_spark.functions.text import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.a.com/x/?utm=1"),
+            (2, "HTTP://A.com/x#top"),
+            (3, "a.com/x/"),
+            (4, "https://b.org/y"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.canonical_url: (r.doc_id, r.n_copies) for r in url_dedup(df).collect()}
+    assert got == {"a.com/x": (1, 3), "b.org/y": (4, 1)}
