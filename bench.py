@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "llm_multimodal_decode",
     "llm_audio_decode",
     "win_lossy_frequent",
+    "llm_url_dedup",
+    "llm_c4_filters",
 ]
 
 
