@@ -1116,7 +1116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dedup_exact": q_dedup_exact,
         "llm_paragraph_dedup": q_paragraph_dedup,
         "llm_minhash_pairs": q_minhash_pairs,
-        "llm_simhash_pairs": q_simhash_pairs,
+        "llm_url_dedup": q_url_dedup,
         "llm_near_dedup": q_near_dedup,
         "llm_decontaminate": q_decontaminate,
         "llm_curate": q_curate,
@@ -1171,7 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_audio_decode": q_audio_decode,
         "win_lossy_frequent": q_lossy_frequent,
         "win_first_unique": q_first_unique_window,
-        "llm_url_dedup": q_url_dedup,
+        "llm_simhash_pairs": q_simhash_pairs,
         "llm_c4_filters": q_c4_filters,
     }
 
@@ -1183,6 +1183,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 _M = "(event_id % 10)"
+
+# Shared CTE prefix for the minhash-family oracles: the planted-clone corpus
+# (q_minhash_pairs / q_near_dedup construction), exact distinct 5-token
+# shingles of the normalized text (token_shingles semantics, including the
+# whole-text shingle for documents shorter than k tokens), and the exact
+# all-pairs Jaccard >= 0.7 set. Verified equal to the Spark LSH output at
+# sf0.001 and sf0.01 (100% banding recall on this corpus; the exact verify
+# removes all false positives).
+_MINHASH_PAIRS_CTE = f"""
+            WITH RECURSIVE corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text || ' tailmarker'
+              FROM documents WHERE doc_id < 5),
+            toks AS (
+              SELECT doc_id, string_split({_NORM}, ' ') AS t FROM corpus),
+            sh AS (
+              SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS s
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, greatest(len(t)-4, 1))) AS i
+                    FROM toks)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS pid_a, b.doc_id AS pid_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT pid_a AS id_a, pid_b AS id_b,
+                     round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
+              FROM inter
+              JOIN sizes na ON pid_a = na.doc_id
+              JOIN sizes nb ON pid_b = nb.doc_id
+              WHERE i * 1.0 / (na.n + nb.n - i) >= 0.7)"""
 
 _BEFORE = {
     "event_id": "event_id",
@@ -1867,7 +1900,33 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS n_short_lines,
                    doc_id % 4 <> 0 AS c4_keep
             FROM documents WHERE length(trim(text)) > 0""",
-        # llm_minhash_pairs / llm_simhash_pairs / llm_ngram_pairs /
-        # llm_embedding_near_dup / llm_ann_cosine: rows-only (LSH banding is
-        # not ANSI-SQL expressible).
+        # llm_minhash_pairs / llm_near_dedup: the LSH banding itself is not
+        # SQL-expressible, but on this corpus it has verified 100% recall at
+        # the 0.7 threshold (smallest surviving jaccard 0.875 — far above the
+        # banding S-curve's loss region), and the exact-Jaccard verify step
+        # removes every false positive. The END STATE therefore has a closed
+        # form: all pairs with exact 5-token-shingle Jaccard >= 0.7 over the
+        # planted-clone corpus, and the canonical survivors of the connected
+        # components over those pairs (min-label via recursive closure).
+        # Shingle-hash Jaccard (Spark) equals shingle-string Jaccard (oracle)
+        # up to 64-bit xxhash collisions (~n²/2⁶⁴ — none on this corpus).
+        "llm_minhash_pairs": _MINHASH_PAIRS_CTE + """
+            SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""",
+        "llm_near_dedup": _MINHASH_PAIRS_CTE + """,
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(node, other) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.node, e.dst FROM reach r
+              JOIN edges e ON r.other = e.src AND e.dst <> r.node)
+            SELECT doc_id FROM corpus
+            WHERE doc_id NOT IN (
+                SELECT node FROM reach GROUP BY node HAVING min(other) < node)
+            ORDER BY doc_id""",
+        # llm_simhash_pairs / llm_ngram_pairs / llm_embedding_near_dup /
+        # llm_ann_cosine: rows-only (simhash's bit votes and the remaining
+        # LSH banding variants need Spark's xxhash64, which ANSI SQL lacks).
     }
