@@ -53,6 +53,35 @@ from siddhi_io_cdc_spark.util import scoped_persist
 BUCKET_COL = "__bucket"
 
 
+def _recover_interrupted_compact(sub: str) -> None:
+    """Restore an index subdirectory a crashed :func:`compact_lsh_index`
+    left missing.
+
+    The compaction swap is two renames (``sub -> .old-*`` then
+    ``.tmp-* -> sub``); a crash between them leaves ``sub`` absent, which
+    the probe path would silently read as an EMPTY index — permanently
+    missing every historical pair. Same marker-free recovery contract as
+    ``operators/mutate.py:_recover_interrupted_swap``: if the live dir is
+    missing but a ``.old-*`` sibling survives, the old dir is still the
+    complete pre-compaction index — restore it. Stale ``.tmp-*`` / extra
+    ``.old-*`` siblings are garbage either way and are removed.
+    """
+    import shutil
+
+    parent, base = os.path.split(sub)
+    if not os.path.isdir(parent):
+        return
+    olds = sorted(d for d in os.listdir(parent) if d.startswith(base + ".old-"))
+    if not os.path.exists(sub) and olds:
+        os.rename(os.path.join(parent, olds[0]), sub)
+        olds = olds[1:]
+    for d in olds:
+        shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+    for d in os.listdir(parent):
+        if d.startswith(base + ".tmp-"):
+            shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
+
 def _bands_path(store: str) -> str:
     return os.path.join(store, "bands")
 
@@ -110,6 +139,8 @@ def incremental_minhash_pairs(
 
     # --- cross pairs: probe the persisted index, partition-pruned ----------
     bands_path, docs_path = _bands_path(store_path), _docs_path(store_path)
+    _recover_interrupted_compact(bands_path)
+    _recover_interrupted_compact(docs_path)
     if os.path.exists(bands_path):
         touched = [
             r[0] for r in banded.select(band_bucket.alias("b")).distinct().collect()
@@ -119,6 +150,12 @@ def incremental_minhash_pairs(
             spark.read.parquet(bands_path)
             .where(F.col(BUCKET_COL).isin(touched))  # partition-pruned probe
             .drop(BUCKET_COL)
+            # A crash after the parquet append but before the marker write
+            # replays the append, so the same (__id, band, bkey) row can
+            # exist twice on disk; dedup on read keeps the emitted pairs
+            # exactly-once. (Doc ids are assumed append-only — re-emitting
+            # an id is an upstream contract violation, not latest-wins.)
+            .dropDuplicates(["__id", "band", "bkey"])
             # Replay safety: a re-run batch already lives in the index;
             # excluding its ids keeps the recomputed pairs identical.
             .join(F.broadcast(new_ids), on="__id", how="left_anti")
@@ -143,6 +180,9 @@ def incremental_minhash_pairs(
                 spark.read.parquet(docs_path)
                 .where(F.col(BUCKET_COL).isin(cand_buckets))  # pruned verify read
                 .drop(BUCKET_COL)
+                # Same partial-append dedup as the bands read; rows for one
+                # id are byte-identical, so any survivor is correct.
+                .dropDuplicates(["__id"])
             )
             old_sig = old_docs.select("__id", "__sig")
             # Signature prefilter across sources, then exact verify.
@@ -258,6 +298,7 @@ def incremental_embedding_pairs(
     pairs = _pairs(b, b)
 
     vecs_path = os.path.join(store_path, "vecs")
+    _recover_interrupted_compact(vecs_path)
     if os.path.exists(vecs_path):
         touched = [r[0] for r in b.select(part_col.alias("p")).distinct().collect()]
         new_ids = b.select("__id").distinct()
@@ -265,6 +306,9 @@ def incremental_embedding_pairs(
             spark.read.parquet(vecs_path)
             .where(F.col(BUCKET_COL).isin(touched))  # partition-pruned probe
             .drop(BUCKET_COL)
+            # Partial-append dedup (append + marker are not atomic); rows
+            # for one id are identical, any survivor is correct.
+            .dropDuplicates(["__id"])
             .join(F.broadcast(new_ids), on="__id", how="left_anti")
         )
         pairs = pairs.unionByName(_pairs(b, old))
@@ -291,11 +335,15 @@ def compact_lsh_index(spark, store_path: str) -> None:
     high trigger rates that is the classic streaming small-files problem
     (every probe pays per-file open/footer costs). Compaction hash-
     repartitions each store on the bucket column (each bucket lands in
-    exactly one task → one file), writes to a sibling staging directory, and
-    swaps via atomic renames — crash-safe the same way as
-    ``operators/mutate.py:merge_into_parquet``. Run it as a maintenance job
-    between batches (the index is append-only, so any consistent snapshot
-    compacts safely).
+    exactly one task → one file), drops any duplicate rows a crash-replayed
+    append left behind (making the read-side dedup a no-op again), writes to
+    a sibling staging directory, and swaps via renames. A crash between the
+    two renames leaves the live dir missing — recovered on the next
+    compaction OR probe by :func:`_recover_interrupted_compact` (the
+    ``.old-*`` sibling is the complete pre-compaction index), the same
+    contract as ``operators/mutate.py:_recover_interrupted_swap``. Run it as
+    a maintenance job between batches (the index is append-only, so any
+    consistent snapshot compacts safely).
     """
     import shutil
     import uuid
@@ -305,12 +353,17 @@ def compact_lsh_index(spark, store_path: str) -> None:
         _docs_path(store_path),
         os.path.join(store_path, "vecs"),
     ):
+        _recover_interrupted_compact(sub)
         if not os.path.exists(sub):
             continue
         df = spark.read.parquet(sub)
+        dedup_keys = (
+            ["__id", "band", "bkey"] if sub == _bands_path(store_path) else ["__id"]
+        )
         tmp = sub + ".tmp-" + uuid.uuid4().hex
         (
-            df.repartition(F.col(BUCKET_COL))
+            df.dropDuplicates(dedup_keys)
+            .repartition(F.col(BUCKET_COL))
             .write.partitionBy(BUCKET_COL)
             .parquet(tmp)
         )
@@ -330,6 +383,35 @@ def foreach_batch_minhash_dedup(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         pairs = incremental_minhash_pairs(
             spark, store_path, batch_df, batch_id=batch_id, **params
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"batch={batch_id}")
+        )
+
+    return _apply
+
+
+def foreach_batch_embedding_dedup(
+    spark, store_path: str, pairs_path: str, dim: int, **params
+):
+    """``writeStream.foreachBatch`` adapter for
+    :func:`incremental_embedding_pairs`.
+
+    ``dim`` is REQUIRED here: the direct function's ``dim=None`` inference
+    runs a driver-side ``first()`` — one extra Spark job — which is fine for
+    a one-off batch call but is a per-trigger tax (and fails on empty
+    batches) inside a streaming loop.
+    """
+    if not isinstance(dim, int) or dim <= 0:
+        raise ValueError(
+            f"foreach_batch_embedding_dedup requires an explicit positive "
+            f"dim (got {dim!r}); per-batch inference would run one driver "
+            f"job per trigger"
+        )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_embedding_pairs(
+            spark, store_path, batch_df, dim=dim, batch_id=batch_id, **params
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"batch={batch_id}")

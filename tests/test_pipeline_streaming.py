@@ -242,3 +242,150 @@ def test_incremental_embedding_matches_batch(spark, sf_dir, tmp_path):
     assert got_replay == {
         (a, b, c) for (a, b, c) in expect if a % 3 == 1 or b % 3 == 1
     }
+
+def test_compact_crash_between_renames_recovers(spark, sf_dir, tmp_path):
+    """A crash between compaction's two renames leaves the live index dir
+    missing; the next probe (or compaction) must restore it from the .old-*
+    sibling instead of silently treating the index as empty."""
+    import glob
+    import shutil
+
+    from siddhi_io_cdc_spark.streaming.dedup import (
+        compact_lsh_index,
+        incremental_minhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    nd = docs.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 10_000_001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(nd)
+    store = str(tmp_path / "lsh")
+    # Seed the index with the even half (originals of the planted dups).
+    incremental_minhash_pairs(
+        spark, store, corpus.where(F.col("doc_id") % 2 == 0),
+        jaccard_threshold=0.7, num_buckets=4, batch_id=0,
+    ).collect()
+
+    # Simulate the exact crash window: first rename done (live dir -> .old),
+    # second rename pending (.tmp staged), for BOTH store subdirectories.
+    for sub in (f"{store}/bands", f"{store}/docs"):
+        shutil.copytree(sub, sub + ".tmp-deadbeef")
+        os.rename(sub, sub + ".old-deadbeef")
+        assert not os.path.exists(sub)
+
+    # The next batch's probe recovers and still finds every cross pair.
+    pairs = incremental_minhash_pairs(
+        spark, store, corpus.where(F.col("doc_id") % 2 == 1),
+        jaccard_threshold=0.7, num_buckets=4, batch_id=1,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    from siddhi_io_cdc_spark.functions.dedup import minhash_lsh_pairs
+
+    expect = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(corpus, jaccard_threshold=0.7).collect()
+        if r.id_a % 2 == 1 or r.id_b % 2 == 1
+    }
+    assert expect, "fixture must plant at least one cross-parity pair"
+    assert got == expect
+    # Leftover staging/backup dirs are gone after recovery.
+    assert not glob.glob(f"{store}/bands.old-*") and not glob.glob(f"{store}/bands.tmp-*")
+
+    # Same crash state handled by compaction itself.
+    for sub in (f"{store}/bands",):
+        shutil.copytree(sub, sub + ".tmp-cafe")
+        os.rename(sub, sub + ".old-cafe")
+    compact_lsh_index(spark, store)
+    assert os.path.exists(f"{store}/bands")
+    assert not glob.glob(f"{store}/bands.old-*") and not glob.glob(f"{store}/bands.tmp-*")
+
+
+def test_partial_append_duplicate_rows_dedup_on_read(spark, sf_dir, tmp_path):
+    """A crash after the index append but before the marker write makes the
+    replayed batch append AGAIN; the duplicated index rows must not duplicate
+    emitted pairs (dedup on read), and compaction removes them for good."""
+    from siddhi_io_cdc_spark.streaming.dedup import (
+        compact_lsh_index,
+        incremental_minhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    nd = docs.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 10_000_001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailmarker")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    corpus = docs.unionByName(nd)
+    store = str(tmp_path / "lsh")
+    seed = corpus.where(F.col("doc_id") % 2 == 0)
+    incremental_minhash_pairs(
+        spark, store, seed, jaccard_threshold=0.7, num_buckets=4, batch_id=0
+    ).collect()
+    # Crash-before-marker: remove the marker and replay the append.
+    os.remove(f"{store}/_batches/0")
+    incremental_minhash_pairs(
+        spark, store, seed, jaccard_threshold=0.7, num_buckets=4, batch_id=0
+    ).collect()
+    n_ids = seed.count()
+    stored = spark.read.parquet(f"{store}/docs")
+    assert stored.count() == 2 * n_ids, "test premise: rows really duplicated"
+
+    probe = corpus.where(F.col("doc_id") % 2 == 1)
+    pairs = incremental_minhash_pairs(
+        spark, store, probe, jaccard_threshold=0.7, num_buckets=4, batch_id=1
+    ).collect()
+    keys = [(r.id_a, r.id_b) for r in pairs]
+    assert len(keys) == len(set(keys)), "duplicated index rows duplicated pairs"
+    from siddhi_io_cdc_spark.functions.dedup import minhash_lsh_pairs
+
+    expect = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(corpus, jaccard_threshold=0.7).collect()
+        if r.id_a % 2 == 1 or r.id_b % 2 == 1
+    }
+    assert set(keys) == expect
+
+    # Compaction physically removes the duplicates.
+    compact_lsh_index(spark, store)
+    assert spark.read.parquet(f"{store}/docs").drop("__bucket").count() == n_ids + probe.count()
+
+
+def test_foreach_batch_embedding_requires_dim(spark, sf_dir, tmp_path):
+    """The streaming adapter refuses dim-less construction (per-trigger
+    driver inference) but works end-to-end with dim given."""
+    import pytest
+
+    from siddhi_io_cdc_spark.streaming.dedup import foreach_batch_embedding_dedup
+
+    with pytest.raises(ValueError, match="explicit positive dim"):
+        foreach_batch_embedding_dedup(spark, str(tmp_path / "s"), str(tmp_path / "p"), dim=None)
+    with pytest.raises(ValueError, match="explicit positive dim"):
+        foreach_batch_embedding_dedup(spark, str(tmp_path / "s"), str(tmp_path / "p"), dim=0)
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    dup = vecs.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 10_000_001).alias("vec_id"), "embedding"
+    )
+    corpus = vecs.select("vec_id", "embedding").unionByName(dup)
+    dim = len(corpus.select("embedding").first()[0])
+
+    store, pairs_out = str(tmp_path / "store"), str(tmp_path / "pairs")
+    apply_fn = foreach_batch_embedding_dedup(
+        spark, store, pairs_out, dim=dim, threshold=0.98, num_buckets=8
+    )
+    apply_fn(corpus.where(F.col("vec_id") % 2 == 0), 0)
+    apply_fn(corpus.where(F.col("vec_id") % 2 == 1), 1)
+
+    from siddhi_io_cdc_spark.functions.similarity import embedding_near_dup_pairs
+
+    got = {
+        (r.id_a, r.id_b, r.cosine) for r in spark.read.parquet(pairs_out).collect()
+    }
+    expect = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dup_pairs(corpus, threshold=0.98, dim=dim).collect()
+    }
+    assert expect and got == expect
