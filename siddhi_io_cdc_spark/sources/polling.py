@@ -153,7 +153,11 @@ class CDCPollStreamReader(DataSourceStreamReader):
         # the guarantee we offer is: rows within each partition are sorted by
         # the polling column, and partition ranges are themselves monotone —
         # a foreachBatch consumer iterating partitions in order sees globally
-        # ordered keys. Costs one in-memory Arrow sort per slice.
+        # ordered keys. Holds on EVERY path: exact-int windows key-range
+        # slice, non-int / earliest-catch-up windows slice via
+        # _ordered_key_slices, and un-sliceable key domains collapse to one
+        # partition (slower, never out of order). Costs one in-memory Arrow
+        # sort per slice.
         self.ordered = (options.get("orderByPollingColumn") or "false").lower() == "true"
         self.field_names = [f.name for f in schema.fields]
         self._prev: dict | None = None  # last offset this reader emitted/saw
@@ -301,15 +305,23 @@ class CDCPollStreamReader(DataSourceStreamReader):
                     # unbounded (last, ∞) column slice on the driver: a 100×
                     # catch-up backlog must stay on the executors.
                     coerced = self._coerce_offset(last)
-                    if coerced is not None:
-                        if not mx > coerced:
-                            return dict(start)
-                    elif not _jsonable(mx) > last:
-                        # Last resort: compare in the JSON-string domain the
-                        # offset was written in. ``_jsonable`` renders a fixed
-                        # column type with a fixed-width zero-padded format
-                        # (ISO timestamps, decimal strings), so lexicographic
-                        # order matches value order.
+                    if coerced is None:
+                        # No silent fallback to lexicographic string compare:
+                        # str() of a decimal is not zero-padded ("9.5" > "10.2"
+                        # as strings), so a string-domain compare could stall
+                        # the stream forever without any error. Fail loudly —
+                        # reaching here means the checkpointed offset cannot
+                        # be cast back into the polling column's type, which
+                        # is a corrupt checkpoint or a changed column type.
+                        raise RuntimeError(
+                            f"cdc-poll: checkpointed offset {last!r} cannot be "
+                            f"cast back to polling column {self.column!r}'s "
+                            f"type; refusing a lexicographic string compare "
+                            f"(risks a silent stream stall). Was the polling "
+                            f"column's type changed under an existing "
+                            f"checkpoint?"
+                        )
+                    if not mx > coerced:
                         return dict(start)
             return {"last": _jsonable(mx)}
 
@@ -364,6 +376,90 @@ class CDCPollStreamReader(DataSourceStreamReader):
             return {"last": _jsonable(allowed), "gap_next": waiting_for, "gap_since": since}
         return {"last": _jsonable(allowed), "gap_next": waiting_for, "gap_since": now}
 
+    def _ordered_key_slices(self, low, high):
+        """Monotone key-range slices for ordered delivery when the offset
+        window is not (int, int): timestamp / date / decimal / float polling
+        columns, and the ``startFrom=earliest`` catch-up whose low is the
+        EMPTY sentinel.
+
+        Boundaries come from linear interpolation between the window ends in
+        an ORDINAL domain (timestamp/date → epoch integer, decimal/float →
+        float; the catch-up low is seeded from footer-stats min). Approximate
+        boundaries affect only balance, never correctness: each slice still
+        filters exactly ``(b_{i-1}, b_i]`` in the column's own domain, and
+        the boundary chain is kept strictly increasing, so consuming
+        partitions in order yields globally ordered keys — the same
+        guarantee as the exact-int path. Returns None when the column type
+        has no ordinal mapping (caller then emits a single slice)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        dset = self._dataset()
+        try:
+            typ = dset.schema.field(self.column).type
+        except KeyError:
+            return None
+        lo_b = _coerce_bound(dset.schema, self.column, low)
+        hi_b = _coerce_bound(dset.schema, self.column, high)
+        if hi_b is None:
+            return None
+        unbounded_low = lo_b is None or lo_b == EMPTY_SENTINEL
+
+        is_temporal = (
+            pa.types.is_timestamp(typ) or pa.types.is_date(typ) or pa.types.is_time(typ)
+        )
+
+        def to_ord(v):
+            if pa.types.is_integer(typ):
+                return int(v)
+            if pa.types.is_floating(typ) or pa.types.is_decimal(typ):
+                return float(v)
+            if is_temporal:
+                return pc.cast(pa.scalar(v, typ), pa.int64()).as_py()
+            return None
+
+        def from_ord(o):
+            if pa.types.is_integer(typ):
+                return int(o)
+            if pa.types.is_floating(typ):
+                return float(o)
+            if pa.types.is_decimal(typ):
+                return pc.cast(pa.scalar(float(o), pa.float64()), typ).as_py()
+            # Temporal: round-trip through the type's integer representation
+            # (date32 stores int32 days — cast through int32 first).
+            storage = pa.int32() if pa.types.is_date32(typ) else pa.int64()
+            return pc.cast(pa.scalar(int(o), storage), typ).as_py()
+
+        try:
+            if unbounded_low:
+                lo_val, _ = self._stats_minmax()
+                if lo_val is None:
+                    return None
+            else:
+                lo_val = lo_b
+            lo_o, hi_o = to_ord(lo_val), to_ord(hi_b)
+            if lo_o is None or hi_o is None or not hi_o > lo_o:
+                return None
+            chain = []
+            for i in range(1, self.num_partitions):
+                b = from_ord(lo_o + (hi_o - lo_o) * i / self.num_partitions)
+                if (chain and not b > chain[-1]) or not b < hi_b:
+                    continue
+                if not unbounded_low and not b > lo_b:
+                    continue
+                chain.append(b)
+        except (
+            TypeError, ValueError, OverflowError, KeyError,
+            pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError,
+        ):
+            return None
+        los = [low] + chain
+        his = chain + [high]
+        return [
+            RangeScan(self.path, self.column, lo_i, hi_i, self.field_names, True)
+            for lo_i, hi_i in zip(los, his)
+        ]
+
     def partitions(self, start: dict, end: dict):
         # Learn the true start on checkpoint-replayed batches.
         self._prev = dict(end)
@@ -396,6 +492,21 @@ class CDCPollStreamReader(DataSourceStreamReader):
                     )
                     lo = hi
                 return parts
+        if self.ordered and self.num_partitions > 1:
+            # Ordered delivery outside the exact-int window (timestamp /
+            # decimal polling columns, and the startFrom=earliest catch-up
+            # whose low is the EMPTY sentinel): the fragment-group path below
+            # would emit OVERLAPPING key ranges and silently break the
+            # documented global-order guarantee. Derive monotone boundaries
+            # from footer stats instead; when the key domain can't be split
+            # (e.g. string keys), fall back to ONE slice — slower, never
+            # wrong.
+            parts = self._ordered_key_slices(low, high)
+            if parts is not None:
+                return parts
+            return [
+                RangeScan(self.path, self.column, low, high, self.field_names, True)
+            ]
         # Default: STORAGE-NATURAL partitioning. One slice = one group of
         # parquet fragments, so a catch-up scan reads every byte exactly
         # once regardless of how keys cluster across files — key-range

@@ -510,3 +510,101 @@ def test_resume_without_loss_timestamp_column(spark, tmp_path):
         assert got == [3, 4, 5, 6, 7], got
     finally:
         q2.stop()
+
+def _bare_reader(path, column, ordered=False, num_partitions=4):
+    from siddhi_io_cdc_spark.sources.polling import CDCPollStreamReader
+
+    r = CDCPollStreamReader.__new__(CDCPollStreamReader)
+    r.path = path
+    r.column = column
+    r.field_names = [column]
+    r.ordered = ordered
+    r.num_partitions = num_partitions
+    r.wait_on_missed = False
+    r.missed_timeout = -1
+    r.max_keys_per_trigger = 1_000_000
+    r._prev = None
+    return r
+
+
+def test_ordered_earliest_catchup_multipartition_monotone(tmp_path):
+    """orderByPollingColumn + numPartitions>1 on the startFrom=earliest
+    catch-up (low == EMPTY sentinel): slices must carry monotone,
+    non-overlapping key ranges so in-order partition consumption yields
+    globally ordered keys — the documented guarantee. Regression for the
+    fragment-group fall-through that emitted overlapping ranges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    # Keys interleaved ACROSS files so fragment grouping would overlap.
+    pq.write_table(pa.table({"id": [1, 50, 99, 7, 62]}), f"{path}/a.parquet")
+    pq.write_table(pa.table({"id": [2, 51, 98, 30, 77]}), f"{path}/b.parquet")
+    pq.write_table(pa.table({"id": [3, 52, 97, 44, 81]}), f"{path}/c.parquet")
+
+    reader = _bare_reader(path, "id", ordered=True, num_partitions=3)
+    parts = reader.partitions({"last": -1}, {"last": 99})
+    assert len(parts) > 1, "catch-up must still parallelize"
+    rows = []
+    for part in parts:  # consume partitions IN ORDER
+        part_rows = []
+        for batch in reader.read(part):
+            part_rows += batch.column(0).to_pylist()
+        assert part_rows == sorted(part_rows)
+        rows += part_rows
+    assert rows == sorted(rows), "global order across in-order partitions"
+    assert set(rows) == {1, 2, 3, 7, 30, 44, 50, 51, 52, 62, 77, 81, 97, 98, 99}
+
+
+def test_ordered_timestamp_multipartition_monotone(tmp_path):
+    """Same guarantee for a non-integer (timestamp) polling column, with the
+    low bound in its JSON-string checkpoint form."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "ts_tbl")
+    os.makedirs(path)
+    base = datetime(2026, 1, 1)
+    ts = [base + timedelta(minutes=m) for m in range(60)]
+    # Interleave across files.
+    pq.write_table(pa.table({"ts": ts[0::3]}), f"{path}/a.parquet")
+    pq.write_table(pa.table({"ts": ts[1::3]}), f"{path}/b.parquet")
+    pq.write_table(pa.table({"ts": ts[2::3]}), f"{path}/c.parquet")
+
+    reader = _bare_reader(path, "ts", ordered=True, num_partitions=4)
+    low = str(ts[9])   # JSON round-trip renders timestamps as strings
+    high = str(ts[-1])
+    parts = reader.partitions({"last": low}, {"last": high})
+    assert len(parts) > 1
+    rows = []
+    for part in parts:
+        part_rows = []
+        for batch in reader.read(part):
+            part_rows += batch.column(0).to_pylist()
+        assert part_rows == sorted(part_rows)
+        rows += part_rows
+    assert rows == sorted(rows)
+    assert rows == ts[10:], "window (low, high] exactly"
+
+
+def test_uncastable_offset_raises_instead_of_string_compare(tmp_path):
+    """A checkpointed offset that cannot be cast back into the polling
+    column's type must fail loudly — a lexicographic fallback could silently
+    stall the stream (str(9.5) > str(10.2))."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from datetime import datetime
+
+    path = str(tmp_path / "bad_off")
+    os.makedirs(path)
+    pq.write_table(pa.table({"ts": [datetime(2026, 1, 1)]}), f"{path}/a.parquet")
+
+    reader = _bare_reader(path, "ts")
+    reader._prev = {"last": "not-a-timestamp"}
+    with pytest.raises(RuntimeError, match="cannot be cast back"):
+        reader.latestOffset()
