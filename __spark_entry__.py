@@ -28,9 +28,12 @@ from siddhi_io_cdc_spark.functions import dedup_exact, lang_detect, quality_scor
 from siddhi_io_cdc_spark.functions.dedup import minhash_lsh_pairs, simhash_pairs
 from siddhi_io_cdc_spark.functions.multimodal import (
     attach_ppm_payload,
+    attach_video_payload,
     attach_wav_payload,
     decode_audio_features,
     decode_image_features,
+    extract_embedding,
+    split_video_frames,
 )
 from siddhi_io_cdc_spark.functions.similarity import ann_cosine, topk_cosine
 from siddhi_io_cdc_spark.functions.text import (
@@ -455,6 +458,34 @@ def q_c4_filters(spark, sf_dir):
     return c4_line_filters(docs.withColumn("text", ml)).select(
         "doc_id", "n_lines", "n_punct_lines", "n_short_lines", "c4_keep"
     )
+
+
+def q_video_frames(spark, sf_dir):
+    """Video end-to-end: attach_video_payload builds real multi-frame P5
+    clips JVM-side; split_video_frames slices every 2nd frame out with a
+    binary substring (no Python); each frame decodes through the REAL
+    netpbm parser. Every feature has a closed SQL form → exact oracle."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    frames = split_video_frames(attach_video_payload(docs), every_n=2)
+    return decode_image_features(
+        frames.select(
+            (F.col("doc_id") * 100 + F.col("frame_idx")).alias("fid"),
+            F.col("frame_payload").alias("payload"),
+        ),
+        id_col="fid",
+    ).orderBy("id")
+
+
+def q_payload_embedding(spark, sf_dir):
+    """extract_embedding (strided-fold byte featurizer, the documented
+    model-swap seam for a real encoder) over real P5 payloads — the fold
+    sums and L2 norm are integer-exact in float64, so the 16 components
+    compare bit-equal against the SQL restatement."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300)
+    emb = extract_embedding(attach_ppm_payload(docs), dim=16)
+    return emb.select(
+        "id", *[F.col("embedding")[i].alias(f"e{i}") for i in range(16)]
+    ).orderBy("id")
 
 
 def q_audio_decode(spark, sf_dir):
@@ -1173,6 +1204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_first_unique": q_first_unique_window,
         "llm_simhash_pairs": q_simhash_pairs,
         "llm_c4_filters": q_c4_filters,
+        "llm_video_frames": q_video_frames,
+        "llm_payload_embedding": q_payload_embedding,
     }
 
 
@@ -1900,6 +1933,42 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS n_short_lines,
                    doc_id % 4 <> 0 AS c4_keep
             FROM documents WHERE length(trim(text)) > 0""",
+        # Video fixture: 2 + id%4 frames, every 2nd sampled; frame f's
+        # constant pixel is 1 + (octet_length(text) + f) % 127:
+        "llm_video_frames": """
+            SELECT doc_id * 100 + f AS id,
+                   CAST(4 + doc_id % 13 AS INTEGER) AS width,
+                   CAST(4 + doc_id % 7 AS INTEGER) AS height,
+                   CAST(1 + (octet_length(encode(text)) + f) % 127 AS DOUBLE)
+                       AS mean_intensity
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(0, CAST(1 + doc_id % 4 AS BIGINT), 2)) AS f
+                  FROM documents WHERE doc_id < 200)""",
+        # The strided-fold featurizer restated: reconstruct the P5 payload
+        # string, sum byte values per position-mod-16 residue, L2-normalize.
+        # Integer sums/squares are exact in float64, so the rounded
+        # components compare bit-equal across engines:
+        "llm_payload_embedding": """
+            WITH base AS (
+              SELECT doc_id,
+                     'P5' || chr(10) || (4 + doc_id % 13) || ' '
+                     || (4 + doc_id % 7) || chr(10) || '255' || chr(10)
+                     || repeat(chr(CAST(1 + octet_length(encode(text)) % 127 AS INT)),
+                               CAST((4 + doc_id % 13) * (4 + doc_id % 7) AS INT)) AS s
+              FROM documents WHERE doc_id < 300),
+            bytes AS (
+              SELECT doc_id, (p - 1) % 16 AS i, ord(substr(s, CAST(p AS INT), 1)) AS v
+              FROM (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS p
+                    FROM base)),
+            sums AS (SELECT doc_id, i, sum(v) AS sv FROM bytes GROUP BY 1, 2),
+            norms AS (SELECT doc_id, sqrt(sum(sv * sv)) AS n FROM sums GROUP BY 1)
+            SELECT s.doc_id AS id,
+                   """ + ",\n                   ".join(
+                       f"round(max(CASE WHEN i = {i} THEN sv END) / any_value(n.n), 6) AS e{i}"
+                       for i in range(16)
+                   ) + """
+            FROM sums s JOIN norms n ON s.doc_id = n.doc_id
+            GROUP BY s.doc_id""",
         # llm_minhash_pairs / llm_near_dedup: the LSH banding itself is not
         # SQL-expressible, but on this corpus it has verified 100% recall at
         # the 0.7 threshold (smallest surviving jaccard 0.875 — far above the

@@ -5,11 +5,15 @@ typed metadata struct (``mm_meta``) carrying modality/mime/dims. All Spark
 plumbing — schema, partition-preserving ``mapInPandas``, Arrow batch shapes —
 is real and tested. Image decoding is REAL for self-describing formats:
 binary netpbm (P5 grayscale / P6 RGB) and uncompressed 8/24/32-bit BMP are
-parsed in pure numpy (no media libraries needed); other codecs go through
-Pillow when importable, else a clearly-marked deterministic fake keeps
-pipelines testable end-to-end. Audio decoding stays a documented fake
-(8-bit-PCM interpretation) — swap the inner function for soundfile/librosa in
-production; the Spark-side contract does not change.
+parsed in pure numpy (no media libraries needed); audio decoding is REAL for
+PCM WAV (RIFF). Other codecs go through Pillow when importable, else a
+clearly-marked deterministic fake keeps pipelines testable end-to-end; swap
+in soundfile/librosa for compressed audio — the Spark-side contract does not
+change. Malformed payloads null out by default (``strict=True`` restores
+hard errors). Video is the fixed-size-frame convention: a clip payload is
+concatenated netpbm frames (``attach_video_payload``), sampled and split
+JVM-side (``sample_frames`` / ``split_video_frames``), each frame then
+flowing through the ordinary image decoder.
 
 Scale notes: payloads stay in Arrow buffers end-to-end (binary columns are
 zero-copy through ``mapInPandas``); feature extraction batches by
@@ -142,7 +146,9 @@ def _parse_bmp(b: bytes):
     return w, height, px
 
 
-def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def decode_image_features(
+    df: DataFrame, id_col: str = "doc_id", strict: bool = False
+) -> DataFrame:
     """Decode image payloads → (id, width, height, mean_intensity).
 
     REAL decode for self-describing formats — binary netpbm (P5/P6) and
@@ -153,6 +159,12 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     samples (channels weighted equally). The ``mapInPandas`` plumbing —
     Arrow batch in, Arrow batch out, partition-preserving — is the
     production shape.
+
+    MALFORMED payloads (a recognized magic with a truncated/unsupported
+    body — routine in crawled media) yield NULL features by default so one
+    corrupt asset cannot fail a whole curation task; filter
+    ``width IS NULL`` downstream to quarantine them. ``strict=True`` opts
+    back into hard per-payload errors.
     """
     try:
         from PIL import Image  # noqa: F401
@@ -189,12 +201,24 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             ids, ws, hs, means = [], [], [], []
             for i, payload in zip(pdf["id"], pdf["payload"]):
-                w, h, mean = one(bytes(payload))
+                try:
+                    w, h, mean = one(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    w = h = mean = None
                 ids.append(i)
                 ws.append(w)
                 hs.append(h)
                 means.append(mean)
-            yield pd.DataFrame({"id": ids, "width": ws, "height": hs, "mean_intensity": means})
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "mean_intensity": pd.array(means, dtype="Float64"),
+                }
+            )
 
     return src.mapInPandas(_decode, schema=IMAGE_FEATURES_SCHEMA)
 
@@ -250,10 +274,107 @@ def sample_frames(df: DataFrame, every_n: int = 10, n_frames_col: str = "mm_meta
     )
 
 
+def attach_video_payload(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Build REAL multi-frame video payloads with pure JVM expressions: a
+    clip is ``2 + id % 4`` concatenated binary P5 frames of ``4 + id % 13``
+    × ``4 + id % 7`` pixels, frame ``f``'s constant pixel being
+    ``1 + (octet_length(text) + f) % 127`` (ASCII range keeps the
+    string→UTF-8 encode byte-exact, same trick as
+    :func:`attach_ppm_payload`). Every sampled-frame feature therefore has
+    a closed ANSI-SQL form — the contract's ``llm_video_frames`` runs as an
+    exact value oracle. ``mm_meta`` carries the fixed frame dims and
+    ``n_frames``."""
+    id_ = F.col(id_col)
+    w = (F.lit(4) + id_ % 13).cast("int")
+    h = (F.lit(4) + id_ % 7).cast("int")
+    n = (F.lit(2) + id_ % 4).cast("int")
+    out = (
+        df.withColumn("__w", w).withColumn("__h", h).withColumn("__n", n)
+        .withColumn("__len", F.octet_length(F.col(text_col)))
+    )
+    header = F.concat(
+        F.lit("P5\n"),
+        F.col("__w").cast("string"),
+        F.lit(" "),
+        F.col("__h").cast("string"),
+        F.lit("\n255\n"),
+    )
+    frames = F.transform(
+        F.sequence(F.lit(0), F.col("__n") - 1),
+        lambda f: F.concat(
+            header,
+            _repeat_char(F.lit(1) + F.pmod(F.col("__len") + f, F.lit(127)), F.col("__w") * F.col("__h")),
+        ),
+    )
+    return (
+        out.withColumn("payload", F.encode(F.array_join(frames, ""), "UTF-8"))
+        .withColumn(
+            "mm_meta",
+            F.struct(
+                F.lit("video").alias("modality"),
+                F.lit("video/x-raw-netpbm").alias("mime"),
+                F.col("__w").alias("width"),
+                F.col("__h").alias("height"),
+                F.lit(None).cast("int").alias("sample_rate"),
+                F.col("__n").alias("n_frames"),
+            ),
+        )
+        .drop("__w", "__h", "__n", "__len")
+    )
+
+
+def _repeat_char(code: "F.Column", times: "F.Column") -> "F.Column":
+    """``repeat(char(code), times)`` as a column expression (both args are
+    columns, which ``F.expr`` string templates can't bind)."""
+    return F.repeat(F.char(code), times)
+
+
+def split_video_frames(
+    df: DataFrame, every_n: int = 1, id_col: str = "doc_id"
+) -> DataFrame:
+    """Split fixed-size-frame clip payloads into one row per sampled frame,
+    each with its own single-image ``frame_payload``.
+
+    Frame size is computed JVM-side from ``mm_meta`` (netpbm header length +
+    ``width·height`` raster bytes), the slice is a ``substring`` on the
+    binary column — no Python, no shuffle; the explode is a narrow
+    generator. Each ``frame_payload`` then flows through the ordinary
+    :func:`decode_image_features`. Requires constant frame dims per clip
+    (the ``attach_video_payload`` convention; variable-size frames need a
+    container format and a per-codec splitter in the decode seam)."""
+    w = F.col("mm_meta.width")
+    h = F.col("mm_meta.height")
+    header_len = (
+        F.lit(3) + F.length(w.cast("string")) + F.lit(1)
+        + F.length(h.cast("string")) + F.lit(5)
+    )
+    out = sample_frames(df, every_n=every_n).withColumn(
+        "__fsize", header_len + w * h
+    )
+    return out.withColumn(
+        "frame_payload",
+        F.expr("substring(payload, frame_idx * __fsize + 1, __fsize)"),
+    ).drop("__fsize")
+
+
 def extract_embedding(df: DataFrame, id_col: str = "doc_id", dim: int = 16) -> DataFrame:
-    """STUB feature extractor: deterministic pseudo-embedding from payload
-    bytes (stands in for a model forward pass; Arrow-batched, vectorized
-    numpy — the exact batch shape a real encoder UDF uses)."""
+    """Strided-fold byte featurizer: payload → L2-normalized ``dim``-vector.
+
+    The operator IS a (degenerate, sparse) random projection: component
+    ``i`` sums the payload bytes at positions ``p ≡ i (mod dim)`` — i.e. a
+    fixed 0/1 projection matrix over the byte stream — then L2-normalizes.
+    Fully deterministic and closed-form (exact SQL oracle:
+    ``llm_payload_embedding``), cheap (one pass over the bytes, vectorized
+    numpy per Arrow batch), and useful as a content fingerprint for
+    near-dup blocking of binary assets.
+
+    MODEL-SWAP SEAM: a production encoder (CLIP, wav2vec, …) replaces ONLY
+    the inner per-batch function — same ``mapInPandas`` signature, same
+    ``(id, embedding array<double>)`` contract, same partition-preserving /
+    no-shuffle plan; everything downstream (ANN, embedding near-dup,
+    centroids) is agnostic to which encoder produced the vectors."""
 
     src = df.select(F.col(id_col).alias("id"), "payload")
 
@@ -336,7 +457,8 @@ def _parse_wav(b: bytes):
 
 
 def decode_audio_features(
-    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 16000,
+    strict: bool = False,
 ) -> DataFrame:
     """Decode audio payloads → (id, n_samples, duration_s, rms).
 
@@ -348,6 +470,10 @@ def decode_audio_features(
     run; swap in soundfile/librosa for compressed codecs. Spark plumbing
     (Arrow-batched ``mapInPandas``, vectorized numpy inside the batch) is
     the production shape either way.
+
+    MALFORMED payloads (RIFF magic, bad body: missing fmt/data chunk,
+    unsupported codec) yield NULL features by default — one corrupt crawled
+    asset must not fail the task; ``strict=True`` restores hard errors.
     """
     src = df.select(
         F.col(id_col).alias("id"),
@@ -363,7 +489,15 @@ def decode_audio_features(
             ns, dur, rms = [], [], []
             for payload, sr in zip(pdf["payload"], pdf["__sr"]):
                 b = bytes(payload)
-                parsed = _parse_wav(b)
+                try:
+                    parsed = _parse_wav(b)
+                except ValueError:
+                    if strict:
+                        raise
+                    ns.append(None)
+                    dur.append(None)
+                    rms.append(None)
+                    continue
                 if parsed is not None:
                     wav_sr, x = parsed
                     n = int(x.size)
@@ -383,7 +517,12 @@ def decode_audio_features(
                 else:
                     rms.append(0.0)
             yield pd.DataFrame(
-                {"id": pdf["id"], "n_samples": ns, "duration_s": dur, "rms": rms}
+                {
+                    "id": pdf["id"],
+                    "n_samples": pd.array(ns, dtype="Int32"),
+                    "duration_s": pd.array(dur, dtype="Float64"),
+                    "rms": pd.array(rms, dtype="Float64"),
+                }
             )
 
     return src.mapInPandas(_decode, schema=AUDIO_FEATURES_SCHEMA)
@@ -438,7 +577,8 @@ def attach_wav_payload(
 
 
 def resize_images(
-    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id",
+    strict: bool = False,
 ) -> DataFrame:
     """Resize image payloads to ``width``×``height`` → same (payload,
     mm_meta) convention with updated dims.
@@ -503,8 +643,18 @@ def resize_images(
             "modality": "image", "mime": None,
             "width": None, "height": None, "sample_rate": None, "n_frames": None,
         }
+        def safe_one(b: bytes):
+            # Malformed payload (good magic, bad body): null out rather than
+            # failing the task; strict=True restores hard errors.
+            try:
+                return one(b)
+            except ValueError:
+                if strict:
+                    raise
+                return None
+
         for pdf in batches:
-            payloads = [one(bytes(p)) if p is not None else None for p in pdf["payload"]]
+            payloads = [safe_one(bytes(p)) if p is not None else None for p in pdf["payload"]]
             metas = [
                 {**(base_meta if m is None else dict(m)), "width": width, "height": height}
                 for m in pdf["mm_meta"]

@@ -153,12 +153,58 @@ def test_decode_bmp_exact(spark):
     assert r["mean_intensity"] == pytest.approx(float(img.mean()), abs=1e-6)
 
 
-def test_decode_truncated_netpbm_raises(spark):
+def test_decode_truncated_netpbm_nulls_by_default_raises_in_strict(spark):
+    """Malformed payload (good magic, truncated raster): default tolerant
+    mode nulls the features for that row only; strict=True restores the hard
+    per-payload error. Healthy rows in the same batch stay decoded."""
     img = np.zeros((4, 4), dtype=np.uint8)
     bad = encode_ppm(img)[:-3]  # chop the raster
-    df = spark.createDataFrame([(1, bytearray(bad))], "doc_id long, payload binary")
+    good = encode_ppm(np.full((2, 3), 9, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(bad)), (2, bytearray(good))], "doc_id long, payload binary"
+    )
+    rows = {r["id"]: r for r in decode_image_features(df).collect()}
+    assert rows[1]["width"] is None and rows[1]["mean_intensity"] is None
+    assert (rows[2]["width"], rows[2]["height"], rows[2]["mean_intensity"]) == (3, 2, 9.0)
     with pytest.raises(Exception, match="truncated"):
-        decode_image_features(df).collect()
+        decode_image_features(df, strict=True).collect()
+
+
+def test_decode_malformed_wav_nulls_by_default_raises_in_strict(spark):
+    """RIFF magic with a missing fmt/data chunk: nulls by default, raises in
+    strict mode; healthy WAV rows in the same batch decode normally."""
+    from siddhi_io_cdc_spark.functions.multimodal import (
+        decode_audio_features,
+        encode_wav,
+    )
+
+    bad = b"RIFF" + (36).to_bytes(4, "little") + b"WAVE" + b"JUNK" + bytes(8)
+    good = encode_wav(np.full(10, 1000, dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(1, bytearray(bad), None), (2, bytearray(good), None)],
+        "doc_id long, payload binary, mm_meta struct<modality:string,mime:string,"
+        "width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    rows = {r["id"]: r for r in decode_audio_features(df).collect()}
+    assert rows[1]["n_samples"] is None and rows[1]["rms"] is None
+    assert rows[2]["n_samples"] == 10 and rows[2]["duration_s"] == round(10 / 8000, 6)
+    with pytest.raises(Exception, match="missing fmt/data"):
+        decode_audio_features(df, strict=True).collect()
+
+
+def test_resize_malformed_netpbm_nulls_payload(spark):
+    """resize_images on a malformed netpbm: null payload by default."""
+    from siddhi_io_cdc_spark.functions.multimodal import resize_images
+
+    bad = encode_ppm(np.zeros((4, 4), dtype=np.uint8))[:-3]
+    df = spark.createDataFrame(
+        [(1, bytearray(bad), None)],
+        "doc_id long, payload binary, mm_meta struct<modality:string,mime:string,"
+        "width:int,height:int,sample_rate:int,n_frames:int>",
+    )
+    assert resize_images(df, width=2, height=2).first()["payload"] is None
+    with pytest.raises(Exception, match="truncated"):
+        resize_images(df, width=2, height=2, strict=True).collect()
 
 
 def test_attach_ppm_round_trips_through_real_decoder(spark, sf_dir):
@@ -274,3 +320,57 @@ def test_resize_netpbm_real_nearest_neighbor(spark):
         )
     ).first()
     assert (r["width"], r["height"]) == (7, 5)
+
+
+def test_attach_video_round_trips_through_split_and_decoder(spark, sf_dir):
+    """attach_video_payload builds genuine concatenated-P5 clips JVM-side;
+    split_video_frames slices frames with a binary substring; each frame
+    parses through the REAL netpbm decoder with the closed-form features."""
+    from siddhi_io_cdc_spark.functions.multimodal import (
+        _parse_netpbm,
+        attach_video_payload,
+        decode_image_features,
+        split_video_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(F.col("doc_id") < 30)
+    clips = attach_video_payload(docs)
+    r = clips.select("doc_id", "payload", "mm_meta", F.octet_length("text").alias("tl")).first()
+    assert r["mm_meta"]["modality"] == "video"
+    n, w, h = (2 + r["doc_id"] % 4, 4 + r["doc_id"] % 13, 4 + r["doc_id"] % 7)
+    assert r["mm_meta"]["n_frames"] == n
+    # Whole clip = n concatenated frames; frame 0 parses standalone.
+    pw, ph, px = _parse_netpbm(bytes(r["payload"]))
+    assert (pw, ph) == (w, h) and px[0] == 1 + r["tl"] % 127
+
+    frames = split_video_frames(clips, every_n=2)
+    feats = decode_image_features(
+        frames.select(
+            (F.col("doc_id") * 100 + F.col("frame_idx")).alias("fid"),
+            F.col("frame_payload").alias("payload"),
+        ),
+        id_col="fid",
+    )
+    rows = {r["id"]: r for r in feats.collect()}
+    texts = {r["doc_id"]: r["tl"] for r in docs.select("doc_id", F.octet_length("text").alias("tl")).collect()}
+    for d, tl in texts.items():
+        for f in range(0, 2 + d % 4, 2):
+            got = rows[d * 100 + f]
+            assert (got["width"], got["height"]) == (4 + d % 13, 4 + d % 7)
+            assert got["mean_intensity"] == float(1 + (tl + f) % 127)
+    assert len(rows) == sum(len(range(0, 2 + d % 4, 2)) for d in texts)
+
+
+def test_extract_embedding_strided_fold_exact(spark):
+    """The featurizer's spec: component i = L2-normalized sum of payload
+    bytes at positions ≡ i (mod dim)."""
+    import numpy as np
+
+    from siddhi_io_cdc_spark.functions.multimodal import extract_embedding
+
+    payload = bytes(range(1, 41))  # 40 bytes, dim 8 → 5 full rows
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, payload binary")
+    got = extract_embedding(df, dim=8).first()
+    v = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 8).sum(axis=0).astype("float64")
+    exp = [round(float(x), 6) for x in v / np.linalg.norm(v)]
+    assert got["id"] == 7 and list(got["embedding"]) == exp
