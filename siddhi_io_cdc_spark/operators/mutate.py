@@ -422,6 +422,38 @@ def merge_into_delta(
     )
 
 
+def _detect_store_layout(target_path: str) -> str | None:
+    """Which merge-store layout lives at ``target_path``: 'bucketed', 'flat',
+    'delta', or None for absent/empty. Layouts are not interchangeable on
+    disk (a flat store is read with plain ``spark.read.parquet``, a bucketed
+    one only via :func:`read_bucketed_store`), so writers must refuse to
+    interleave them."""
+    if not os.path.isdir(target_path):
+        return None
+    entries = os.listdir(target_path)
+    if "_delta_log" in entries:
+        return "delta"
+    if any(e.startswith(BUCKET_COL + "=") for e in entries):
+        return "bucketed"
+    if any(e.endswith(".parquet") for e in entries):
+        return "flat"
+    return None
+
+
+def _check_store_layout(target_path: str, layout: str) -> None:
+    existing = _detect_store_layout(target_path)
+    if existing is not None and existing != layout:
+        raise ValueError(
+            f"merge store at {target_path!r} already uses the {existing!r} "
+            f"layout; refusing to write {layout!r} into it — the layouts "
+            f"are not interchangeable on disk. Pass layout={existing!r} to "
+            f"keep the existing store, or point the stream at a new "
+            f"target_path. (The default layout changed from 'flat' to "
+            f"'bucketed'; checkpointed streams resuming an old flat store "
+            f"must opt into layout='flat' explicitly.)"
+        )
+
+
 def foreach_batch_merge(
     spark,
     target_path: str,
@@ -445,6 +477,7 @@ def foreach_batch_merge(
     """
     if layout not in ("bucketed", "flat", "delta"):
         raise ValueError(f"layout must be 'bucketed', 'flat' or 'delta', got {layout!r}")
+    _check_store_layout(target_path, layout)
     if layout == "bucketed":
         return foreach_batch_bucketed_merge(
             spark, target_path, key=key, num_buckets=num_buckets,

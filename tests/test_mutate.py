@@ -260,3 +260,41 @@ def test_delta_layout_gates_cleanly(spark, tmp_path):
     if not have_delta:
         with pytest.raises(ImportError, match="delta-spark"):
             apply_fn(batch, 0)
+
+
+def test_foreach_batch_merge_refuses_layout_interleave(spark, tmp_path):
+    """A checkpointed stream resuming against a store written in another
+    layout must fail fast: flat and bucketed stores are not interchangeable
+    on disk (the default changed to 'bucketed'; silent interleave would
+    corrupt reads)."""
+    import pytest
+
+    from siddhi_io_cdc_spark.operators.mutate import (
+        foreach_batch_merge,
+        merge_into_parquet,
+    )
+
+    flat = str(tmp_path / "flat_store")
+    batch = spark.createDataFrame(
+        [(1, "a", 10, "insert")], "k long, v string, ts_ms long, operation string"
+    )
+    merge_into_parquet(spark, flat, batch, key=["k"])
+    # Default (bucketed) against an existing flat store: refuse.
+    with pytest.raises(ValueError, match="already uses the 'flat' layout"):
+        foreach_batch_merge(spark, flat, key=["k"])
+    # Explicit matching layout keeps working.
+    apply_fn = foreach_batch_merge(spark, flat, key=["k"], layout="flat")
+    apply_fn(
+        spark.createDataFrame(
+            [(2, "b", 11, "insert")], "k long, v string, ts_ms long, operation string"
+        ),
+        0,
+    )
+    assert spark.read.parquet(flat).count() == 2
+
+    # And the mirror case: bucketed store, flat adapter.
+    bucketed = str(tmp_path / "bucketed_store")
+    apply_b = foreach_batch_merge(spark, bucketed, key=["k"], num_buckets=4)
+    apply_b(batch, 0)
+    with pytest.raises(ValueError, match="already uses the 'bucketed' layout"):
+        foreach_batch_merge(spark, bucketed, key=["k"], layout="flat")
