@@ -1250,6 +1250,36 @@ _MINHASH_PAIRS_CTE = f"""
               JOIN sizes nb ON pid_b = nb.doc_id
               WHERE i * 1.0 / (na.n + nb.n - i) >= 0.7)"""
 
+# Same construction for the char-3-gram family (q_ngram_pairs: clones are
+# ``text || ' xyz'``): exact distinct 3-grams of the normalized text
+# (ngram_jaccard_pairs extracts grams at positions 1..max(len-2, 1), so a
+# sub-3-char document contributes its whole text as one gram), and the exact
+# all-pairs Jaccard >= 0.8 set.
+_NGRAM_PAIRS_CTE = f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text || ' xyz'
+              FROM documents WHERE doc_id < 5),
+            normed AS (SELECT doc_id, {_NORM} AS nt FROM corpus),
+            grams AS (
+              SELECT DISTINCT doc_id, substr(nt, i, 3) AS g
+              FROM (SELECT doc_id, nt,
+                           unnest(generate_series(1, greatest(length(nt) - 2, 1))) AS i
+                    FROM normed)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS pid_a, b.doc_id AS pid_b, count(*) AS i
+              FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT pid_a AS id_a, pid_b AS id_b,
+                     round(i * 1.0 / (na.n + nb.n - i), 6) AS jaccard
+              FROM inter
+              JOIN sizes na ON pid_a = na.doc_id
+              JOIN sizes nb ON pid_b = nb.doc_id
+              WHERE i * 1.0 / (na.n + nb.n - i) >= 0.8)"""
+
 _BEFORE = {
     "event_id": "event_id",
     "user_id": "user_id + 1000",
@@ -1995,7 +2025,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (
                 SELECT node FROM reach GROUP BY node HAVING min(other) < node)
             ORDER BY doc_id""",
-        # llm_simhash_pairs / llm_ngram_pairs / llm_embedding_near_dup /
-        # llm_ann_cosine: rows-only (simhash's bit votes and the remaining
-        # LSH banding variants need Spark's xxhash64, which ANSI SQL lacks).
+        # llm_ngram_pairs: same end-state argument as llm_minhash_pairs —
+        # banding is not SQL, but its recall is 100% on this corpus and the
+        # exact-Jaccard verify removes all false positives, so the end state
+        # is the exact char-3-gram Jaccard >= 0.8 pair set (gram-hash Jaccard
+        # equals gram-string Jaccard absent 64-bit collisions).
+        "llm_ngram_pairs": _NGRAM_PAIRS_CTE + """
+            SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""",
+        # llm_embedding_near_dup: identical planted clones always share every
+        # sign-LSH bucket, and the fixture's max NATURAL cosine is ~0.51 at
+        # every shipped sf (measured: 0.48 / 0.51 / 0.60 at sf0.001/0.01/0.1)
+        # — far below the 0.99 threshold — so bucket recall is exact and the
+        # end state is the all-pairs cosine >= 0.99 set.
+        "llm_embedding_near_dup": """
+            WITH corpus AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000, embedding
+              FROM embeddings WHERE vec_id < 5)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                     AS cosine
+            FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                    >= 0.99
+            ORDER BY id_a, id_b""",
+        # llm_simhash_pairs / llm_ann_cosine: rows-only. SimHash's pairwise
+        # metric IS the hamming distance between xxhash64 bit-vote
+        # signatures (no hash-free restatement exists), and ann_cosine's
+        # candidate set is defined by the probed hyperplane buckets (the
+        # approximation is the point of the operator); both are behaviorally
+        # pinned in pytest instead.
     }

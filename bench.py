@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "win_lossy_frequent",
     "llm_url_dedup",
     "llm_c4_filters",
+    "llm_video_frames",
+    "llm_payload_embedding",
 ]
 
 

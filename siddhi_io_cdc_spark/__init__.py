@@ -23,3 +23,16 @@ Arrow-batched pandas UDFs.
 """
 
 __version__ = "0.1.0"
+
+
+def register_cdc_poll(spark) -> None:
+    """Register the ``cdc-poll`` streaming DataSource on ``spark``.
+
+    Root-level convenience re-export of
+    :func:`siddhi_io_cdc_spark.sources.polling.register_cdc_poll` — lazy so
+    that importing the package never pays for (or requires) the polling
+    module's pyarrow machinery.
+    """
+    from siddhi_io_cdc_spark.sources.polling import register_cdc_poll as _reg
+
+    _reg(spark)
