@@ -99,6 +99,11 @@ def main() -> int:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t1)
         timings[name] = round(best, 3)
+        print(
+            f"  {name}: cold={cold[name]:.3f}s steady={timings[name]:.3f}s",
+            file=sys.stderr,
+            flush=True,
+        )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,204 @@
+"""Training-data export operators: deterministic shard + shuffle, sequence
+packing, chunking, and unigram-LM scoring.
+
+These are the last mile of a large-scale training-data pipeline: after
+dedup/filtering (``functions.dedup`` / ``functions.text``), the corpus must
+be split into shards, shuffled deterministically (so re-runs produce
+byte-identical exports), packed into fixed-context training sequences, and
+optionally filtered by a language-model score (CCNet-style; Wenzek et al.
+2020 use a 5-gram LM, this implements the unigram case exactly).
+
+Everything here is pure ``pyspark.sql.functions`` — no Python UDFs — and
+every operator is restatable in ANSI SQL, so each ships with an exact DuckDB
+oracle in ``__spark_entry__.py``.
+
+Scale notes (100 TB):
+- ``stable_hash`` is md5-based rather than ``xxhash64`` so that shard
+  assignment is reproducible OUTSIDE Spark (any engine with md5 can compute
+  which shard a document landed in). 60 bits of the digest are used.
+- ``shard_for_training`` costs exactly one shuffle (by shard), which the
+  subsequent partitioned write needs anyway; the within-shard shuffle order
+  falls out of the same hash, so no second sort pass.
+- ``pack_sequences`` computes its running token total per shard, never
+  globally — a global cumulative sum would serialize into one task. Each
+  shard's window sorts only that shard's rows.
+- ``unigram_logprob`` aggregates the vocabulary once (one shuffle on token)
+  and broadcasts it back; natural-language unigram vocabularies are small
+  relative to corpus size, so the per-token lookup join stays map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.text import TOKEN_RE, token_count
+
+#: Separator between the seed and the key inside the hash preimage — keeps
+#: (seed="1", id="23") distinct from (seed="12", id="3").
+_HASH_SEP = "\x1f"
+
+
+def stable_hash(col: Column, seed: int = 0) -> Column:
+    """Deterministic 60-bit non-negative hash of ``col``, portable across
+    engines: ``int(md5(seed || 0x1f || str(col))[:15 hex], 16)``. Unlike
+    ``F.xxhash64`` this has an exact restatement anywhere md5 exists
+    (DuckDB: ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)``)."""
+    preimage = F.concat_ws(_HASH_SEP, F.lit(str(seed)), col.cast("string"))
+    return F.conv(F.md5(preimage).substr(1, 15), 16, 10).cast("bigint")
+
+
+def shard_for_training(
+    df: DataFrame,
+    num_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every row a ``shard`` in [0, num_shards) and a deterministic
+    pseudo-random ``shard_pos`` within its shard.
+
+    A training-data export wants (a) fixed-count shards sized for the data
+    loader, (b) rows shuffled WITHIN each shard so sequential reads see
+    decorrelated documents, and (c) bit-reproducibility across re-runs —
+    which rules out ``F.rand``. Hashing the id gives all three: the hash
+    picks the shard, and ordering by the same hash inside the shard is a
+    deterministic shuffle. One shuffle total (by shard), which the
+    partitioned write needs anyway; ``row_number`` sorts each shard's rows
+    within its own partition.
+    """
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive (got {num_shards})")
+    h = stable_hash(F.col(id_col), seed)
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(id_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(num_shards)).cast("bigint"))
+        .withColumn("shard_pos", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("__h")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int,
+    num_shards: int = 32,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents are
+    laid end-to-end in id order and sliced into ``ctx_len``-token training
+    sequences (the GPT-style packing scheme).
+
+    Emits per document: ``shard``, ``seq_id`` (which fixed-length sequence
+    its FIRST token lands in), ``seq_offset`` (token offset inside that
+    sequence), and ``n_tokens``. A document whose tokens straddle a sequence
+    boundary continues into the next sequence — consumers slice the
+    concatenated stream, so no padding is wasted (documents are not aligned
+    up to sequence boundaries).
+
+    Packing is per-shard, not global: a global running total would order the
+    whole corpus through one window task. Sharding first (same
+    ``stable_hash`` as :func:`shard_for_training`) keeps every cumulative
+    sum local to its shard's partition while staying deterministic.
+    """
+    if ctx_len <= 0:
+        raise ValueError(f"ctx_len must be positive (got {ctx_len})")
+    toks = (
+        F.col(tokens_col).cast("bigint")
+        if tokens_col
+        else token_count(F.col(text_col)).cast("bigint")
+    )
+    h = stable_hash(F.col(id_col), seed)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.withColumn("n_tokens", toks)
+        .withColumn("shard", F.pmod(h, F.lit(num_shards)).cast("bigint"))
+        .withColumn("__cum", cum_before)
+        .select(
+            id_col,
+            "shard",
+            F.floor(F.col("__cum") / ctx_len).cast("bigint").alias("seq_id"),
+            F.pmod(F.col("__cum"), F.lit(ctx_len)).cast("bigint").alias("seq_offset"),
+            "n_tokens",
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with optional
+    overlap — the pre-tokenization chunking step for long-document corpora
+    (and for embedding models with bounded input).
+
+    Chunk ``i`` covers ``[i * (chunk_chars - overlap), ... + chunk_chars)``;
+    the last chunk may be shorter. Pure array expressions
+    (``sequence`` → ``transform(substring)`` → ``posexplode``), no shuffle,
+    no Python — chunking 100 TB is a map-only pass.
+    """
+    if chunk_chars <= 0:
+        raise ValueError(f"chunk_chars must be positive (got {chunk_chars})")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(f"overlap must be in [0, chunk_chars) (got {overlap})")
+    stride = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.ceil((F.length(text_col) - F.lit(overlap)) / stride), F.lit(1)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts, lambda i: F.col(text_col).substr(i * stride + 1, F.lit(chunk_chars))
+    )
+    pos = F.posexplode(chunks)
+    return df.select(id_col, pos.alias("chunk_idx", "chunk_text")).select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        "chunk_text",
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram LM (lower = more typical text) — the unigram case of CCNet's
+    LM-perplexity quality filter, computed exactly in two passes.
+
+    Pass 1 aggregates the token vocabulary (one shuffle on token); pass 2
+    joins each token against the broadcast vocabulary and averages
+    ``-ln(count / total)``. Tokens are TOKEN_RE matches over lowercased
+    text, the same tokenizer as ``token_count``, so scores line up with the
+    rest of the text-quality family. Documents with zero tokens get NULL.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("__tok"),
+    )
+    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "__tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("__cnt") / F.col("__total"))), 6
+            ).alias("nll"),
+            F.count("*").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return df.select(id_col).distinct().join(scored, id_col, "left")

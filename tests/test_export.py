@@ -1,0 +1,163 @@
+"""Training-data export operators: deterministic shard+shuffle, sequence
+packing, chunking, unigram-LM scoring (functions/export.py)."""
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.export import (
+    chunk_documents,
+    pack_sequences,
+    shard_for_training,
+    stable_hash,
+    unigram_logprob,
+)
+from siddhi_io_cdc_spark.functions.text import TOKEN_RE
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _py_hash(value, seed=0):
+    pre = f"{seed}\x1f{value}".encode()
+    return int(hashlib.md5(pre).hexdigest()[:15], 16)
+
+
+def test_stable_hash_matches_portable_definition(spark):
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", stable_hash(F.col("doc_id"), seed=3).alias("h")).collect()
+    }
+    assert got == {i: _py_hash(i, 3) for i in range(5)}
+
+
+def test_shard_assignment_and_positions(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    out = shard_for_training(docs, num_shards=8, seed=0)
+    rows = out.select("doc_id", "shard", "shard_pos").collect()
+    assert len(rows) == n
+    assert all(0 <= r.shard < 8 for r in rows)
+    # positions are exactly 0..count-1 within each shard
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(len(positions))), shard
+    # shard and order are the documented hash, not arbitrary
+    sample = rows[0]
+    assert sample.shard == _py_hash(sample.doc_id) % 8
+
+
+def test_shard_is_deterministic_across_runs(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = sorted(map(tuple, shard_for_training(docs, 4, seed=9).select(
+        "doc_id", "shard", "shard_pos").collect()))
+    b = sorted(map(tuple, shard_for_training(docs, 4, seed=9).select(
+        "doc_id", "shard", "shard_pos").collect()))
+    assert a == b
+
+
+def test_shard_rejects_bad_count(spark, sf_dir):
+    with pytest.raises(ValueError, match="num_shards"):
+        shard_for_training(_docs(spark, sf_dir), 0)
+
+
+def test_pack_sequences_cumulative_invariants(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    ctx = 256
+    out = pack_sequences(docs, ctx_len=ctx, num_shards=4).collect()
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        cum = 0
+        for r in rows:
+            assert r.seq_id == cum // ctx, (shard, r)
+            assert r.seq_offset == cum % ctx, (shard, r)
+            assert r.n_tokens > 0
+            cum += r.n_tokens
+    # first doc of every shard starts sequence 0 at offset 0
+    for rows in by_shard.values():
+        assert (rows[0].seq_id, rows[0].seq_offset) == (0, 0)
+
+
+def test_pack_sequences_respects_precomputed_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], ["doc_id", "toks"]
+    )
+    out = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_sequences(
+            df, ctx_len=128, num_shards=1, tokens_col="toks"
+        ).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 100), 3: (1, 72)}
+
+
+def test_pack_rejects_bad_ctx(spark, sf_dir):
+    with pytest.raises(ValueError, match="ctx_len"):
+        pack_sequences(_docs(spark, sf_dir), 0)
+
+
+def test_chunk_documents_reconstructs_text(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(50)
+    out = chunk_documents(docs, chunk_chars=200, overlap=0)
+    rebuilt = (
+        out.orderBy("doc_id", "chunk_idx")
+        .groupBy("doc_id")
+        .agg(F.concat_ws("", F.collect_list("chunk_text")).alias("text"))
+    )
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    for r in rebuilt.collect():
+        assert r.text == orig[r.doc_id]
+
+
+def test_chunk_documents_overlap_and_bounds(spark):
+    df = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, chunk_chars=4, overlap=2).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stride 2: chunks at 0,2,4,6 -> "abcd","cdef","efgh","ghij"
+    assert [r.chunk_text for r in rows] == ["abcd", "cdef", "efgh", "ghij"]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_chars=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_chars"):
+        chunk_documents(df, chunk_chars=0)
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the the dog"), (3, "")],
+        ["doc_id", "text"],
+    )
+    counts = Counter()
+    per_doc = {}
+    for doc_id, text in [(1, "the cat sat"), (2, "the the dog")]:
+        toks = re.findall(TOKEN_RE, text.lower())
+        per_doc[doc_id] = toks
+        counts.update(toks)
+    total = sum(counts.values())
+    expected = {
+        d: round(sum(-math.log(counts[t] / total) for t in toks) / len(toks), 6)
+        for d, toks in per_doc.items()
+    }
+    got = {r.doc_id: (r.nll, r.n_tokens) for r in unigram_logprob(df).collect()}
+    assert got[3] == (None, None)
+    for d in (1, 2):
+        assert got[d][1] == len(per_doc[d])
+        assert got[d][0] == pytest.approx(expected[d], abs=1e-6)
+
+
+def test_unigram_logprob_on_fixture_is_total(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = unigram_logprob(docs)
+    assert out.count() == docs.select("doc_id").distinct().count()
+    assert out.where(F.col("nll") <= 0).count() == 0
