@@ -750,6 +750,20 @@ def q_knn_join(spark, sf_dir):
     return knn_join(emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
 
 
+def q_knn_join_bucketed(spark, sf_dir):
+    """Cell-blocked k-NN join (IVF blocking, pure JVM — no Arrow hop):
+    nprobe == nlist probes every cell, so the result is EXACT and the
+    brute-force oracle applies verbatim. The blocking machinery (cell
+    equi-join + two-stage WindowGroupLimit prune) is exactly what runs at
+    nprobe < nlist scale; only the probe set differs."""
+    from siddhi_io_cdc_spark.functions.similarity import knn_join_ivf
+
+    emb = _emb(spark, sf_dir)
+    return knn_join_ivf(
+        emb, emb.where(F.col("vec_id") % 100 == 0), k=5, nlist=32, nprobe=32, dim=64
+    )
+
+
 def q_paragraph_dedup(spark, sf_dir):
     """Paragraph-level exact dedup. The fixture text has no newlines, so
     both engines synthesize identical paragraph breaks first (every
@@ -1154,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_text_stats": q_text_stats,
         "llm_topk_cosine": q_topk_cosine,
         "llm_knn_join": q_knn_join,
+        "llm_knn_join_bucketed": q_knn_join_bucketed,
         "llm_ivf_ann": q_ivf_ann,
         "llm_distinctive_terms": q_distinctive_terms,
         "llm_multimodal_decode": q_multimodal_decode,
@@ -1863,6 +1878,22 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
               ORDER BY score DESC, e.vec_id LIMIT 10)""",
         "llm_knn_join": """
+            SELECT query_id, neighbor_id, score, rank FROM (
+              SELECT query_id, neighbor_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS rank
+              FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                                * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS score
+                FROM embeddings e,
+                     (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q))
+            WHERE rank <= 5""",
+        # llm_knn_join_bucketed probes every IVF cell (nprobe == nlist), so
+        # the candidate set is the whole corpus and the brute-force kNN
+        # oracle applies verbatim — same argument as llm_ivf_ann.
+        "llm_knn_join_bucketed": """
             SELECT query_id, neighbor_id, score, rank FROM (
               SELECT query_id, neighbor_id, score,
                      row_number() OVER (PARTITION BY query_id

@@ -531,3 +531,63 @@ def test_url_dedup_collapses_variants(spark):
     )
     got = {r.canonical_url: (r.doc_id, r.n_copies) for r in url_dedup(df).collect()}
     assert got == {"a.com/x": (1, 3), "b.org/y": (4, 1)}
+
+
+def test_knn_join_ivf_exact_matches_knn_join(spark):
+    """Cell-blocked kNN with nprobe == nlist equals the broadcast exact
+    knn_join on a multi-partition corpus (all cells probed → same answer)."""
+    from siddhi_io_cdc_spark.functions.similarity import knn_join, knn_join_ivf
+
+    emb = spark.range(0, 80).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), j -> CAST(hash(id, j) % 100 AS FLOAT) / 100) AS embedding",
+    ).repartition(7)
+    queries = emb.where("vec_id % 20 = 0")
+    exact = sorted(map(tuple, knn_join(emb, queries, k=4).collect()))
+    blocked = sorted(map(tuple, knn_join_ivf(emb, queries, k=4, nlist=16, nprobe=16).collect()))
+    assert blocked == exact
+
+
+def test_knn_join_lsh_exact_and_self_recall(spark):
+    """probe_hamming >= nbits covers every bucket → exact; at reduced
+    probing a query still always recalls ITSELF (same bucket)."""
+    from siddhi_io_cdc_spark.functions.similarity import knn_join, knn_join_lsh
+
+    emb = spark.range(0, 80).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), j -> CAST(hash(id, j) % 100 AS FLOAT) / 100) AS embedding",
+    ).repartition(5)
+    queries = emb.where("vec_id % 20 = 0")
+    exact = sorted(map(tuple, knn_join(emb, queries, k=4).collect()))
+    full = sorted(map(tuple, knn_join_lsh(emb, queries, k=4, nbits=3, probe_hamming=3).collect()))
+    assert full == exact
+    approx = knn_join_lsh(emb, queries, k=4, nbits=6, probe_hamming=1).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        top1 = min(rows, key=lambda r: r.rank)
+        assert top1.neighbor_id == qid and abs(top1.score - 1.0) < 1e-6
+
+
+def test_knn_join_ivf_trained_centroids(spark):
+    """knn_join_ivf accepts ivf_train_centroids output; approximate probing
+    returns k rows per query with valid ranks."""
+    from siddhi_io_cdc_spark.functions.similarity import (
+        ivf_train_centroids,
+        knn_join_ivf,
+    )
+
+    emb = spark.range(0, 120).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 8), j -> CAST(hash(id, j) % 100 AS FLOAT) / 100) AS embedding",
+    )
+    cents = ivf_train_centroids(emb, nlist=6, max_iter=3)
+    got = knn_join_ivf(
+        emb, emb.where("vec_id < 3"), k=5, nlist=6, nprobe=2, centroids=cents
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.rank)
+    assert set(by_q) == {0, 1, 2}
+    assert all(ranks == {1, 2, 3, 4, 5} for ranks in by_q.values())

@@ -11,6 +11,33 @@ counts, join fan-outs, and group cardinalities all scale linearly.
 Dimension tables (region, nation) are copied unchanged, as a real
 scale-factor increase would.
 
+Replica CONTENT is perturbed so similarity queries scale honestly too
+(round-4 ADVICE: identical replica text/embeddings would make every doc
+gain factor-1 exact twins, and near-dup pair counts would grow
+quadratically in the factor). Replica 0 keeps the original bytes; replica
+``i > 0``:
+
+- ``documents.text``: every vowel becomes a per-replica tag ``q{i}``.
+  A single appended tag token is NOT enough — that is literally how the
+  contract's planted clones are built (one extra token leaves 5-token-
+  shingle Jaccard at (T-4)/(T-3) ≈ 0.98) — and additive-only schemes
+  (per-token suffixes) leave all ORIGINAL char-3-grams in the set, which
+  measured gram Jaccard 0.836 on repetitive docs, over the 0.8
+  threshold. Rewriting vowels REMOVES ~90% of the original grams (any
+  gram touching a vowel changes): measured max cross-replica gram
+  Jaccard 0.0 on a 30-doc sample; token-shingle Jaccard drops to ~0
+  (every vowel-bearing token differs) for minhash/near-dedup/
+  decontaminate, and simhash signatures decorrelate (per-token xxhash64
+  inputs differ). ``n_chars`` is recomputed to match.
+- ``embeddings.embedding``: each element ``x`` becomes
+  ``x * (1 + 0.8 cos((9973 + 101 i) x))`` — deterministic and replica-
+  dependent through the FREQUENCY, not the phase: an additive phase
+  ``cos(θ + i)`` leaves replica pairs with multiplier correlation
+  ``cos(i - j)`` (≈ 0.96 at |i−j| = 6; measured max cross-replica
+  cosine 0.9967, OVER the 0.99 near-dup threshold), while frequency
+  offsets ≫ 2π/spread(x) decorrelate every replica pair. Simulated and
+  measured worst same-base cosine ≈ 0.94 at amplitude 0.8.
+
 Usage:
     python tools/make_scale.py [--factor 10] [--src /root/testdata/sf0.1] \
         [--dest /tmp/sf1]
@@ -42,6 +69,23 @@ SHIFTS: dict[str, list[tuple[str, str]]] = {
     "events": [("event_id", "eventid"), ("user_id", "userid")],
     "documents": [("doc_id", "docid")],
     "embeddings": [("vec_id", "vecid")],
+}
+
+#: table -> {column: SQL expression (over t.<col> and r.i) replacing it in
+#: replicas i > 0}. Keeps replica 0 byte-identical to the source.
+_TEXT_PERTURB = r"regexp_replace(t.text, '[aeiou]', 'q' || r.i, 'g')"
+
+PERTURB: dict[str, dict[str, str]] = {
+    "documents": {
+        "text": _TEXT_PERTURB,
+        "n_chars": f"length({_TEXT_PERTURB})",
+    },
+    "embeddings": {
+        "embedding": (
+            "list_transform(t.embedding, x -> "
+            "CAST(x * (1 + 0.8 * cos(x * (9973.0 + 101.0 * r.i))) AS FLOAT))"
+        ),
+    },
 }
 
 #: keyspace -> (table, column) that defines its stride (max + 1).
@@ -76,11 +120,18 @@ def build(src: str, dest: str, factor: int) -> None:
             ).fetchall()
         ]
         shifted = dict(shifts)
+        perturbed = PERTURB.get(tbl, {})
         if not shifts:
             sql = f"COPY (SELECT * FROM read_parquet('{path}')) TO '{dest}/{tbl}.parquet' (FORMAT PARQUET)"
         else:
             proj = ", ".join(
-                f"t.{c} + r.i * {strides[shifted[c]]} AS {c}" if c in shifted else f"t.{c}"
+                f"t.{c} + r.i * {strides[shifted[c]]} AS {c}"
+                if c in shifted
+                else (
+                    f"CASE WHEN r.i = 0 THEN t.{c} ELSE {perturbed[c]} END AS {c}"
+                    if c in perturbed
+                    else f"t.{c}"
+                )
                 for c in cols
             )
             sql = (
