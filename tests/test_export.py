@@ -161,3 +161,17 @@ def test_unigram_logprob_on_fixture_is_total(spark, sf_dir):
     out = unigram_logprob(docs)
     assert out.count() == docs.select("doc_id").distinct().count()
     assert out.where(F.col("nll") <= 0).count() == 0
+
+
+def test_unigram_logprob_shuffle_fallback_matches_broadcast(spark):
+    """broadcast_vocab_max=0 forces the shuffle join; scores must be
+    identical to the broadcast path (and to the no-probe always-broadcast
+    path with broadcast_vocab_max=None)."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "beta gamma 42!"), (3, "alpha")],
+        ["doc_id", "text"],
+    )
+    broadcast = sorted(map(tuple, unigram_logprob(df).collect()))
+    shuffled = sorted(map(tuple, unigram_logprob(df, broadcast_vocab_max=0).collect()))
+    no_probe = sorted(map(tuple, unigram_logprob(df, broadcast_vocab_max=None).collect()))
+    assert shuffled == broadcast == no_probe
