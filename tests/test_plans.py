@@ -139,6 +139,19 @@ def test_knn_join_broadcasts_queries_and_prunes(spark, sf_dir, entrymod):
     assert p.count("Exchange hashpartitioning(query_id") == 1
 
 
+def test_knn_join_bucketed_pure_jvm_equi_join(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["llm_knn_join_bucketed"](spark, sf_dir))
+    # cell blocking must plan as an equi join on __cell — never a cross
+    # product, and never a Python/Arrow hop (the broadcast knn_join's
+    # Arrow stage is what made it quadratic-slow at Q ∝ N)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "MapInPandas" not in p and "EvalPython" not in p
+    # stage-1 window rides the join's __cell partitioning (subset of the
+    # window keys), so the only exchanges are the join inputs + the final
+    # per-query rank over the pruned Q·k rows
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
 def test_match_runs_single_shuffle(spark, sf_dir, entrymod):
     p = plan_of(entrymod.queries()["rel_pattern_runs"](spark, sf_dir))
     # both row_numbers + the run aggregation share one user_id exchange
