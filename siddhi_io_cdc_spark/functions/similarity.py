@@ -316,23 +316,43 @@ def knn_join(
 
 
 def _blocked_knn_topk(
-    corpus_cells: DataFrame, query_cells: DataFrame, k: int
+    corpus_cells: DataFrame, query_cells: DataFrame, k: int, salt: int = 4
 ) -> DataFrame:
     """Shared core of the blocked kNN joins: equi-join corpus and query rows
-    on ``__cell``, score cosine JVM-side, then prune in two window stages.
+    on ``(__cell, __salt)``, score cosine JVM-side, then prune in two window
+    stages.
 
     ``corpus_cells``: (__cell, neighbor_id, __cv, __cn) — one row per corpus
     vector (each vector lives in exactly one cell). ``query_cells``:
     (__cell, query_id, __qv, __qn) — one row per (query, probed cell).
 
-    Stage 1 ranks within (__cell, query_id). The join output is already
-    hash-partitioned by ``__cell``, which satisfies the window's clustering
-    requirement (a subset of the partition keys), so stage 1 adds a sort but
-    NO shuffle — the only full-size shuffle in the plan is the cell join
-    itself. It keeps k rows per (cell, query): any row it drops has k rows
-    ahead of it in the (score desc, neighbor_id) total order, so it cannot be
-    in the query's global top-k — the prune is exact over the probed cells.
-    Stage 2 then ranks the surviving Q·nprobe·k rows (tiny) per query.
+    The corpus side is SALTED (``__salt = hash(neighbor_id) % salt``) and
+    explicitly repartitioned on (__cell, __salt); the query side replicates
+    each probe row across all ``salt`` values (cheap — the query side is the
+    small side of every pair). Each candidate pair still meets exactly once,
+    at the corpus row's salt. Two reasons, both measured at sf1:
+
+    - **Parallelism must not depend on scan layout.** Without the explicit
+      repartition, Spark broadcasts the small side and the join + scoring
+      inherit the big side's SCAN partitioning — a 10 MB parquet file is 2
+      partitions, so 4M scored candidates ran on 2 cores (39 s; 10 s after).
+      The repartition pins the scoring parallelism to the shuffle
+      parallelism whatever join strategy the planner picks, and it is never
+      wasted: if the planner shuffles the join anyway, the exchange
+      satisfies the join's distribution requirement and is reused.
+    - **Key cardinality.** A join keyed on __cell alone has only nlist
+      distinct keys — hash collisions leave partitions idle when nlist is
+      near the partition count. Salting multiplies the key space by
+      ``salt``.
+
+    Stage 1 ranks within (__cell, __salt, query_id). The join output is
+    already hash-partitioned by (__cell, __salt) — a subset of the window's
+    partition keys — so stage 1 adds a sort but NO shuffle; the only
+    full-size shuffle in the plan is the cell repartition/join itself. The
+    prune stays exact: any row it drops has k rows ahead of it in the
+    (score desc, neighbor_id) total order within its own (cell, salt, query)
+    group, so it cannot be in the query's global top-k. Stage 2 then ranks
+    the surviving Q·nprobe·salt·k rows (tiny) per query.
 
     Norms are precomputed per side BEFORE the join, so the per-candidate
     work is one dot product and a divide, all inside whole-stage codegen —
@@ -341,21 +361,34 @@ def _blocked_knn_topk(
     """
     from pyspark.sql.window import Window
 
-    scored = corpus_cells.join(query_cells, "__cell").select(
+    salt = max(1, int(salt))
+    spark = corpus_cells.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" or unset
+        nparts = spark.sparkContext.defaultParallelism
+    salted_corpus = corpus_cells.withColumn(
+        "__salt", F.pmod(F.xxhash64("neighbor_id"), F.lit(salt))
+    ).repartition(nparts, "__cell", "__salt")
+    salted_queries = query_cells.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long")))
+    )
+    scored = salted_corpus.join(salted_queries, ["__cell", "__salt"]).select(
         "__cell",
+        "__salt",
         "query_id",
         "neighbor_id",
         F.round(
             dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6
         ).alias("score"),
     )
-    w1 = Window.partitionBy("__cell", "query_id").orderBy(
+    w1 = Window.partitionBy("__cell", "__salt", "query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
     pruned = (
         scored.withColumn("__r", F.row_number().over(w1))
         .where(F.col("__r") <= k)
-        .drop("__r", "__cell")
+        .drop("__r", "__cell", "__salt")
     )
     w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id"))
     return pruned.withColumn("rank", F.row_number().over(w2)).where(F.col("rank") <= k)
@@ -367,6 +400,7 @@ def knn_join_ivf(
     k: int = 5,
     nlist: int = 32,
     nprobe: int = 8,
+    salt: int = 4,
     centroids=None,
     dim: int | None = None,
     seed: int = 42,
@@ -432,7 +466,7 @@ def knn_join_ivf(
         F.explode(probe).alias("__cell"),
     ).withColumn("__qn", norm(F.col("__qv")))
 
-    return _blocked_knn_topk(corpus_cells, query_cells, k)
+    return _blocked_knn_topk(corpus_cells, query_cells, k, salt=salt)
 
 
 def knn_join_lsh(
@@ -441,6 +475,7 @@ def knn_join_lsh(
     k: int = 5,
     nbits: int = 8,
     probe_hamming: int = 1,
+    salt: int = 4,
     seed: int = 42,
     planes=None,
     dim: int | None = None,
@@ -505,7 +540,7 @@ def knn_join_lsh(
         F.explode(probes).alias("__cell"),
     ).withColumn("__qn", norm(F.col("__qv")))
 
-    return _blocked_knn_topk(corpus_cells, query_cells, k)
+    return _blocked_knn_topk(corpus_cells, query_cells, k, salt=salt)
 
 
 def label_centroids(
