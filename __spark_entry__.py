@@ -791,6 +791,47 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_knn_join_lsh(spark, sf_dir):
+    """Sign-LSH-blocked kNN join (8 hyperplane bits, hamming-1 probe): the
+    quasi-linear blocking family, hash-checked against a probe-aware oracle
+    (bucket = sign bits of plane dots, candidates = bit_count(xor) <= 1)."""
+    from siddhi_io_cdc_spark.functions.similarity import knn_join_lsh
+
+    emb = _emb(spark, sf_dir)
+    return knn_join_lsh(
+        emb,
+        emb.where(F.col("vec_id") % 100 == 0),
+        k=5,
+        nbits=8,
+        probe_hamming=1,
+        seed=42,
+        dim=64,
+    )
+
+
+def q_chunk_documents_tokens(spark, sf_dir):
+    """Token-window chunking (64 tokens, 16 overlap): the tokenizer, the
+    window arithmetic, and the single-space rejoin all restate exactly in
+    DuckDB list operations."""
+    from siddhi_io_cdc_spark.functions.export import chunk_documents_tokens
+
+    return chunk_documents_tokens(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Domain-mixture downsampling (Pile/Dolma-style re-weighting): the
+    md5 keep-hash and the per-domain rate arithmetic both restate exactly
+    in DuckDB. src0 is the binding domain (kept in full); src1 keeps ~1/2,
+    src2/src3 ~1/4; every unweighted source is dropped."""
+    from siddhi_io_cdc_spark.functions.export import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir),
+        weights={"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125},
+        seed=0,
+    ).select("doc_id", "source")
+
+
 def q_knn_join_bucketed(spark, sf_dir):
     """Cell-blocked k-NN join (IVF blocking, pure JVM — no Arrow hop):
     nprobe == nlist probes every cell, so the result is EXACT and the
@@ -802,6 +843,20 @@ def q_knn_join_bucketed(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return knn_join_ivf(
         emb, emb.where(F.col("vec_id") % 100 == 0), k=5, nlist=32, nprobe=32, dim=64
+    )
+
+
+def q_knn_join_probed(spark, sf_dir):
+    """The SCALE configuration of the cell-blocked kNN join: nprobe=8 of
+    nlist=32 cells probed, so the candidate volume is ~1/4 of Q·N. The
+    oracle restates the full IVF machinery (assignment argmax, per-query
+    probe ranking, within-probe top-k) with centroid literals, so even the
+    approximate path is hash-checked — not just the nprobe=nlist case."""
+    from siddhi_io_cdc_spark.functions.similarity import knn_join_ivf
+
+    emb = _emb(spark, sf_dir)
+    return knn_join_ivf(
+        emb, emb.where(F.col("vec_id") % 100 == 0), k=5, nlist=32, nprobe=8, dim=64
     )
 
 
@@ -1267,6 +1322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pack_sequences": q_pack_sequences,
         "llm_chunk_documents": q_chunk_documents,
         "llm_unigram_logprob": q_unigram_logprob,
+        "llm_mixture_sample": q_mixture_sample,
+        "llm_knn_join_probed": q_knn_join_probed,
+        "llm_knn_join_lsh": q_knn_join_lsh,
+        "llm_chunk_tokens": q_chunk_documents_tokens,
     }
 
 
@@ -1323,6 +1382,106 @@ def _ann_cosine_oracle_sql() -> str:
 
 
 _ANN_COSINE_SQL = _ann_cosine_oracle_sql()
+
+
+def _knn_probed_oracle_sql() -> str:
+    """DuckDB restatement of q_knn_join_probed (knn_join_ivf, nlist=32,
+    nprobe=8, seed=42, dim=64): the deterministic pseudo-centroids become a
+    32-row VALUES table of double-literal vectors; cell assignment is the
+    argmax-dot with lowest-index ties (row_number over dot DESC, idx), each
+    query ranks its 8 nearest cells the same way, and candidates are the
+    cell equi-join — exactly the Spark plan's semantics. Orderings compare
+    dot products whose gaps are O(0.1), far above any fold-vs-
+    list_dot_product summation difference, so the probe sets are stable."""
+    from siddhi_io_cdc_spark.functions.similarity import ivf_centroids
+
+    cents = ivf_centroids(64, 32, 42)
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+        WITH cents(idx, c) AS (VALUES {rows}),
+        corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        assign AS (
+          SELECT vec_id, v, idx AS cell FROM (
+            SELECT vec_id, v, idx,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY list_dot_product(v, c) DESC,
+                                               idx) AS rn
+            FROM corpus CROSS JOIN cents) WHERE rn = 1),
+        queries AS (SELECT vec_id AS query_id, v AS qv
+                    FROM corpus WHERE vec_id % 100 = 0),
+        qprobe AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT query_id, qv, idx AS cell,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY list_dot_product(qv, c) DESC,
+                                               idx) AS rn
+            FROM queries CROSS JOIN cents) WHERE rn <= 8),
+        cand AS (
+          SELECT q.query_id, a.vec_id AS neighbor_id,
+                 round(list_dot_product(a.v, q.qv)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+          FROM qprobe q JOIN assign a ON a.cell = q.cell)
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= 5"""
+
+
+_KNN_PROBED_SQL = _knn_probed_oracle_sql()
+
+
+def _knn_lsh_oracle_sql() -> str:
+    """DuckDB restatement of q_knn_join_lsh (knn_join_lsh, nbits=8,
+    probe_hamming=1, seed=42): buckets from the sign of the 8 plane dots
+    (same literal-generation as the ann_cosine oracle), candidate pairs are
+    corpus/query rows whose buckets differ in at most one bit, ranked per
+    query. Sign margins on this fixture are far above fold-summation
+    differences, so the bucket bits are stable across engines."""
+    from siddhi_io_cdc_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(64, 8, 42)
+
+    def bucket(col: str) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lits = ", ".join(repr(float(x)) for x in p)
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, [{lits}]) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+        WITH corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 {bucket('CAST(embedding AS DOUBLE[])')} AS b
+          FROM embeddings),
+        queries AS (
+          SELECT vec_id AS query_id, v AS qv, b AS qb
+          FROM corpus WHERE vec_id % 100 = 0),
+        cand AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 round(list_dot_product(c.v, q.qv)
+                       / (sqrt(list_dot_product(c.v, c.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+          FROM queries q JOIN corpus c
+            ON bit_count(xor(c.b, q.qb)) <= 1)
+        SELECT query_id, neighbor_id, score, rank FROM (
+          SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rank
+          FROM cand)
+        WHERE rank <= 5"""
+
+
+_KNN_LSH_SQL = _knn_lsh_oracle_sql()
 
 # Shared CTE prefix for the minhash-family oracles: the planted-clone corpus
 # (q_minhash_pairs / q_near_dedup construction), exact distinct 5-token
@@ -1982,6 +2141,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e,
                      (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 100 = 0) q))
             WHERE rank <= 5""",
+        # llm_knn_join_probed: the nprobe < nlist scale path, checked
+        # against a probe-aware oracle (generated above with centroid
+        # literals) rather than brute force.
+        "llm_knn_join_probed": _KNN_PROBED_SQL,
+        # llm_knn_join_lsh: the sign-LSH blocking family, probe-aware oracle
+        # with hyperplane literals.
+        "llm_knn_join_lsh": _KNN_LSH_SQL,
         # llm_knn_join_bucketed probes every IVF cell (nprobe == nlist), so
         # the candidate set is the whole corpus and the brute-force kNN
         # oracle applies verbatim — same argument as llm_ivf_ann.
@@ -2226,6 +2392,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, s.nll, s.n_tokens
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN scored s USING (doc_id)""",
+        # llm_chunk_tokens: 64-token windows, stride 48; DuckDB 1-based
+        # inclusive list slices restate Spark's F.slice(toks, p, L) as
+        # toks[p : p+L-1], and both engines truncate past-the-end slices.
+        "llm_chunk_tokens": f"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks
+              FROM documents),
+            n AS (
+              SELECT doc_id, toks,
+                     CAST(greatest(ceil((len(toks) - 16) / 48.0), 1) AS INT)
+                       AS n_chunks
+              FROM t)
+            SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+                   array_to_string(toks[u.i * 48 + 1 : u.i * 48 + 64], ' ')
+                     AS chunk_text,
+                   CAST(len(toks[u.i * 48 + 1 : u.i * 48 + 64]) AS BIGINT)
+                     AS chunk_tokens
+            FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)""",
+        # llm_mixture_sample: the normalized weights (0.5/0.25/0.125/0.125)
+        # are exact binary doubles, so Spark's literal map and the VALUES
+        # table below hold identical values; T = min(n/w) and the per-domain
+        # keep threshold are the same IEEE-double expressions in both
+        # engines, and the keep hash is the portable md5 stable_hash.
+        "llm_mixture_sample": f"""
+            WITH counts AS (
+              SELECT source AS dom, count(*) AS n FROM documents GROUP BY source),
+            w(dom, wt) AS (VALUES ('src0', 0.5::DOUBLE), ('src1', 0.25::DOUBLE),
+                                  ('src2', 0.125::DOUBLE), ('src3', 0.125::DOUBLE)),
+            weighted AS (
+              SELECT c.dom, c.n, w.wt FROM counts c JOIN w USING (dom)),
+            tot AS (SELECT min(n / wt) AS t FROM weighted),
+            rates AS (
+              SELECT dom,
+                     CAST(round(least(1.0, wt * t / n) * 1000000) AS BIGINT) AS thr
+              FROM weighted CROSS JOIN tot)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates r ON d.source = r.dom
+            WHERE {_STABLE_HASH.replace("doc_id", "d.doc_id")} % 1000000 < r.thr""",
         # llm_simhash_pairs: EXACT. The contract query runs the portable
         # simhash (md5-chunk token hash), whose 64-bit signature restates
         # verbatim in SQL; the Spark side's 4x16-bit-chunk pigeonhole

@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     # cell-blocked pure-JVM variant: the old path is quadratic-slow when the
     # query side scales with the corpus (measured 0.9s -> 86s for 10x data).
     "llm_knn_join_bucketed",
+    "llm_knn_join_probed",
+    "llm_knn_join_lsh",
+    "llm_mixture_sample",
+    "llm_chunk_tokens",
     "llm_paragraph_dedup",
     "win_unique",
     "rel_pattern_runs",

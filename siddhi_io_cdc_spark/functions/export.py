@@ -170,6 +170,115 @@ def chunk_documents(
     )
 
 
+def chunk_documents_tokens(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-width TOKEN windows with optional
+    overlap — the chunking unit embedding models actually bound on (the
+    character variant :func:`chunk_documents` can split mid-token).
+
+    Tokens are ``TOKEN_RE`` matches over the raw text (same tokenizer as
+    ``token_count``); chunk ``i`` covers tokens
+    ``[i * (chunk_tokens - overlap), ... + chunk_tokens)`` and is re-joined
+    with single spaces (token-normalized output — original inter-token
+    whitespace is not preserved). The last chunk may be shorter; an empty
+    document yields one empty chunk. Pure array expressions
+    (``regexp_extract_all`` → ``sequence`` → ``transform(slice)`` →
+    ``posexplode``), no shuffle, no Python — a map-only pass at any scale.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive (got {chunk_tokens})")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap must be in [0, chunk_tokens) (got {overlap})")
+    stride = chunk_tokens - overlap
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), 0)
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap)) / stride), F.lit(1)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.array_join(F.slice(toks, i * stride + 1, chunk_tokens), " ").alias("txt"),
+            F.size(F.slice(toks, i * stride + 1, chunk_tokens)).alias("nt"),
+        ),
+    )
+    pos = F.posexplode(chunks)
+    return df.select(id_col, pos.alias("chunk_idx", "chunk")).select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk.txt").alias("chunk_text"),
+        F.col("chunk.nt").cast("bigint").alias("chunk_tokens"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic domain-mixture downsampling: keep the largest subset
+    whose per-domain proportions match ``weights`` without oversampling any
+    domain (no replacement) — the training-mixture step of Pile/Dolma-style
+    corpora, where heterogeneous sources must be re-weighted before export.
+
+    Semantics: with ``n_d`` rows in domain ``d`` and normalized weight
+    ``w_d``, the achievable total is ``T = min_d(n_d / w_d)`` (the binding
+    domain is kept in full); every other domain keeps rate
+    ``r_d = w_d * T / n_d``. A row survives iff
+    ``stable_hash(id, seed) % scale < round(r_d * scale)`` — the same
+    engine-portable md5 hash as :func:`shard_for_training`, so the kept set
+    is bit-reproducible and restatable in any engine. Domains absent from
+    ``weights`` (or weighted 0) are dropped. Realized proportions are exact
+    in expectation with O(sqrt(n_d)) hash-binomial noise — the price of
+    keeping the pass MAP-ONLY over the corpus.
+
+    Scale shape: one tiny hash-aggregate for the per-domain counts (|domains|
+    rows, broadcast back), then a narrow filter over the corpus — no shuffle
+    of the data, no window. The exact-count alternative (rank rows per
+    domain, keep the first ``c_d``) needs a per-domain global sort whose
+    partitioning is the low-cardinality domain key — unusable skew at 100 TB.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be non-negative (got {weights})")
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError("at least one weight must be positive")
+    norm = {d: w / wsum for d, w in weights.items() if w > 0}
+
+    counts = df.groupBy(F.col(domain_col).alias("__dom")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for d, w in sorted(norm.items()) for x in (d, float(w))]
+    )
+    weighted = counts.select(
+        "__dom", "__n", wmap[F.col("__dom")].alias("__w")
+    ).where(F.col("__w").isNotNull())
+    total = weighted.agg(F.min(F.col("__n") / F.col("__w")).alias("__t"))
+    rates = weighted.crossJoin(F.broadcast(total)).select(
+        "__dom",
+        F.round(F.least(F.lit(1.0), F.col("__w") * F.col("__t") / F.col("__n")) * scale)
+        .cast("bigint")
+        .alias("__thr"),
+    )
+    h = F.pmod(stable_hash(F.col(id_col), seed), F.lit(scale))
+    return (
+        df.join(F.broadcast(rates), df[domain_col] == F.col("__dom"))
+        .where(h < F.col("__thr"))
+        .drop("__dom", "__thr")
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

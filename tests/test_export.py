@@ -175,3 +175,78 @@ def test_unigram_logprob_shuffle_fallback_matches_broadcast(spark):
     shuffled = sorted(map(tuple, unigram_logprob(df, broadcast_vocab_max=0).collect()))
     no_probe = sorted(map(tuple, unigram_logprob(df, broadcast_vocab_max=None).collect()))
     assert shuffled == broadcast == no_probe
+
+
+def test_mixture_sample_proportions_and_binding_domain(spark, sf_dir):
+    from siddhi_io_cdc_spark.functions.export import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    weights = {"src0": 0.5, "src1": 0.25, "src2": 0.125, "src3": 0.125}
+    kept = mixture_sample(docs, weights).select("doc_id", "source").collect()
+    by_dom = Counter(r.source for r in kept)
+    n = {r.source: r.cnt for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    # binding domain (largest weight per row) is kept in full
+    assert by_dom["src0"] == n["src0"]
+    # unweighted domains are dropped entirely
+    assert set(by_dom) <= set(weights)
+    # other domains keep ~rate_d of their rows (hash-binomial tolerance)
+    t = min(n[d] / w for d, w in weights.items())
+    for d, w in weights.items():
+        expect = min(1.0, w * t / n[d]) * n[d]
+        assert abs(by_dom[d] - expect) <= 3 * math.sqrt(expect) + 1, (d, by_dom[d], expect)
+
+
+def test_mixture_sample_deterministic_and_partition_independent(spark, sf_dir):
+    from siddhi_io_cdc_spark.functions.export import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    weights = {"src1": 1.0, "src2": 1.0}
+    a = sorted(r.doc_id for r in mixture_sample(docs, weights).collect())
+    b = sorted(r.doc_id for r in mixture_sample(docs.repartition(7), weights).collect())
+    assert a == b and len(a) > 0
+
+
+def test_mixture_sample_validates_weights(spark, sf_dir):
+    from siddhi_io_cdc_spark.functions.export import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {})
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"a": -1.0})
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"a": 0.0})
+
+
+def test_chunk_tokens_reconstructs_and_overlaps(spark):
+    from siddhi_io_cdc_spark.functions.export import chunk_documents_tokens
+
+    docs = spark.createDataFrame(
+        [(1, " ".join("abcdefghij"[i] * 2 for i in range(10))), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents_tokens(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.chunk_tokens))
+    # doc 1: stride 3 → starts 0,3,6,9 → ceil((10-1)/3)=3 chunks
+    c1 = sorted(by_doc[1])
+    assert [t for _, t, _ in c1] == [
+        "aa bb cc dd", "dd ee ff gg", "gg hh ii jj",
+    ]
+    assert [n for _, _, n in c1] == [4, 4, 4]
+    # overlap: last token of chunk i == first token of chunk i+1
+    assert c1[0][1].split()[-1] == c1[1][1].split()[0]
+    # empty doc → one empty chunk; single-token doc → one chunk
+    assert by_doc[2] == [(0, "", 0)]
+    assert by_doc[3] == [(0, "solo", 1)]
+
+
+def test_chunk_tokens_validates_params(spark):
+    from siddhi_io_cdc_spark.functions.export import chunk_documents_tokens
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents_tokens(docs, chunk_tokens=0)
+    with pytest.raises(ValueError):
+        chunk_documents_tokens(docs, chunk_tokens=4, overlap=4)
