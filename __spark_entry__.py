@@ -2,12 +2,13 @@
 
 ``entry(spark)`` runs the flagship CDC query (multi-op envelope flattening)
 on sf0.001. ``queries()`` exposes one callable per implemented operator from
-SURVEY.md §2 plus the LLM-pipeline operators; ``oracle_sql()`` gives the
-DuckDB restatement for every SQL-expressible one (six LSH/ANN entries are
-deliberately rows-only — banding/iteration is not ANSI-SQL expressible;
-pytest covers them behaviorally. The multimodal decode queries ARE exact:
-closed-form P5/WAV fixtures). The first 50 keys — the driver's recorded
-window — span all four families: 13 cdc, 14 rel, 10 win, 13 llm.
+SURVEY.md §2 plus the LLM-pipeline operators; ``oracle_sql()`` gives an
+EXACT DuckDB restatement for every one of them — including the LSH/ANN/IVF
+approximate paths, whose oracles restate the probe machinery itself
+(hyperplane/centroid literals, closed-form planted-clone constructions) and
+the multimodal decodes (closed-form P5/WAV fixtures). The first 50 keys —
+the driver's recorded window — span all four families: 13 cdc, 14 rel,
+10 win, 13 llm.
 
 Determinism rules used throughout (so value-hashes match the oracle):
 - money aggregates run over ``decimal(18,2)`` casts (exact, associative,
@@ -791,6 +792,15 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality score (one n-gram step past unigram toward CCNet's
+    5-gram): both aggregates and the per-position lookup restate exactly in
+    SQL; round(...,6) absorbs summation-order noise in the mean."""
+    from siddhi_io_cdc_spark.functions.export import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
 def q_knn_join_lsh(spark, sf_dir):
     """Sign-LSH-blocked kNN join (8 hyperplane bits, hamming-1 probe): the
     quasi-linear blocking family, hash-checked against a probe-aware oracle
@@ -1326,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_knn_join_probed": q_knn_join_probed,
         "llm_knn_join_lsh": q_knn_join_lsh,
         "llm_chunk_tokens": q_chunk_documents_tokens,
+        "llm_bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -2390,6 +2401,29 @@ def oracle_sql() -> dict[str, str]:
               FROM toks JOIN vocab USING (tok) CROSS JOIN tot
               GROUP BY doc_id)
             SELECT d.doc_id, s.nll, s.n_tokens
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN scored s USING (doc_id)""",
+        # llm_bigram_logprob: the corpus-trained bigram LM has no unseen
+        # document bigrams (count >= 1 by construction), so the exact MLE
+        # restates without smoothing; c(w1,.) is the sum of bigram counts
+        # per first token in BOTH engines.
+        "llm_bigram_logprob": f"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents),
+            big AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM t WHERE len(toks) >= 2)),
+            vocab AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+            ctx AS (SELECT w1, sum(c12) AS c1 FROM vocab GROUP BY w1),
+            scored AS (
+              SELECT doc_id, round(avg(-ln(c12 / c1)), 6) AS bigram_nll,
+                     count(*) AS n_bigrams
+              FROM big JOIN vocab USING (w1, w2) JOIN ctx USING (w1)
+              GROUP BY doc_id)
+            SELECT d.doc_id, s.bigram_nll, s.n_bigrams
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN scored s USING (doc_id)""",
         # llm_chunk_tokens: 64-token windows, stride 48; DuckDB 1-based

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "llm_knn_join_lsh",
     "llm_mixture_sample",
     "llm_chunk_tokens",
+    "llm_bigram_logprob",
     "llm_paragraph_dedup",
     "win_unique",
     "rel_pattern_runs",

@@ -216,6 +216,65 @@ def chunk_documents_tokens(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab_max: int | None = 5_000_000,
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    bigram LM: ``avg(-ln(c(w1,w2) / c(w1,·)))`` over the document's bigram
+    positions — one step up the n-gram ladder from :func:`unigram_logprob`
+    toward CCNet's 5-gram filter (Wenzek et al. 2020). Because the LM is
+    trained on the scored corpus itself, every document bigram has count
+    ≥ 1 — no smoothing needed for exactness. Documents with fewer than two
+    tokens get NULL.
+
+    Bigrams are built ARRAY-SIDE (zip of the token array with its own
+    1-shifted slice), so the only shuffles are the bigram-vocabulary
+    aggregate and the final per-document regroup; the context count
+    ``c(w1,·)`` is an exact second aggregate OF the bigram table (sum of
+    bigram counts per first token — cheaper than re-tokenizing, and equal to
+    it by construction). The per-position lookup broadcasts only when the
+    measured bigram vocabulary is at most ``broadcast_vocab_max`` (a bigram
+    vocabulary grows much faster than a unigram one), else it shuffle-joins.
+    """
+    from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
+
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = scoped_persist(
+        df.select(F.col(id_col), F.explode(pairs).alias("__bg")).select(
+            id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
+        )
+    )
+    vocab = scoped_persist(
+        big.groupBy("__w1", "__w2").agg(F.count("*").alias("__c12"))
+    )
+    ctx = vocab.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
+    use_broadcast = (
+        broadcast_vocab_max is None or vocab.count() <= broadcast_vocab_max
+    )
+    lm = vocab.join(ctx, "__w1").select(
+        "__w1", "__w2", (F.col("__c12") / F.col("__c1")).alias("__p")
+    )
+    scored = (
+        big.join(F.broadcast(lm) if use_broadcast else lm, ["__w1", "__w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log("__p")), 6).alias("bigram_nll"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    out = df.select(id_col).distinct().join(scored, id_col, "left")
+    return tag_caches(out, [big, vocab])
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],

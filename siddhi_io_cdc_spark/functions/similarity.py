@@ -45,7 +45,13 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _as_lit_vec(v: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in v])
+    """One ArrayType literal node per vector — NOT ``F.array`` of per-element
+    literals, which builds a dim-wide expression subtree. With nlist=32
+    dim-64 centroids the per-element form puts ~2k literal nodes in every
+    assignment/probe expression and Catalyst analysis alone cost ~4 s per
+    kNN plan build (measured at sf0.1, round 5); the array-literal form is
+    ~32 nodes and semantically identical (array<double> literal)."""
+    return F.lit([float(x) for x in v])
 
 
 def topk_cosine(
@@ -73,15 +79,44 @@ def hyperplanes(dim: int, nbits: int = 16, seed: int = 42):
     return rs.randn(nbits, dim)
 
 
+def _lit_matrix(m) -> Column:
+    """A literal array<array<double>> from a (rows × dim) matrix — one
+    nested literal, so plan BUILD does O(1) py4j roundtrips instead of
+    O(rows · dim). Falls back to an array of row literals if the nested
+    form is unsupported."""
+    rows = [[float(x) for x in row] for row in m]
+    try:
+        return F.lit(rows)
+    except Exception:
+        return F.array(*[F.lit(r) for r in rows])
+
+
+def _dots_against(vec_col: Column, matrix) -> Column:
+    """Array of dot products of ``vec_col`` against every row of
+    ``matrix`` (driver-side), as ONE transform-over-nested-literal
+    expression. Per-row Python loops of fold expressions cost ~4 s of py4j
+    chatter per plan build at nlist=32 (measured round 5); this builds the
+    same JVM folds (identical order, identical values) in a handful of
+    calls."""
+    v = vec_col.cast("array<double>")
+    return F.transform(
+        _lit_matrix(matrix),
+        lambda c: F.aggregate(
+            F.zip_with(v, c, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+
+
 def lsh_bucket(vec_col: Column, planes) -> Column:
-    """Sign-LSH bucket id: bit i = [plane_i · v > 0]. Pure JVM fold per plane."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        bit = F.when(dot(vec_col, _as_lit_vec(p)) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-    return bucket
+    """Sign-LSH bucket id: bit i = [plane_i · v > 0]. Pure JVM folds; the
+    bit assembly sums disjoint powers of two (== bitwise OR)."""
+    pows = F.lit([1 << i for i in range(len(planes))]).cast("array<long>")
+    bits = F.zip_with(
+        _dots_against(vec_col, planes),
+        pows,
+        lambda d, p: F.when(d > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def ann_cosine(
@@ -130,7 +165,7 @@ def ivf_assign(vec_col: Column, centroids) -> Column:
     matching a strict-greater running argmax. On a 100 TB corpus this
     column becomes the partition key of the vector layout, so probes read
     only the probed lists' partitions."""
-    dots = F.array(*[dot(vec_col, _as_lit_vec(c)) for c in centroids])
+    dots = _dots_against(vec_col, centroids)
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
@@ -453,11 +488,20 @@ def knn_join_ivf(
     # idx tiebreak keeps the probe set deterministic. Linear expression tree
     # in nlist (array_sort over one literal-array of structs).
     qv = F.col(q_vec_col).cast("array<double>")
-    cells = F.array(
-        *[
-            F.struct((-dot(qv, _as_lit_vec(c))).alias("nd"), F.lit(i).alias("idx"))
-            for i, c in enumerate(centroids)
-        ]
+    # One transform-with-index over the nested centroid literal: same
+    # (-dot, idx) structs as a per-centroid Python loop, O(1) py4j calls.
+    cells = F.transform(
+        _lit_matrix(centroids),
+        lambda c, i: F.struct(
+            (
+                -F.aggregate(
+                    F.zip_with(qv, c, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("nd"),
+            i.alias("idx"),
+        ),
     )
     probe = F.transform(F.slice(F.array_sort(cells), 1, nprobe), lambda s: s["idx"])
     query_cells = queries.select(

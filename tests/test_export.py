@@ -250,3 +250,26 @@ def test_chunk_tokens_validates_params(spark):
         chunk_documents_tokens(docs, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents_tokens(docs, chunk_tokens=4, overlap=4)
+
+
+def test_bigram_logprob_matches_hand_computation(spark):
+    from siddhi_io_cdc_spark.functions.export import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c"), (3, "a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.bigram_nll, r.n_bigrams) for r in bigram_logprob(docs).collect()}
+    # corpus bigrams: (a,b)x2, (b,a)x1, (a,c)x1 -> c(a,.)=3, c(b,.)=1
+    d1 = -(math.log(2 / 3) + math.log(1 / 1) + math.log(2 / 3)) / 3
+    assert got[1] == (round(d1, 6), 3)
+    assert got[2] == (None, None)  # single token: no bigram positions
+    assert got[3] == (round(-math.log(1 / 3), 6), 1)
+
+
+def test_bigram_logprob_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    from siddhi_io_cdc_spark.functions.export import bigram_logprob
+
+    docs = _docs(spark, sf_dir).limit(40)
+    a = sorted(map(tuple, bigram_logprob(docs).collect()))
+    b = sorted(map(tuple, bigram_logprob(docs, broadcast_vocab_max=1).collect()))
+    assert a == b and len(a) == 40

@@ -152,6 +152,19 @@ def test_knn_join_bucketed_pure_jvm_equi_join(spark, sf_dir, entrymod):
     assert p.count("Exchange hashpartitioning") <= 3
 
 
+def test_mixture_sample_is_broadcast_filter(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["llm_mixture_sample"](spark, sf_dir))
+    # per-domain rates broadcast back onto the corpus — the corpus itself
+    # never shuffles; the only exchange is the tiny counts aggregate
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_chunk_tokens_is_map_only(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["llm_chunk_tokens"](spark, sf_dir))
+    assert "Exchange" not in p  # pure array expressions + explode, no shuffle
+
+
 def test_match_runs_single_shuffle(spark, sf_dir, entrymod):
     p = plan_of(entrymod.queries()["rel_pattern_runs"](spark, sf_dir))
     # both row_numbers + the run aggregation share one user_id exchange

@@ -17,18 +17,18 @@ gain factor-1 exact twins, and near-dup pair counts would grow
 quadratically in the factor). Replica 0 keeps the original bytes; replica
 ``i > 0``:
 
-- ``documents.text``: every vowel becomes a per-replica tag ``q{i}``.
-  A single appended tag token is NOT enough — that is literally how the
-  contract's planted clones are built (one extra token leaves 5-token-
-  shingle Jaccard at (T-4)/(T-3) ≈ 0.98) — and additive-only schemes
-  (per-token suffixes) leave all ORIGINAL char-3-grams in the set, which
-  measured gram Jaccard 0.836 on repetitive docs, over the 0.8
-  threshold. Rewriting vowels REMOVES ~90% of the original grams (any
-  gram touching a vowel changes): measured max cross-replica gram
-  Jaccard 0.0 on a 30-doc sample; token-shingle Jaccard drops to ~0
-  (every vowel-bearing token differs) for minhash/near-dedup/
-  decontaminate, and simhash signatures decorrelate (per-token xxhash64
-  inputs differ). ``n_chars`` is recomputed to match.
+- ``documents.text``: every vowel becomes ONE per-replica consonant
+  letter (see ``_TEXT_PERTURB``). A single appended tag token is NOT
+  enough — that is literally how the contract's planted clones are built
+  (one extra token leaves 5-token-shingle Jaccard at (T-4)/(T-3) ≈ 0.98)
+  — and additive-only schemes (per-token suffixes) leave all ORIGINAL
+  char-3-grams in the set, which measured gram Jaccard 0.836 on
+  repetitive docs, over the 0.8 threshold. Single-letter vowel rewriting
+  changes every vowel-touching gram/token/shingle (cross-replica
+  similarity collapses below every pair threshold) while preserving text
+  length, token boundaries, and per-doc token counts exactly — so scaled
+  ratios measure the engine, not fixture drift. ``n_chars`` carries
+  through unchanged (lengths are preserved).
 - ``embeddings.embedding``: each element ``x`` becomes
   ``x * (1 + 0.8 cos((9973 + 101 i) x))`` — deterministic and replica-
   dependent through the FREQUENCY, not the phase: an additive phase
@@ -73,12 +73,26 @@ SHIFTS: dict[str, list[tuple[str, str]]] = {
 
 #: table -> {column: SQL expression (over t.<col> and r.i) replacing it in
 #: replicas i > 0}. Keeps replica 0 byte-identical to the source.
-_TEXT_PERTURB = r"regexp_replace(t.text, '[aeiou]', 'q' || r.i, 'g')"
+#: Every vowel becomes ONE per-replica consonant (replica i -> the i-th
+#: letter of a 20-consonant alphabet), so text LENGTH, token boundaries,
+#: and token/char counts are all IDENTICAL to the source — scaled-bench
+#: ratios then measure engine behavior, not fixture drift (the round-5 v1
+#: scheme 'q' || i injected digits, which TOKEN_RE splits into separate
+#: tokens, inflating per-doc token volume ~3x and making every token-bound
+#: query look superlinear). Cross-replica similarity still collapses:
+#: ~38% of characters (the vowels) differ between any two replicas, so
+#: vowel-bearing tokens, 5-token shingles, and char-3-grams all diverge
+#: (measured on a 30-doc sample: max cross-replica token-shingle Jaccard
+#: 0.0, max char-3-gram Jaccard 0.23 — far under the 0.7/0.8 pair
+#: thresholds), and per-token simhash inputs decorrelate.
+_TEXT_PERTURB = (
+    r"regexp_replace(t.text, '[aeiou]', "
+    r"substr('bcdfghjklmnpqrstvwxz', (r.i % 20) + 1, 1), 'g')"
+)
 
 PERTURB: dict[str, dict[str, str]] = {
     "documents": {
         "text": _TEXT_PERTURB,
-        "n_chars": f"length({_TEXT_PERTURB})",
     },
     "embeddings": {
         "embedding": (
