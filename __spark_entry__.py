@@ -792,6 +792,20 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split: unigram-LM NLL terciles PER LANGUAGE
+    (Wenzek et al. 2020 §4.3 bucket by per-language perplexity). Spark's
+    exact percentile interpolation bit-matches DuckDB quantile_cont, so the
+    bucket boundaries are oracle-checkable."""
+    from siddhi_io_cdc_spark.functions.export import quantile_buckets, unigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    scored = unigram_logprob(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return quantile_buckets(scored, "nll", group_col="lang").select(
+        "doc_id", "lang", "nll", "bucket"
+    )
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Bigram-LM quality score (one n-gram step past unigram toward CCNet's
     5-gram): both aggregates and the per-position lookup restate exactly in
@@ -1337,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_knn_join_lsh": q_knn_join_lsh,
         "llm_chunk_tokens": q_chunk_documents_tokens,
         "llm_bigram_logprob": q_bigram_logprob,
+        "llm_perplexity_buckets": q_perplexity_buckets,
     }
 
 
@@ -2403,6 +2418,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, s.nll, s.n_tokens
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN scored s USING (doc_id)""",
+        # llm_perplexity_buckets: interpolation formulas differ by 1 ulp
+        # across engines, which decides the boundary doc's bucket when a
+        # cutoff lands exactly on a score value (seen at sf0.1) — both
+        # sides therefore round cutoffs to 9 dp (far below the 6-dp score
+        # precision, far above ulp noise) before comparing. NULL scores
+        # (token-less docs) get NULL buckets in both engines.
+        "llm_perplexity_buckets": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+              FROM documents),
+            vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+            tot AS (SELECT sum(cnt) AS total FROM vocab),
+            scored AS (
+              SELECT doc_id, round(avg(-ln(cnt / total)), 6) AS nll
+              FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+              GROUP BY doc_id),
+            full_scored AS (
+              SELECT d.doc_id, d.lang, s.nll
+              FROM documents d LEFT JOIN scored s USING (doc_id)),
+            cuts AS (
+              SELECT lang,
+                     list_transform(quantile_cont(nll, [1.0/3.0, 2.0/3.0]),
+                                    x -> round(x, 9)) AS c
+              FROM full_scored GROUP BY lang)
+            SELECT f.doc_id, f.lang, f.nll,
+                   CASE WHEN f.nll IS NULL THEN NULL
+                        WHEN f.nll <= c[1] THEN 'head'
+                        WHEN f.nll <= c[2] THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM full_scored f JOIN cuts USING (lang)""",
         # llm_bigram_logprob: the corpus-trained bigram LM has no unseen
         # document bigrams (count >= 1 by construction), so the exact MLE
         # restates without smoothing; c(w1,.) is the sum of bigram counts

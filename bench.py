@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "llm_mixture_sample",
     "llm_chunk_tokens",
     "llm_bigram_logprob",
+    "llm_perplexity_buckets",
     "llm_paragraph_dedup",
     "win_unique",
     "rel_pattern_runs",

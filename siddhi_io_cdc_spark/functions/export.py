@@ -216,6 +216,58 @@ def chunk_documents_tokens(
     )
 
 
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    cuts: tuple[float, ...] = (1 / 3, 2 / 3),
+    group_col: str | None = None,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row a quantile bucket of ``score_col`` — CCNet's
+    head/middle/tail perplexity split (Wenzek et al. 2020) when fed an LM
+    score and grouped by language. ``len(labels)`` must be
+    ``len(cuts) + 1``; rows with NULL score get a NULL bucket.
+
+    Cutoffs come from ONE exact ``percentile`` aggregate (per ``group_col``
+    when given, else global), broadcast back onto the data — the corpus
+    itself never shuffles, so at 100 TB this is a tiny aggregate plus a
+    map-only labeling pass. Cutoffs are rounded to 9 decimals before
+    comparison: linear-interpolation formulas legitimately differ by 1 ulp
+    across engines (``lo + f·(hi−lo)`` vs ``(1−f)·lo + f·hi``), and when a
+    cutoff lands exactly ON a score value that ulp decides the boundary
+    row's bucket (observed at sf0.1 — Spark 3.401546 vs DuckDB
+    3.4015459999999997). Rounding far below score precision (scores carry
+    6 dp) but far above ulp noise makes the label deterministic across
+    engines without moving any real boundary.
+    """
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(cuts)+1 labels (got {len(cuts)} cuts, {len(labels)} labels)"
+        )
+    if list(cuts) != sorted(cuts) or not all(0 < c < 1 for c in cuts):
+        raise ValueError(f"cuts must be ascending fractions in (0,1) (got {cuts})")
+    pct = F.transform(
+        F.percentile(F.col(score_col), F.array(*[F.lit(float(c)) for c in cuts])),
+        lambda x: F.round(x, 9),
+    )
+    if group_col is None:
+        cutoffs = df.agg(pct.alias("__cuts"))
+        labeled = df.crossJoin(F.broadcast(cutoffs))
+    else:
+        cutoffs = df.groupBy(group_col).agg(pct.alias("__cuts"))
+        labeled = df.join(F.broadcast(cutoffs), group_col)
+    bucket = F.lit(labels[-1])
+    for i in range(len(cuts) - 1, -1, -1):
+        bucket = F.when(F.col(score_col) <= F.col("__cuts")[i], labels[i]).otherwise(
+            bucket
+        )
+    bucket = F.when(F.col(score_col).isNull(), F.lit(None).cast("string")).otherwise(
+        bucket
+    )
+    return labeled.withColumn(bucket_col, bucket).drop("__cuts")
+
+
 def bigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -273,3 +273,36 @@ def test_bigram_logprob_shuffle_fallback_matches_broadcast(spark, sf_dir):
     a = sorted(map(tuple, bigram_logprob(docs).collect()))
     b = sorted(map(tuple, bigram_logprob(docs, broadcast_vocab_max=1).collect()))
     assert a == b and len(a) == 40
+
+
+def test_quantile_buckets_hand_computed(spark):
+    from siddhi_io_cdc_spark.functions.export import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 10)] + [(10, None)],
+        "id long, s double",
+    )
+    got = {r.id: r.bucket for r in quantile_buckets(df, "s").collect()}
+    # exact percentile over 1..9: tercile cutoffs at (1/3, 2/3) -> 3.666, 6.333
+    assert {i for i in got if got[i] == "head"} == {1, 2, 3}
+    assert {i for i in got if got[i] == "middle"} == {4, 5, 6}
+    assert {i for i in got if got[i] == "tail"} == {7, 8, 9}
+    assert got[10] is None  # NULL score -> NULL bucket
+
+
+def test_quantile_buckets_grouped_and_validation(spark):
+    from siddhi_io_cdc_spark.functions.export import quantile_buckets
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 10)]
+        + [("b", 100 + i, float(100 + i)) for i in range(1, 10)],
+        "g string, id long, s double",
+    )
+    got = {r.id: r.bucket for r in quantile_buckets(df, "s", group_col="g").collect()}
+    # per-group terciles: group b's small values are still "head" IN b
+    assert got[1] == "head" and got[101] == "head"
+    assert got[9] == "tail" and got[109] == "tail"
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "s", cuts=(0.5,), labels=("a", "b", "c"))
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "s", cuts=(0.9, 0.1))
