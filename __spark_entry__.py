@@ -792,6 +792,45 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_cdc_pipeline(spark, sf_dir):
+    """End-to-end flagship: CDC changelog apply → curation → training-data
+    shard. The three stages are this repo's whole thesis in one plan —
+    change capture (operators/mutate.apply_changelog), corpus curation
+    (functions/dedup.curate_documents: lang → quality → exact dedup), and
+    deterministic export sharding (functions/export.shard_for_training) —
+    and the composed DuckDB oracle checks the entire pipeline hash-exactly,
+    not just each stage in isolation."""
+    from siddhi_io_cdc_spark.functions.dedup import curate_documents
+    from siddhi_io_cdc_spark.functions.export import shard_for_training
+    from siddhi_io_cdc_spark.operators.mutate import apply_changelog
+
+    docs = _docs(spark, sf_dir)
+    base = ["lang", "source", "n_chars"]
+    updates = docs.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+        *base,
+        F.lit("update").alias("operation"),
+        F.lit(10).cast("long").alias("ts_ms"),
+    )
+    deletes = docs.where(F.col("doc_id") % 4 == 1).select(
+        "doc_id", "text", *base,
+        F.lit("delete").alias("operation"),
+        F.lit(10).cast("long").alias("ts_ms"),
+    )
+    inserts = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", *base,
+        F.lit("insert").alias("operation"),
+        F.lit(10).cast("long").alias("ts_ms"),
+    )
+    events = updates.unionByName(deletes).unionByName(inserts)
+    live = apply_changelog(docs, events, key=["doc_id"])
+    curated = curate_documents(live, lang="en", min_quality=0.6).select("doc_id")
+    return shard_for_training(curated, num_shards=8, seed=0).select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
 def q_perplexity_buckets(spark, sf_dir):
     """CCNet head/middle/tail split: unigram-LM NLL terciles PER LANGUAGE
     (Wenzek et al. 2020 §4.3 bucket by per-language perplexity). Spark's
@@ -1352,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_chunk_tokens": q_chunk_documents_tokens,
         "llm_bigram_logprob": q_bigram_logprob,
         "llm_perplexity_buckets": q_perplexity_buckets,
+        "llm_cdc_pipeline": q_cdc_pipeline,
     }
 
 
@@ -1642,12 +1682,12 @@ _QUALITY_EXPR = f"""round(
 _QUALITY_SQL = f"SELECT doc_id, {_QUALITY_EXPR} AS quality_score\nFROM documents"
 
 
-def _curate_sql(lang: str = "en", min_quality: float = 0.6) -> str:
+def _curate_sql(lang: str = "en", min_quality: float = 0.6, source: str = "documents") -> str:
     score_cols, case = _lang_case_parts()
     return f"""
         SELECT MIN(doc_id) AS doc_id FROM (
           SELECT doc_id, text, {case} AS lang_pred, {_QUALITY_EXPR} AS quality_score
-          FROM (SELECT doc_id, text, {score_cols} FROM documents))
+          FROM (SELECT doc_id, text, {score_cols} FROM {source}))
         WHERE lang_pred = '{lang}' AND quality_score >= {min_quality}
         GROUP BY {_NORM}"""
 
@@ -2418,6 +2458,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, s.nll, s.n_tokens
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN scored s USING (doc_id)""",
+        # llm_cdc_pipeline: the composed end-to-end oracle — changelog
+        # apply (same shape as cdc_apply_changelog), curation (same body as
+        # llm_curate, re-sourced from the live table), then the portable
+        # md5 shard/shuffle — checks the whole pipeline, not the stages in
+        # isolation.
+        "llm_cdc_pipeline": f"""
+            WITH live AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN text || ' updated'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 4 <> 1
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50),
+            cur AS ({_curate_sql(source="live")}),
+            h AS (SELECT doc_id, {_STABLE_HASH} AS hh FROM cur)
+            SELECT doc_id, hh % 8 AS shard,
+                   (row_number() OVER (PARTITION BY hh % 8
+                                       ORDER BY hh, doc_id) - 1) AS shard_pos
+            FROM h""",
         # llm_perplexity_buckets: interpolation formulas differ by 1 ulp
         # across engines, which decides the boundary doc's bucket when a
         # cutoff lands exactly on a score value (seen at sf0.1) — both

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "llm_chunk_tokens",
     "llm_bigram_logprob",
     "llm_perplexity_buckets",
+    "llm_cdc_pipeline",
     "llm_paragraph_dedup",
     "win_unique",
     "rel_pattern_runs",
