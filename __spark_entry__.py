@@ -1326,7 +1326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_curate": q_curate,
         "llm_text_stats": q_text_stats,
         "llm_topk_cosine": q_topk_cosine,
-        "llm_knn_join": q_knn_join,
+        # Round 5: the flagship composite replaces the superseded broadcast
+        # knn_join in the driver's recorded 50-window (that path stays in
+        # the local gate below — it is still the right plan for small fixed
+        # query sets, just not the scale story).
+        "llm_cdc_pipeline": q_cdc_pipeline,
         "llm_knn_join_bucketed": q_knn_join_bucketed,
         "llm_ivf_ann": q_ivf_ann,
         "llm_distinctive_terms": q_distinctive_terms,
@@ -1391,7 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_chunk_tokens": q_chunk_documents_tokens,
         "llm_bigram_logprob": q_bigram_logprob,
         "llm_perplexity_buckets": q_perplexity_buckets,
-        "llm_cdc_pipeline": q_cdc_pipeline,
+        "llm_knn_join": q_knn_join,
     }
 
 
