@@ -21,19 +21,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
-def summarize(plan: str) -> str:
-    n_exchange = len(re.findall(r"\bExchange\b", plan))
-    n_reused = len(re.findall(r"\bReusedExchange\b", plan))
-    n_bcast = len(re.findall(r"BroadcastHashJoin", plan))
-    n_shuffle_join = len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan))
-    n_codegen = len(
-        set(re.findall(r"codegen id : (\d+)", plan))
-        or set(re.findall(r"\*\((\d+)\)", plan))
-    )
-    n_python = len(re.findall(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", plan))
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+def summarize(simple: str, formatted: str) -> str:
+    """Structure counts come from SIMPLE mode (each physical node printed
+    exactly once, `*(N)` marks whole-stage-codegen spans); pushdown facts
+    from FORMATTED mode (the only mode that prints PushedFilters)."""
+    n_exchange = len(re.findall(r"\bExchange\b", simple))
+    n_reused = len(re.findall(r"\bReusedExchange\b", simple))
+    n_bcast = len(re.findall(r"BroadcastHashJoin", simple))
+    n_shuffle_join = len(re.findall(r"SortMergeJoin|ShuffledHashJoin", simple))
+    n_codegen = len(set(re.findall(r"\*\((\d+)\)", simple)))
+    n_python = len(re.findall(
+        r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", simple
+    ))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted)
     pushed_any = any(p.strip() for p in pushed)
-    parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    parts = re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted)
     parts_any = any(p.strip() for p in parts)
     return (
         f"exchanges={n_exchange} (reused={n_reused}) broadcast_joins={n_bcast} "
@@ -50,6 +52,11 @@ def main() -> int:
 
     spark = get_spark("cdc-plan-audit", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    # AQE defers codegen/strategy choices to runtime, so the static plan
+    # shows an opaque AdaptiveSparkPlan wrapper; audit the static plan with
+    # AQE off (codegen spans + join strategies visible). Production runs
+    # keep AQE on — this only affects what the audit prints.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     queries = entrymod.queries()
     names = sys.argv[1:] or BENCH_QUERIES
     import contextlib
@@ -59,12 +66,16 @@ def main() -> int:
         df = queries[name](spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            df.explain("formatted")  # includes per-operator `codegen id`
-        plan = buf.getvalue()
+            df.explain()
+        simple = buf.getvalue()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        formatted = buf.getvalue()
         print(f"\n===== {name} =====")
-        print(summarize(plan))
+        print(summarize(simple, formatted))
         if "-v" in os.environ.get("PLAN_AUDIT_FLAGS", ""):
-            print(plan)
+            print(formatted)
     return 0
 
 
