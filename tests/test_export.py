@@ -306,3 +306,74 @@ def test_quantile_buckets_grouped_and_validation(spark):
         quantile_buckets(df, "s", cuts=(0.5,), labels=("a", "b", "c"))
     with pytest.raises(ValueError):
         quantile_buckets(df, "s", cuts=(0.9, 0.1))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    weights=st.dictionaries(
+        st.sampled_from([f"src{i}" for i in range(6)]),
+        st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    ),
+    seed=st.integers(min_value=0, max_value=3),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mixture_sample_invariants(spark, sf_dir, weights, seed):
+    """Property: for any weight dict — output is a subset of the input
+    restricted to weighted domains, the binding domain (min n_d/w_d) is
+    kept in full, and every domain's keep count never exceeds its
+    available rows."""
+    from siddhi_io_cdc_spark.functions.export import mixture_sample
+
+    docs = _docs(spark, sf_dir)
+    n = {r.source: r.cnt for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    kept = mixture_sample(docs, weights, seed=seed).select("doc_id", "source").collect()
+    by_dom = Counter(r.source for r in kept)
+    assert set(by_dom) <= set(weights)
+    present = {d: w for d, w in weights.items() if d in n}
+    if present:
+        binding = min(present, key=lambda d: n[d] / present[d])
+        assert by_dom[binding] == n[binding]
+    for d, c in by_dom.items():
+        assert c <= n[d]
+
+
+@given(
+    chunk_tokens=st.integers(min_value=1, max_value=12),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+    n_toks=st.integers(min_value=0, max_value=30),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_tokens_invariants(spark, chunk_tokens, overlap_frac, n_toks):
+    """Property: every chunk carries at most chunk_tokens tokens; with the
+    declared stride, re-splitting chunk i's text yields exactly the token
+    slice [i*stride, i*stride+chunk_tokens) of the source."""
+    from siddhi_io_cdc_spark.functions.export import chunk_documents_tokens
+
+    overlap = min(int(chunk_tokens * overlap_frac), chunk_tokens - 1)
+    stride = chunk_tokens - overlap
+    toks = ["w" + "abcdefghij"[i % 10] * (i % 3 + 1) for i in range(n_toks)]
+    docs = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(
+        (r.chunk_idx, r.chunk_text, r.chunk_tokens)
+        for r in chunk_documents_tokens(
+            docs, chunk_tokens=chunk_tokens, overlap=overlap
+        ).collect()
+    )
+    assert out, "at least one chunk always emitted"
+    for idx, text, ct in out:
+        want = toks[idx * stride : idx * stride + chunk_tokens]
+        assert text == " ".join(want)
+        assert ct == len(want) <= chunk_tokens
