@@ -265,18 +265,55 @@ def write_ivf_index(
     ``partitionBy`` splits each task's output by cell, no shuffle. For a
     read-optimized layout at extreme scale, ``repartition(n, col("cell"))``
     first so each cell lands in few large files.
+
+    The codebook goes through the Hadoop FileSystem API, so the layout works
+    on any Spark-readable path (``s3a://``, ``hdfs://``, local), not just
+    the local filesystem.
     """
     import json
-    import os
 
     if centroids is None:
         dim = len(df.select(vec_col).first()[0])
         centroids = ivf_centroids(dim, nlist, seed)
     assigned = df.withColumn("cell", ivf_assign(F.col(vec_col), centroids))
     assigned.write.mode(mode).partitionBy("cell").parquet(path)
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        json.dump([[float(x) for x in c] for c in centroids], f)
+    _hadoop_write_text(
+        df.sparkSession,
+        path.rstrip("/") + "/_ivf_centroids.json",
+        json.dumps([[float(x) for x in c] for c in centroids]),
+    )
     return centroids
+
+
+def _hadoop_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API — resolves
+    against the session's Hadoop conf, so s3a://, hdfs://, and file:// paths
+    all work (builtin open() only handles the local filesystem)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark, path: str) -> str:
+    """Read a small text file through the Hadoop FileSystem API (companion
+    of :func:`_hadoop_write_text`)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        # Read JVM-side: py4j passes byte[] buffers by VALUE, so the
+        # stream.read(buf) idiom silently returns nothing to Python.
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        stream.close()
 
 
 def probe_ivf_index(
@@ -296,14 +333,18 @@ def probe_ivf_index(
     :func:`ivf_ann_cosine` with the same codebook/nprobe, without
     recomputing assignments."""
     import json
-    import os
 
     import numpy as np
 
-    with open(os.path.join(path, "_ivf_centroids.json")) as f:
-        centroids = np.array(json.load(f))
+    centroids = np.array(
+        json.loads(_hadoop_read_text(spark, path.rstrip("/") + "/_ivf_centroids.json"))
+    )
     qv = np.asarray(query_vec, dtype=float)
-    probe_lists = np.argsort(-(centroids @ qv))[:nprobe].tolist()
+    # Stable sort: exactly-tied centroid dots resolve to the LOWEST cell
+    # index, matching ivf_assign / ivf_ann_cosine's (-dot, idx) tiebreak —
+    # plain argsort(-dots) is introsort and can probe a different cell set
+    # on ties.
+    probe_lists = np.argsort(-(centroids @ qv), kind="stable")[:nprobe].tolist()
     candidates = spark.read.parquet(path).where(F.col("cell").isin(probe_lists))
     return topk_cosine(candidates, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
@@ -346,6 +387,14 @@ def embedding_near_dup_pairs(
     return tag_caches(pairs, [b])
 
 
+class QuerySideTooLarge(ValueError):
+    """Raised by :func:`knn_join` when the broadcast query side exceeds
+    ``max_broadcast_queries`` — the guard against the measured-quadratic
+    broadcast path (95× for 10× data at sf1, round 4) being fed a
+    corpus-scaled query set. Use :func:`knn_join_ivf` / :func:`knn_join_lsh`
+    for large query sides."""
+
+
 def knn_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -354,6 +403,7 @@ def knn_join(
     id_col: str = "vec_id",
     q_vec_col: str | None = None,
     q_id_col: str | None = None,
+    max_broadcast_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact k-NN similarity JOIN: for every query row, the top-``k``
     corpus rows by cosine. Returns ``(query_id, neighbor_id, score, rank)``.
@@ -375,11 +425,29 @@ def knn_join(
     cross the Arrow boundary): when Q grows with the corpus use
     :func:`knn_join_ivf` / :func:`knn_join_lsh`, which block both sides on a
     cell key and never ship candidates through Python.
+
+    Guard: the quadratic blow-up is enforced away, not just documented — a
+    BOUNDED count probe (``limit(max+1).count()``, early-stopping, never a
+    full count of an unbounded side) raises :class:`QuerySideTooLarge` when
+    the query side exceeds ``max_broadcast_queries`` (default 10k ≈ the
+    point where Q·N Arrow traffic overtakes the blocked joins' shuffle at
+    typical corpus sizes). ``max_broadcast_queries=None`` disables the probe
+    for callers that know their query set is fixed.
     """
     from pyspark.sql.window import Window
 
     q_vec_col = q_vec_col or vec_col
     q_id_col = q_id_col or id_col
+    if max_broadcast_queries is not None:
+        probed = queries.limit(max_broadcast_queries + 1).count()
+        if probed > max_broadcast_queries:
+            raise QuerySideTooLarge(
+                f"knn_join broadcasts the query side and computes Q*N scores; "
+                f"the query side has > {max_broadcast_queries} rows, which is "
+                f"quadratic when Q grows with the corpus (measured 95x for "
+                f"10x data). Use knn_join_ivf / knn_join_lsh for large query "
+                f"sides, or pass max_broadcast_queries=None to override."
+            )
     q = queries.select(
         F.col(q_id_col).alias("query_id"),
         F.col(q_vec_col).cast("array<double>").alias("__qv"),

@@ -451,6 +451,27 @@ def test_knn_join_breaks_score_ties_by_neighbor_id(spark):
     assert all(r.score == 1.0 for r in out)
 
 
+def test_knn_join_guards_against_corpus_scaled_query_side(spark):
+    """The broadcast knn_join is Q*N (measured 95x for 10x data at sf1,
+    round 4); feeding it a corpus-scaled query side must RAISE with a
+    pointer to the blocked variants, not silently go quadratic. The probe
+    is bounded (limit(max+1).count()), and max_broadcast_queries=None
+    restores the old unguarded behavior for fixed small query sets."""
+    import pytest
+
+    from siddhi_io_cdc_spark.functions.similarity import QuerySideTooLarge, knn_join
+
+    emb = spark.range(0, 50).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 4), j -> CAST(hash(id, j) % 100 AS FLOAT) / 100) AS embedding",
+    )
+    with pytest.raises(QuerySideTooLarge, match="knn_join_ivf"):
+        knn_join(emb, emb, k=3, max_broadcast_queries=10)
+    # small side passes under the same threshold; None disables the probe
+    assert knn_join(emb, emb.where("vec_id < 3"), k=3, max_broadcast_queries=10).count() == 9
+    assert knn_join(emb, emb.where("vec_id < 3"), k=3, max_broadcast_queries=None).count() == 9
+
+
 def test_pipeline_caches_are_releasable(spark, sf_dir):
     """Repeated near-dup invocations must not accrete cached blocks: both
     release mechanisms (cache_scope, release_caches) drain every persist the

@@ -116,6 +116,19 @@ KEYSPACE_SOURCE = {
 
 
 def build(src: str, dest: str, factor: int) -> None:
+    # The vowel-substitution letter cycles through a 20-consonant alphabet
+    # (r.i % 20), so replicas i and i+20 would be byte-identical — planting
+    # cross-replica exact twins that silently break the 'no new duplicate
+    # pairs' invariant the whole perturbation scheme exists to preserve.
+    # Refuse factors past the alphabet instead of producing a subtly wrong
+    # fixture (factor 20 = sf2 from sf0.1 covers every measured point).
+    if factor > 20:
+        raise ValueError(
+            f"factor={factor} > 20: text perturbation cycles its 20-letter "
+            "alphabet, so replicas 20 apart are byte-identical and would "
+            "plant cross-replica exact duplicates. Scale from a larger src "
+            "instead (e.g. factor 10 from an sf1 build)."
+        )
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     strides: dict[str, int] = {}
