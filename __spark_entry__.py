@@ -854,6 +854,26 @@ def q_bigram_logprob(spark, sf_dir):
     return bigram_logprob(_docs(spark, sf_dir))
 
 
+def q_trigram_logprob(spark, sf_dir):
+    """Trigram rung of the CCNet LM ladder (functions.export.ngram_logprob,
+    n=3): exact corpus-trained MLE, no smoothing needed (every document
+    trigram has count >= 1 by construction)."""
+    from siddhi_io_cdc_spark.functions.export import ngram_logprob
+
+    return ngram_logprob(_docs(spark, sf_dir), n=3)
+
+
+def q_5gram_logprob(spark, sf_dir):
+    """The 5-gram LM quality score CCNet actually filters with (Wenzek et
+    al. 2020): same exact-MLE construction, n=5. The vocabulary approaches
+    one entry per corpus position at this n, so the broadcast-vs-shuffle
+    guard's shuffle path is the expected branch at scale (pinned by a plan
+    test at a forced-low threshold)."""
+    from siddhi_io_cdc_spark.functions.export import ngram_logprob
+
+    return ngram_logprob(_docs(spark, sf_dir), n=5)
+
+
 def q_knn_join_lsh(spark, sf_dir):
     """Sign-LSH-blocked kNN join (8 hyperplane bits, hamming-1 probe): the
     quasi-linear blocking family, hash-checked against a probe-aware oracle
@@ -1394,6 +1414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_knn_join_lsh": q_knn_join_lsh,
         "llm_chunk_tokens": q_chunk_documents_tokens,
         "llm_bigram_logprob": q_bigram_logprob,
+        "llm_trigram_logprob": q_trigram_logprob,
+        "llm_5gram_logprob": q_5gram_logprob,
         "llm_perplexity_buckets": q_perplexity_buckets,
         "llm_knn_join": q_knn_join,
     }
@@ -1452,6 +1474,37 @@ def _ann_cosine_oracle_sql() -> str:
 
 
 _ANN_COSINE_SQL = _ann_cosine_oracle_sql()
+
+
+def _ngram_logprob_oracle_sql(n: int) -> str:
+    """DuckDB restatement of functions.export.ngram_logprob(n): the
+    corpus-trained n-gram LM has no unseen document n-grams (count >= 1 by
+    construction), so the exact MLE restates without smoothing; the context
+    count is the sum of n-gram counts per (n-1)-prefix in BOTH engines.
+    Same shape as the hand-written bigram oracle, generated for any n."""
+    ws = [f"w{i + 1}" for i in range(n)]
+    sel = ", ".join(f"toks[i + {i}] AS {w}" for i, w in enumerate(ws))
+    allw = ", ".join(ws)
+    prefix = ", ".join(ws[:-1])
+    return f"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, {sel}
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - {n - 1})) AS i
+                FROM t WHERE len(toks) >= {n})),
+        vocab AS (SELECT {allw}, count(*) AS cn FROM g GROUP BY {allw}),
+        ctx AS (SELECT {prefix}, sum(cn) AS cc FROM vocab GROUP BY {prefix}),
+        scored AS (
+          SELECT doc_id, round(avg(-ln(cn / cc)), 6) AS ngram_nll,
+                 count(*) AS n_ngrams
+          FROM g JOIN vocab USING ({allw}) JOIN ctx USING ({prefix})
+          GROUP BY doc_id)
+        SELECT d.doc_id, s.ngram_nll, s.n_ngrams
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN scored s USING (doc_id)"""
 
 
 def _knn_probed_oracle_sql() -> str:
@@ -2535,6 +2588,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, s.bigram_nll, s.n_bigrams
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN scored s USING (doc_id)""",
+        "llm_trigram_logprob": _ngram_logprob_oracle_sql(3),
+        "llm_5gram_logprob": _ngram_logprob_oracle_sql(5),
         # llm_chunk_tokens: 64-token windows, stride 48; DuckDB 1-based
         # inclusive list slices restate Spark's F.slice(toks, p, L) as
         # toks[p : p+L-1], and both engines truncate past-the-end slices.

@@ -327,6 +327,81 @@ def bigram_logprob(
     return tag_caches(out, [big, vocab])
 
 
+def ngram_logprob(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab_max: int | None = 5_000_000,
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    ``n``-gram LM — the general rung of the CCNet ladder
+    (:func:`unigram_logprob` is n=1, :func:`bigram_logprob` n=2; Wenzek et
+    al. 2020 filter with a 5-gram LM, the default here). Score is
+    ``avg(-ln(c(w1..wn) / c(w1..w{n-1},·)))`` over the document's n-gram
+    positions; the LM is trained on the scored corpus itself, so every
+    document n-gram has count ≥ 1 and the exact MLE needs no smoothing.
+    Documents with fewer than ``n`` tokens get NULL.
+
+    Construction: n-grams are built ARRAY-SIDE — one ``transform`` over the
+    position sequence gathers the n tokens at each position into a struct
+    (an O(n) expression, no joins, no self-zip chain) — then exploded once.
+    The context count ``c(w1..w{n-1},·)`` is an exact second aggregate OF
+    the n-gram table (sum of n-gram counts per (n−1)-prefix — equal to the
+    prefix count by construction, cheaper than re-tokenizing). Shuffles:
+    the n-gram vocabulary aggregate, the prefix aggregate (over the already
+    tiny vocabulary), the lookup join (broadcast when the MEASURED
+    vocabulary is at most ``broadcast_vocab_max`` — an n-gram vocabulary
+    approaches one entry per corpus position as n grows, so the shuffle
+    fallback is the expected path at scale for n ≥ 3), and the final
+    per-document regroup.
+
+    Output columns are ``ngram_nll`` / ``n_ngrams`` for every n (uniform
+    schema across the ladder)."""
+    from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2 (got {n}); use unigram_logprob for n=1")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    length = F.size(toks)
+    # sequence(1, L-n+1) DESCENDS when L < n — gate to an empty array.
+    positions = F.when(
+        length >= n, F.sequence(F.lit(1), length - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        positions,
+        lambda p: F.struct(
+            *[F.element_at(toks, p + i).alias(f"__w{i + 1}") for i in range(n)]
+        ),
+    )
+    wcols = [f"__w{i + 1}" for i in range(n)]
+    grams = scoped_persist(
+        df.select(F.col(id_col), F.explode(gram).alias("__g")).select(
+            id_col, *[F.col(f"__g.{w}").alias(w) for w in wcols]
+        )
+    )
+    vocab = scoped_persist(
+        grams.groupBy(*wcols).agg(F.count("*").alias("__cn"))
+    )
+    ctx = vocab.groupBy(*wcols[:-1]).agg(F.sum("__cn").alias("__cc"))
+    use_broadcast = (
+        broadcast_vocab_max is None or vocab.count() <= broadcast_vocab_max
+    )
+    lm = vocab.join(ctx, wcols[:-1]).select(
+        *wcols, (F.col("__cn") / F.col("__cc")).alias("__p")
+    )
+    scored = (
+        grams.join(F.broadcast(lm) if use_broadcast else lm, wcols)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log("__p")), 6).alias("ngram_nll"),
+            F.count("*").cast("bigint").alias("n_ngrams"),
+        )
+    )
+    out = df.select(id_col).distinct().join(scored, id_col, "left")
+    return tag_caches(out, [grams, vocab])
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict[str, float],

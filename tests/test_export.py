@@ -275,6 +275,44 @@ def test_bigram_logprob_shuffle_fallback_matches_broadcast(spark, sf_dir):
     assert a == b and len(a) == 40
 
 
+def test_ngram_logprob_hand_computed_and_generalizes(spark):
+    """ngram_logprob(n=3) against a hand trigram MLE; n=2 agrees with the
+    dedicated bigram_logprob (same pairs, same MLE — only column names
+    differ); n<2 and short-document NULLs validated."""
+    from siddhi_io_cdc_spark.functions.export import bigram_logprob, ngram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b d"), (2, "c d"), (3, "a b c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.ngram_nll, r.n_ngrams) for r in ngram_logprob(docs, n=3).collect()}
+    # corpus trigrams: (a,b,c)x2, (b,c,a)x1, (c,a,b)x1, (a,b,d)x1
+    # -> c(a,b,.)=3 (c twice, d once); (b,c,.) and (c,a,.) deterministic
+    d1 = -(math.log(2 / 3) + math.log(1) + math.log(1) + math.log(1 / 3)) / 4
+    assert got[1] == (round(d1, 6), 4)
+    assert got[2] == (None, None)  # 2 tokens < n=3
+    assert got[3] == (round(-math.log(2 / 3), 6), 1)
+
+    two = {r.doc_id: (r.ngram_nll, r.n_ngrams) for r in ngram_logprob(docs, n=2).collect()}
+    big = {r.doc_id: (r.bigram_nll, r.n_bigrams) for r in bigram_logprob(docs).collect()}
+    assert two == big
+
+    with pytest.raises(ValueError, match="unigram_logprob"):
+        ngram_logprob(docs, n=1)
+
+
+def test_ngram_logprob_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    """The vocab-size guard: at n=5 with broadcast_vocab_max=1 the lookup
+    must take the shuffle-join branch (an n-gram vocabulary approaches one
+    entry per corpus position — the expected branch at 100 TB) and produce
+    byte-identical results to the broadcast path."""
+    from siddhi_io_cdc_spark.functions.export import ngram_logprob
+
+    docs = _docs(spark, sf_dir).limit(40)
+    a = sorted(map(tuple, ngram_logprob(docs, n=5).collect()))
+    b = sorted(map(tuple, ngram_logprob(docs, n=5, broadcast_vocab_max=1).collect()))
+    assert a == b and len(a) == 40
+
+
 def test_quantile_buckets_hand_computed(spark):
     from siddhi_io_cdc_spark.functions.export import quantile_buckets
 
