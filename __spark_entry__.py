@@ -423,6 +423,21 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_image_features(attach_ppm_payload(docs)).orderBy("id")
 
 
+def q_image_near_dup(spark, sf_dir):
+    """Perceptual-hash image dedup: closed-form 18x16 P5 gradient payloads
+    (attach_gradient_ppm_payload) -> real decode + 8x9 area-mean dHash (the
+    plan's only Python node) -> pigeonhole 16-bit-chunk blocking + hamming
+    verify, all JVM. Every dHash bit is an integer comparison over the
+    fixture's cell grid, so the oracle is exact (naive all-pairs SQL)."""
+    from siddhi_io_cdc_spark.functions.multimodal import (
+        attach_gradient_ppm_payload,
+        image_near_dup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    return image_near_dup_pairs(attach_gradient_ppm_payload(docs), max_hamming=3)
+
+
 def q_url_dedup(spark, sf_dir):
     """Canonical-URL dedup: three messy variants per page (scheme case,
     www., tracking params, fragment, explicit port, trailing slash) must
@@ -1416,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bigram_logprob": q_bigram_logprob,
         "llm_trigram_logprob": q_trigram_logprob,
         "llm_5gram_logprob": q_5gram_logprob,
+        "llm_image_near_dup": q_image_near_dup,
         "llm_perplexity_buckets": q_perplexity_buckets,
         "llm_knn_join": q_knn_join,
     }
@@ -2590,6 +2606,40 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN scored s USING (doc_id)""",
         "llm_trigram_logprob": _ngram_logprob_oracle_sql(3),
         "llm_5gram_logprob": _ngram_logprob_oracle_sql(5),
+        # llm_image_near_dup: the 18x16 fixture is block-constant over an
+        # 8x9 cell grid, so the area-mean thumbnail recovers the integer
+        # cell values exactly and each dHash bit is v(i,j+1) > v(i,j); the
+        # oracle rebuilds the 64-bit hash per doc (bit 63 via the signed
+        # MIN_LONG literal, mirroring the Python sign-bit cast) and does a
+        # naive all-pairs hamming check — quadratic is fine for an oracle.
+        "llm_image_near_dup": """
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            v AS (
+              SELECT doc_id, gi.i, gj.j,
+                     (((doc_id % 40) * 37 + gi.i * 13 + gj.j * 29) % 113
+                      + CASE WHEN gi.i = 3 AND gj.j = 4 AND doc_id % 7 = 0
+                             THEN 57 ELSE 0 END
+                      + CASE WHEN ((gi.i = 1 AND gj.j = 2) OR
+                                   (gi.i = 6 AND gj.j = 5))
+                                  AND doc_id % 11 = 0
+                             THEN 23 ELSE 0 END) % 113 + 1 AS val
+              FROM d, unnest(generate_series(0, 7)) AS gi(i),
+                      unnest(generate_series(0, 8)) AS gj(j)),
+            h AS (
+              SELECT a.doc_id,
+                     bit_or(CASE WHEN b.val > a.val THEN
+                              CASE WHEN a.i * 8 + a.j = 63
+                                   THEN -9223372036854775808
+                                   ELSE (1::BIGINT << (a.i * 8 + a.j)) END
+                            ELSE 0 END) AS dh
+              FROM v a JOIN v b
+                ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1
+              WHERE a.j < 8
+              GROUP BY a.doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+            FROM h a JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.dh, b.dh)) <= 3""",
         # llm_chunk_tokens: 64-token windows, stride 48; DuckDB 1-based
         # inclusive list slices restate Spark's F.slice(toks, p, L) as
         # toks[p : p+L-1], and both engines truncate past-the-end slices.

@@ -422,6 +422,27 @@ def simhash_pairs(
             simhash64(text_col, portable=portable).alias("__h"),
         )
     )
+    pairs = hash64_pairs(h, id_col="__id", hash_col="__h", max_hamming=max_hamming)
+    return tag_caches(pairs, [h])
+
+
+def hash64_pairs(
+    df: DataFrame,
+    id_col: str = "__id",
+    hash_col: str = "__h",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs of rows whose 64-bit ``hash_col`` values are within hamming
+    distance ``max_hamming`` — the blocking core shared by
+    :func:`simhash_pairs` and the perceptual-hash image dedup
+    (``multimodal.image_near_dup_pairs``). Buckets on each of the four
+    16-bit chunks (pigeonhole: a pair differing in ≤ 3 of 64 bits shares at
+    least one exact 16-bit chunk — GUARANTEED 100 % recall for
+    ``max_hamming < 4``), then verifies with ``bit_count(xor)``. Never
+    all-pairs: candidate volume is the sum of squared bucket sizes over
+    4·2^16 buckets. Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    assert max_hamming < 4, "4-chunk blocking guarantees recall only for hamming < 4"
+    h = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
     chunks = h.select(
         "__id",
         "__h",
@@ -439,7 +460,7 @@ def simhash_pairs(
             )
         ).alias("__c"),
     ).select("__id", "__h", "__c.chunk", "__c.ckey")
-    pairs = (
+    return (
         chunks.alias("l")
         .join(chunks.alias("r"), on=["chunk", "ckey"], how="inner")
         .where(F.col("l.__id") < F.col("r.__id"))
@@ -451,7 +472,6 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return tag_caches(pairs, [h])
 
 
 def ngram_jaccard_pairs(

@@ -662,3 +662,147 @@ def resize_images(
             yield pd.DataFrame({"id": pdf["id"], "payload": payloads, "mm_meta": metas})
 
     return src.mapInPandas(_resize, schema=out_schema)
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "doc_id", strict: bool = False
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) of image payloads → 64-bit long.
+
+    Decode (the ONLY Python node: same pure-numpy netpbm/BMP parsers as
+    :func:`decode_image_features`, Arrow-batched, partition-preserving) →
+    area-mean downsample to an 8-row × 9-column grayscale thumbnail (block
+    boundaries at ``floor(i·H/8)`` / ``floor(j·W/9)``, so dims divisible by
+    8/9 downsample EXACTLY — the property the closed-form oracle fixtures
+    use) → bit ``k = i·8 + c`` set iff ``thumb[i, c+1] > thumb[i, c]``.
+    dHash is the standard perceptual fingerprint for crawl-scale image
+    dedup: near-identical images (recompression, slight crops, brightness
+    shifts) land within a few bits, unrelated images ~32 bits apart.
+    Malformed payloads yield NULL unless ``strict``.
+    """
+    src = df.select(F.col(id_col).alias("id"), "payload")
+
+    def _hash(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            parsed = _parse_netpbm(b)
+            if parsed is None:
+                parsed = _parse_bmp(b)
+            if parsed is None:
+                raise ValueError("unsupported image payload")
+            w, h, px = parsed
+            px = np.asarray(px, dtype=np.float64)
+            if px.size == w * h * 3:  # RGB flat -> equal-weight gray
+                px = px.reshape(h, w, 3).mean(axis=2)
+            elif px.size == w * h:
+                px = px.reshape(h, w)
+            else:
+                raise ValueError(f"pixel count {px.size} != {w}x{h}[x3]")
+            rb = [(i * h) // 8 for i in range(9)]
+            cb = [(j * w) // 9 for j in range(10)]
+            if rb[1] == 0 or cb[1] == 0:
+                raise ValueError(f"image {w}x{h} too small for 9x8 dHash grid")
+            thumb = np.empty((8, 9))
+            for i in range(8):
+                for j in range(9):
+                    thumb[i, j] = px[rb[i]:rb[i + 1], cb[j]:cb[j + 1]].mean()
+            acc = np.uint64(0)
+            for i in range(8):
+                for c in range(8):
+                    if thumb[i, c + 1] > thumb[i, c]:
+                        acc |= np.uint64(1) << np.uint64(i * 8 + c)
+            return int(acc.astype(np.int64))  # bit 63 -> sign bit, like simhash64
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    v = one(bytes(payload))
+                except ValueError:
+                    if strict:
+                        raise
+                    v = None
+                ids.append(i)
+                hashes.append(v)
+            yield pd.DataFrame(
+                {"id": ids, "dhash": pd.array(hashes, dtype="Int64")}
+            )
+
+    return src.mapInPandas(_hash, schema="id long, dhash long")
+
+
+def image_near_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-duplicate image pairs: :func:`image_dhash` (one Python decode
+    node) then the pigeonhole 16-bit-chunk blocking shared with
+    ``dedup.simhash_pairs`` — GUARANTEED 100 % recall for
+    ``max_hamming < 4``, never all-pairs, everything after the decode pure
+    JVM. Undecodable payloads (NULL hash) are quarantined, not paired.
+    Returns ``(id_a, id_b, hamming)``."""
+    from siddhi_io_cdc_spark.functions.dedup import hash64_pairs
+    from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
+
+    # Persist: the decode is the expensive part and feeds both sides of the
+    # chunk self-join.
+    h = scoped_persist(image_dhash(df, id_col=id_col).where(F.col("dhash").isNotNull()))
+    pairs = hash64_pairs(h, id_col="id", hash_col="dhash", max_hamming=max_hamming)
+    return tag_caches(pairs, [h])
+
+
+def attach_gradient_ppm_payload(
+    df: DataFrame, id_col: str = "doc_id", groups: int = 40
+) -> DataFrame:
+    """Build 18×16 P5 payloads whose dHash has a CLOSED-FORM SQL
+    restatement, for exact near-dup oracles (the constant-pixel
+    :func:`attach_ppm_payload` fixtures all hash to 0 — degenerate).
+
+    Pixel (r, c) = ``v(r//2, c//2)`` over an 8×9 block grid with
+    ``v(i,j) = (group·37 + i·13 + j·29) % 113 + 1`` and
+    ``group = id % groups`` — block-constant, so the 8×9 area-mean
+    thumbnail recovers ``v`` EXACTLY (18 = 9·2, 16 = 8·2) and every dHash
+    bit is an integer comparison restatable in ANSI SQL. Values stay in
+    1..113 so ``char() → encode(UTF-8)`` is byte-exact (>127 would emit
+    two bytes).
+
+    Two perturbations make the hamming verify discriminating: docs with
+    ``id % 7 == 0`` shift cell (3,4) by +57 (flips ≤ 2 bits → still a
+    near-dup of their group) and docs with ``id % 11 == 0`` shift cells
+    (1,2) and (6,5) by +23 (≤ 4 more bits → pairs against differently
+    perturbed group-mates can exceed ``max_hamming`` and must be
+    excluded)."""
+    id_ = F.col(id_col)
+    group = id_ % groups
+
+    def v(i: int, j: int) -> F.Column:
+        base = (group * 37 + F.lit(i * 13 + j * 29)) % 113
+        shifts = F.lit(0)
+        if (i, j) == (3, 4):
+            shifts = shifts + F.when((id_ % 7) == 0, 57).otherwise(0)
+        if (i, j) in ((1, 2), (6, 5)):
+            shifts = shifts + F.when((id_ % 11) == 0, 23).otherwise(0)
+        return ((base + shifts) % 113 + 1).cast("int")
+
+    header = F.lit("P5\n18 16\n255\n")
+    rows = []
+    for i in range(8):
+        segs = []
+        for j in range(9):
+            segs.append(F.repeat(F.char(v(i, j)), 2))
+        row = F.concat(*segs)
+        rows.append(row)
+        rows.append(row)  # each block row spans 2 raster rows
+    payload = F.encode(F.concat(header, *rows), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "mm_meta",
+        F.struct(
+            F.lit("image").alias("modality"),
+            F.lit("image/x-portable-graymap").alias("mime"),
+            F.lit(18).alias("width"),
+            F.lit(16).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )

@@ -374,3 +374,80 @@ def test_extract_embedding_strided_fold_exact(spark):
     v = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 8).sum(axis=0).astype("float64")
     exp = [round(float(x), 6) for x in v / np.linalg.norm(v)]
     assert got["id"] == 7 and list(got["embedding"]) == exp
+
+
+def test_image_dhash_hand_computed_and_quarantine(spark):
+    """dHash against a hand-built 18x16 P5: bits are thumb[i,c+1] >
+    thumb[i,c] with bit 63 as the sign bit; malformed payloads hash NULL
+    (quarantined) unless strict."""
+    import numpy as np
+    import pytest
+
+    from siddhi_io_cdc_spark.functions.multimodal import encode_ppm, image_dhash
+
+    # block-constant 8x9 grid, expanded 2x2 -> exact area-mean recovery
+    grid = (np.arange(72).reshape(8, 9) * 37 % 101).astype(np.uint8)
+    img = np.kron(grid, np.ones((2, 2), dtype=np.uint8))
+    acc = 0
+    for i in range(8):
+        for c in range(8):
+            if grid[i, c + 1] > grid[i, c]:
+                acc |= 1 << (i * 8 + c)
+    want = acc - (1 << 64) if acc >= 1 << 63 else acc
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(img))), (2, bytearray(b"nonsense"))],
+        "doc_id long, payload binary",
+    )
+    got = {r["id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got == {1: want, 2: None}
+    with pytest.raises(Exception, match="unsupported image payload"):
+        image_dhash(df, strict=True).collect()
+
+
+def test_image_near_dup_pairs_recall_and_plan(spark):
+    """Pigeonhole blocking finds every pair within hamming <= 3 (verified
+    against a local all-pairs reference) and the plan has exactly ONE
+    Python node (the decode)."""
+    import itertools
+
+    import numpy as np
+
+    from siddhi_io_cdc_spark.functions.multimodal import (
+        encode_ppm,
+        image_dhash,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 200, size=(8, 9)).astype(np.uint8)
+    rows = []
+    for i in range(12):
+        g = base.copy()
+        if i % 3:  # small perturbations -> near dups of the base family
+            g[i % 8, i % 9] = (int(g[i % 8, i % 9]) + 40) % 200
+        if i >= 9:  # a distinct family
+            g = (g + 97) % 200
+        rows.append((i, bytearray(encode_ppm(np.kron(g, np.ones((2, 2), dtype=np.uint8))))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(4)
+
+    hashes = {r["id"]: r["dhash"] for r in image_dhash(df).collect()}
+    want = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+    )
+    pairs = image_near_dup_pairs(df, max_hamming=3)
+    got = sorted((r.id_a, r.id_b, r.hamming) for r in pairs.collect())
+    assert got == [(a, b, h) for a, b, h in want]
+    assert len(got) > 0
+
+    # Python appears ONLY in the decode: the standalone dhash plan has
+    # exactly one MapInPandas, and the pairs plan reuses the persisted
+    # decode (InMemoryTableScan; the cached subtree prints per reference,
+    # so count nodes there, not in the pairs plan) with JVM-side verify.
+    hplan = image_dhash(df)._jdf.queryExecution().executedPlan().toString()
+    assert hplan.count("MapInPandas") == 1
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert "EvalPython" not in plan and "bit_count" in plan
