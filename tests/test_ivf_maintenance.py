@@ -1,0 +1,211 @@
+"""Incremental IVF index maintenance under CDC (streaming/ivf_index.py):
+batch-vs-rebuild parity, replay idempotence, half-committed-crash
+convergence, live-stream adapter."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.similarity import (
+    ivf_centroids,
+    probe_ivf_index,
+    write_ivf_index,
+)
+from siddhi_io_cdc_spark.streaming.ivf_index import (
+    apply_changelog_ivf,
+    foreach_batch_ivf_index,
+    load_codebook,
+)
+
+DIM, NLIST = 8, 8
+
+
+def _vecs(spark, lo, hi, gen=0):
+    """Deterministic embeddings; gen shifts values so updates MOVE cells."""
+    return spark.range(lo, hi).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(1, {DIM}), j -> "
+        f"CAST((hash(id, j, {gen}) % 1000) / 250.0 AS FLOAT)) AS embedding",
+    )
+
+
+def _state(spark, path):
+    return {
+        (r.vec_id, tuple(round(float(x), 5) for x in r.embedding))
+        for r in spark.read.parquet(path).drop("cell").collect()
+    }
+
+
+def _changelog(upserts, deletes=None, op="insert", old=None, ts=1):
+    """Flattened multi-op events: upserts with op, optional deletes carrying
+    the before image from `old` (required for cell discovery)."""
+    ev = upserts.select(
+        "vec_id", "embedding",
+        F.lit(op).alias("operation"), F.lit(ts).cast("long").alias("ts_ms"),
+    )
+    if old is not None:
+        before = old.select(
+            F.col("vec_id").alias("__bid"), F.col("embedding").alias("before_embedding")
+        )
+        ev = ev.join(before, ev.vec_id == F.col("__bid"), "left").drop("__bid")
+    else:
+        ev = ev.withColumn("before_embedding", F.lit(None).cast("array<float>"))
+    if deletes is not None:
+        # delete rows: after image defaulted (E5), key + before image real
+        dl = deletes.select(
+            "vec_id",
+            F.expr(f"array_repeat(CAST(0.0 AS FLOAT), {DIM})").alias("embedding"),
+            F.lit("delete").alias("operation"), F.lit(ts).cast("long").alias("ts_ms"),
+            F.col("embedding").alias("before_embedding"),
+        )
+        ev = ev.unionByName(dl)
+    return ev
+
+
+def test_ivf_maintenance_matches_rebuild(spark, tmp_path):
+    """insert + cell-moving update + delete across 3 batches; final index
+    content AND probe results equal a fresh write_ivf_index over the final
+    table state with the same codebook."""
+    path = str(tmp_path / "ivf")
+    base = _vecs(spark, 0, 200)
+    cents = write_ivf_index(base, path, nlist=NLIST)
+
+    # batch 1: 50 inserts
+    ins = _vecs(spark, 200, 250)
+    apply_changelog_ivf(spark, path, _changelog(ins, ts=1), batch_id=1)
+    # batch 2: 30 updates with regenerated vectors (different cells)
+    upd = _vecs(spark, 10, 40, gen=7)
+    apply_changelog_ivf(
+        spark, path, _changelog(upd, op="update", old=_vecs(spark, 10, 40), ts=2),
+        batch_id=2,
+    )
+    # batch 3: 20 deletes
+    dels = _vecs(spark, 100, 120)
+    apply_changelog_ivf(
+        spark, path, _changelog(_vecs(spark, 0, 0), deletes=dels, ts=3), batch_id=3
+    )
+
+    final = (
+        _vecs(spark, 0, 10)
+        .unionByName(_vecs(spark, 10, 40, gen=7))
+        .unionByName(_vecs(spark, 40, 100))
+        .unionByName(_vecs(spark, 120, 250))
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    write_ivf_index(final, rebuilt, nlist=NLIST, centroids=cents)
+    assert _state(spark, path) == _state(spark, rebuilt)
+    assert load_codebook(spark, path) == [[float(x) for x in c] for c in cents]
+
+    q = final.where("vec_id = 37").first().embedding
+    got = sorted(map(tuple, probe_ivf_index(spark, path, q, k=10, nprobe=3).collect()))
+    want = sorted(map(tuple, probe_ivf_index(spark, rebuilt, q, k=10, nprobe=3).collect()))
+    assert got == want and len(got) == 10
+
+
+def test_ivf_maintenance_replay_idempotent_and_marker(spark, tmp_path):
+    path = str(tmp_path / "ivf")
+    write_ivf_index(_vecs(spark, 0, 100), path, nlist=NLIST)
+    batch = _changelog(
+        _vecs(spark, 100, 120), op="insert",
+        deletes=_vecs(spark, 0, 10), ts=5,
+    )
+    apply_changelog_ivf(spark, path, batch, batch_id=42)
+    snap = _state(spark, path)
+    assert len(snap) == 110
+    # marker skip: nothing re-applied
+    apply_changelog_ivf(spark, path, batch, batch_id=42)
+    assert _state(spark, path) == snap
+    # forced full replay (no marker): converges to the same state
+    apply_changelog_ivf(spark, path, batch, batch_id=None)
+    assert _state(spark, path) == snap
+
+
+def test_ivf_maintenance_crash_half_committed_converges(spark, tmp_path):
+    """Simulate a crash where the dynamic overwrite committed only SOME
+    touched cells (no marker): restore a subset of cell dirs from a
+    pre-batch snapshot, replay, assert convergence to the fully-applied
+    state."""
+    import shutil
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(_vecs(spark, 0, 150), path, nlist=NLIST)
+    pre = str(tmp_path / "pre")
+    shutil.copytree(path, pre)
+
+    batch = _changelog(
+        _vecs(spark, 150, 180), op="insert",
+        deletes=_vecs(spark, 20, 40), ts=9,
+    )
+    apply_changelog_ivf(spark, path, batch, batch_id=None)
+    want = _state(spark, path)
+
+    # "crash": half the cell partitions revert to their pre-batch content
+    cells = sorted(d for d in os.listdir(path) if d.startswith("cell="))
+    for d in cells[: len(cells) // 2]:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        if os.path.isdir(os.path.join(pre, d)):
+            shutil.copytree(os.path.join(pre, d), os.path.join(path, d))
+    assert _state(spark, path) != want  # genuinely half-applied
+
+    apply_changelog_ivf(spark, path, batch, batch_id=77)  # replay
+    assert _state(spark, path) == want
+
+
+def test_ivf_maintenance_requires_before_image(spark, tmp_path):
+    path = str(tmp_path / "ivf")
+    write_ivf_index(_vecs(spark, 0, 50), path, nlist=NLIST)
+    bad = _vecs(spark, 0, 5).select(
+        "vec_id", "embedding",
+        F.lit("update").alias("operation"), F.lit(1).cast("long").alias("ts_ms"),
+    )
+    with pytest.raises(ValueError, match="before_embedding"):
+        apply_changelog_ivf(spark, path, bad)
+
+
+def test_foreach_batch_ivf_index_stream(spark, tmp_path):
+    """Live stream: flattened events through foreachBatch keep the index
+    equal to a rebuild; restart from checkpoint does not double-apply."""
+    path = str(tmp_path / "ivf")
+    write_ivf_index(_vecs(spark, 0, 80), path, nlist=NLIST)
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "vec_id long, embedding array<float>, operation string, "
+        "ts_ms long, before_embedding array<float>"
+    )
+    _changelog(_vecs(spark, 80, 100), ts=1).write.mode("append").parquet(src)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.foreachBatch(foreach_batch_ivf_index(spark, path))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    assert len(_state(spark, path)) == 100
+
+    _changelog(
+        _vecs(spark, 30, 50, gen=3), op="update", old=_vecs(spark, 30, 50), ts=2
+    ).write.mode("append").parquet(src)
+    run_stream()
+
+    final = (
+        _vecs(spark, 0, 30)
+        .unionByName(_vecs(spark, 30, 50, gen=3))
+        .unionByName(_vecs(spark, 50, 100))
+    )
+    rebuilt = str(tmp_path / "rebuilt")
+    write_ivf_index(final, rebuilt, nlist=NLIST, centroids=load_codebook(spark, path))
+    assert _state(spark, path) == _state(spark, rebuilt)
+
+    # restart with no new data: checkpoint + marker keep it a no-op
+    snap = _state(spark, path)
+    run_stream()
+    assert _state(spark, path) == snap
