@@ -944,6 +944,29 @@ def q_knn_join_bucketed(spark, sf_dir):
     )
 
 
+def q_knn_join_trained(spark, sf_dir):
+    """Cell-blocked kNN join with TRAINED centroids (distributed k-means)
+    and salt='auto' (per-cell salts from measured cell counts — the skew
+    path for clustered real data). nprobe == nlist keeps it EXACT, so the
+    brute-force oracle applies regardless of what k-means converged to;
+    training cost is part of the timed plan build in bench.py."""
+    from siddhi_io_cdc_spark.functions.similarity import (
+        ivf_train_centroids,
+        knn_join_ivf,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_train_centroids(emb, nlist=32, seed=42, max_iter=5)
+    return knn_join_ivf(
+        emb,
+        emb.where(F.col("vec_id") % 100 == 0),
+        k=5,
+        centroids=cents,
+        nprobe=32,
+        salt="auto",
+    )
+
+
 def q_knn_join_probed(spark, sf_dir):
     """The SCALE configuration of the cell-blocked kNN join: nprobe=8 of
     nlist=32 cells probed, so the candidate volume is ~1/4 of Q·N. The
@@ -1301,84 +1324,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering matters: the driver's correctness gate records only the FIRST 50
-    # entries, so positions 1-50 hold one-or-more flagship queries from every
-    # family (13 cdc_*, 14 rel_*, all 10 win_*, 13 llm_*). Positions 51+ are
-    # additional variants of already-represented operators, still covered by
-    # the local oracle gate (tools/check_contract.py) and pytest.
+    # Ordering matters: the driver's correctness gate records only the FIRST
+    # 50 entries. Rounds 1-5 kept a fixed flagship window, which left 58
+    # contract queries never independently driver-verified; round 6 ROTATES
+    # the window (VERDICT r5 next-round #2): positions 1-50 are now a small
+    # representative core (6 flagships, one per family) plus 44 queries the
+    # driver has never checked — the export family, the probed/LSH/trained
+    # kNN variants, the round-6 n-gram/image operators, the CDC event-shape
+    # variants, and the rel_* tail. Everything below 50 (including the
+    # r1-r5 flagships) stays covered by the local oracle gate
+    # (tools/check_contract.py, 108/108) and pytest.
     return {
-        # --- CDC family flagships (event shaping, polling offsets, mutation,
-        # --- external-table store: E1-E13, S9/S10, Q1-Q5) -------------- 1-13
+        # --- representative core (each family keeps one driver-green row) 1-6
         "cdc_flatten_multi_op": q_flatten_multi_op,
-        "cdc_flatten_update": q_flatten_update,
-        "cdc_keyvalue_mapping": q_keyvalue_mapping,
-        "cdc_decimal_compat": q_decimal_compat,
-        "cdc_mongo_flatten": q_mongo_flatten,
-        "cdc_offset_discovery": q_offset_discovery,
-        "cdc_incremental_scan": q_incremental_scan,
-        "cdc_insert_into": q_insert_into,
-        "cdc_update_on": q_update_on,
-        "cdc_delete_on": q_delete_on,
         "cdc_apply_changelog": q_apply_changelog,
-        "cdc_history_scd2": q_history_scd2,
-        "cdc_temporal_lookup": q_temporal_lookup,
-        # --- Relational family flagships (§2.5 surface, temporal joins,
-        # --- CEP patterns, rollup, percentiles) ----------------------- 14-27
         "rel_pricing_summary": R.pricing_summary,
-        "rel_shipping_priority": R.shipping_priority,
-        "rel_small_qty_revenue": R.small_quantity_revenue,
-        "rel_custdist": R.customer_order_distribution,
-        "rel_salted_agg": q_salted_agg,
-        "rel_json_props": q_json_props,
-        "rel_asof_join": q_asof_join,
-        "rel_range_join": q_range_join,
-        "rel_salted_join": q_salted_join,
-        "rel_pattern_sequence": q_pattern_sequence,
-        "rel_pattern_or": q_pattern_or,
-        "rel_pattern_runs": q_pattern_runs,
-        "rel_rollup_multi": q_rollup_multi,
-        "rel_percentiles": q_percentiles,
-        # --- Window family (complete: all 10 siddhi window types) ----- 28-37
-        "win_frequent": q_frequent,
-        "win_length": q_length_window,
-        "win_length_batch": q_length_batch,
-        "win_tumbling": q_tumbling_window,
-        "win_sliding": q_sliding_window,
         "win_session": q_session_window,
-        "win_unique": q_unique_window,
-        "win_sort": q_sort_window,
-        "win_time_length": q_time_length_window,
-        "win_delay": q_delay_window,
-        # --- LLM-pipeline family flagships (one per subfamily: exact /
-        # --- paragraph / minhash / simhash / graph dedup, decontamination,
-        # --- curation, text stats, similarity search, multimodal) ----- 38-50
-        "llm_dedup_exact": q_dedup_exact,
-        "llm_paragraph_dedup": q_paragraph_dedup,
-        "llm_minhash_pairs": q_minhash_pairs,
-        "llm_url_dedup": q_url_dedup,
         "llm_near_dedup": q_near_dedup,
-        "llm_decontaminate": q_decontaminate,
-        "llm_curate": q_curate,
-        "llm_text_stats": q_text_stats,
-        "llm_topk_cosine": q_topk_cosine,
-        # Round 5: the flagship composite replaces the superseded broadcast
-        # knn_join in the driver's recorded 50-window (that path stays in
-        # the local gate below — it is still the right plan for small fixed
-        # query sets, just not the scale story).
         "llm_cdc_pipeline": q_cdc_pipeline,
-        "llm_knn_join_bucketed": q_knn_join_bucketed,
-        "llm_ivf_ann": q_ivf_ann,
-        "llm_distinctive_terms": q_distinctive_terms,
+        # --- never-driver-verified: position-50 victim of round 5 ------- 7
         "llm_multimodal_decode": q_multimodal_decode,
-        # --- Position 51+: additional variants (local oracle gate) ---------
-        # CDC event-shaping variants
+        # --- never-driver-verified: round-6 additions ----------------- 8-11
+        "llm_trigram_logprob": q_trigram_logprob,
+        "llm_5gram_logprob": q_5gram_logprob,
+        "llm_image_near_dup": q_image_near_dup,
+        "llm_knn_join_trained": q_knn_join_trained,
+        # --- never-driver-verified: training-export / LM-scoring ----- 12-22
+        "llm_shard_for_training": q_shard_for_training,
+        "llm_pack_sequences": q_pack_sequences,
+        "llm_chunk_documents": q_chunk_documents,
+        "llm_unigram_logprob": q_unigram_logprob,
+        "llm_mixture_sample": q_mixture_sample,
+        "llm_chunk_tokens": q_chunk_documents_tokens,
+        "llm_bigram_logprob": q_bigram_logprob,
+        "llm_perplexity_buckets": q_perplexity_buckets,
+        "llm_knn_join_probed": q_knn_join_probed,
+        "llm_knn_join_lsh": q_knn_join_lsh,
+        "llm_knn_join": q_knn_join,
+        # --- never-driver-verified: similarity/multimodal variants --- 23-26
+        "llm_ann_cosine": q_ann_cosine,
+        "llm_embedding_near_dup": q_embedding_near_dup,
+        "llm_audio_decode": q_audio_decode,
+        "win_lossy_frequent": q_lossy_frequent,
+        # --- never-driver-verified: CDC event-shaping variants ------- 27-32
         "cdc_flatten_insert": q_flatten_insert,
         "cdc_flatten_delete": q_flatten_delete,
         "cdc_flatten_insert_delete": q_flatten_insert_delete,
         "cdc_flatten_snapshot": q_flatten_snapshot,
         "cdc_lowercase_columns": q_lowercase_columns,
         "cdc_int_widening": q_int_widening,
-        # Relational variants
+        # --- never-driver-verified: relational/CEP/output tail ------- 33-50
         "rel_local_supplier_volume": R.local_supplier_volume,
         "rel_top_orders_per_customer": R.top_orders_per_customer,
         "rel_returnflag_rollup": R.returnflag_rollup,
@@ -1398,9 +1393,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pattern_both": q_pattern_both,
         "rel_pattern_immediate": q_pattern_immediate,
         "rel_output_every_nth": q_output_every_nth,
-        "rel_output_snapshot": q_output_snapshot,
         "rel_cube": q_cube_orders,
-        # LLM-pipeline variants
+        # --- position 51+: r1-r5 driver-green flagships (local gate) ------
+        "cdc_flatten_update": q_flatten_update,
+        "cdc_keyvalue_mapping": q_keyvalue_mapping,
+        "cdc_decimal_compat": q_decimal_compat,
+        "cdc_mongo_flatten": q_mongo_flatten,
+        "cdc_offset_discovery": q_offset_discovery,
+        "cdc_incremental_scan": q_incremental_scan,
+        "cdc_insert_into": q_insert_into,
+        "cdc_update_on": q_update_on,
+        "cdc_delete_on": q_delete_on,
+        "cdc_history_scd2": q_history_scd2,
+        "cdc_temporal_lookup": q_temporal_lookup,
+        "rel_shipping_priority": R.shipping_priority,
+        "rel_small_qty_revenue": R.small_quantity_revenue,
+        "rel_custdist": R.customer_order_distribution,
+        "rel_salted_agg": q_salted_agg,
+        "rel_json_props": q_json_props,
+        "rel_asof_join": q_asof_join,
+        "rel_range_join": q_range_join,
+        "rel_salted_join": q_salted_join,
+        "rel_pattern_sequence": q_pattern_sequence,
+        "rel_pattern_or": q_pattern_or,
+        "rel_pattern_runs": q_pattern_runs,
+        "rel_rollup_multi": q_rollup_multi,
+        "rel_percentiles": q_percentiles,
+        "rel_output_snapshot": q_output_snapshot,
+        "win_frequent": q_frequent,
+        "win_length": q_length_window,
+        "win_length_batch": q_length_batch,
+        "win_tumbling": q_tumbling_window,
+        "win_sliding": q_sliding_window,
+        "win_unique": q_unique_window,
+        "win_sort": q_sort_window,
+        "win_time_length": q_time_length_window,
+        "win_delay": q_delay_window,
+        "win_first_unique": q_first_unique_window,
+        "llm_dedup_exact": q_dedup_exact,
+        "llm_paragraph_dedup": q_paragraph_dedup,
+        "llm_minhash_pairs": q_minhash_pairs,
+        "llm_url_dedup": q_url_dedup,
+        "llm_decontaminate": q_decontaminate,
+        "llm_curate": q_curate,
+        "llm_text_stats": q_text_stats,
+        "llm_topk_cosine": q_topk_cosine,
+        "llm_knn_join_bucketed": q_knn_join_bucketed,
+        "llm_ivf_ann": q_ivf_ann,
+        "llm_distinctive_terms": q_distinctive_terms,
         "llm_lang_detect": q_lang_detect,
         "llm_quality_score": q_quality_score,
         "llm_fingerprint": q_fingerprint,
@@ -1410,30 +1450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_repetition": q_repetition,
         "llm_stratified_sample": q_stratified_sample,
         "llm_ngram_pairs": q_ngram_pairs,
-        "llm_embedding_near_dup": q_embedding_near_dup,
-        "llm_ann_cosine": q_ann_cosine,
-        "llm_audio_decode": q_audio_decode,
-        "win_lossy_frequent": q_lossy_frequent,
-        "win_first_unique": q_first_unique_window,
         "llm_simhash_pairs": q_simhash_pairs,
         "llm_c4_filters": q_c4_filters,
         "llm_video_frames": q_video_frames,
         "llm_payload_embedding": q_payload_embedding,
-        # Training-data export family (functions/export.py)
-        "llm_shard_for_training": q_shard_for_training,
-        "llm_pack_sequences": q_pack_sequences,
-        "llm_chunk_documents": q_chunk_documents,
-        "llm_unigram_logprob": q_unigram_logprob,
-        "llm_mixture_sample": q_mixture_sample,
-        "llm_knn_join_probed": q_knn_join_probed,
-        "llm_knn_join_lsh": q_knn_join_lsh,
-        "llm_chunk_tokens": q_chunk_documents_tokens,
-        "llm_bigram_logprob": q_bigram_logprob,
-        "llm_trigram_logprob": q_trigram_logprob,
-        "llm_5gram_logprob": q_5gram_logprob,
-        "llm_image_near_dup": q_image_near_dup,
-        "llm_perplexity_buckets": q_perplexity_buckets,
-        "llm_knn_join": q_knn_join,
     }
 
 
@@ -1766,6 +1786,15 @@ def _curate_sql(lang: str = "en", min_quality: float = 0.6, source: str = "docum
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_dict()
+    # Trained-centroid kNN probes every cell (nprobe == nlist), so it is
+    # EXACT whatever k-means converged to — the brute-force oracle of the
+    # bucketed variant applies verbatim.
+    d["llm_knn_join_trained"] = d["llm_knn_join_bucketed"]
+    return d
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     after_cols = ", ".join(EVENT_COLS)
     before_cols = ", ".join(f"{_BEFORE[c]} AS before_{c}" for c in EVENT_COLS)
     multi_after = ", ".join(

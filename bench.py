@@ -56,6 +56,13 @@ BENCH_QUERIES = [
     "llm_knn_join_bucketed",
     "llm_knn_join_probed",
     "llm_knn_join_lsh",
+    # Round 6: trained-centroid + per-cell-auto-salt variant (k-means
+    # training is inside the timed plan build) and the n-gram LM ladder's
+    # upper rungs + perceptual image dedup.
+    "llm_knn_join_trained",
+    "llm_trigram_logprob",
+    "llm_5gram_logprob",
+    "llm_image_near_dup",
     "llm_mixture_sample",
     "llm_chunk_tokens",
     "llm_bigram_logprob",

@@ -760,3 +760,52 @@ def test_ivf_index_layout_prunes_partitions(spark, sf_dir, tmp_path):
     import re
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "cell" in pf and "in" in pf.lower()
+
+
+def test_blocked_knn_auto_salt_balances_trained_skew(spark):
+    """salt='auto' under TRAINED centroids on clustered data: the hot
+    cell(s) get proportionally more salt slices than uniform cells
+    (bounding task skew), and the join stays EXACT at nprobe=nlist."""
+    from siddhi_io_cdc_spark.functions.similarity import (
+        _cell_salts,
+        ivf_assign,
+        ivf_train_centroids,
+        knn_join,
+        knn_join_ivf,
+    )
+
+    # 85% of vectors cluster tightly around one direction; the rest spread.
+    emb = spark.range(0, 400).selectExpr(
+        "id AS vec_id",
+        """CASE WHEN id % 100 < 85
+             THEN transform(sequence(1, 8), j ->
+                  CAST(1.0 + (hash(id, j) % 100) / 2000.0 AS FLOAT))
+             ELSE transform(sequence(1, 8), j ->
+                  CAST((hash(id, j) % 1000) / 250.0 AS FLOAT))
+           END AS embedding""",
+    ).repartition(8)
+    cents = ivf_train_centroids(emb, nlist=6, seed=11)
+
+    cells = emb.select(
+        ivf_assign(F.col("embedding"), cents).alias("__cell"),
+        F.col("vec_id").alias("neighbor_id"),
+    )
+    counts = {r["__cell"]: r["n"] for r in cells.groupBy("__cell").agg(F.count("*").alias("n")).collect()}
+    assert max(counts.values()) / sum(counts.values()) > 0.5  # genuinely skewed
+
+    salts = {r["__cell"]: r["__nsalt"] for r in _cell_salts(cells, nparts=16).collect()}
+    hot = max(counts, key=counts.get)
+    assert salts[hot] > 1  # hot cell split into multiple slices
+    assert salts[hot] == max(salts.values())
+    # proportionality: the hot cell's slice count ~ its share of 16 tasks
+    import math
+    assert salts[hot] == min(64, max(1, math.ceil(counts[hot] * 16 / sum(counts.values()))))
+    # uniform cold cells stay unsplit (no pointless query replication)
+    assert min(salts.values()) == 1
+
+    queries = emb.where("vec_id % 40 = 0")
+    exact = sorted(map(tuple, knn_join(emb, queries, k=4).collect()))
+    auto = sorted(map(tuple, knn_join_ivf(
+        emb, queries, k=4, centroids=cents, nprobe=6, salt="auto"
+    ).collect()))
+    assert auto == exact
