@@ -86,7 +86,9 @@ def main() -> int:
         shifted = src_tbl.set_column(
             id_idx, "event_id", pc.add(src_tbl["event_id"], 100_000_000 * (w + 1))
         )
-        pq.write_table(shifted, f"{landing}/wave-{w}.parquet")
+        # write-then-rename: the poller must never see a half-written file
+        pq.write_table(shifted, f"{landing}/.wave-{w}.tmp")
+        os.rename(f"{landing}/.wave-{w}.tmp", f"{landing}/wave-{w}.parquet")
         q.processAllAvailable()
     progresses = [
         p if isinstance(p, dict) else json.loads(p.json) for p in q.recentProgress
@@ -97,6 +99,77 @@ def main() -> int:
     steady_events = counts["n"] - catchup_events
     steady_ms = sum(p["durationMs"]["triggerExecution"] for p in steady_batches)
     shutil.rmtree(landing, ignore_errors=True)
+
+    # --- gap-wait episode (multi-partition): a wave with a missing id
+    # block must HOLD everything past the gap, then release at full rate
+    # when the stragglers land. Separate query: gap-wait needs DENSE ids
+    # (the shifted waves above create intentional 100M-id jumps).
+    import pyarrow as pa
+
+    n_seed = 200_000
+    gap_lo, gap_hi = 250_000, 250_512  # 512 missing ids inside wave A
+    wave_hi = 400_000
+
+    def dense(lo, hi, skip=()):
+        ids = [i for i in range(lo, hi) if not (skip and skip[0] <= i < skip[1])]
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pa.array([i % 997 for i in ids], pa.int64()),
+                "event_type": pa.array(["t" for _ in ids]),
+                "value": pa.array([float(i % 100) for i in ids]),
+            }
+        )
+
+    landing2 = f"/tmp/stream_bench_gap_{time.time_ns()}"
+    os.makedirs(landing2)
+    pq.write_table(dense(0, n_seed), f"{landing2}/seed.parquet")
+    gap_counts = {"n": 0}
+
+    def count_gap(df, _bid):
+        gap_counts["n"] += df.count()
+
+    q2 = (
+        spark.readStream.format("cdc-poll")
+        .option("path", landing2)
+        .option("pollingColumn", "event_id")
+        .option("startFrom", "earliest")
+        .option("numPartitions", str(cpus))
+        .option("waitOnMissedRecord", "true")
+        .option("missedRecordWaitingTimeout", "300")
+        .option("columns", "event_id,user_id,event_type,value")
+        .load()
+        .writeStream.foreachBatch(count_gap)
+        .option("checkpointLocation", f"/tmp/stream_bench_gap_ck_{time.time_ns()}")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    q2.processAllAvailable()
+    assert gap_counts["n"] == n_seed, gap_counts
+    # wave A: dense ids with a hole — everything >= gap_lo must be held
+    pq.write_table(
+        dense(n_seed, wave_hi, skip=(gap_lo, gap_hi)), f"{landing2}/.waveA.tmp"
+    )
+    os.rename(f"{landing2}/.waveA.tmp", f"{landing2}/waveA.parquet")
+    q2.processAllAvailable()
+    held_at = gap_counts["n"]
+    hold_ok = held_at == gap_lo  # pre-gap delivered, post-gap held
+    # stragglers arrive: the hold releases the whole tail
+    t_rel = time.time()
+    pq.write_table(dense(gap_lo, gap_hi), f"{landing2}/.straggler.tmp")
+    os.rename(f"{landing2}/.straggler.tmp", f"{landing2}/straggler.parquet")
+    q2.processAllAvailable()
+    release_sec = time.time() - t_rel
+    released = gap_counts["n"] - held_at
+    q2.stop()
+    shutil.rmtree(landing2, ignore_errors=True)
+    gap_wait = {
+        "hold_correct": bool(hold_ok),
+        "delivered_before_release": held_at,
+        "released_events": released,
+        "release_complete": gap_counts["n"] == wave_hi,
+        "release_events_per_sec": round(released / release_sec, 1),
+    }
 
     print(
         json.dumps(
@@ -119,6 +192,7 @@ def main() -> int:
                     "busy_sec": round(steady_ms / 1000.0, 3),
                     "n_batches": len(steady_batches),
                 },
+                "gap_wait": gap_wait,
                 "sf_dir": SF_DIR,
             }
         )
