@@ -362,7 +362,13 @@ def ngram_logprob(
 
     if n < 2:
         raise ValueError(f"n must be >= 2 (got {n}); use unigram_logprob for n=1")
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    # Tokenize into a COLUMN first: an expression captured inside a
+    # higher-order-function lambda is re-evaluated per array element, so
+    # referencing the regexp_extract_all subtree directly from the
+    # per-position lambda re-ran the tokenizer O(positions x n) times per
+    # row (measured 17 s for trigrams at sf0.1 vs 2 s for the hoisted
+    # form). After hoisting, element_at is O(1) array indexing.
+    toks = F.col("__toks")
     length = F.size(toks)
     # sequence(1, L-n+1) DESCENDS when L < n — gate to an empty array.
     positions = F.when(
@@ -376,9 +382,14 @@ def ngram_logprob(
     )
     wcols = [f"__w{i + 1}" for i in range(n)]
     grams = scoped_persist(
-        df.select(F.col(id_col), F.explode(gram).alias("__g")).select(
-            id_col, *[F.col(f"__g.{w}").alias(w) for w in wcols]
+        df.select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            ).alias("__toks"),
         )
+        .select(F.col(id_col), F.explode(gram).alias("__g"))
+        .select(id_col, *[F.col(f"__g.{w}").alias(w) for w in wcols])
     )
     vocab = scoped_persist(
         grams.groupBy(*wcols).agg(F.count("*").alias("__cn"))
