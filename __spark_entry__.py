@@ -423,6 +423,19 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_image_features(attach_ppm_payload(docs)).orderBy("id")
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality-filter rule set (Rae et al. 2021 A1.1) — per-doc
+    metrics + composite keep flag, all closed-form array expressions with
+    an exact SQL restatement."""
+    from siddhi_io_cdc_spark.functions.text import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir)).select(
+        "doc_id", "g_n_words", "g_mean_word_len", "g_symbol_ratio",
+        "g_bullet_frac", "g_ellipsis_frac", "g_alpha_frac",
+        "g_n_stopwords", "gopher_keep",
+    )
+
+
 def q_image_near_dup(spark, sf_dir):
     """Perceptual-hash image dedup: closed-form 18x16 P5 gradient payloads
     (attach_gradient_ppm_payload) -> real decode + 8x9 area-mean dHash (the
@@ -1349,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_5gram_logprob": q_5gram_logprob,
         "llm_image_near_dup": q_image_near_dup,
         "llm_knn_join_trained": q_knn_join_trained,
+        "llm_gopher_quality": q_gopher_quality,
         # --- never-driver-verified: training-export / LM-scoring ----- 12-22
         "llm_shard_for_training": q_shard_for_training,
         "llm_pack_sequences": q_pack_sequences,
@@ -1393,8 +1407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pattern_both": q_pattern_both,
         "rel_pattern_immediate": q_pattern_immediate,
         "rel_output_every_nth": q_output_every_nth,
-        "rel_cube": q_cube_orders,
         # --- position 51+: r1-r5 driver-green flagships (local gate) ------
+        "rel_cube": q_cube_orders,
         "cdc_flatten_update": q_flatten_update,
         "cdc_keyvalue_mapping": q_keyvalue_mapping,
         "cdc_decimal_compat": q_decimal_compat,
@@ -2635,6 +2649,57 @@ def _oracle_sql_dict() -> dict[str, str]:
             LEFT JOIN scored s USING (doc_id)""",
         "llm_trigram_logprob": _ngram_logprob_oracle_sql(3),
         "llm_5gram_logprob": _ngram_logprob_oracle_sql(5),
+        # llm_gopher_quality: every metric is a closed-form list expression
+        # over whitespace-split words / newline-split lines; Spark's split
+        # keeps empties (filtered in both engines), int/int division is
+        # float division in both, and the stop-word count filters the
+        # 8-word literal list by membership in the lowered word list.
+        "llm_gopher_quality": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x != '') AS words,
+                     list_filter(string_split(text, chr(10)),
+                                 ln -> trim(ln) != '') AS lines,
+                     (len(string_split(text, '#')) - 1
+                      + len(string_split(text, '…')) - 1
+                      + len(regexp_split_to_array(text, '\\.\\.\\.')) - 1)
+                       AS n_symbols
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(words) AS g_n_words,
+                     greatest(len(words), 1) AS safe_n,
+                     greatest(len(lines), 1) AS safe_l,
+                     round(CAST(list_sum(list_transform(words, x -> length(x)))
+                                AS DOUBLE) / greatest(len(words), 1), 6)
+                       AS g_mean_word_len,
+                     round(CAST(n_symbols AS DOUBLE) / greatest(len(words), 1), 6)
+                       AS g_symbol_ratio,
+                     round(CAST(len(list_filter(lines,
+                              ln -> regexp_matches(trim(ln), '^[-*•]')))
+                            AS DOUBLE) / greatest(len(lines), 1), 6)
+                       AS g_bullet_frac,
+                     round(CAST(len(list_filter(lines,
+                              ln -> regexp_matches(rtrim(ln), '(\\.\\.\\.|…)$')))
+                            AS DOUBLE) / greatest(len(lines), 1), 6)
+                       AS g_ellipsis_frac,
+                     round(CAST(len(list_filter(words,
+                              x -> regexp_matches(x, '[A-Za-z]')))
+                            AS DOUBLE) / greatest(len(words), 1), 6)
+                       AS g_alpha_frac,
+                     len(list_filter(['the','be','to','of','and','that','have','with'],
+                         s -> list_contains(list_transform(words, x -> lower(x)), s)))
+                       AS g_n_stopwords
+              FROM w)
+            SELECT doc_id, g_n_words, g_mean_word_len, g_symbol_ratio,
+                   g_bullet_frac, g_ellipsis_frac, g_alpha_frac, g_n_stopwords,
+                   (g_n_words >= 50 AND g_n_words <= 100000
+                    AND g_mean_word_len >= 3 AND g_mean_word_len <= 10
+                    AND g_symbol_ratio <= 0.1 AND g_bullet_frac <= 0.9
+                    AND g_ellipsis_frac <= 0.3 AND g_alpha_frac >= 0.8
+                    AND g_n_stopwords >= 2) AS gopher_keep
+            FROM m""",
         # llm_image_near_dup: the 18x16 fixture is block-constant over an
         # 8x9 cell grid, so the area-mean thumbnail recovers the integer
         # cell values exactly and each dHash bit is v(i,j+1) > v(i,j); the

@@ -390,3 +390,80 @@ def c4_line_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
             (n_lines > 0) & (F.col("n_punct_lines") * 2 >= F.col("n_lines")),
         )
     )
+
+
+#: The Gopher stop-word set (Rae et al. 2021, appendix A1.1): a document
+#: must contain at least 2 of these to pass the repetition/quality gate.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document quality filters (Rae et al. 2021 §A1.1, the
+    rule set FineWeb/Dolma re-use): per-document metrics plus the composite
+    ``gopher_keep`` flag. Pure array/aggregate expressions — one narrow
+    projection, no shuffle, no Python — and every metric restates in ANSI
+    SQL, so the contract query has an exact value oracle.
+
+    Rules (thresholds per the paper):
+    - word count in [50, 100_000]; mean word length in [3, 10]
+    - symbol-to-word ratio (``#`` or ``…``/``...``) <= 0.1
+    - <= 90% of lines start with a bullet; <= 30% end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - at least 2 distinct Gopher stop-words present
+
+    Words are whitespace runs of the RAW text (the paper filters on
+    surface form, unlike the lowercased ``TOKEN_RE`` token family); the
+    stop-word test lowercases only for the membership check.
+    """
+    c = F.col(text_col)
+    words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wl = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    ) / safe_n
+    n_symbols = (
+        F.size(F.split(c, "#", -1)) - 1
+        + F.size(F.split(c, "…", -1)) - 1
+        + F.size(F.split(c, r"\.\.\.", -1)) - 1
+    )
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1))
+    bullet_frac = F.size(
+        F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+    ) / safe_lines
+    ellipsis_frac = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$"))
+    ) / safe_lines
+    alpha_frac = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ) / safe_n
+    lowered = F.transform(words, lambda w: F.lower(w))
+    n_stop = F.size(
+        F.filter(
+            F.lit(GOPHER_STOPWORDS).cast("array<string>"),
+            lambda s: F.array_contains(lowered, s),
+        )
+    )
+    out = (
+        df.withColumn("g_n_words", n_words)
+        .withColumn("g_mean_word_len", F.round(mean_wl, 6))
+        .withColumn("g_symbol_ratio", F.round(n_symbols / safe_n, 6))
+        .withColumn("g_bullet_frac", F.round(bullet_frac, 6))
+        .withColumn("g_ellipsis_frac", F.round(ellipsis_frac, 6))
+        .withColumn("g_alpha_frac", F.round(alpha_frac, 6))
+        .withColumn("g_n_stopwords", n_stop)
+    )
+    keep = (
+        (F.col("g_n_words") >= 50)
+        & (F.col("g_n_words") <= 100_000)
+        & (F.col("g_mean_word_len") >= 3)
+        & (F.col("g_mean_word_len") <= 10)
+        & (F.col("g_symbol_ratio") <= 0.1)
+        & (F.col("g_bullet_frac") <= 0.9)
+        & (F.col("g_ellipsis_frac") <= 0.3)
+        & (F.col("g_alpha_frac") >= 0.8)
+        & (F.col("g_n_stopwords") >= 2)
+    )
+    return out.withColumn("gopher_keep", keep)

@@ -809,3 +809,27 @@ def test_blocked_knn_auto_salt_balances_trained_skew(spark):
         emb, queries, k=4, centroids=cents, nprobe=6, salt="auto"
     ).collect()))
     assert auto == exact
+
+
+def test_gopher_quality_hand_computed(spark):
+    """Each Gopher rule against a hand-built doc; composite keep flag."""
+    from siddhi_io_cdc_spark.functions.text import gopher_quality
+
+    good = ("the cat and dog have fun with all of that today because words "
+            "matter here twelve more tokens to reach the fifty word floor "
+            "so keep adding plain text until we are safely past it now "
+            "one two three four five six seven eight nine ten eleven done "
+            "plus a few extra")  # 52 words
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, good), (2, "short text only"), (3, bullets), (4, "#### " * 60)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_quality(docs).collect()}
+    assert rows[1].gopher_keep and rows[1].g_n_words >= 50
+    assert rows[1].g_n_stopwords >= 2 and rows[1].g_alpha_frac == 1.0
+    assert not rows[2].gopher_keep  # word count below 50
+    assert rows[3].g_bullet_frac == 1.0 and not rows[3].gopher_keep
+    assert rows[4].g_symbol_ratio > 0.1 and not rows[4].gopher_keep
+    # hand mean word length for doc 2: (5 + 4 + 4) / 3
+    assert rows[2].g_mean_word_len == round(13 / 3, 6)
