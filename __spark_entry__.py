@@ -447,8 +447,14 @@ def q_image_near_dup(spark, sf_dir):
         image_near_dup_pairs,
     )
 
-    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
-    return image_near_dup_pairs(attach_gradient_ppm_payload(docs), max_hamming=3)
+    # Scale-honest fixture: 10% of the corpus decodes (work grows with sf),
+    # and groups have CONSTANT size 5 (ids g*50, g*50+10, ..., g*50+40), so
+    # the planted pair count grows LINEARLY with the corpus — a fixed group
+    # COUNT would grow pairs quadratically and a fixed doc subset would not
+    # grow at all.
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 0)
+    imgs = attach_gradient_ppm_payload(docs, group=F.floor(F.col("doc_id") / 50))
+    return image_near_dup_pairs(imgs, max_hamming=3)
 
 
 def q_url_dedup(spark, sf_dir):
@@ -2707,10 +2713,13 @@ def _oracle_sql_dict() -> dict[str, str]:
         # MIN_LONG literal, mirroring the Python sign-bit cast) and does a
         # naive all-pairs hamming check — quadratic is fine for an oracle.
         "llm_image_near_dup": """
-            WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
             v AS (
               SELECT doc_id, gi.i, gj.j,
-                     (((doc_id % 40) * 37 + gi.i * 13 + gj.j * 29) % 113
+                     ((CAST(doc_id // 50 AS BIGINT) * 37
+                       + CAST(doc_id // 50 // 113 AS BIGINT)
+                         * (gi.i * 17 + gj.j * 5 + 3)
+                       + gi.i * 13 + gj.j * 29) % 113
                       + CASE WHEN gi.i = 3 AND gj.j = 4 AND doc_id % 7 = 0
                              THEN 57 ELSE 0 END
                       + CASE WHEN ((gi.i = 1 AND gj.j = 2) OR

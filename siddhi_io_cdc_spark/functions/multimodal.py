@@ -753,7 +753,7 @@ def image_near_dup_pairs(
 
 
 def attach_gradient_ppm_payload(
-    df: DataFrame, id_col: str = "doc_id", groups: int = 40
+    df: DataFrame, id_col: str = "doc_id", groups: int = 40, group=None
 ) -> DataFrame:
     """Build 18×16 P5 payloads whose dHash has a CLOSED-FORM SQL
     restatement, for exact near-dup oracles (the constant-pixel
@@ -761,7 +761,10 @@ def attach_gradient_ppm_payload(
 
     Pixel (r, c) = ``v(r//2, c//2)`` over an 8×9 block grid with
     ``v(i,j) = (group·37 + i·13 + j·29) % 113 + 1`` and
-    ``group = id % groups`` — block-constant, so the 8×9 area-mean
+    ``group = id % groups`` (or a caller-supplied ``group`` Column — pass a
+    CONSTANT-group-SIZE expression like ``id // 50`` so the planted pair
+    count scales LINEARLY with the corpus instead of quadratically, which
+    is what the contract fixture does) — block-constant, so the 8×9 area-mean
     thumbnail recovers ``v`` EXACTLY (18 = 9·2, 16 = 8·2) and every dHash
     bit is an integer comparison restatable in ANSI SQL. Values stay in
     1..113 so ``char() → encode(UTF-8)`` is byte-exact (>127 would emit
@@ -774,10 +777,21 @@ def attach_gradient_ppm_payload(
     perturbed group-mates can exceed ``max_hamming`` and must be
     excluded)."""
     id_ = F.col(id_col)
-    group = id_ % groups
+    if group is None:
+        group = id_ % groups
 
     def v(i: int, j: int) -> F.Column:
-        base = (group * 37 + F.lit(i * 13 + j * 29)) % 113
+        # Two group-mixing terms: group*37 alone cycles every 113 groups
+        # (113 distinct profiles total -> pair growth goes quadratic past
+        # ~113 groups); the (group // 113)-weighted cell term pushes the
+        # profile-collision period to 113^2 = 12769 groups, keeping planted
+        # pair counts linear to ~638k fixture docs. Zero for groups < 113,
+        # so small fixtures and their oracles are unaffected.
+        base = (
+            group * 37
+            + F.floor(group / 113) * F.lit(i * 17 + j * 5 + 3)
+            + F.lit(i * 13 + j * 29)
+        ) % 113
         shifts = F.lit(0)
         if (i, j) == (3, 4):
             shifts = shifts + F.when((id_ % 7) == 0, 57).otherwise(0)
