@@ -423,6 +423,38 @@ def q_multimodal_decode(spark, sf_dir):
     return decode_image_features(attach_ppm_payload(docs)).orderBy("id")
 
 
+#: Fixed 16-dim retrieval query vector for the RAG composite (any non-zero
+#: literal works — cosine normalizes; shared by the Spark query and oracle).
+_RAG_QUERY_VEC = [float((i * 7 + 3) % 11 + 1) for i in range(16)]
+
+
+def q_rag_pipeline(spark, sf_dir):
+    """RAG-ingest composite: token-chunk the corpus (64/16 overlap) ->
+    embed each chunk (extract_embedding strided-fold featurizer — the
+    documented model-swap seam for a real encoder) -> exact cosine top-20
+    retrieval against a fixed query vector. ONE composed plan, one Python
+    node (the featurizer); chunking and scoring are pure JVM. The oracle
+    restates the whole pipeline: chunk CTE -> per-chunk byte fold ->
+    normalized components rounded to 6 (matching the operator) -> cosine
+    top-k with id tiebreak."""
+    from siddhi_io_cdc_spark.functions.export import chunk_documents_tokens
+    from siddhi_io_cdc_spark.functions.multimodal import extract_embedding
+    from siddhi_io_cdc_spark.functions.similarity import topk_cosine
+
+    chunks = (
+        chunk_documents_tokens(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+        .where(F.col("chunk_tokens") > 0)
+        .select(
+            (F.col("doc_id") * 10000 + F.col("chunk_idx")).alias("cid"),
+            F.encode(F.col("chunk_text"), "UTF-8").alias("payload"),
+        )
+    )
+    emb = extract_embedding(chunks, id_col="cid", dim=16)
+    return topk_cosine(emb, _RAG_QUERY_VEC, k=20, id_col="id").select(
+        F.col("id").alias("cid"), "score"
+    )
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher quality-filter rule set (Rae et al. 2021 A1.1) — per-doc
     metrics + composite keep flag, all closed-form array expressions with
@@ -1369,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_image_near_dup": q_image_near_dup,
         "llm_knn_join_trained": q_knn_join_trained,
         "llm_gopher_quality": q_gopher_quality,
+        "llm_rag_pipeline": q_rag_pipeline,
         # --- never-driver-verified: training-export / LM-scoring ----- 12-22
         "llm_shard_for_training": q_shard_for_training,
         "llm_pack_sequences": q_pack_sequences,
@@ -1412,8 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pattern_absent": q_pattern_absent,
         "rel_pattern_both": q_pattern_both,
         "rel_pattern_immediate": q_pattern_immediate,
-        "rel_output_every_nth": q_output_every_nth,
         # --- position 51+: r1-r5 driver-green flagships (local gate) ------
+        "rel_output_every_nth": q_output_every_nth,
         "rel_cube": q_cube_orders,
         "cdc_flatten_update": q_flatten_update,
         "cdc_keyvalue_mapping": q_keyvalue_mapping,
@@ -1530,6 +1563,46 @@ def _ann_cosine_oracle_sql() -> str:
 
 
 _ANN_COSINE_SQL = _ann_cosine_oracle_sql()
+
+
+def _rag_pipeline_oracle_sql() -> str:
+    """DuckDB restatement of q_rag_pipeline: token-chunk CTE (same as
+    llm_chunk_tokens), strided byte fold per chunk (ASCII corpus: ord ==
+    byte), L2-normalize + round 6 (the operator's contract), cosine top-20
+    against the fixed query vector with (score desc, cid) tiebreak."""
+    q = ", ".join(repr(x) for x in _RAG_QUERY_VEC)
+    return f"""
+        WITH t AS (
+          SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS toks
+          FROM documents),
+        n AS (
+          SELECT doc_id, toks,
+                 CAST(greatest(ceil((len(toks) - 16) / 48.0), 1) AS INT)
+                   AS n_chunks
+          FROM t),
+        chunks AS (
+          SELECT doc_id * 10000 + u.i AS cid,
+                 array_to_string(toks[u.i * 48 + 1 : u.i * 48 + 64], ' ') AS s
+          FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+          WHERE len(toks[u.i * 48 + 1 : u.i * 48 + 64]) > 0),
+        bytes AS (
+          SELECT cid, (p - 1) % 16 AS i, ord(substr(s, CAST(p AS INT), 1)) AS v
+          FROM (SELECT cid, s, unnest(generate_series(1, length(s))) AS p
+                FROM chunks)),
+        sums AS (SELECT cid, i, sum(v) AS sv FROM bytes GROUP BY 1, 2),
+        norms AS (SELECT cid, sqrt(sum(sv * sv)) AS nr FROM sums GROUP BY 1),
+        vecs AS (
+          SELECT s.cid,
+                 list(round(s.sv / (CASE WHEN n.nr = 0 THEN 1 ELSE n.nr END), 6)
+                      ORDER BY s.i) AS v
+          FROM sums s JOIN norms n ON s.cid = n.cid GROUP BY s.cid)
+        SELECT cid, score FROM (
+          SELECT cid,
+                 round(list_dot_product(v, [{q}])
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product([{q}], [{q}]))), 6) AS score
+          FROM vecs
+          ORDER BY score DESC, cid LIMIT 20)"""
 
 
 def _ngram_logprob_oracle_sql(n: int) -> str:
@@ -2706,6 +2779,11 @@ def _oracle_sql_dict() -> dict[str, str]:
                     AND g_ellipsis_frac <= 0.3 AND g_alpha_frac >= 0.8
                     AND g_n_stopwords >= 2) AS gopher_keep
             FROM m""",
+        # llm_rag_pipeline: the whole chunk->embed->retrieve pipeline has a
+        # closed form because the corpus is ASCII (ord(char) == byte) and
+        # the featurizer spec is a strided byte fold; components round to 6
+        # BEFORE the cosine, exactly like extract_embedding.
+        "llm_rag_pipeline": _rag_pipeline_oracle_sql(),
         # llm_image_near_dup: the 18x16 fixture is block-constant over an
         # 8x9 cell grid, so the area-mean thumbnail recovers the integer
         # cell values exactly and each dHash bit is v(i,j+1) > v(i,j); the

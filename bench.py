@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "llm_5gram_logprob",
     "llm_image_near_dup",
     "llm_gopher_quality",
+    "llm_rag_pipeline",
     "llm_mixture_sample",
     "llm_chunk_tokens",
     "llm_bigram_logprob",

@@ -145,6 +145,13 @@ def incremental_minhash_pairs(
         touched = [
             r[0] for r in banded.select(band_bucket.alias("b")).distinct().collect()
         ]  # ≤ num_buckets small ints — driver-safe, same pattern as the merge store
+        # (Considered and rejected, round 6: replacing this collect with a
+        # broadcast join against the index to avoid the extra per-batch job.
+        # Measured: Spark does NOT insert a dynamic-partition-pruning
+        # subquery for this shape — the probe side carries no selective
+        # filter, so the scan keeps only `isnotnull` partition filters and
+        # reads EVERY bucket. The literal isin from a bounded collect is the
+        # only form that reaches PartitionFilters here; the collect stays.)
         new_ids = banded.select("__id").distinct()
         old_bands = (
             spark.read.parquet(bands_path)
