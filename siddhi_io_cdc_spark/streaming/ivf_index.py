@@ -218,3 +218,141 @@ def foreach_batch_ivf_index(
         )
 
     return _apply
+
+
+def chunk_embedding_changelog(
+    batch_df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_col: str = "ts_ms",
+    op_col: str = "operation",
+    id_stride: int = 10_000,
+) -> DataFrame:
+    """Turn a DOC-level CDC changelog into a CHUNK-EMBEDDING-level one.
+
+    The RAG index is keyed by chunk (``cid = doc_id * id_stride +
+    chunk_idx``), so one document event fans out into many chunk events,
+    and the fan-out must cover REMOVALS: an update that shortens a document
+    leaves stale high-index chunks behind unless every before-image chunk
+    is explicitly deleted. Per document event:
+
+    - op ≠ delete → the new text's chunks become ``insert`` events carrying
+      the chunk embedding (:func:`...multimodal.extract_embedding` over the
+      UTF-8 chunk payload — the model-swap seam);
+    - op ∈ {update, delete} → the BEFORE text's chunks become ``delete``
+      events whose ``before_embedding`` is the old chunk embedding (which
+      is what lets :func:`apply_changelog_ivf` find the old cells without
+      scanning the index).
+
+    A cid appearing on both sides in one batch (chunk rewritten in place)
+    resolves insert-wins via the sequence: deletes get ``2·seq``, inserts
+    ``2·seq + 1`` — latest-per-key then keeps the insert. Requires
+    ``before_<text_col>`` when the batch contains update/delete ops (same
+    contract, one level up, as the index maintainer itself)."""
+    from siddhi_io_cdc_spark.functions.export import chunk_documents_tokens
+    from siddhi_io_cdc_spark.functions.multimodal import extract_embedding
+
+    before_text = f"before_{text_col}"
+    moving = batch_df.where(F.col(op_col).isin("update", "delete"))
+    if before_text not in batch_df.columns:
+        if moving.limit(1).count():
+            raise ValueError(
+                f"batch contains update/delete ops but no '{before_text}' "
+                "column: the old chunks cannot be reconstructed, so stale "
+                "chunk vectors would survive in the index."
+            )
+
+    def chunks_of(df, text, seq_expr, op):
+        base = df.select(
+            F.col(id_col), F.col(text).alias("text"), seq_expr.alias("__seq")
+        )
+        ch = chunk_documents_tokens(
+            base, id_col=id_col, text_col="text",
+            chunk_tokens=chunk_tokens, overlap=overlap,
+        ).where(F.col("chunk_tokens") > 0)
+        emb = extract_embedding(
+            ch.select(
+                (F.col(id_col) * id_stride + F.col("chunk_idx")).alias("cid"),
+                F.encode(F.col("chunk_text"), "UTF-8").alias("payload"),
+            ),
+            id_col="cid",
+            dim=dim,
+        )
+        # chunk_documents_tokens keeps only its own columns — recover the
+        # doc's sequence number from cid // id_stride.
+        doc_seq = base.select(F.col(id_col).alias("__did"), "__seq")
+        return (
+            emb.withColumn("__did", F.floor(F.col("id") / id_stride))
+            .join(doc_seq, "__did")
+            .select(
+                F.col("id").alias("vec_id"),
+                F.col("embedding"),
+                F.lit(op).alias(op_col),
+                F.col("__seq").cast("long").alias(seq_col),
+            )
+        )
+
+    # chunk_documents_tokens carries extra columns through; re-derive from
+    # minimal projections per side.
+    new_side = chunks_of(
+        batch_df.where(F.col(op_col) != "delete"),
+        text_col,
+        F.col(seq_col) * 2 + 1,
+        "insert",
+    ).withColumn("before_embedding", F.lit(None).cast("array<double>"))
+    if before_text in batch_df.columns:
+        old = chunks_of(moving, before_text, F.col(seq_col) * 2, "delete")
+        old_side = old.select(
+            "vec_id",
+            F.col("embedding").alias("before_embedding"),
+            op_col,
+            seq_col,
+        ).withColumn("embedding", F.lit(None).cast("array<double>"))
+        return new_side.unionByName(old_side)
+    return new_side
+
+
+def foreach_batch_rag_ingest(
+    spark,
+    index_path: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_col: str = "ts_ms",
+    op_col: str = "operation",
+):
+    """``foreachBatch`` adapter for the full streaming RAG-ingest path:
+    doc-level CDC events → :func:`chunk_embedding_changelog` → 
+    :func:`apply_changelog_ivf` on the chunk-embedding IVF index. The index
+    stays probe-identical to a fresh rebuild over the current document
+    state (pinned by ``tests/test_ivf_maintenance.py``); per-batch cost is
+    O(touched cells) plus the chunk/embed pass over the batch itself."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        ev = chunk_embedding_changelog(
+            batch_df,
+            chunk_tokens=chunk_tokens,
+            overlap=overlap,
+            dim=dim,
+            id_col=id_col,
+            text_col=text_col,
+            seq_col=seq_col,
+            op_col=op_col,
+        )
+        apply_changelog_ivf(
+            spark,
+            index_path,
+            ev,
+            vec_col="embedding",
+            id_col="vec_id",
+            seq_col=seq_col,
+            op_col=op_col,
+            batch_id=batch_id,
+        )
+
+    return _apply

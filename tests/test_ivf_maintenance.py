@@ -209,3 +209,97 @@ def test_foreach_batch_ivf_index_stream(spark, tmp_path):
     snap = _state(spark, path)
     run_stream()
     assert _state(spark, path) == snap
+
+
+def _doc(i, n_tokens):
+    return (i, " ".join(f"w{(i * 7 + j * 3) % 13}x{j % 5}" for j in range(n_tokens)))
+
+
+def _chunk_embed(docs):
+    """Reference chunk-embedding table for a document state (the rebuild
+    side of the parity check)."""
+    from siddhi_io_cdc_spark.functions.export import chunk_documents_tokens
+    from siddhi_io_cdc_spark.functions.multimodal import extract_embedding
+
+    ch = chunk_documents_tokens(docs, chunk_tokens=64, overlap=16).where(
+        F.col("chunk_tokens") > 0
+    )
+    return extract_embedding(
+        ch.select(
+            (F.col("doc_id") * 10_000 + F.col("chunk_idx")).alias("cid"),
+            F.encode(F.col("chunk_text"), "UTF-8").alias("payload"),
+        ),
+        id_col="cid",
+        dim=16,
+    ).select(F.col("id").alias("vec_id"), "embedding")
+
+
+def test_rag_ingest_changelog_matches_rebuild(spark, tmp_path):
+    """Doc-level CDC -> chunk-level changelog -> maintained IVF index ==
+    fresh rebuild over the final document state. Covers the stale-chunk
+    hazard: updates SHORTEN documents (fewer chunks), so before-image
+    chunks must be deleted, not just overwritten."""
+    from siddhi_io_cdc_spark.functions.similarity import write_ivf_index
+    from siddhi_io_cdc_spark.streaming.ivf_index import foreach_batch_rag_ingest
+
+    v0 = spark.createDataFrame(
+        [_doc(i, 80 + (i % 3) * 60) for i in range(30)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "rag_ivf")
+    cents = write_ivf_index(_chunk_embed(v0), path, nlist=8)
+
+    # one batch: 5 inserts, 5 shortening updates, 5 deletes
+    inserts = spark.createDataFrame(
+        [_doc(i, 100) for i in range(30, 35)], "doc_id long, text string"
+    ).select("doc_id", "text", F.lit("insert").alias("operation"),
+             F.lit(10).cast("long").alias("ts_ms"),
+             F.lit(None).cast("string").alias("before_text"))
+    upd_new = spark.createDataFrame(
+        [_doc(i, 40) for i in range(5, 10)], "doc_id long, text string"
+    )
+    old_texts = v0.where("doc_id >= 5 AND doc_id < 10").select(
+        F.col("doc_id").alias("__d"), F.col("text").alias("before_text")
+    )
+    updates = upd_new.join(old_texts, upd_new.doc_id == F.col("__d")).select(
+        "doc_id", "text", F.lit("update").alias("operation"),
+        F.lit(11).cast("long").alias("ts_ms"), "before_text",
+    )
+    deletes = v0.where("doc_id >= 20 AND doc_id < 25").select(
+        "doc_id", F.lit("").alias("text"), F.lit("delete").alias("operation"),
+        F.lit(12).cast("long").alias("ts_ms"), F.col("text").alias("before_text"),
+    )
+    batch = inserts.unionByName(updates).unionByName(deletes)
+    foreach_batch_rag_ingest(spark, path)(batch, 1)
+
+    final = (
+        v0.where("doc_id < 5 OR (doc_id >= 10 AND doc_id < 20) OR doc_id >= 25")
+        .unionByName(upd_new)
+        .unionByName(spark.createDataFrame(
+            [_doc(i, 100) for i in range(30, 35)], "doc_id long, text string"))
+    )
+    rebuilt = str(tmp_path / "rag_rebuilt")
+    write_ivf_index(_chunk_embed(final), rebuilt, nlist=8, centroids=cents)
+    assert _state(spark, path) == _state(spark, rebuilt)
+    # the shortened docs really did shrink (stale-chunk deletion exercised)
+    per_doc = {
+        r.d: r.n
+        for r in spark.read.parquet(path)
+        .groupBy(F.floor(F.col("vec_id") / 10_000).alias("d"))
+        .agg(F.count("*").alias("n")).collect()
+    }
+    # each fixture "word" is 4 TOKEN_RE tokens (w / digits / x / digits):
+    # 40 words = 160 tokens -> ceil((160-16)/48) = 3 chunks, down from
+    # >= 5 chunks at 80+ words — stale high-index chunks were deleted.
+    assert all(per_doc[d] == 3 for d in range(5, 10))
+    assert all(d not in per_doc for d in range(20, 25))
+
+
+def test_rag_ingest_requires_before_text(spark, tmp_path):
+    from siddhi_io_cdc_spark.functions.similarity import write_ivf_index
+    from siddhi_io_cdc_spark.streaming.ivf_index import chunk_embedding_changelog
+
+    v0 = spark.createDataFrame([_doc(0, 60)], "doc_id long, text string")
+    bad = v0.select("doc_id", "text", F.lit("update").alias("operation"),
+                    F.lit(1).cast("long").alias("ts_ms"))
+    with pytest.raises(ValueError, match="before_text"):
+        chunk_embedding_changelog(bad)
