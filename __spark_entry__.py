@@ -468,6 +468,29 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicated 30-token spans (Lee et al. 2021 exact-
+    substring direction): content-anchored windows (md5 of the first token
+    mod 15 — the same in-run positions are picked in every copy), md5
+    window hash, one aggregation + broadcast-back join.
+    The shipped corpus's planted clones contain verbatim runs, so the
+    result is non-trivially populated without synthetic additions."""
+    from siddhi_io_cdc_spark.functions.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), width=30, stride=15)
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature re-weighting (w ∝ n^0.7) over the source domains, then
+    the mixture_sample keep-hash pass; the oracle recomputes the weights
+    from counts with pow() and restates the whole threshold pipeline."""
+    from siddhi_io_cdc_spark.functions.export import temperature_mixture
+
+    return temperature_mixture(_docs(spark, sf_dir), alpha=0.7).select(
+        "doc_id", "source"
+    )
+
+
 def q_image_near_dup(spark, sf_dir):
     """Perceptual-hash image dedup: closed-form 18x16 P5 gradient payloads
     (attach_gradient_ppm_payload) -> real decode + 8x9 area-mean dHash (the
@@ -1443,9 +1466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_scalar_funcs": q_scalar_funcs,
         "rel_pattern_match": q_pattern_match,
         "rel_pattern_absent": q_pattern_absent,
+        "llm_duplicate_spans": q_duplicate_spans,
+        "llm_temperature_mixture": q_temperature_mixture,
+        # --- position 51+: r1-r5 driver-green flagships (local gate) ------
         "rel_pattern_both": q_pattern_both,
         "rel_pattern_immediate": q_pattern_immediate,
-        # --- position 51+: r1-r5 driver-green flagships (local gate) ------
         "rel_output_every_nth": q_output_every_nth,
         "rel_cube": q_cube_orders,
         "cdc_flatten_update": q_flatten_update,
@@ -2779,6 +2804,43 @@ def _oracle_sql_dict() -> dict[str, str]:
                     AND g_ellipsis_frac <= 0.3 AND g_alpha_frac >= 0.8
                     AND g_n_stopwords >= 2) AS gopher_keep
             FROM m""",
+        # llm_duplicate_spans: md5 window hashes restate byte-for-byte; the
+        # HAVING >= 2 set joins back to the window table in both engines.
+        "llm_duplicate_spans": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents),
+            w AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     md5(array_to_string(toks[i : i + 29], ' ')) AS h
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 29)) AS i
+                    FROM t WHERE len(toks) >= 30)
+              WHERE CAST(('0x' || substr(md5(toks[i]), 1, 15)) AS BIGINT)
+                    % 15 = 0),
+            d AS (SELECT h, count(*) AS n_copies FROM w GROUP BY h
+                  HAVING count(*) >= 2)
+            SELECT w.doc_id, w.pos, CAST(d.n_copies AS BIGINT) AS n_copies
+            FROM w JOIN d USING (h)""",
+        # llm_temperature_mixture: weights recomputed from counts with pow;
+        # the rest is the mixture_sample threshold pipeline verbatim.
+        "llm_temperature_mixture": f"""
+            WITH counts AS (
+              SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
+            wsum AS (SELECT sum(pow(n, 0.7)) AS s FROM counts),
+            weighted AS (
+              SELECT dom, n, pow(n, 0.7) / (SELECT s FROM wsum) AS wt
+              FROM counts),
+            tot AS (SELECT min(n / wt) AS t FROM weighted),
+            rates AS (
+              SELECT dom,
+                     CAST(round(least(1.0, wt * t / n) * 1000000) AS BIGINT)
+                       AS thr
+              FROM weighted CROSS JOIN tot)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates r ON d.source = r.dom
+            WHERE {_STABLE_HASH.replace("doc_id", "d.doc_id")} % 1000000 < r.thr""",
         # llm_rag_pipeline: the whole chunk->embed->retrieve pipeline has a
         # closed form because the corpus is ASCII (ord(char) == byte) and
         # the featurizer spec is a strided byte fold; components round to 6

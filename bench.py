@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "llm_image_near_dup",
     "llm_gopher_quality",
     "llm_rag_pipeline",
+    "llm_duplicate_spans",
+    "llm_temperature_mixture",
     "llm_mixture_sample",
     "llm_chunk_tokens",
     "llm_bigram_logprob",

@@ -682,3 +682,83 @@ def curate_documents(
         (F.col("lang_pred") == lang) & (F.col("quality_score") >= min_quality)
     ).drop("lang_pred", "quality_score")
     return dedup_exact(kept, text_col=text_col, id_col=id_col)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    width: int = 50,
+    stride: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_copies: int = 2,
+    broadcast_dups_max: int | None = 5_000_000,
+) -> DataFrame:
+    """Cross-document duplicated TOKEN SPANS — the exact-substring signal of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"), who show verbatim repeated passages (licenses, boilerplate,
+    mirrored articles) hurt LM quality even when whole-document dedup
+    passes. Returns ``(doc_id, pos, n_copies)``: token position (1-based)
+    of each ``width``-token window whose text occurs ``min_copies``-or-more
+    times corpus-wide.
+
+    Spark restatement of the suffix-array algorithm: windows are sampled
+    at CONTENT-DEFINED anchors — position ``p`` is sampled iff the portable
+    md5 hash of the token at ``p`` is ≡ 0 (mod ``stride``). Absolute-
+    position striding would almost never align the two copies of a
+    duplicated run (their offsets differ by the unrelated prefixes);
+    content anchoring picks the SAME in-run positions in every copy, so a
+    duplicated run of ``T ≥ width`` tokens is caught unless none of its
+    first ``T − width + 1`` tokens anchors — probability
+    ``(1 − 1/stride)^(T−width+1)``, e.g. < 2% for a run just 4·stride
+    tokens past ``width``. Window text is md5-hashed (engine-portable, so
+    the oracle restates byte-for-byte; 128 bits make collisions irrelevant
+    at any corpus size). One aggregation on the window hash; the
+    duplicated-hash set joins back broadcast when its MEASURED size fits
+    ``broadcast_dups_max``, else shuffle — duplicated hashes are rare by
+    construction, so broadcast is the expected branch and the corpus-side
+    window table never shuffles. Expected work: O(corpus positions /
+    stride) window hashes — the price of not having distributed suffix
+    arrays; at 100 TB run it per-shard and union.
+    """
+    from siddhi_io_cdc_spark.functions.text import TOKEN_RE
+
+    if not 1 <= stride <= width:
+        raise ValueError(f"stride must be in [1, width] (got {stride}, width {width})")
+    toks = F.col("__toks")
+    length = F.size(toks)
+    anchor = lambda t: F.pmod(  # noqa: E731 — portable token hash (= stable_hash)
+        F.conv(F.md5(t).substr(1, 15), 16, 10).cast("bigint"), F.lit(stride)
+    )
+    positions = F.when(
+        length >= width,
+        F.filter(
+            F.sequence(F.lit(1), length - (width - 1)),
+            lambda p: anchor(F.element_at(toks, p)) == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    windows = scoped_persist(
+        df.select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            ).alias("__toks"),
+        )
+        .select(F.col(id_col), F.explode(positions).alias("pos"), toks.alias("__toks"))
+        .select(
+            id_col,
+            "pos",
+            F.md5(F.array_join(F.slice(toks, F.col("pos"), width), " ")).alias("__h"),
+        )
+    )
+    dups = scoped_persist(
+        windows.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") >= min_copies)
+    )
+    use_broadcast = (
+        broadcast_dups_max is None or dups.count() <= broadcast_dups_max
+    )
+    out = windows.join(F.broadcast(dups) if use_broadcast else dups, "__h").select(
+        id_col, "pos", F.col("n_copies").cast("bigint").alias("n_copies")
+    )
+    return tag_caches(out, [windows, dups])

@@ -530,3 +530,36 @@ def unigram_logprob(
     )
     out = df.select(id_col).distinct().join(scored, id_col, "left")
     return tag_caches(out, [toks, vocab])
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.7,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based domain re-weighting: :func:`mixture_sample` with
+    weights ``w_d ∝ n_d^alpha`` computed from the corpus itself — the
+    standard multilingual/multi-domain mixing rule (alpha < 1 UPsamples
+    small domains relative to their natural share; alpha = 1 is the natural
+    distribution, alpha = 0 uniform). One tiny per-domain count aggregate
+    (|domains| rows, a driver-safe collect — domains are a handful of
+    sources by construction), then the same map-only hash-keep pass as
+    mixture_sample: no data shuffle, no window.
+    """
+    if not 0 <= alpha <= 1:
+        raise ValueError(f"alpha must be in [0, 1] (got {alpha})")
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # sorted: weight normalization sums in a deterministic order whatever
+    # order the collect returned domains in
+    weights = {d: float(n) ** alpha for d, n in sorted(counts.items())}
+    return mixture_sample(
+        df, weights, domain_col=domain_col, id_col=id_col, seed=seed, scale=scale
+    )

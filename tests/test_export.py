@@ -415,3 +415,55 @@ def test_chunk_tokens_invariants(spark, chunk_tokens, overlap_frac, n_toks):
         want = toks[idx * stride : idx * stride + chunk_tokens]
         assert text == " ".join(want)
         assert ct == len(want) <= chunk_tokens
+
+
+def test_duplicate_spans_finds_planted_run(spark):
+    """A verbatim 40-token run shared by two docs is caught by stride-15
+    width-30 sampling (run >= width + stride - 1 guarantees a sampled
+    window inside BOTH copies); unique text yields nothing."""
+    from siddhi_io_cdc_spark.functions.dedup import duplicate_spans
+
+    shared = " ".join(f"tok{i}" for i in range(44))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, "start " + shared + " end of the other document here"),
+            (3, " ".join(f"unique{i}" for i in range(60))),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicate_spans(docs, width=30, stride=15).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert all(r.n_copies >= 2 for r in rows)
+    # shuffle-fallback parity for the dup-hash join
+    a = sorted(map(tuple, rows))
+    b = sorted(map(tuple, duplicate_spans(docs, width=30, stride=15,
+                                          broadcast_dups_max=0).collect()))
+    assert a == b
+
+    import pytest
+    with pytest.raises(ValueError, match="stride"):
+        duplicate_spans(docs, width=30, stride=31)
+
+
+def test_temperature_mixture_upsamples_small_domains(spark):
+    """alpha=0 equalizes: the kept set has (approximately) equal per-domain
+    counts bounded by the smallest domain; alpha=1 keeps everything (the
+    natural distribution is already the target)."""
+    from siddhi_io_cdc_spark.functions.export import temperature_mixture
+
+    rows = [(i, "big") for i in range(400)] + [(i + 1000, "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept1 = temperature_mixture(df, alpha=1.0).groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in kept1} == {"big": 400, "small": 50}
+
+    kept0 = {r["source"]: r["count"] for r in
+             temperature_mixture(df, alpha=0.0).groupBy("source").count().collect()}
+    assert kept0["small"] == 50  # binding domain kept in full
+    # big downsampled toward the small domain's size (hash-binomial noise)
+    assert kept0["big"] < 120
+
+    import pytest
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture(df, alpha=1.5)
