@@ -481,14 +481,24 @@ def q_duplicate_spans(spark, sf_dir):
 
 
 def q_temperature_mixture(spark, sf_dir):
-    """Temperature re-weighting (w ∝ n^0.7) over the source domains, then
-    the mixture_sample keep-hash pass; the oracle recomputes the weights
-    from counts with pow() and restates the whole threshold pipeline."""
+    """Temperature re-weighting (w ∝ n^0.5) then the mixture_sample
+    keep-hash pass. The fixture's source domains are perfectly balanced
+    (every alpha keeps 100%), so the query derives a SKEWED 70/20/10
+    domain from doc_id — alpha=0.5 then really downsamples the big domain
+    (rate ≈ 0.38) and keeps the small one in full, which is the behavior
+    the oracle must reproduce (weights recomputed from counts with pow(),
+    whole threshold pipeline restated)."""
     from siddhi_io_cdc_spark.functions.export import temperature_mixture
 
-    return temperature_mixture(_docs(spark, sf_dir), alpha=0.7).select(
-        "doc_id", "source"
+    dom = (
+        F.when(F.col("doc_id") % 10 < 7, "big")
+        .when(F.col("doc_id") % 10 < 9, "mid")
+        .otherwise("small")
     )
+    docs = _docs(spark, sf_dir).withColumn("domain", dom)
+    return temperature_mixture(
+        docs, alpha=0.5, domain_col="domain"
+    ).select("doc_id", "domain")
 
 
 def q_image_near_dup(spark, sf_dir):
@@ -2826,11 +2836,17 @@ def _oracle_sql_dict() -> dict[str, str]:
         # llm_temperature_mixture: weights recomputed from counts with pow;
         # the rest is the mixture_sample threshold pipeline verbatim.
         "llm_temperature_mixture": f"""
-            WITH counts AS (
-              SELECT source AS dom, count(*) AS n FROM documents GROUP BY 1),
-            wsum AS (SELECT sum(pow(n, 0.7)) AS s FROM counts),
+            WITH docs AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 7 THEN 'big'
+                          WHEN doc_id % 10 < 9 THEN 'mid'
+                          ELSE 'small' END AS domain
+              FROM documents),
+            counts AS (
+              SELECT domain AS dom, count(*) AS n FROM docs GROUP BY 1),
+            wsum AS (SELECT sum(pow(n, 0.5)) AS s FROM counts),
             weighted AS (
-              SELECT dom, n, pow(n, 0.7) / (SELECT s FROM wsum) AS wt
+              SELECT dom, n, pow(n, 0.5) / (SELECT s FROM wsum) AS wt
               FROM counts),
             tot AS (SELECT min(n / wt) AS t FROM weighted),
             rates AS (
@@ -2838,8 +2854,8 @@ def _oracle_sql_dict() -> dict[str, str]:
                      CAST(round(least(1.0, wt * t / n) * 1000000) AS BIGINT)
                        AS thr
               FROM weighted CROSS JOIN tot)
-            SELECT d.doc_id, d.source
-            FROM documents d JOIN rates r ON d.source = r.dom
+            SELECT d.doc_id, d.domain
+            FROM docs d JOIN rates r ON d.domain = r.dom
             WHERE {_STABLE_HASH.replace("doc_id", "d.doc_id")} % 1000000 < r.thr""",
         # llm_rag_pipeline: the whole chunk->embed->retrieve pipeline has a
         # closed form because the corpus is ASCII (ord(char) == byte) and
