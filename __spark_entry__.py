@@ -501,6 +501,15 @@ def q_temperature_mixture(spark, sf_dir):
     ).select("doc_id", "domain")
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """One BPE-training counting round (Sennrich et al. 2016): top-50
+    adjacent character pairs over word-internal characters, weighted by
+    word frequency — vocabulary-sized work after the word-count pass."""
+    from siddhi_io_cdc_spark.functions.text import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
+
+
 def q_image_near_dup(spark, sf_dir):
     """Perceptual-hash image dedup: closed-form 18x16 P5 gradient payloads
     (attach_gradient_ppm_payload) -> real decode + 8x9 area-mean dHash (the
@@ -1479,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_duplicate_spans": q_duplicate_spans,
         "llm_temperature_mixture": q_temperature_mixture,
         # --- position 51+: r1-r5 driver-green flagships (local gate) ------
+        "llm_bpe_pairs": q_bpe_pairs,
         "rel_pattern_both": q_pattern_both,
         "rel_pattern_immediate": q_pattern_immediate,
         "rel_output_every_nth": q_output_every_nth,
@@ -2857,6 +2867,22 @@ def _oracle_sql_dict() -> dict[str, str]:
             SELECT d.doc_id, d.domain
             FROM docs d JOIN rates r ON d.domain = r.dom
             WHERE {_STABLE_HASH.replace("doc_id", "d.doc_id")} % 1000000 < r.thr""",
+        # llm_bpe_pairs: word-frequency table -> per-word adjacent pairs
+        # weighted by frequency; count-desc + lexicographic = total order.
+        "llm_bpe_pairs": """
+            WITH words AS (
+              SELECT w, count(*) AS freq FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+                FROM documents)
+              GROUP BY w HAVING length(w) >= 2),
+            pairs AS (
+              SELECT substr(w, CAST(u.i AS INT), 1) AS l,
+                     substr(w, CAST(u.i AS INT) + 1, 1) AS r, freq
+              FROM words, unnest(generate_series(1, length(w) - 1)) AS u(i))
+            SELECT l AS "left", r AS "right",
+                   CAST(sum(freq) AS BIGINT) AS pair_count
+            FROM pairs GROUP BY 1, 2
+            ORDER BY pair_count DESC, "left", "right" LIMIT 50""",
         # llm_rag_pipeline: the whole chunk->embed->retrieve pipeline has a
         # closed form because the corpus is ASCII (ord(char) == byte) and
         # the featurizer spec is a strided byte fold; components round to 6

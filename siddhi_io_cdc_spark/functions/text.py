@@ -467,3 +467,47 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("g_n_stopwords") >= 2)
     )
     return out.withColumn("gopher_keep", keep)
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """Corpus-wide adjacent-symbol pair counts over word-internal
+    characters — one counting round of BPE tokenizer training (Sennrich et
+    al. 2016): the highest-count pair is the next merge a BPE trainer would
+    learn. Words are lowercased alphabetic runs (pre-tokenization); each
+    word of length L contributes its L−1 adjacent character pairs, WEIGHTED
+    by the word's corpus frequency — exactly the statistic the classic
+    word-frequency-table formulation counts.
+
+    Two shuffles total, both tiny after map-side combine: the word-frequency
+    aggregate (vocabulary-sized), then per-word pair explosion OF THE
+    VOCABULARY (never of the corpus — a word's pairs are counted once and
+    scaled by its frequency, so a 100 TB corpus costs one word-count pass
+    plus vocabulary-sized work) and the pair aggregate. Returns the top
+    ``top_n`` pairs as ``(left, right, pair_count)``, count-desc then
+    lexicographic — deterministic, SQL-restatable.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("__w")
+        )
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .where(F.length("__w") >= 2)
+    )
+    chars = F.split(F.col("__w"), "")
+    pairs = F.zip_with(
+        F.slice(chars, 1, F.length("__w") - 1),
+        F.slice(chars, 2, F.length("__w") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        words.select(F.explode(pairs).alias("__p"), "__freq")
+        .groupBy(F.col("__p.l").alias("left"), F.col("__p.r").alias("right"))
+        .agg(F.sum("__freq").cast("bigint").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left", "right")
+        .limit(top_n)
+    )

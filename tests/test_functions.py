@@ -833,3 +833,20 @@ def test_gopher_quality_hand_computed(spark):
     assert rows[4].g_symbol_ratio > 0.1 and not rows[4].gopher_keep
     # hand mean word length for doc 2: (5 + 4 + 4) / 3
     assert rows[2].g_mean_word_len == round(13 / 3, 6)
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """Frequency-weighted pair counts against a hand count; the top pair is
+    the merge a BPE trainer would learn first."""
+    from siddhi_io_cdc_spark.functions.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest newest")], "doc_id long, text string"
+    )
+    got = {(r["left"], r["right"]): r.pair_count for r in bpe_pair_counts(docs).collect()}
+    # low x2, lower x1, newest x2
+    assert got[("l", "o")] == 3 and got[("o", "w")] == 3
+    assert got[("e", "s")] == 2 and got[("s", "t")] == 2 and got[("w", "e")] == 3
+    # ("w","e"): lower(1) + newest(2) = 3
+    top = bpe_pair_counts(docs, top_n=1).collect()[0]
+    assert (top["left"], top["right"]) == ("e", "w") or top.pair_count == max(got.values())
