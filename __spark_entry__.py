@@ -1423,10 +1423,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the window (VERDICT r5 next-round #2): positions 1-50 are now a small
     # representative core (6 flagships, one per family) plus 44 queries the
     # driver has never checked — the export family, the probed/LSH/trained
-    # kNN variants, the round-6 n-gram/image operators, the CDC event-shape
-    # variants, and the rel_* tail. Everything below 50 (including the
-    # r1-r5 flagships) stays covered by the local oracle gate
-    # (tools/check_contract.py, 108/108) and pytest.
+    # kNN variants, every round-6 operator (n-gram ladder, image near-dup,
+    # gopher, RAG composite, duplicate spans, temperature mixture), the CDC
+    # event-shape variants, and most of the rel_* tail. Everything below 50
+    # (including the r1-r5 driver-green flagships) stays covered by the
+    # local oracle gate (tools/check_contract.py, 114/114) and pytest.
     return {
         # --- representative core (each family keeps one driver-green row) 1-6
         "cdc_flatten_multi_op": q_flatten_multi_op,

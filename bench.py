@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "llm_rag_pipeline",
     "llm_duplicate_spans",
     "llm_temperature_mixture",
+    "llm_bpe_pairs",
     "llm_mixture_sample",
     "llm_chunk_tokens",
     "llm_bigram_logprob",
