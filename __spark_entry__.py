@@ -1418,36 +1418,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the FIRST
-    # 50 entries. Rounds 1-5 kept a fixed flagship window, which left 58
-    # contract queries never independently driver-verified; round 6 ROTATES
-    # the window (VERDICT r5 next-round #2): positions 1-50 are now a small
-    # representative core (6 flagships, one per family) plus 44 queries the
-    # driver has never checked — the export family, the probed/LSH/trained
-    # kNN variants, every round-6 operator (n-gram ladder, image near-dup,
-    # gopher, RAG composite, duplicate spans, temperature mixture), the CDC
-    # event-shape variants, and most of the rel_* tail. Everything below 50
-    # (including the r1-r5 driver-green flagships) stays covered by the
-    # local oracle gate (tools/check_contract.py, 114/114) and pytest.
+    # 50 entries. Round 6 rotated the window onto 44 never-checked queries
+    # (union of r5+r6 windows = 94 of 114 keys); round 7 completes the
+    # rotation (VERDICT r6 next-round #3): positions 1-21 are the 20 keys no
+    # driver window has ever recorded plus `llm_pack_sequences` (whose r6 red
+    # row was an oracle typing bug — DuckDB HUGEINT vs Spark BIGINT — fixed
+    # this round and re-submitted for a green row). Positions 22-50 are 29
+    # representative re-checks drawn from the rows last driver-verified in
+    # round 5 (the CDC mutate/history family, the salted/asof/range joins,
+    # the dedup family incl. both r5->r6 bench movers). Union of the
+    # r5/r6/r7 windows = all 114 contract keys. Everything below 50 stays
+    # covered by the local typed gate (tools/check_contract.py) and pytest.
     return {
-        # --- representative core (each family keeps one driver-green row) 1-6
+        # --- never-driver-verified (driver sees these first) --------- 1-21
+        "llm_pack_sequences": q_pack_sequences,
+        "llm_bpe_pairs": q_bpe_pairs,
+        "llm_simhash_pairs": q_simhash_pairs,
+        "llm_ngram_pairs": q_ngram_pairs,
+        "llm_video_frames": q_video_frames,
+        "llm_payload_embedding": q_payload_embedding,
+        "llm_pii_scrub": q_pii_scrub,
+        "llm_lang_detect": q_lang_detect,
+        "llm_quality_score": q_quality_score,
+        "llm_fingerprint": q_fingerprint,
+        "llm_top_ngrams": q_top_ngrams,
+        "llm_label_centroids": q_label_centroids,
+        "llm_repetition": q_repetition,
+        "llm_stratified_sample": q_stratified_sample,
+        "llm_c4_filters": q_c4_filters,
+        "rel_pattern_both": q_pattern_both,
+        "rel_pattern_immediate": q_pattern_immediate,
+        "rel_output_every_nth": q_output_every_nth,
+        "rel_output_snapshot": q_output_snapshot,
+        "rel_cube": q_cube_orders,
+        "win_first_unique": q_first_unique_window,
+        # --- re-checks: rows last driver-verified in round 5 -------- 22-50
+        "cdc_flatten_update": q_flatten_update,
+        "cdc_keyvalue_mapping": q_keyvalue_mapping,
+        "cdc_decimal_compat": q_decimal_compat,
+        "cdc_mongo_flatten": q_mongo_flatten,
+        "cdc_offset_discovery": q_offset_discovery,
+        "cdc_incremental_scan": q_incremental_scan,
+        "cdc_insert_into": q_insert_into,
+        "cdc_update_on": q_update_on,
+        "cdc_delete_on": q_delete_on,
+        "cdc_history_scd2": q_history_scd2,
+        "cdc_temporal_lookup": q_temporal_lookup,
+        "rel_shipping_priority": R.shipping_priority,
+        "rel_salted_agg": q_salted_agg,
+        "rel_json_props": q_json_props,
+        "rel_asof_join": q_asof_join,
+        "rel_range_join": q_range_join,
+        "rel_salted_join": q_salted_join,
+        "rel_pattern_sequence": q_pattern_sequence,
+        "rel_rollup_multi": q_rollup_multi,
+        "rel_percentiles": q_percentiles,
+        "win_frequent": q_frequent,
+        "win_length_batch": q_length_batch,
+        "llm_dedup_exact": q_dedup_exact,
+        "llm_paragraph_dedup": q_paragraph_dedup,
+        "llm_minhash_pairs": q_minhash_pairs,
+        "llm_url_dedup": q_url_dedup,
+        "llm_decontaminate": q_decontaminate,
+        "llm_curate": q_curate,
+        "llm_knn_join_bucketed": q_knn_join_bucketed,
+        # --- position 51+: r6-green flagships + remainder (local gate) ----
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
         "rel_pricing_summary": R.pricing_summary,
         "win_session": q_session_window,
         "llm_near_dedup": q_near_dedup,
         "llm_cdc_pipeline": q_cdc_pipeline,
-        # --- never-driver-verified: position-50 victim of round 5 ------- 7
         "llm_multimodal_decode": q_multimodal_decode,
-        # --- never-driver-verified: round-6 additions ----------------- 8-11
         "llm_trigram_logprob": q_trigram_logprob,
         "llm_5gram_logprob": q_5gram_logprob,
         "llm_image_near_dup": q_image_near_dup,
         "llm_knn_join_trained": q_knn_join_trained,
         "llm_gopher_quality": q_gopher_quality,
         "llm_rag_pipeline": q_rag_pipeline,
-        # --- never-driver-verified: training-export / LM-scoring ----- 12-22
         "llm_shard_for_training": q_shard_for_training,
-        "llm_pack_sequences": q_pack_sequences,
         "llm_chunk_documents": q_chunk_documents,
         "llm_unigram_logprob": q_unigram_logprob,
         "llm_mixture_sample": q_mixture_sample,
@@ -1457,19 +1506,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_knn_join_probed": q_knn_join_probed,
         "llm_knn_join_lsh": q_knn_join_lsh,
         "llm_knn_join": q_knn_join,
-        # --- never-driver-verified: similarity/multimodal variants --- 23-26
         "llm_ann_cosine": q_ann_cosine,
         "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_audio_decode": q_audio_decode,
         "win_lossy_frequent": q_lossy_frequent,
-        # --- never-driver-verified: CDC event-shaping variants ------- 27-32
         "cdc_flatten_insert": q_flatten_insert,
         "cdc_flatten_delete": q_flatten_delete,
         "cdc_flatten_insert_delete": q_flatten_insert_delete,
         "cdc_flatten_snapshot": q_flatten_snapshot,
         "cdc_lowercase_columns": q_lowercase_columns,
         "cdc_int_widening": q_int_widening,
-        # --- never-driver-verified: relational/CEP/output tail ------- 33-50
         "rel_local_supplier_volume": R.local_supplier_volume,
         "rel_top_orders_per_customer": R.top_orders_per_customer,
         "rel_returnflag_rollup": R.returnflag_rollup,
@@ -1488,71 +1534,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pattern_absent": q_pattern_absent,
         "llm_duplicate_spans": q_duplicate_spans,
         "llm_temperature_mixture": q_temperature_mixture,
-        # --- position 51+: r1-r5 driver-green flagships (local gate) ------
-        "llm_bpe_pairs": q_bpe_pairs,
-        "rel_pattern_both": q_pattern_both,
-        "rel_pattern_immediate": q_pattern_immediate,
-        "rel_output_every_nth": q_output_every_nth,
-        "rel_cube": q_cube_orders,
-        "cdc_flatten_update": q_flatten_update,
-        "cdc_keyvalue_mapping": q_keyvalue_mapping,
-        "cdc_decimal_compat": q_decimal_compat,
-        "cdc_mongo_flatten": q_mongo_flatten,
-        "cdc_offset_discovery": q_offset_discovery,
-        "cdc_incremental_scan": q_incremental_scan,
-        "cdc_insert_into": q_insert_into,
-        "cdc_update_on": q_update_on,
-        "cdc_delete_on": q_delete_on,
-        "cdc_history_scd2": q_history_scd2,
-        "cdc_temporal_lookup": q_temporal_lookup,
-        "rel_shipping_priority": R.shipping_priority,
         "rel_small_qty_revenue": R.small_quantity_revenue,
         "rel_custdist": R.customer_order_distribution,
-        "rel_salted_agg": q_salted_agg,
-        "rel_json_props": q_json_props,
-        "rel_asof_join": q_asof_join,
-        "rel_range_join": q_range_join,
-        "rel_salted_join": q_salted_join,
-        "rel_pattern_sequence": q_pattern_sequence,
         "rel_pattern_or": q_pattern_or,
         "rel_pattern_runs": q_pattern_runs,
-        "rel_rollup_multi": q_rollup_multi,
-        "rel_percentiles": q_percentiles,
-        "rel_output_snapshot": q_output_snapshot,
-        "win_frequent": q_frequent,
         "win_length": q_length_window,
-        "win_length_batch": q_length_batch,
         "win_tumbling": q_tumbling_window,
         "win_sliding": q_sliding_window,
         "win_unique": q_unique_window,
         "win_sort": q_sort_window,
         "win_time_length": q_time_length_window,
         "win_delay": q_delay_window,
-        "win_first_unique": q_first_unique_window,
-        "llm_dedup_exact": q_dedup_exact,
-        "llm_paragraph_dedup": q_paragraph_dedup,
-        "llm_minhash_pairs": q_minhash_pairs,
-        "llm_url_dedup": q_url_dedup,
-        "llm_decontaminate": q_decontaminate,
-        "llm_curate": q_curate,
         "llm_text_stats": q_text_stats,
         "llm_topk_cosine": q_topk_cosine,
-        "llm_knn_join_bucketed": q_knn_join_bucketed,
         "llm_ivf_ann": q_ivf_ann,
         "llm_distinctive_terms": q_distinctive_terms,
-        "llm_lang_detect": q_lang_detect,
-        "llm_quality_score": q_quality_score,
-        "llm_fingerprint": q_fingerprint,
-        "llm_top_ngrams": q_top_ngrams,
-        "llm_label_centroids": q_label_centroids,
-        "llm_pii_scrub": q_pii_scrub,
-        "llm_repetition": q_repetition,
-        "llm_stratified_sample": q_stratified_sample,
-        "llm_ngram_pairs": q_ngram_pairs,
-        "llm_simhash_pairs": q_simhash_pairs,
-        "llm_c4_filters": q_c4_filters,
-        "llm_video_frames": q_video_frames,
-        "llm_payload_embedding": q_payload_embedding,
     }
 
 
@@ -1726,8 +1722,8 @@ def _knn_probed_oracle_sql() -> str:
           FROM qprobe q JOIN assign a ON a.cell = q.cell)
         SELECT query_id, neighbor_id, score, rank FROM (
           SELECT query_id, neighbor_id, score,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY score DESC, neighbor_id) AS rank
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
           FROM cand)
         WHERE rank <= 5"""
 
@@ -1773,8 +1769,8 @@ def _knn_lsh_oracle_sql() -> str:
             ON bit_count(xor(c.b, q.qb)) <= 1)
         SELECT query_id, neighbor_id, score, rank FROM (
           SELECT query_id, neighbor_id, score,
-                 row_number() OVER (PARTITION BY query_id
-                                    ORDER BY score DESC, neighbor_id) AS rank
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
           FROM cand)
         WHERE rank <= 5"""
 
@@ -1852,10 +1848,13 @@ _BEFORE = {
     "props": "props",
 }
 _DEFAULT = {
-    "event_id": "0",
-    "user_id": "0",
+    # typed literals: a bare 0 is INT32 and 0.0 is DECIMAL(2,1) in DuckDB,
+    # which leaks into before_<col> types wherever no real column unifies
+    # the CASE (the snapshot oracle) - the driver's value hash is typed.
+    "event_id": "CAST(0 AS BIGINT)",
+    "user_id": "CAST(0 AS BIGINT)",
     "event_type": "''",
-    "value": "0.0",
+    "value": "CAST(0.0 AS DOUBLE)",
     "props": "''",
 }
 
@@ -1897,9 +1896,9 @@ _WORDS = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text
 _STOPS = _marker_sql(STOPWORDS_EN)
 _TEXT_STATS_SQL = f"""
 SELECT doc_id,
-       length(text) AS n_chars_calc,
-       {_WORDS} AS n_words,
-       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_calc,
+       CAST({_WORDS} AS INTEGER) AS n_words,
+       CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INTEGER) AS n_tokens,
        round(len(regexp_extract_all(text, '{PUNCT_RE.replace("'", "''")}')) / greatest(length(text), 1), 6) AS punct_ratio,
        round(({_STOPS}) / greatest({_WORDS}, 1), 6) AS stopword_ratio
 FROM documents
@@ -1911,7 +1910,10 @@ _QUALITY_EXPR = f"""round(
          + (CASE WHEN round(len(regexp_extract_all(text, '{PUNCT_RE.replace("'", "''")}')) / greatest(length(text), 1), 6) < 0.2 THEN 0.2 ELSE 0.0 END)
        , 2)"""
 
-_QUALITY_SQL = f"SELECT doc_id, {_QUALITY_EXPR} AS quality_score\nFROM documents"
+_QUALITY_SQL = (
+    f"SELECT doc_id, CAST({_QUALITY_EXPR} AS DOUBLE) AS quality_score"
+    "\nFROM documents"
+)
 
 
 def _curate_sql(lang: str = "en", min_quality: float = 0.6, source: str = "documents") -> str:
@@ -2072,7 +2074,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "rel_top_orders_per_customer": """
             SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
               SELECT o_custkey, o_orderkey, o_totalprice,
-                     row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                     CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
               FROM orders) WHERE rn <= 2""",
         "rel_returnflag_rollup": """
             SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -2148,7 +2150,7 @@ def _oracle_sql_dict() -> dict[str, str]:
                    count(*) AS n
             FROM events GROUP BY event_type""",
         "rel_scalar_funcs": """
-            SELECT EXTRACT(year FROM o_orderdate) AS yr,
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
                    substr(o_orderpriority, 1, 1) AS pri,
                    count(*) AS n_orders,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
@@ -2218,13 +2220,15 @@ def _oracle_sql_dict() -> dict[str, str]:
                 FROM events)
             WHERE rn = 1""",
         "rel_cube": """
-            SELECT EXTRACT(year FROM o_orderdate) AS yr, o_orderpriority AS pri,
-                   CAST(GROUPING(EXTRACT(year FROM o_orderdate)) AS INT) AS g_yr,
+            SELECT yr, o_orderpriority AS pri,
+                   CAST(GROUPING(yr) AS INT) AS g_yr,
                    CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
                    count(*) AS n_orders,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
-            FROM orders
-            GROUP BY CUBE (1, 2)""",
+            FROM (SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+                         o_orderpriority, o_totalprice
+                  FROM orders)
+            GROUP BY CUBE (yr, o_orderpriority)""",
         "rel_range_join": """
             SELECT i.iid, count(p.o_orderkey) AS n_orders
             FROM (SELECT o_orderkey AS iid, o_orderdate AS lo,
@@ -2438,8 +2442,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         "llm_knn_join": """
             SELECT query_id, neighbor_id, score, rank FROM (
               SELECT query_id, neighbor_id, score,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY score DESC, neighbor_id) AS rank
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
               FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
@@ -2461,8 +2465,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         "llm_knn_join_bucketed": """
             SELECT query_id, neighbor_id, score, rank FROM (
               SELECT query_id, neighbor_id, score,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY score DESC, neighbor_id) AS rank
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
               FROM (
                 SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
                        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
@@ -2480,8 +2484,9 @@ def _oracle_sql_dict() -> dict[str, str]:
             dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
             SELECT doc_id, term, tf, df, rank FROM (
               SELECT t.doc_id, t.term, t.tf, d.df,
-                     row_number() OVER (PARTITION BY t.doc_id
-                                        ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rank
+                     CAST(row_number() OVER (PARTITION BY t.doc_id
+                                        ORDER BY t.tf DESC, d.df ASC, t.term ASC)
+                          AS INTEGER) AS rank
               FROM tf t JOIN dfq d USING (term))
             WHERE rank <= 3""",
         "llm_decontaminate": f"""
@@ -2508,7 +2513,7 @@ def _oracle_sql_dict() -> dict[str, str]:
                                   chr(10)||chr(10)) AS ps
               FROM documents),
             p AS (
-              SELECT doc_id, j AS para_idx,
+              SELECT doc_id, CAST(j AS INTEGER) AS para_idx,
                      regexp_replace(trim(lower(ps[j])), '\s+', ' ', 'g') AS para
               FROM (SELECT doc_id, unnest(generate_series(1, len(ps))) AS j, ps FROM split)),
             ranked AS (
@@ -2635,9 +2640,10 @@ def _oracle_sql_dict() -> dict[str, str]:
         # end state is the all-pairs cosine >= 0.99 set.
         "llm_embedding_near_dup": """
             WITH corpus AS (
-              SELECT vec_id, embedding FROM embeddings
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings
               UNION ALL
-              SELECT vec_id + 10000000, embedding
+              SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS embedding
               FROM embeddings WHERE vec_id < 5)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding, b.embedding), 6)
@@ -2673,7 +2679,7 @@ def _oracle_sql_dict() -> dict[str, str]:
               FROM t)
             SELECT doc_id, shard,
                    CAST(floor(cum / 512.0) AS BIGINT) AS seq_id,
-                   cum % 512 AS seq_offset, n_tokens
+                   CAST(cum % 512 AS BIGINT) AS seq_offset, n_tokens
             FROM c""",
         "llm_chunk_documents": """
             WITH n AS (
@@ -2793,10 +2799,15 @@ def _oracle_sql_dict() -> dict[str, str]:
               FROM documents),
             m AS (
               SELECT doc_id,
-                     len(words) AS g_n_words,
+                     CAST(len(words) AS INTEGER) AS g_n_words,
                      greatest(len(words), 1) AS safe_n,
                      greatest(len(lines), 1) AS safe_l,
-                     round(CAST(list_sum(list_transform(words, x -> length(x)))
+                     -- coalesce: DuckDB list_sum([]) is NULL, Spark's
+                     -- F.aggregate with a 0 seed yields 0.0 — a zero-word
+                     -- document must score 0 in both engines.
+                     round(CAST(coalesce(
+                                  list_sum(list_transform(words, x -> length(x))),
+                                  0)
                                 AS DOUBLE) / greatest(len(words), 1), 6)
                        AS g_mean_word_len,
                      round(CAST(n_symbols AS DOUBLE) / greatest(len(words), 1), 6)
@@ -2813,9 +2824,11 @@ def _oracle_sql_dict() -> dict[str, str]:
                               x -> regexp_matches(x, '[A-Za-z]')))
                             AS DOUBLE) / greatest(len(words), 1), 6)
                        AS g_alpha_frac,
-                     len(list_filter(['the','be','to','of','and','that','have','with'],
-                         s -> list_contains(list_transform(words, x -> lower(x)), s)))
-                       AS g_n_stopwords
+                     CAST(len(list_filter(
+                              ['the','be','to','of','and','that','have','with'],
+                              s -> list_contains(
+                                list_transform(words, x -> lower(x)), s)))
+                          AS INTEGER) AS g_n_stopwords
               FROM w)
             SELECT doc_id, g_n_words, g_mean_word_len, g_symbol_ratio,
                    g_bullet_frac, g_ellipsis_frac, g_alpha_frac, g_n_stopwords,

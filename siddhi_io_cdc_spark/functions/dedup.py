@@ -246,7 +246,8 @@ def minhash_prep(
     CSE inside higher-order functions; the double reference keeps
     CollapseProject from inlining it back). Shingles cross as hashed longs,
     not strings — smaller persist/shuffle footprint, cheaper Jaccard."""
-    assert num_hashes % bands == 0, "num_hashes must be divisible by bands"
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     toks = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("__id"),
@@ -413,7 +414,16 @@ def simhash_pairs(
     (pigeonhole: any pair within hamming ≤ 3 of 64 bits shares at least one
     exact 16-bit chunk... for chunk count 4 > max_hamming), verify with
     bit_count(xor) ≤ max_hamming."""
-    assert max_hamming < 4, "4-chunk blocking guarantees recall only for hamming < 4"
+    if not max_hamming < 4:
+        # ValueError, not assert: under `python -O` an assert vanishes and
+        # max_hamming >= 4 would silently return an INCOMPLETE pair set
+        # (missed near-dups) instead of failing. The recall guarantee is a
+        # correctness contract, so it must hold in optimized runs too.
+        raise ValueError(
+            "4-chunk pigeonhole blocking guarantees 100% recall only for "
+            f"hamming < 4 (got max_hamming={max_hamming}); raise the chunk "
+            "count or use ngram_jaccard_pairs for looser thresholds"
+        )
     # Persist: the 64-bit vote fold is the expensive part and feeds both
     # sides of the chunk self-join. Fan out first so the fold uses all cores.
     h = scoped_persist(
@@ -441,7 +451,16 @@ def hash64_pairs(
     ``max_hamming < 4``), then verifies with ``bit_count(xor)``. Never
     all-pairs: candidate volume is the sum of squared bucket sizes over
     4·2^16 buckets. Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
-    assert max_hamming < 4, "4-chunk blocking guarantees recall only for hamming < 4"
+    if not max_hamming < 4:
+        # ValueError, not assert: under `python -O` an assert vanishes and
+        # max_hamming >= 4 would silently return an INCOMPLETE pair set
+        # (missed near-dups) instead of failing. The recall guarantee is a
+        # correctness contract, so it must hold in optimized runs too.
+        raise ValueError(
+            "4-chunk pigeonhole blocking guarantees 100% recall only for "
+            f"hamming < 4 (got max_hamming={max_hamming}); raise the chunk "
+            "count or use ngram_jaccard_pairs for looser thresholds"
+        )
     h = df.select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
     chunks = h.select(
         "__id",
@@ -692,6 +711,7 @@ def duplicate_spans(
     text_col: str = "text",
     min_copies: int = 2,
     broadcast_dups_max: int | None = 5_000_000,
+    max_windows: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicated TOKEN SPANS — the exact-substring signal of
     Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
@@ -719,6 +739,16 @@ def duplicate_spans(
     window table never shuffles. Expected work: O(corpus positions /
     stride) window hashes — the price of not having distributed suffix
     arrays; at 100 TB run it per-shard and union.
+
+    Candidate-volume bound: expected windows ≈ total_tokens / stride, but
+    the content-defined anchor is ADVERSARIALLY defeatable — a corpus whose
+    dominant token happens to hash ≡ 0 (mod stride) anchors at (nearly)
+    EVERY position, inflating the window table toward O(total_tokens) rows
+    of md5 work plus a same-sized shuffle. ``max_windows`` guards that:
+    the window count is measured (free — it materializes the cache the
+    aggregation needs anyway) and a count past the bound raises instead of
+    silently launching the blown-up aggregation. Pass ``None`` (default)
+    to accept any volume, e.g. for the contract query's fixed fixture.
     """
     from siddhi_io_cdc_spark.functions.text import TOKEN_RE
 
@@ -736,6 +766,19 @@ def duplicate_spans(
             lambda p: anchor(F.element_at(toks, p)) == 0,
         ),
     ).otherwise(F.array().cast("array<int>"))
+    # Hash each window INSIDE the per-document row (transform over the
+    # anchored positions), then explode only (pos, hash) pairs. Exploding
+    # positions first and slicing afterwards would copy the document's full
+    # token array into every exploded row — O(anchors x doc_tokens) bytes
+    # through the projection, the term that made this the steepest scale
+    # curve of the dedup family (11.3x at 20x data, BASELINE.md sf2 series).
+    spans = F.transform(
+        positions,
+        lambda p: F.struct(
+            p.alias("pos"),
+            F.md5(F.array_join(F.slice(toks, p, width), " ")).alias("h"),
+        ),
+    )
     windows = scoped_persist(
         df.select(
             F.col(id_col),
@@ -743,13 +786,20 @@ def duplicate_spans(
                 F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
             ).alias("__toks"),
         )
-        .select(F.col(id_col), F.explode(positions).alias("pos"), toks.alias("__toks"))
-        .select(
-            id_col,
-            "pos",
-            F.md5(F.array_join(F.slice(toks, F.col("pos"), width), " ")).alias("__h"),
-        )
+        .select(F.col(id_col), F.explode(spans).alias("__w"))
+        .select(id_col, F.col("__w.pos").alias("pos"), F.col("__w.h").alias("__h"))
     )
+    if max_windows is not None:
+        # Materializes the cache the aggregation below reuses, so the
+        # guard's marginal cost is one cached count.
+        n_windows = windows.count()
+        if n_windows > max_windows:
+            raise ValueError(
+                f"duplicate_spans window table has {n_windows} rows "
+                f"(> max_windows={max_windows}): anchor density is "
+                "adversarial for this corpus/stride. Raise stride, raise "
+                "max_windows, or shard the corpus and union per-shard runs."
+            )
     dups = scoped_persist(
         windows.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("n_copies"))

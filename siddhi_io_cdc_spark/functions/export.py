@@ -551,9 +551,14 @@ def temperature_mixture(
     """
     if not 0 <= alpha <= 1:
         raise ValueError(f"alpha must be in [0, 1] (got {alpha})")
+    # NULL domains are dropped (filtered before the count, so they get no
+    # weight and no output rows) — matching mixture_sample's semantics for
+    # a domain absent from the weight map. Without the filter, sorted()
+    # below would raise TypeError on a None key.
     counts = {
         r["d"]: r["n"]
-        for r in df.groupBy(F.col(domain_col).alias("d"))
+        for r in df.where(F.col(domain_col).isNotNull())
+        .groupBy(F.col(domain_col).alias("d"))
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }

@@ -238,7 +238,10 @@ def ivf_ann_cosine(
     if centroids is None:
         centroids = ivf_centroids(len(query_vec), nlist, seed)
     qv = np.asarray(query_vec, dtype=float)
-    probe_lists = np.argsort(-(centroids @ qv))[:nprobe].tolist()
+    # Stable sort: exactly-tied centroid dots probe the LOWEST cell indices,
+    # keeping the probed cell set identical to probe_ivf_index's (same
+    # kind="stable" there) and to ivf_assign's (-dot, idx) tiebreak.
+    probe_lists = np.argsort(-(centroids @ qv), kind="stable")[:nprobe].tolist()
     assigned = df.withColumn("__list", ivf_assign(F.col(vec_col), centroids))
     candidates = assigned.where(F.col("__list").isin(probe_lists))
     return topk_cosine(candidates, query_vec, k=k, vec_col=vec_col, id_col=id_col)

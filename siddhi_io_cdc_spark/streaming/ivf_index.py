@@ -137,10 +137,21 @@ def apply_changelog_ivf(
     )
     cells = after_cells
     if has_old_image:
-        old_cells = (
-            batch_df.where(F.col(op_col).isin(*moving_ops))
-            .where(F.col(before_vec).isNotNull())
-            .select(ivf_assign(F.col(before_vec), centroids).alias("c"))
+        movers = batch_df.where(F.col(op_col).isin(*moving_ops))
+        # A NULL before image on a moving op is as fatal as a missing
+        # before_<vec> column: the old cell is unknowable, the stale row
+        # would silently survive in its old cell, and probe parity with a
+        # fresh rebuild breaks. Bounded probe, same as the column check.
+        if movers.where(F.col(before_vec).isNull()).limit(1).count():
+            raise ValueError(
+                f"batch contains {moving_ops} rows with a NULL "
+                f"'{before_vec}' before image: the old vector's cell is "
+                "unknowable, so the stale row would survive in its old "
+                "cell. Emit whole before images (update projection with "
+                "missing-image gating off) or pre-filter such rows."
+            )
+        old_cells = movers.select(
+            ivf_assign(F.col(before_vec), centroids).alias("c")
         )
         cells = cells.unionByName(old_cells)
     touched = [r[0] for r in cells.distinct().collect() if r[0] is not None]
@@ -273,6 +284,17 @@ def chunk_embedding_changelog(
             base, id_col=id_col, text_col="text",
             chunk_tokens=chunk_tokens, overlap=overlap,
         ).where(F.col("chunk_tokens") > 0)
+        # cid = doc_id * id_stride + chunk_idx is only injective while
+        # chunk_idx < id_stride; a >= 10k-chunk document (~480k tokens at
+        # the 64/16 defaults) would silently collide cids across documents
+        # and corrupt the index. Bounded probe over the batch's chunks.
+        if ch.where(F.col("chunk_idx") >= id_stride).limit(1).count():
+            raise ValueError(
+                f"document in batch produces chunk_idx >= id_stride "
+                f"({id_stride}): cid = doc_id * id_stride + chunk_idx "
+                "would collide across documents. Raise id_stride (and "
+                "rebuild the index) or split oversized documents upstream."
+            )
         emb = extract_embedding(
             ch.select(
                 (F.col(id_col) * id_stride + F.col("chunk_idx")).alias("cid"),

@@ -446,6 +446,25 @@ def test_duplicate_spans_finds_planted_run(spark):
         duplicate_spans(docs, width=30, stride=31)
 
 
+def test_duplicate_spans_max_windows_guard(spark):
+    """The candidate-volume guard: a bound above the measured window count
+    passes through unchanged; a bound below it raises instead of launching
+    the aggregation (the adversarial-anchor-density escape hatch)."""
+    import pytest
+
+    from siddhi_io_cdc_spark.functions.dedup import duplicate_spans
+
+    shared = " ".join(f"tok{i}" for i in range(44))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta " + shared + " gamma"), (2, "start " + shared + " end")],
+        "doc_id long, text string",
+    )
+    ok = duplicate_spans(docs, width=30, stride=15, max_windows=10_000).collect()
+    assert ok == duplicate_spans(docs, width=30, stride=15).collect()
+    with pytest.raises(ValueError, match="max_windows"):
+        duplicate_spans(docs, width=30, stride=1, max_windows=1).collect()
+
+
 def test_temperature_mixture_upsamples_small_domains(spark):
     """alpha=0 equalizes: the kept set has (approximately) equal per-domain
     counts bounded by the smallest domain; alpha=1 keeps everything (the

@@ -2,8 +2,14 @@
 
 Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it to
 the matching ``oracle_sql()`` through DuckDB: row count, sorted column names,
-and an order-insensitive exact value comparison (floats compared bit-exactly,
-mirroring a value-hash). Exit code 1 on any mismatch.
+an order-insensitive exact value comparison (floats compared bit-exactly,
+mirroring a value-hash), AND a per-column TYPE comparison (DuckDB's Arrow
+schema vs the Spark schema, both canonicalized). The type check exists
+because the driver's value hash is typed: round 6's only red row was
+``llm_pack_sequences``, whose values matched but whose oracle emitted
+DuckDB HUGEINT (``sum(BIGINT)`` widens to int128) where Spark emits int64 —
+invisible to a Python-int-normalizing comparison, fatal to a typed hash.
+Exit code 1 on any mismatch.
 
 Usage: PYTHONPATH=/root/repo python tools/check_contract.py [names...]
 """
@@ -47,6 +53,101 @@ def _norm_rows(rows, cols):
     return sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+def _canon_spark_type(dt) -> str:
+    """Spark DataType -> canonical tag matching Spark's Arrow conversion."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ByteType):
+        return "int8"
+    if isinstance(dt, T.ShortType):
+        return "int16"
+    if isinstance(dt, T.IntegerType):
+        return "int32"
+    if isinstance(dt, T.LongType):
+        return "int64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_canon_spark_type(dt.elementType)}>"
+    if isinstance(dt, T.MapType):
+        return (
+            f"map<{_canon_spark_type(dt.keyType)},"
+            f"{_canon_spark_type(dt.valueType)}>"
+        )
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{_canon_spark_type(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    return dt.simpleString()
+
+
+def _canon_arrow_type(t) -> str:
+    """pyarrow DataType -> the same canonical tags as _canon_spark_type.
+
+    DuckDB HUGEINT surfaces in Arrow as decimal128(38,0) — kept distinct
+    from int64 on purpose; that distinction IS the round-6 driver bug.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return str(t)  # int8/int16/int32/int64/uint*
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_canon_arrow_type(t.value_type)}>"
+    if pa.types.is_map(t):
+        return f"map<{_canon_arrow_type(t.key_type)},{_canon_arrow_type(t.item_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{_canon_arrow_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def _type_mismatches(sdf, arrow_schema) -> list[str]:
+    spark_types = {f.name: _canon_spark_type(f.dataType) for f in sdf.schema.fields}
+    out = []
+    for field in arrow_schema:
+        st = spark_types.get(field.name)
+        if st is None:
+            continue  # column-name mismatch is reported separately
+        ot = _canon_arrow_type(field.type)
+        if st != ot:
+            out.append(f"type[{field.name}]: spark {st} != oracle {ot}")
+    return out
+
+
 def main(argv: list[str]) -> int:
     import duckdb
 
@@ -79,6 +180,7 @@ def main(argv: list[str]) -> int:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            arrow_schema = con.execute(oracles[name]).fetch_arrow_table().schema
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -86,6 +188,7 @@ def main(argv: list[str]) -> int:
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"columns {sorted(scols)} != {sorted(ocols)}")
+        problems.extend(_type_mismatches(sdf, arrow_schema))
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
         if not problems:
