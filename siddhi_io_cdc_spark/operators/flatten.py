@@ -58,6 +58,11 @@ def type_default(dtype: T.DataType) -> Column:
         # serializes them to epoch ints); for native Spark types NULL-safe
         # zero has no meaning, so default to epoch 0 for parity with "0".
         return F.lit(0).cast("long").cast(dtype)
+    if isinstance(dtype, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
+        # No "zero" exists for container/binary columns (the reference's
+        # type ladder predates them — Siddhi attributes are scalars only);
+        # casting 0 is an AnalysisException, so absent images stay NULL.
+        return F.lit(None).cast(dtype)
     return F.lit(0).cast(dtype)
 
 

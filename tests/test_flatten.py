@@ -201,3 +201,28 @@ def test_snapshot_op_consumed_when_requested(spark):
     # snapshot rows are insert-shaped: before image NULL -> defaults
     snap = both.where(F.col("operation") == "snapshot").limit(1).collect()[0]
     assert snap.before_k == 0 and snap.k < 5
+
+
+def test_flatten_array_column_defaults_to_null(spark):
+    """Container-typed row columns (array/map/struct/binary) have no scalar
+    "zero": an absent image must default to NULL, not die in an
+    AnalysisException casting 0. This is the embedding-stream path
+    (cdc_read_stream -> flatten -> IVF maintenance)."""
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.operators.flatten import flatten
+    from siddhi_io_cdc_spark.sources.envelope import synthetic_changelog
+
+    base = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    env = synthetic_changelog(
+        base, op_col=F.when(F.col("vec_id") == 1, "c").otherwise("d")
+    )
+    rows = {r.operation: r for r in flatten(
+        env, operations=["insert", "delete"]
+    ).collect()}
+    ins, dl = rows["insert"], rows["delete"]
+    assert ins.embedding == [1.0, 2.0] and ins.before_embedding is None
+    assert dl.before_embedding == [3.0, 4.0] and dl.embedding is None

@@ -850,3 +850,48 @@ def test_bpe_pair_counts_hand_computed(spark):
     # ("w","e"): lower(1) + newest(2) = 3
     top = bpe_pair_counts(docs, top_n=1).collect()[0]
     assert (top["left"], top["right"]) == ("e", "w") or top.pair_count == max(got.values())
+
+
+def test_ivf_tied_centroid_dots_probe_identical_cells(spark, tmp_path):
+    """Degenerate codebook with EXACTLY tied centroid dots: ivf_ann_cosine
+    and probe_ivf_index must probe the identical (lowest-index) cell set —
+    both use a stable argsort, matching ivf_assign's (-dot, idx) tiebreak.
+    With nprobe=1 an unstable sort could pick the EMPTY duplicate cell and
+    return nothing."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.functions.similarity import (
+        ivf_ann_cosine,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    # cells 0/1 identical, cells 2/3 identical: every dot is tied pairwise
+    cents = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]])
+    emb = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.8, 0.2]), (3, [0.1, 0.9]), (4, [0.2, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    q = [1.0, 0.05]
+
+    direct = ivf_ann_cosine(emb, q, k=4, nlist=4, nprobe=1, centroids=cents)
+    got = sorted(r.vec_id for r in direct.collect())
+    # ivf_assign ties break to the LOWEST cell, so vectors sit in cells 0/2;
+    # a probe of duplicate cell 1 (unstable sort) would return zero rows
+    assert got == [1, 2]
+
+    path = str(tmp_path / "tied_ivf")
+    write_ivf_index(emb, path, nlist=4, centroids=cents)
+    mat = probe_ivf_index(spark, path, q, k=4, nprobe=1)
+    assert sorted(r.vec_id for r in mat.collect()) == got
+
+    # and the probed-cell set itself matches on the materialized layout
+    cells = {
+        r.cell
+        for r in spark.read.parquet(path)
+        .where(F.col("vec_id").isin(got))
+        .select("cell")
+        .collect()
+    }
+    assert cells == {0}
