@@ -779,8 +779,12 @@ def duplicate_spans(
             F.md5(F.array_join(F.slice(toks, p, width), " ")).alias("h"),
         ),
     )
+    # fan_out: tokenize + per-window md5 is the CPU of this operator; a
+    # compact parquet input (row-group granularity) must not serialize it
+    # on a handful of partitions. No-op on already-wide inputs.
     windows = scoped_persist(
-        df.select(
+        _fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col),
             F.regexp_extract_all(
                 F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
