@@ -33,7 +33,10 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
 from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.util import fan_out as _fan_out
 
 from siddhi_io_cdc_spark.functions.text import TOKEN_RE, token_count
 
@@ -113,6 +116,10 @@ def pack_sequences(
         if tokens_col
         else token_count(F.col(text_col)).cast("bigint")
     )
+    if tokens_col is None:
+        # tokenizing here: widen a row-group-bound scan before the regex
+        # pass (no-op on wide inputs; the shard window reshuffles anyway)
+        df = _fan_out(df)
     h = stable_hash(F.col(id_col), seed)
     w = (
         Window.partitionBy("shard")
@@ -147,8 +154,9 @@ def chunk_documents(
 
     Chunk ``i`` covers ``[i * (chunk_chars - overlap), ... + chunk_chars)``;
     the last chunk may be shorter. Pure array expressions
-    (``sequence`` → ``transform(substring)`` → ``posexplode``), no shuffle,
-    no Python — chunking 100 TB is a map-only pass.
+    (``sequence`` → ``transform(substring)`` → ``posexplode``), no Python —
+    chunking 100 TB is a map-only pass. ``fan_out`` widens a row-group-bound
+    compact scan first (no-op on wide inputs).
     """
     if chunk_chars <= 0:
         raise ValueError(f"chunk_chars must be positive (got {chunk_chars})")
@@ -163,7 +171,7 @@ def chunk_documents(
         starts, lambda i: F.col(text_col).substr(i * stride + 1, F.lit(chunk_chars))
     )
     pos = F.posexplode(chunks)
-    return df.select(id_col, pos.alias("chunk_idx", "chunk_text")).select(
+    return _fan_out(df).select(id_col, pos.alias("chunk_idx", "chunk_text")).select(
         id_col,
         F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
         "chunk_text",
@@ -188,7 +196,9 @@ def chunk_documents_tokens(
     whitespace is not preserved). The last chunk may be shorter; an empty
     document yields one empty chunk. Pure array expressions
     (``regexp_extract_all`` → ``sequence`` → ``transform(slice)`` →
-    ``posexplode``), no shuffle, no Python — a map-only pass at any scale.
+    ``posexplode``), no Python — a map-only pass at any scale. ``fan_out``
+    widens a row-group-bound compact scan first (no-op on wide inputs;
+    on a streaming micro-batch it spreads the chunk/tokenize work too).
     """
     if chunk_tokens <= 0:
         raise ValueError(f"chunk_tokens must be positive (got {chunk_tokens})")
@@ -208,7 +218,7 @@ def chunk_documents_tokens(
         ),
     )
     pos = F.posexplode(chunks)
-    return df.select(id_col, pos.alias("chunk_idx", "chunk")).select(
+    return _fan_out(df).select(id_col, pos.alias("chunk_idx", "chunk")).select(
         id_col,
         F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
         F.col("chunk.txt").alias("chunk_text"),
@@ -301,7 +311,8 @@ def bigram_logprob(
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     big = scoped_persist(
-        df.select(F.col(id_col), F.explode(pairs).alias("__bg")).select(
+        _fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(pairs).alias("__bg")).select(
             id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
         )
     )
@@ -382,7 +393,8 @@ def ngram_logprob(
     )
     wcols = [f"__w{i + 1}" for i in range(n)]
     grams = scoped_persist(
-        df.select(
+        _fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col),
             F.regexp_extract_all(
                 F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
@@ -505,7 +517,8 @@ def unigram_logprob(
     from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
 
     toks = scoped_persist(
-        df.select(
+        _fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col),
             F.explode(
                 F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)

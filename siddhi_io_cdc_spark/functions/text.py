@@ -5,15 +5,22 @@ codegen, zero per-row Python — so the same expressions hold at 100 TB. Each
 has an exact ANSI-SQL restatement (see ``__spark_entry__.oracle_sql``), which
 is what makes them oracle-checkable.
 
-Scale notes: all transforms are narrow (no shuffle); aggregating wrappers
-(e.g. corpus stats) are single hash-aggregations with map-side partial
-aggregation for free.
+Scale notes: all transforms are narrow; aggregating wrappers (e.g. corpus
+stats) are single hash-aggregations with map-side partial aggregation for
+free. The CPU-heavy per-document operators apply ``util.fan_out`` first —
+a repartition UP to the session's parallelism that is a no-op on wide
+inputs but rescues compact row-group-bound scans, where the regex/array
+work otherwise serializes on a handful of tasks (measured 10x on a
+factor-20 corpus held in one parquet file).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
 from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.util import fan_out as _fan_out
 from pyspark.sql.window import Window
 
 #: BPE-ish token pattern: letter runs, digit runs, single punctuation marks.
@@ -93,7 +100,11 @@ def lang_detect(col: Column | str) -> Column:
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append per-document statistics columns: ``n_chars_calc``, ``n_words``,
-    ``n_tokens``, ``punct_ratio``, ``stopword_ratio``."""
+    ``n_tokens``, ``punct_ratio``, ``stopword_ratio``.
+
+    fan_out: the regex/marker counting is the CPU; a compact parquet scan
+    (row-group granularity) must not serialize it — no-op on wide inputs."""
+    df = _fan_out(df)
     c = F.col(text_col)
     n_chars = F.length(c)
     n_words = word_count(c)
@@ -162,7 +173,9 @@ def top_ngrams(
     don't CSE; multiple references block Catalyst's CollapseProject from
     inlining it — measured ~6x on this query).
     """
-    words = df.select(F.split(normalize_text(text_col), " ").alias("__w"))
+    words = _fan_out(df.select(F.col(text_col))).select(
+        F.split(normalize_text(text_col), " ").alias("__w")
+    )
     grams = F.when(
         F.size("__w") >= n,
         F.transform(
@@ -264,7 +277,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     token array is staged once (higher-order functions don't CSE).
     """
     words = F.split(normalize_text(text_col), " ")
-    staged = df.withColumn("__w", words)
+    staged = _fan_out(df).withColumn("__w", words)
     grams = F.when(
         F.size("__w") >= 2,
         F.transform(
@@ -371,9 +384,11 @@ def c4_line_filters(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``c4_keep`` — the document-level rule: at least one line, and at
       least half the lines end in terminal punctuation.
 
-    All array expressions over one ``split`` — no shuffle, no Python.
+    All array expressions over one ``split``, no Python; ``fan_out``
+    widens a row-group-bound compact scan first (no-op on wide inputs).
     (C4 reference: Raffel et al. 2020, §2.2 heuristics.)
     """
+    df = _fan_out(df)
     c = F.col(text_col)
     lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
     n_lines = F.size(lines)
@@ -400,9 +415,11 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style document quality filters (Rae et al. 2021 §A1.1, the
     rule set FineWeb/Dolma re-use): per-document metrics plus the composite
-    ``gopher_keep`` flag. Pure array/aggregate expressions — one narrow
-    projection, no shuffle, no Python — and every metric restates in ANSI
-    SQL, so the contract query has an exact value oracle.
+    ``gopher_keep`` flag. Pure array/aggregate expressions, no Python —
+    and every metric restates in ANSI SQL, so the contract query has an
+    exact value oracle. ``fan_out`` widens a row-group-bound compact scan
+    before the regex pass (measured 10x at factor-20 scale; no-op on wide
+    inputs).
 
     Rules (thresholds per the paper):
     - word count in [50, 100_000]; mean word length in [3, 10]
@@ -415,6 +432,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     surface form, unlike the lowercased ``TOKEN_RE`` token family); the
     stop-word test lowercases only for the membership check.
     """
+    df = _fan_out(df)
     c = F.col(text_col)
     words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
     n_words = F.size(words)
@@ -489,7 +507,8 @@ def bpe_pair_counts(
     lexicographic — deterministic, SQL-restatable.
     """
     words = (
-        df.select(
+        _fan_out(df.select(F.col(text_col)))
+        .select(
             F.explode(
                 F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
             ).alias("__w")
