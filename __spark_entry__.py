@@ -510,6 +510,39 @@ def q_bpe_pairs(spark, sf_dir):
     return bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
 
 
+#: Fixed merge table for the encode contract query — common English merges,
+#: literal in BOTH the Spark query and the oracle (the trained path is
+#: exercised by llm_bpe_train + the pytest DataFrame round-trip).
+BPE_FIXED_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("an", "d"), ("o", "n"), ("r", "e"),
+]
+
+
+def q_bpe_train(spark, sf_dir):
+    """Full iterative BPE training (Sennrich et al. 2016), 6 merge rounds:
+    corpus read once (word-count pass), then vocabulary-sized work per
+    round. Exactly oracle-checkable — the SQL restates each round as one
+    CTE (best-pair argmax + literal symbol-string replace)."""
+    from siddhi_io_cdc_spark.functions.tokenizer import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=6)
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE encoding with a fixed literal merge table: per word, wrap chars
+    into delimited symbols, apply the merges in rank order as literal
+    replaces, split back — map-only, whole-stage codegen, no Python."""
+    from siddhi_io_cdc_spark.functions.tokenizer import bpe_encode
+
+    enc = bpe_encode(_docs(spark, sf_dir), BPE_FIXED_MERGES)
+    return enc.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.array_join(F.slice("bpe_tokens", 1, 8), " ").alias("head_tokens"),
+    )
+
+
 def q_image_near_dup(spark, sf_dir):
     """Perceptual-hash image dedup: closed-form 18x16 P5 gradient payloads
     (attach_gradient_ppm_payload) -> real decode + 8x9 area-mean dHash (the
@@ -1549,6 +1582,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_topk_cosine": q_topk_cosine,
         "llm_ivf_ann": q_ivf_ann,
         "llm_distinctive_terms": q_distinctive_terms,
+        "llm_bpe_train": q_bpe_train,
+        "llm_bpe_encode": q_bpe_encode,
     }
 
 
@@ -1605,6 +1640,70 @@ def _ann_cosine_oracle_sql() -> str:
 
 
 _ANN_COSINE_SQL = _ann_cosine_oracle_sql()
+
+
+def _bpe_vocab_cte() -> str:
+    """Word-frequency vocabulary as delimited symbol strings:
+    ``hello`` -> ``(h)(e)(l)(l)(o)`` — the same universe as llm_bpe_pairs."""
+    return r"""
+      SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS sym, freq FROM (
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents)
+        GROUP BY w HAVING length(w) >= 2)"""
+
+
+def _bpe_best_pair_cte(src: str) -> str:
+    """Argmax adjacent symbol pair over vocabulary ``src`` (count desc,
+    then lexicographic — the trainer's exact tie-break)."""
+    return f"""
+      SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT syms[CAST(u.i AS INT)] AS l,
+               syms[CAST(u.i AS INT) + 1] AS r, freq FROM (
+          SELECT string_split(trim(sym, '()'), ')(') AS syms, freq
+          FROM {src}) t,
+          unnest(generate_series(1, len(syms) - 1)) AS u(i))
+      GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1"""
+
+
+def _bpe_train_oracle_sql(n_merges: int) -> str:
+    """Chained-CTE restatement of iterative BPE training: round ``i`` picks
+    the best pair of vocabulary ``v(i-1)`` and rewrites it with one literal
+    ``replace`` — identical semantics to tokenizer.bpe_train because the
+    ``(sym)`` delimiters make adjacent matches disjoint in both engines."""
+    ctes = [f"v0 AS ({_bpe_vocab_cte()})"]
+    for i in range(1, n_merges + 1):
+        ctes.append(f"b{i} AS ({_bpe_best_pair_cte(f'v{i - 1}')})")
+        if i < n_merges:
+            ctes.append(
+                f"""v{i} AS (
+      SELECT replace(sym, '(' || b.l || ')(' || b.r || ')',
+                     '(' || b.l || b.r || ')') AS sym, freq
+      FROM v{i - 1}, b{i} b)"""
+            )
+    rows = "\nUNION ALL ".join(
+        f"""SELECT CAST({i} AS BIGINT) AS merge_rank, l AS "left",
+               r AS "right", cnt AS pair_count FROM b{i}"""
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {', '.join(ctes)}\n{rows}"
+
+
+def _bpe_encode_oracle_sql(merges) -> str:
+    """Encode with a literal merge table: the replace chain applied inside
+    ``list_transform`` per word, then flattened — mirrors bpe_encode."""
+    chain = r"regexp_replace(w, '(.)', '(\1)', 'g')"
+    for left, right in merges:
+        chain = f"replace({chain}, '({left})({right})', '({left}{right})')"
+    return f"""
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+             array_to_string(toks[1:8], ' ') AS head_tokens
+      FROM (
+        SELECT doc_id,
+               flatten(list_transform(
+                 regexp_extract_all(lower(text), '[a-z]+'),
+                 w -> string_split(trim({chain}, '()'), ')('))) AS toks
+        FROM documents)"""
 
 
 def _rag_pipeline_oracle_sql() -> str:
@@ -3030,4 +3129,10 @@ def _oracle_sql_dict() -> dict[str, str]:
         # minimum |plane . v| margin across every shipped sf is 5.4e-05,
         # ~9 orders above double fold error.
         "llm_ann_cosine": _ANN_COSINE_SQL,
+        # llm_bpe_train / llm_bpe_encode: iterative BPE restated exactly —
+        # one CTE per merge round (argmax pair + literal replace over the
+        # delimited symbol strings), and the encode replace chain inside
+        # list_transform. Counts CAST to BIGINT (DuckDB sum() -> HUGEINT).
+        "llm_bpe_train": _bpe_train_oracle_sql(6),
+        "llm_bpe_encode": _bpe_encode_oracle_sql(BPE_FIXED_MERGES),
     }

@@ -1,0 +1,100 @@
+"""BPE trainer/encoder: exact semantics vs a hand-computed reference,
+tie-breaks, early stop, and the map-only encode plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.tokenizer import bpe_encode, bpe_train
+
+
+def _train(spark, texts, n):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train(df, n_merges=n).orderBy("merge_rank").collect()
+    ]
+
+
+def test_bpe_train_matches_hand_computed(spark):
+    # vocab: low(2) lower(1) lowest(1) -> pairs round 1:
+    #   (l,o)=4 (o,w)=4 (w,e)=2 (e,r)=1 (e,s)=1 (s,t)=1
+    # tie (l,o) vs (o,w) -> lexicographic: (l,o) wins; round 2 merges
+    # (lo,w)=4, round 3 (low,e)=2; round 4's pairs are (lowe,r)=1,
+    # (lowe,s)=1, (s,t)=1 -> lexicographic tie-break picks (lowe,r).
+    got = _train(spark, ["low low lower lowest"], 4)
+    assert got == [
+        (1, "l", "o", 4),
+        (2, "lo", "w", 4),
+        (3, "low", "e", 2),
+        (4, "lowe", "r", 1),
+    ]
+
+
+def test_bpe_train_early_stop_when_fully_merged(spark):
+    # single 2-letter word: one merge exhausts every pair
+    got = _train(spark, ["ab ab ab"], 5)
+    assert got == [(1, "a", "b", 3)]
+
+
+def test_bpe_train_counts_weight_by_word_frequency(spark):
+    # 'aa' x3 contributes (a,a)=3; 'aaa' x1 contributes (a,a)=2
+    got = _train(spark, ["aa aa aa aaa"], 1)
+    assert got == [(1, "a", "a", 5)]
+
+
+def test_bpe_train_rejects_nonpositive_merges(spark):
+    df = spark.createDataFrame([("x y",)], "text string")
+    with pytest.raises(ValueError):
+        bpe_train(df, n_merges=0)
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    df = spark.createDataFrame([("the them theme",)], "text string")
+    out = bpe_encode(df, [("t", "h"), ("th", "e")]).first()
+    assert out.bpe_tokens == ["the", "the", "m", "the", "m", "e"]
+    assert out.n_bpe_tokens == 6
+
+
+def test_bpe_encode_accepts_trained_merges_dataframe(spark):
+    df = spark.createDataFrame([("low low lower lowest",)], "text string")
+    merges = bpe_train(df, n_merges=3)
+    out = bpe_encode(df, merges).first()
+    # merges: l+o, lo+w, low+e -> 'lower' = lowe|r, 'lowest' = lowe|s|t
+    assert out.bpe_tokens == ["low", "low", "lowe", "r", "lowe", "s", "t"]
+
+
+def test_bpe_encode_concatenation_recovers_words(spark):
+    # lossless-ness: per document, joining the tokens gives back exactly
+    # the lowercased alphabetic words in order
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["The Cat-sat; ON a", "banana band ana"])],
+        "doc_id bigint, text string",
+    )
+    merges = bpe_train(df, n_merges=5)
+    enc = bpe_encode(df, merges).select(
+        "text", F.array_join("bpe_tokens", "").alias("joined")
+    )
+    import re
+
+    for r in enc.collect():
+        assert r.joined == "".join(re.findall("[a-z]+", r.text.lower()))
+
+
+def test_bpe_encode_plan_is_map_only(spark):
+    df = spark.createDataFrame([("some text here",)], "text string")
+    plan = bpe_encode(df, [("t", "e"), ("te", "x")])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_bpe_train_one_round_agrees_with_pair_counts(spark, sf_dir):
+    # the first learned merge must be the argmax of text.bpe_pair_counts
+    from siddhi_io_cdc_spark.functions.text import bpe_pair_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    top = bpe_pair_counts(docs, top_n=1).first()
+    first = bpe_train(docs, n_merges=1).first()
+    assert (first.left, first.right, first.pair_count) == (
+        top.left,
+        top.right,
+        top.pair_count,
+    )
