@@ -510,6 +510,43 @@ def q_bpe_pairs(spark, sf_dir):
     return bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
 
 
+def _pq_query_vec(dim: int = 64, seed: int = 7):
+    """Deterministic literal query vector for the PQ contract query (unit-
+    normalized, so ADC distances land in the same range as the corpus)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    q = rs.randn(dim)
+    q = q / np.linalg.norm(q)
+    return [float(x) for x in q]
+
+
+def q_pq_encode(spark, sf_dir):
+    """Product quantization encode (Jégou et al. 2011): 8 subspaces x 16
+    centroids over the 64-dim embeddings — 32x compression of a float32
+    corpus. Map-only codegen folds over literal codebooks; the oracle
+    restates the per-subspace argmin with list_dot_product."""
+    from siddhi_io_cdc_spark.functions.similarity import pq_codebooks, pq_encode
+
+    cb = pq_codebooks(64, m=8, k=16)
+    return pq_encode(_emb(spark, sf_dir), cb).select(
+        "vec_id",
+        F.array_join(
+            F.transform("pq_code", lambda x: x.cast("string")), " "
+        ).alias("pq_code_str"),
+    )
+
+
+def q_pq_topk(spark, sf_dir):
+    """ADC top-10 for a literal query vector: the corpus is scored through
+    its 8-byte PQ codes via a literal m x k lookup table — the scan that
+    stays memory-bandwidth-bound at 100 TB."""
+    from siddhi_io_cdc_spark.functions.similarity import pq_codebooks, pq_topk
+
+    cb = pq_codebooks(64, m=8, k=16)
+    return pq_topk(_emb(spark, sf_dir), _pq_query_vec(), cb, k=10)
+
+
 #: Fixed merge table for the encode contract query — common English merges,
 #: literal in BOTH the Spark query and the oracle (the trained path is
 #: exercised by llm_bpe_train + the pytest DataFrame round-trip).
@@ -1584,6 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_distinctive_terms": q_distinctive_terms,
         "llm_bpe_train": q_bpe_train,
         "llm_bpe_encode": q_bpe_encode,
+        "llm_pq_encode": q_pq_encode,
+        "llm_pq_topk": q_pq_topk,
     }
 
 
@@ -1640,6 +1679,77 @@ def _ann_cosine_oracle_sql() -> str:
 
 
 _ANN_COSINE_SQL = _ann_cosine_oracle_sql()
+
+
+def _pq_oracle_ctes() -> str:
+    """Shared CTEs for the PQ oracles: per-subspace distance arrays (the
+    same shifted dot identity as similarity._pq_subspace_dists — ``||c||^2
+    - s.c - s.c`` with the row-constant ``||s||^2`` dropped) and the
+    argmin codes. Literal centroid norms repr-round-trip; the only cross-
+    engine fp divergence is list_dot_product summation order (~1e-15)
+    against measured sf0.01 argmin margins >= 5.2e-06."""
+    from siddhi_io_cdc_spark.functions.similarity import pq_codebooks
+
+    cb = pq_codebooks(64, m=8, k=16)
+    m, _k, d = cb.shape
+    dist_cols = []
+    for j in range(m):
+        sub = f"e[{j * d + 1}:{j * d + d}]"
+        exprs = []
+        for c in cb[j]:
+            lits = ", ".join(repr(float(x)) for x in c)
+            cc = repr(float(sum(float(x) * float(x) for x in c)))
+            dot = f"list_dot_product({sub}, [{lits}]::DOUBLE[])"
+            exprs.append(f"CAST({cc} AS DOUBLE) - {dot} - {dot}")
+        dist_cols.append(f"[{', '.join(exprs)}] AS d{j}")
+    code_cols = ", ".join(
+        f"CAST(list_position(d{j}, list_min(d{j})) - 1 AS BIGINT) AS c{j}"
+        for j in range(m)
+    )
+    return f"""
+      v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      d AS (SELECT vec_id, {', '.join(dist_cols)} FROM v),
+      codes AS (SELECT vec_id, {code_cols} FROM d)"""
+
+
+def _pq_encode_oracle_sql() -> str:
+    m = 8
+    arr = ", ".join(f"c{j}" for j in range(m))
+    return f"""
+      WITH {_pq_oracle_ctes()}
+      SELECT vec_id, array_to_string([{arr}], ' ') AS pq_code_str
+      FROM codes"""
+
+
+def _pq_topk_oracle_sql() -> str:
+    """ADC score: the literal lookup table is computed with the SAME
+    left-to-right Python sums as similarity.pq_topk, so every lut entry is
+    literal-identical in both engines and the rounded sum is bit-exact."""
+    from siddhi_io_cdc_spark.functions.similarity import pq_codebooks
+
+    cb = pq_codebooks(64, m=8, k=16)
+    m, _k, d = cb.shape
+    q = _pq_query_vec()
+    terms = []
+    for j in range(m):
+        lut = [
+            repr(
+                float(
+                    sum(
+                        (float(q[j * d + t]) - float(cb[j][c][t])) ** 2
+                        for t in range(d)
+                    )
+                )
+            )
+            for c in range(len(cb[j]))
+        ]
+        terms.append(
+            f"list_extract([{', '.join(lut)}]::DOUBLE[], CAST(c{j} + 1 AS INT))"
+        )
+    return f"""
+      WITH {_pq_oracle_ctes()}
+      SELECT vec_id, round({' + '.join(terms)}, 6) AS approx_dist
+      FROM codes ORDER BY approx_dist, vec_id LIMIT 10"""
 
 
 def _bpe_vocab_cte() -> str:
@@ -3135,4 +3245,10 @@ def _oracle_sql_dict() -> dict[str, str]:
         # list_transform. Counts CAST to BIGINT (DuckDB sum() -> HUGEINT).
         "llm_bpe_train": _bpe_train_oracle_sql(6),
         "llm_bpe_encode": _bpe_encode_oracle_sql(BPE_FIXED_MERGES),
+        # llm_pq_encode / llm_pq_topk: product quantization restated with
+        # literal codebooks — per-subspace argmin via list_position of the
+        # min over shifted-dot distance arrays, ADC via a literal m x k
+        # lookup table (left-to-right Python sums, identical in Spark).
+        "llm_pq_encode": _pq_encode_oracle_sql(),
+        "llm_pq_topk": _pq_topk_oracle_sql(),
     }

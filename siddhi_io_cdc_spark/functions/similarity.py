@@ -798,3 +798,174 @@ def label_centroids(
         for i in range(dim)
     ]
     return out.select(label_col, "n_vectors", *means)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): compress embeddings to m
+# subspace codes, score with asymmetric distance (ADC). The 100 TB story:
+# a 64-dim float32 embedding is 256 bytes; its PQ8x16 code is 8 bytes — a
+# 32x compression that turns an exhaustive ADC scan into a memory-
+# bandwidth-bound pass over codes, and composes with the IVF layout
+# (write_ivf_index) for sublinear probes. Everything below is pure
+# DataFrame expressions over literal codebooks — no UDF, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(dim: int, m: int = 8, k: int = 16, seed: int = 42):
+    """Deterministic pseudo-codebooks: ``(m x k x dim/m)`` from a seeded
+    RandomState, element scale ``1/sqrt(dim)`` (the element scale of a
+    unit-normalized embedding). The hash-stable default for oracle-checked
+    queries — for real quantization error train with :func:`pq_train`."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    rs = np.random.RandomState(seed)
+    return rs.randn(m, k, dim // m) / np.sqrt(dim)
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_fraction: float | None = None,
+):
+    """Train PQ codebooks: an independent distributed k-means per subspace
+    over the sliced subvectors (the classic PQ trainer). Returns
+    ``(m x k x dim/m)``.
+
+    At 100 TB train on a sample (``sample_fraction``) — codebook quality
+    saturates long before the full corpus, and the m fits each cluster
+    ``dim/m``-dimensional points, so training cost is independent of the
+    full corpus size once sampled."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = first["d"]
+    if dim % m:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    d_sub = dim // m
+    base = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    if sample_fraction is not None:
+        base = base.sample(sample_fraction, seed)
+    base = base.persist()
+    try:
+        books = []
+        for j in range(m):
+            data = base.select(
+                array_to_vector(F.slice(F.col("__v"), j * d_sub + 1, d_sub)).alias(
+                    "features"
+                )
+            )
+            model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(data)
+            books.append(np.array([np.asarray(c) for c in model.clusterCenters()]))
+    finally:
+        base.unpersist()
+    return np.stack(books)
+
+
+def _pq_subspace_dists(sub: Column, book) -> Column:
+    """Distances of a subvector to one subspace's k centroids, via the dot
+    identity ``||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2`` with the row-constant
+    ``||s||^2`` dropped — it shifts every distance equally, so the argmin
+    (and all distance ORDER) is unchanged. ``||c||^2`` enters as a literal
+    (bit-identical in any engine); the dots are the same JVM folds the
+    oracle restates with ``list_dot_product``. Cross-engine fp summation
+    order could differ only ~1e-15 against centroid-gap margins of ~1e-2,
+    so the argmin is stable (same argument as the ANN sign margins)."""
+    sq_norms = [float(sum(float(x) * float(x) for x in c)) for c in book]
+    return F.zip_with(
+        _dots_against(sub, book),
+        F.lit(sq_norms),
+        lambda sc, cc: cc - sc - sc,
+    )
+
+
+def pq_assign(vec_col: Column, codebooks) -> Column:
+    """PQ code array for one vector: per subspace, the index of the nearest
+    centroid (lowest index on exact ties — ``array_position`` of the min,
+    the same linear-tree argmin as :func:`ivf_assign`)."""
+    m, _k, d_sub = (
+        len(codebooks),
+        len(codebooks[0]),
+        len(codebooks[0][0]),
+    )
+    v = vec_col.cast("array<double>")
+    codes = []
+    for j in range(m):
+        dists = _pq_subspace_dists(F.slice(v, j * d_sub + 1, d_sub), codebooks[j])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("bigint"))
+    return F.array(*codes)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append the PQ code column (``array<bigint>`` of length m) — a narrow
+    map-only projection (codegen folds over literal codebooks), so encoding
+    100 TB costs one scan and the stored codes are 32x smaller than the
+    float32 vectors they replace."""
+    return df.withColumn(out_col, pq_assign(F.col(vec_col), codebooks))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    codebooks,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays a float vector, the
+    corpus is scored through its PQ codes via a per-subspace lookup table
+    computed driver-side (``m x k`` floats — a scalar artifact, not a data
+    path). ``approx_dist`` is the full squared L2 estimate
+    ``sum_j ||q_j - c_{code_j}||^2``, rounded to 6.
+
+    Pass ``code_col`` to score a PRE-ENCODED corpus (the 100 TB layout:
+    codes stored at ingest, the float column never read at query time —
+    the scan is 32x lighter); otherwise codes are computed on the fly.
+    ``orderBy + limit`` executes as TakeOrdered (per-partition top-k, no
+    global sort)."""
+    m, _kc, d_sub = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    # left-to-right Python sums == the SQL '+' chains the oracle uses, so
+    # the table is literal-identical in both engines
+    lut = [
+        [
+            float(
+                sum(
+                    (float(query_vec[j * d_sub + t]) - float(codebooks[j][c][t])) ** 2
+                    for t in range(d_sub)
+                )
+            )
+            for c in range(len(codebooks[j]))
+        ]
+        for j in range(m)
+    ]
+    if code_col is None:
+        scored = pq_encode(df, codebooks, vec_col=vec_col, out_col="__pq")
+        code_col = "__pq"
+    else:
+        scored = df
+    dist = None
+    for j in range(m):
+        term = F.element_at(F.lit(lut[j]), (F.element_at(F.col(code_col), j + 1) + 1).cast("int"))
+        dist = term if dist is None else dist + term
+    return (
+        scored.select(F.col(id_col), F.round(dist, 6).alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
