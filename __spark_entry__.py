@@ -521,6 +521,23 @@ def _pq_query_vec(dim: int = 64, seed: int = 7):
     return [float(x) for x in q]
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Distill a teacher rule into a linear quality model by batch gradient
+    descent (10 iterations, each one corpus aggregate + a 6-number driver
+    collect), then score every document — training AND inference exactly
+    restated by the oracle's chained iteration CTEs."""
+    from siddhi_io_cdc_spark.functions.classifier import (
+        apply_quality_classifier,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir)
+    model = train_quality_classifier(docs)
+    return apply_quality_classifier(docs, model).select(
+        "doc_id", "quality_prob", "quality_keep"
+    )
+
+
 def q_pq_encode(spark, sf_dir):
     """Product quantization encode (Jégou et al. 2011): 8 subspaces x 16
     centroids over the 64-dim embeddings — 32x compression of a float32
@@ -1623,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bpe_encode": q_bpe_encode,
         "llm_pq_encode": q_pq_encode,
         "llm_pq_topk": q_pq_topk,
+        "llm_quality_classifier": q_quality_classifier,
     }
 
 
@@ -1679,6 +1697,76 @@ def _ann_cosine_oracle_sql() -> str:
 
 
 _ANN_COSINE_SQL = _ann_cosine_oracle_sql()
+
+
+def _quality_classifier_oracle_sql(n_iters: int = 10, lr: float = 1.5) -> str:
+    """Chained-CTE restatement of classifier.train_quality_classifier +
+    apply: features -> moments -> standardization -> one gradient CTE and
+    one weight CTE per iteration -> scoring. Per-row math is exact IEEE
+    (rational fast sigmoid, no exp); every aggregate-derived scalar rounds
+    to 9 decimals, so both engines start each iteration from identical
+    weights and the ~1e-13 summation-order noise cannot compound."""
+    from siddhi_io_cdc_spark.functions.text import GOPHER_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    feat_sql = f"""
+      base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS W,
+               CAST(greatest(length(text), 1) AS DOUBLE) AS nc, text
+        FROM documents),
+      lab AS (
+        SELECT doc_id, f1, f2, f3, f4, f5,
+               CASE WHEN f1 >= 60 AND f3 >= 0.02 THEN 1.0 ELSE 0.0 END AS y
+        FROM (
+          SELECT doc_id,
+            CAST(len(W) AS DOUBLE) AS f1,
+            CASE WHEN len(W) > 0
+                 THEN CAST(list_sum(list_transform(W, w -> length(w)))
+                           AS DOUBLE) / CAST(len(W) AS DOUBLE)
+                 ELSE 0.0 END AS f2,
+            CAST(len(list_filter(W, w -> w IN ({stops}))) AS DOUBLE)
+              / greatest(CAST(len(W) AS DOUBLE), 1.0) AS f3,
+            CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / nc AS f4,
+            CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE) / nc
+              AS f5
+          FROM base)),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+      mo AS (SELECT {', '.join(
+        f'sum(f{i}) AS s{i}, sum(f{i}*f{i}) AS q{i}' for i in range(1, 6))}
+        FROM lab),
+      st AS (SELECT {', '.join(
+        f'''round(s{i}/n, 9) AS m{i},
+            CASE WHEN sd{i} = 0.0 THEN 1.0 ELSE sd{i} END AS sc{i}'''
+        for i in range(1, 6))}
+        FROM (SELECT *, {', '.join(
+          f'''CASE WHEN q{i}/n - round(s{i}/n, 9)*round(s{i}/n, 9) > 0
+               THEN round(sqrt(q{i}/n - round(s{i}/n, 9)*round(s{i}/n, 9)), 9)
+               ELSE 0.0 END AS sd{i}''' for i in range(1, 6))}
+          FROM mo, nn)),
+      x AS MATERIALIZED (SELECT doc_id, y, {', '.join(
+        f'(f{i} - m{i})/sc{i} AS x{i}' for i in range(1, 6))}
+        FROM lab, st)"""
+    z = "b + " + " + ".join(f"a{i}*x{i}" for i in range(1, 6))
+    sig = "0.5 + z/(2.0*(1.0 + abs(z)))"
+    iters = ["w0 AS (SELECT 0.0 AS b, " + ", ".join(
+        f"0.0 AS a{i}" for i in range(1, 6)) + ")"]
+    for t in range(1, n_iters + 1):
+        iters.append(f"""
+      g{t} AS MATERIALIZED (
+        SELECT sum(p - y) AS g0, {', '.join(
+          f'sum((p - y)*x{i}) AS g{i}' for i in range(1, 6))}
+        FROM (SELECT y, {', '.join(f'x{i}' for i in range(1, 6))},
+                     {sig} AS p
+              FROM (SELECT *, {z} AS z FROM x, w{t - 1})))""")
+        iters.append(f"""
+      w{t} AS MATERIALIZED (SELECT round(b - {lr!r}*g0/n, 9) AS b, {', '.join(
+          f'round(a{i} - {lr!r}*g{i}/n, 9) AS a{i}' for i in range(1, 6))}
+        FROM w{t - 1}, g{t}, nn)""")
+    return f"""
+      WITH {feat_sql}, {', '.join(iters)}
+      SELECT doc_id, round(p, 6) AS quality_prob, p >= 0.5 AS quality_keep
+      FROM (SELECT doc_id, {sig} AS p
+            FROM (SELECT doc_id, {z} AS z FROM x, w{n_iters}))"""
 
 
 def _pq_oracle_ctes() -> str:
@@ -3251,4 +3339,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         # lookup table (left-to-right Python sums, identical in Spark).
         "llm_pq_encode": _pq_encode_oracle_sql(),
         "llm_pq_topk": _pq_topk_oracle_sql(),
+        # llm_quality_classifier: the gradient-descent trainer restated as
+        # one CTE pair per iteration; see _quality_classifier_oracle_sql.
+        "llm_quality_classifier": _quality_classifier_oracle_sql(),
     }
