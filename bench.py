@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     "llm_c4_filters",
     "llm_video_frames",
     "llm_payload_embedding",
+    "llm_bpe_train",
+    "llm_bpe_encode",
+    "llm_pq_encode",
+    "llm_pq_topk",
+    "llm_quality_classifier",
 ]
 
 

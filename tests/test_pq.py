@@ -91,3 +91,31 @@ def test_pq_encode_plan_is_map_only(emb):
         pq_encode(emb, CB)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_pq_topk_rerank_matches_numpy_two_stage(emb):
+    rows = pq_encode(emb, CB).select("vec_id", "embedding", "pq_code").collect()
+    q = rows[3].embedding
+    qv = np.asarray(q, dtype=np.float64)
+    lut = np.stack([((CB[j] - qv[j * 8 : (j + 1) * 8]) ** 2).sum(axis=1) for j in range(8)])
+    adc = {r.vec_id: (float(sum(lut[j][r.pq_code[j]] for j in range(8))), r.vec_id) for r in rows}
+    short = sorted(adc, key=lambda i: adc[i])[:50]
+    by_id = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    exact = sorted(short, key=lambda i: (((by_id[i] - qv) ** 2).sum(), i))[:10]
+    got = [r.vec_id for r in pq_topk(emb, q, CB, k=10, rerank=50).collect()]
+    assert got == exact
+
+
+def test_pq_topk_rerank_improves_recall(emb):
+    rows = [(r.vec_id, np.asarray(r.embedding, dtype=np.float64)) for r in emb.collect()]
+    q = rows[7][1]
+    truth = {i for i, _ in sorted(rows, key=lambda t: (((t[1] - q) ** 2).sum(), t[0]))[:10]}
+    plain = {r.vec_id for r in pq_topk(emb, list(q), CB, k=10).collect()}
+    rr = {r.vec_id for r in pq_topk(emb, list(q), CB, k=10, rerank=200).collect()}
+    assert len(rr & truth) >= len(plain & truth)
+
+
+def test_pq_topk_rerank_guard(emb):
+    q = [0.0] * 64
+    with pytest.raises(ValueError):
+        pq_topk(emb, q, CB, k=10, rerank=5)
