@@ -1002,3 +1002,134 @@ def pq_topk(
         .orderBy(F.col("exact_dist").asc(), F.col(id_col))
         .limit(k)
     )
+
+
+def write_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 16,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids=None,
+    codebooks=None,
+    mode: str = "overwrite",
+):
+    """Materialize the IVFADC layout (Jégou et al. 2011 §IV) — the standard
+    billion-scale vector index: rows cell-PARTITIONED by coarse centroid
+    (partition-pruned probes, like :func:`write_ivf_index`) and carrying
+    their PQ code column (column-pruned ADC scans — the probe reads
+    ``pq_code`` bytes only, 32x less than the float vectors). Both
+    codebooks are stored alongside the data through the Hadoop FS API, so
+    the layout works on any Spark-readable path. Returns
+    ``(centroids, codebooks)``."""
+    import json
+
+    if centroids is None or codebooks is None:
+        dim = len(df.select(vec_col).first()[0])
+        if centroids is None:
+            centroids = ivf_centroids(dim, nlist, seed)
+        if codebooks is None:
+            codebooks = pq_codebooks(dim, m=pq_m, k=pq_k, seed=seed)
+    assigned = df.withColumn("cell", ivf_assign(F.col(vec_col), centroids)).withColumn(
+        "pq_code", pq_assign(F.col(vec_col), codebooks)
+    )
+    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+    spark = df.sparkSession
+    _hadoop_write_text(
+        spark,
+        path.rstrip("/") + "/_ivf_centroids.json",
+        json.dumps([[float(x) for x in c] for c in centroids]),
+    )
+    _hadoop_write_text(
+        spark,
+        path.rstrip("/") + "/_pq_codebooks.json",
+        json.dumps([[[float(x) for x in c] for c in book] for book in codebooks]),
+    )
+    return centroids, codebooks
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC probe over a :func:`write_ivfpq_index` layout, the full
+    production read path:
+
+    1. coarse probe — ``cell IN (<nprobe nearest>)`` partition filter, so
+       only the probed cells' directories open;
+    2. ADC shortlist — scores the ``(id, pq_code)`` projection (column
+       pruning: the float vectors are NOT read) against the query's lookup
+       table; TakeOrdered keeps ``rerank`` candidates;
+    3. exact re-rank — a second, id-filtered read of the SAME probed
+       partitions fetches just the shortlist's vectors for exact L2.
+
+    Total I/O: codes of nprobe/nlist of the corpus + ``rerank`` float
+    vectors — independent of corpus size beyond the probed cells. The
+    shortlist id handoff is a bounded collect (``rerank`` scalars) so the
+    second scan gets a pushable ``id IN (...)`` literal filter (a broadcast
+    join cannot reach PartitionFilters/PushedFilters here — see the
+    streaming/dedup.py DPP note)."""
+    import json
+
+    import numpy as np
+
+    base = path.rstrip("/")
+    centroids = np.array(
+        json.loads(_hadoop_read_text(spark, base + "/_ivf_centroids.json"))
+    )
+    codebooks = np.array(
+        json.loads(_hadoop_read_text(spark, base + "/_pq_codebooks.json"))
+    )
+    qv = np.asarray(query_vec, dtype=float)
+    probe_lists = np.argsort(-(centroids @ qv), kind="stable")[:nprobe].tolist()
+    m, _kc, d_sub = codebooks.shape
+
+    cells = spark.read.parquet(path).where(F.col("cell").isin(probe_lists))
+    lut = [
+        [
+            float(
+                sum(
+                    (float(query_vec[j * d_sub + t]) - float(codebooks[j][c][t])) ** 2
+                    for t in range(d_sub)
+                )
+            )
+            for c in range(len(codebooks[j]))
+        ]
+        for j in range(m)
+    ]
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.lit(lut[j]), (F.element_at(F.col("pq_code"), j + 1) + 1).cast("int")
+        )
+        dist = term if dist is None else dist + term
+    shortlist = (
+        cells.select(F.col(id_col), F.round(dist, 6).alias("approx_dist"))
+        .orderBy(F.col("approx_dist").asc(), F.col(id_col))
+        .limit(max(rerank, k))
+    )
+    # bounded collect: exactly rerank ids (the shortlist), never data
+    ids = [r[id_col] for r in shortlist.collect()]
+    qlit = F.lit([float(x) for x in query_vec])
+    exact = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"), qlit, lambda x, q: (x - q) * (x - q)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cells.where(F.col(id_col).isin(ids))
+        .select(F.col(id_col), F.round(exact, 6).alias("exact_dist"))
+        .orderBy(F.col("exact_dist").asc(), F.col(id_col))
+        .limit(k)
+    )
