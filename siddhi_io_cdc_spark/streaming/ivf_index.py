@@ -113,6 +113,22 @@ def apply_changelog_ivf(
     if batch_id is not None and _hadoop_exists(spark, _marker_path(index_path, batch_id)):
         return
     centroids = load_codebook(spark, index_path)
+    # IVFADC layouts (write_ivfpq_index) carry a pq_code column; stamp the
+    # batch's after images with their codes BEFORE the merge so upserted
+    # rows stay ADC-scorable — a narrow O(batch) projection (surviving
+    # target rows keep their stored codes; codes depend only on the vector
+    # and the stored codebooks, which are not retrained here).
+    pq_path = index_path.rstrip("/") + "/_pq_codebooks.json"
+    if _hadoop_exists(spark, pq_path):
+        from siddhi_io_cdc_spark.functions.similarity import pq_assign
+
+        codebooks = json.loads(_hadoop_read_text(spark, pq_path))
+        batch_df = batch_df.withColumn(
+            "pq_code",
+            F.when(
+                F.col(op_col) != "delete", pq_assign(F.col(vec_col), codebooks)
+            ),
+        )
     before_vec = f"before_{vec_col}"
     has_old_image = before_vec in batch_df.columns
     moving_ops = ("update", "delete")

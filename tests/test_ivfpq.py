@@ -94,3 +94,73 @@ def test_stored_cells_match_ivf_assign(spark, index):
     )
     bad = stored.join(recomputed, "vec_id").where(F.col("cell") != F.col("cell2"))
     assert bad.count() == 0
+
+
+def test_changelog_maintains_pq_codes(spark, tmp_path):
+    """apply_changelog_ivf on an IVFADC layout: upserts get fresh codes,
+    survivors keep theirs, probe parity with a fresh rebuild holds."""
+    from siddhi_io_cdc_spark.functions.similarity import pq_assign
+    from siddhi_io_cdc_spark.streaming.ivf_index import apply_changelog_ivf
+
+    DIM = 8
+
+    def vecs(lo, hi, gen=0):
+        return spark.range(lo, hi).selectExpr(
+            "id AS vec_id",
+            f"transform(sequence(1, {DIM}), j -> "
+            f"CAST((hash(id, j, {gen}) % 1000) / 250.0 AS FLOAT)) AS embedding",
+        )
+
+    path = str(tmp_path / "idx")
+    base = vecs(0, 40)
+    centroids, codebooks = write_ivfpq_index(
+        base, path, nlist=4, pq_m=4, pq_k=8
+    )
+
+    # changelog: update 0-9 (moved vectors), insert 40-44, delete 30-34
+    upd = vecs(0, 10, gen=1)
+    ins = vecs(40, 45)
+    old = base
+    ev_u = upd.join(
+        old.select(F.col("vec_id").alias("__b"), F.col("embedding").alias("before_embedding")),
+        upd.vec_id == F.col("__b"), "left",
+    ).drop("__b").select(
+        "vec_id", "embedding", F.lit("update").alias("operation"),
+        F.lit(2).cast("long").alias("ts_ms"), "before_embedding",
+    )
+    ev_i = ins.select(
+        "vec_id", "embedding", F.lit("insert").alias("operation"),
+        F.lit(2).cast("long").alias("ts_ms"),
+        F.lit(None).cast(f"array<float>").alias("before_embedding"),
+    )
+    ev_d = old.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 35)).select(
+        "vec_id",
+        F.expr(f"array_repeat(CAST(0.0 AS FLOAT), {DIM})").alias("embedding"),
+        F.lit("delete").alias("operation"), F.lit(2).cast("long").alias("ts_ms"),
+        F.col("embedding").alias("before_embedding"),
+    )
+    batch = ev_u.unionByName(ev_i).unionByName(ev_d)
+    apply_changelog_ivf(spark, path, batch, batch_id=1)
+
+    stored = spark.read.parquet(path)
+    assert stored.where(F.col("pq_code").isNull()).count() == 0
+    bad = stored.where(
+        F.col("pq_code") != pq_assign(F.col("embedding"), codebooks)
+    ).count()
+    assert bad == 0
+
+    # final logical state = base minus deletes, with updates/inserts applied
+    final = (
+        vecs(0, 10, gen=1)
+        .unionByName(vecs(10, 30))
+        .unionByName(vecs(35, 45))
+    )
+    fresh = str(tmp_path / "fresh")
+    write_ivfpq_index(
+        final, fresh, nlist=4, pq_m=4, pq_k=8,
+        centroids=centroids, codebooks=codebooks,
+    )
+    q = final.where(F.col("vec_id") == 42).first().embedding
+    a = probe_ivfpq_index(spark, path, q, k=5, nprobe=4, rerank=50).collect()
+    b = probe_ivfpq_index(spark, fresh, q, k=5, nprobe=4, rerank=50).collect()
+    assert a == b
