@@ -330,7 +330,11 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_lang_detect(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    from siddhi_io_cdc_spark.util import fan_out
+
+    # fan_out: the n-gram regex scoring is the CPU; a compact scan must
+    # not serialize it on row-group-count cores (no-op on wide inputs)
+    return fan_out(_docs(spark, sf_dir)).select(
         "doc_id", lang_detect(F.col("text")).alias("lang_pred")
     )
 
@@ -1433,7 +1437,9 @@ def q_pii_scrub(spark, sf_dir):
     """Training-data hygiene: markup strip then PII masking, over documents
     salted with deterministic synthetic markup/emails/phones/IPs (the raw
     fixture text has no PII, so the transforms must visibly fire)."""
-    docs = _docs(spark, sf_dir)
+    from siddhi_io_cdc_spark.util import fan_out
+
+    docs = fan_out(_docs(spark, sf_dir))  # widen before the regex chain
     did = F.col("doc_id").cast("string")
     dirty = F.concat(
         F.lit('<p class="x">'), F.col("text"),
