@@ -542,6 +542,28 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_tokenize_pipeline(spark, sf_dir):
+    """Composite flagship for the tokenizer family: train 6 BPE merges on
+    the corpus, encode the corpus with the LEARNED merges, pack the true
+    BPE token counts into 512-token training sequences (8 shards). One
+    corpus-derived model applied corpus-wide — the oracle restates
+    training via the chained merge CTEs and threads the learned pairs into
+    the encode chain as scalar subqueries, so the whole pipeline is exact."""
+    from siddhi_io_cdc_spark.functions.export import pack_sequences
+    from siddhi_io_cdc_spark.functions.tokenizer import bpe_encode, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    # bounded collect: the merge table (6 rows) is the trained model
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    enc = bpe_encode(docs, merges)
+    return pack_sequences(
+        enc, ctx_len=512, num_shards=8, tokens_col="n_bpe_tokens"
+    ).select("doc_id", "shard", "seq_id", "seq_offset", "n_tokens")
+
+
 def q_pq_encode(spark, sf_dir):
     """Product quantization encode (Jégou et al. 2011): 8 subspaces x 16
     centroids over the 64-dim embeddings — 32x compression of a float32
@@ -1647,6 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pq_encode": q_pq_encode,
         "llm_pq_topk": q_pq_topk,
         "llm_quality_classifier": q_quality_classifier,
+        "llm_tokenize_pipeline": q_tokenize_pipeline,
     }
 
 
@@ -1875,12 +1898,15 @@ def _bpe_train_oracle_sql(n_merges: int) -> str:
     the best pair of vocabulary ``v(i-1)`` and rewrites it with one literal
     ``replace`` — identical semantics to tokenizer.bpe_train because the
     ``(sym)`` delimiters make adjacent matches disjoint in both engines."""
-    ctes = [f"v0 AS ({_bpe_vocab_cte()})"]
+    # MATERIALIZED: v{i} is referenced by both b{i+1} and v{i+1}, so
+    # DuckDB's default inlining re-expands the vocabulary subtree 2^n
+    # times (measured 13.7 s -> ~2 s at n=6 when materialized)
+    ctes = [f"v0 AS MATERIALIZED ({_bpe_vocab_cte()})"]
     for i in range(1, n_merges + 1):
-        ctes.append(f"b{i} AS ({_bpe_best_pair_cte(f'v{i - 1}')})")
+        ctes.append(f"b{i} AS MATERIALIZED ({_bpe_best_pair_cte(f'v{i - 1}')})")
         if i < n_merges:
             ctes.append(
-                f"""v{i} AS (
+                f"""v{i} AS MATERIALIZED (
       SELECT replace(sym, '(' || b.l || ')(' || b.r || ')',
                      '(' || b.l || b.r || ')') AS sym, freq
       FROM v{i - 1}, b{i} b)"""
@@ -1908,6 +1934,52 @@ def _bpe_encode_oracle_sql(merges) -> str:
                  regexp_extract_all(lower(text), '[a-z]+'),
                  w -> string_split(trim({chain}, '()'), ')('))) AS toks
         FROM documents)"""
+
+
+def _tokenize_pipeline_oracle_sql(n_merges: int = 6) -> str:
+    """bpe_train CTEs -> encode with the LEARNED merges threaded in as
+    scalar subqueries -> pack_sequences cumulative-sum body. The learned
+    pair of round ``i`` enters the replace chain as
+    ``(SELECT l FROM b{i})`` — data-derived literals, exactly what the
+    Spark side bakes in after its bounded merge-table collect."""
+    train = _bpe_train_oracle_sql(n_merges)
+    ctes = train[len("WITH ") : train.index("\nSELECT")]
+    # train's final SELECT (the UNION of b-rows) is replaced by the
+    # encode + pack body; keep only its CTE chain
+    # DuckDB forbids subqueries inside lambdas, so the learned pairs are
+    # cross-joined into the row as columns (m is a single row) and the
+    # lambda captures them as plain outer-column references
+    chain = r"regexp_replace(w, '(.)', '(\1)', 'g')"
+    for i in range(1, n_merges + 1):
+        chain = (
+            f"replace({chain}, '(' || l{i} || ')(' || r{i} || ')', "
+            f"'(' || l{i} || r{i} || ')')"
+        )
+    pairs = ", ".join(
+        f"b{i}.l AS l{i}, b{i}.r AS r{i}" for i in range(1, n_merges + 1)
+    )
+    froms = ", ".join(f"b{i}" for i in range(1, n_merges + 1))
+    return f"""
+      WITH {ctes},
+      m AS MATERIALIZED (SELECT {pairs} FROM {froms}),
+      enc AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(len(flatten(list_transform(
+                 regexp_extract_all(lower(text), '[a-z]+'),
+                 w -> string_split(trim({chain}, '()'), ')(')))) AS BIGINT)
+                 AS n_tokens,
+               {_STABLE_HASH} % 8 AS shard
+        FROM documents, m),
+      c AS (
+        SELECT doc_id, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM enc)
+      SELECT doc_id, shard,
+             CAST(floor(cum / 512.0) AS BIGINT) AS seq_id,
+             CAST(cum % 512 AS BIGINT) AS seq_offset, n_tokens
+      FROM c"""
 
 
 def _rag_pipeline_oracle_sql() -> str:
@@ -3348,4 +3420,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         # llm_quality_classifier: the gradient-descent trainer restated as
         # one CTE pair per iteration; see _quality_classifier_oracle_sql.
         "llm_quality_classifier": _quality_classifier_oracle_sql(),
+        # llm_tokenize_pipeline: train -> encode -> pack composed; the
+        # learned merges enter the encode chain as scalar subqueries.
+        "llm_tokenize_pipeline": _tokenize_pipeline_oracle_sql(),
     }

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "llm_pq_encode",
     "llm_pq_topk",
     "llm_quality_classifier",
+    "llm_tokenize_pipeline",
 ]
 
 
