@@ -542,6 +542,18 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5 denoising prep: block-grid span corruption (exact rate 3/20,
+    non-overlapping by construction, every position a pure function of
+    (doc_id, block) through the portable md5 hash) — map-only, and the
+    whole sentinel/input/target assembly restates in SQL."""
+    from siddhi_io_cdc_spark.functions.export import span_corruption
+
+    return span_corruption(_docs(spark, sf_dir)).select(
+        "doc_id", "input_text", "target_text", "n_masked"
+    )
+
+
 def q_tokenize_pipeline(spark, sf_dir):
     """Composite flagship for the tokenizer family: train 6 BPE merges on
     the corpus, encode the corpus with the LEARNED merges, pack the true
@@ -1670,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_pq_topk": q_pq_topk,
         "llm_quality_classifier": q_quality_classifier,
         "llm_tokenize_pipeline": q_tokenize_pipeline,
+        "llm_span_corruption": q_span_corruption,
     }
 
 
@@ -1680,6 +1693,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 _M = "(event_id % 10)"
+
+#: Span start inside block bi (0-based): portable md5 hash mod the legal
+#: start range — restates export.span_corruption's per-block draw.
+_SPAN_START = (
+    "(CAST(('0x' || substr(md5('0' || chr(31) || CAST(doc_id AS VARCHAR) "
+    "|| chr(31) || CAST(bi AS VARCHAR)), 1, 15)) AS BIGINT) "
+    "% (len(toks[bi*20+1 : least((bi+1)*20, len(toks))]) - 3 + 1))"
+)
 
 #: DuckDB restatement of functions.export.stable_hash(doc_id, seed=0):
 #: 60-bit BIGINT from the first 15 hex digits of md5('0' || 0x1f || id).
@@ -3423,4 +3444,38 @@ def _oracle_sql_dict() -> dict[str, str]:
         # llm_tokenize_pipeline: train -> encode -> pack composed; the
         # learned merges enter the encode chain as scalar subqueries.
         "llm_tokenize_pipeline": _tokenize_pipeline_oracle_sql(),
+        # llm_span_corruption: block-grid T5 masking — per block the md5
+        # start offset, sentinel insertion, and span extraction restate as
+        # list slices inside one list_transform (no sequential state).
+        "llm_span_corruption": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(ceil(len(toks) / 20.0) AS INT)
+                          ELSE 0 END AS nb
+              FROM t)
+            SELECT doc_id,
+              array_to_string(flatten(list_transform(range(nb), bi ->
+                CASE WHEN len(toks[bi*20+1 : least((bi+1)*20, len(toks))]) >= 3
+                     THEN toks[bi*20+1 : bi*20 + CAST({_SPAN_START} AS INT)]
+                          || ['<extra_id_' || CAST(bi AS VARCHAR) || '>']
+                          || toks[bi*20 + CAST({_SPAN_START} AS INT) + 4
+                                  : least((bi+1)*20, len(toks))]
+                     ELSE toks[bi*20+1 : least((bi+1)*20, len(toks))]
+                END)), ' ') AS input_text,
+              array_to_string(flatten(list_transform(range(nb), bi ->
+                CASE WHEN len(toks[bi*20+1 : least((bi+1)*20, len(toks))]) >= 3
+                     THEN ['<extra_id_' || CAST(bi AS VARCHAR) || '>']
+                          || toks[bi*20 + CAST({_SPAN_START} AS INT) + 1
+                                  : bi*20 + CAST({_SPAN_START} AS INT) + 3]
+                     ELSE []
+                END)), ' ') AS target_text,
+              CAST(len(list_filter(range(nb), bi ->
+                len(toks[bi*20+1 : least((bi+1)*20, len(toks))]) >= 3))
+                AS BIGINT) AS n_masked
+            FROM g""",
     }

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "llm_pq_topk",
     "llm_quality_classifier",
     "llm_tokenize_pipeline",
+    "llm_span_corruption",
 ]
 
 

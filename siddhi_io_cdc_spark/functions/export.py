@@ -581,3 +581,94 @@ def temperature_mixture(
     return mixture_sample(
         df, weights, domain_col=domain_col, id_col=id_col, seed=seed, scale=scale
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    span_len: int = 3,
+    block_len: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """T5-style span-corruption prep (Raffel et al. 2020 §3.1.4): mask
+    token spans with ``<extra_id_k>`` sentinels, emit the denoising
+    ``(input_text, target_text)`` pair per document.
+
+    Deterministic block-grid variant: positions tile into consecutive
+    ``block_len``-token blocks; each block long enough masks exactly ONE
+    ``span_len`` span at a hash-derived offset. Corruption rate is exactly
+    ``span_len / block_len``, spans never overlap by construction, and
+    every position's fate is a pure function of ``(doc_id, block)`` — so
+    the whole transform is map-only (no sequential sampling state, unlike
+    the paper's iid draw) and restates exactly in SQL via the portable
+    md5 hash. The token array is staged as a real column first: expression
+    subtrees captured in ``transform`` lambdas re-evaluate PER ELEMENT,
+    so an inlined tokenizer would re-run once per block (the measured
+    n-gram-ladder pitfall).
+
+    Scale: one narrow projection — no shuffle, no Python, no driver state;
+    corrupting 100 TB is a map-only pass like chunking.
+    """
+    if span_len <= 0 or block_len < span_len:
+        raise ValueError(
+            f"need 0 < span_len <= block_len (got {span_len}, {block_len})"
+        )
+    from siddhi_io_cdc_spark.functions.text import TOKEN_RE
+
+    staged = df.withColumn(
+        "__toks", F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    nblocks = F.ceil(n / F.lit(block_len)).cast("int")
+    bseq = F.when(n > 0, F.sequence(F.lit(0), nblocks - 1)).otherwise(
+        F.lit([]).cast("array<int>")
+    )
+    L = F.lit(span_len)
+
+    def block_parts(b):
+        bt = F.slice(toks, b * block_len + 1, block_len)
+        s_b = F.size(bt)
+        h = F.conv(
+            F.md5(
+                F.concat_ws(
+                    _HASH_SEP,
+                    F.lit(str(seed)),
+                    F.col(id_col).cast("string"),
+                    b.cast("string"),
+                )
+            ).substr(1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        start = (h % (s_b - L + 1)).cast("int")
+        sentinel = F.concat(F.lit("<extra_id_"), b.cast("string"), F.lit(">"))
+        inp = F.when(
+            s_b >= L,
+            F.concat(
+                F.slice(bt, 1, start),
+                F.array(sentinel),
+                F.slice(bt, start + L + 1, s_b - start - L),
+            ),
+        ).otherwise(bt)
+        tgt = F.when(
+            s_b >= L, F.concat(F.array(sentinel), F.slice(bt, start + 1, L))
+        ).otherwise(F.lit([]).cast("array<string>"))
+        return inp, tgt
+
+    input_text = F.array_join(
+        F.flatten(F.transform(bseq, lambda b: block_parts(b)[0])), " "
+    )
+    target_text = F.array_join(
+        F.flatten(F.transform(bseq, lambda b: block_parts(b)[1])), " "
+    )
+    n_masked = F.size(
+        F.filter(bseq, lambda b: F.size(F.slice(toks, b * block_len + 1, block_len)) >= L)
+    )
+    return (
+        staged.withColumn("input_text", input_text)
+        .withColumn("target_text", target_text)
+        .withColumn("n_masked", n_masked.cast("bigint"))
+        .drop("__toks")
+    )

@@ -98,3 +98,86 @@ def test_bpe_train_one_round_agrees_with_pair_counts(spark, sf_dir):
         top.right,
         top.pair_count,
     )
+
+
+# --- span corruption (export.py) -------------------------------------------
+
+
+def test_span_corruption_matches_reference(spark):
+    import hashlib
+    import re
+
+    from siddhi_io_cdc_spark.functions.export import span_corruption
+    from siddhi_io_cdc_spark.functions.text import TOKEN_RE
+
+    def ref(doc_id, text, L=3, B=20, seed=0):
+        toks = re.findall(TOKEN_RE, text.lower())
+        inp, tgt = [], []
+        for b in range((len(toks) + B - 1) // B if toks else 0):
+            bt = toks[b * B : (b + 1) * B]
+            if len(bt) >= L:
+                pre = f"{seed}\x1f{doc_id}\x1f{b}"
+                h = int(hashlib.md5(pre.encode()).hexdigest()[:15], 16)
+                start = h % (len(bt) - L + 1)
+                s = f"<extra_id_{b}>"
+                inp += bt[:start] + [s] + bt[start + L :]
+                tgt += [s] + bt[start : start + L]
+            else:
+                inp += bt
+        return " ".join(inp), " ".join(tgt)
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the woods again today for fun and profit with friends"),
+        (1, "short text here"),
+        (2, ""),
+        (3, " ".join(f"w{i}" for i in range(47))),
+    ]
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+    out = {
+        r.doc_id: (r.input_text, r.target_text)
+        for r in span_corruption(df).collect()
+    }
+    for i, t in texts:
+        assert out[i] == ref(i, t), f"doc {i}"
+
+
+def test_span_corruption_rate_and_lossless_outside_spans(spark):
+    from siddhi_io_cdc_spark.functions.export import span_corruption
+
+    # alphabetic-only words: TOKEN_RE splits letter runs and digit runs
+    # into separate tokens, so "tok7" would count as TWO tokens
+    words = [
+        "tok" + chr(97 + i % 26) + chr(97 + (i // 26) % 26) for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(7, " ".join(words))], "doc_id bigint, text string"
+    )
+    r = span_corruption(df).first()
+    # 200 tokens / block 20 -> 10 blocks, each masks exactly one 3-span
+    assert r.n_masked == 10
+    kept = [t for t in r.input_text.split(" ") if not t.startswith("<extra_id_")]
+    masked = [t for t in r.target_text.split(" ") if not t.startswith("<extra_id_")]
+    assert len(kept) == 200 - 30 and len(masked) == 30
+    # every token survives exactly once, in input or target
+    assert sorted(kept + masked) == sorted(words)
+
+
+def test_span_corruption_guards(spark):
+    from siddhi_io_cdc_spark.functions.export import span_corruption
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        span_corruption(df, span_len=0)
+    with _pytest.raises(ValueError):
+        span_corruption(df, span_len=5, block_len=4)
+
+
+def test_span_corruption_plan_is_map_only(spark):
+    from siddhi_io_cdc_spark.functions.export import span_corruption
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    plan = span_corruption(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
