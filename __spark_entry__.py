@@ -7,8 +7,9 @@ EXACT DuckDB restatement for every one of them — including the LSH/ANN/IVF
 approximate paths, whose oracles restate the probe machinery itself
 (hyperplane/centroid literals, closed-form planted-clone constructions) and
 the multimodal decodes (closed-form P5/WAV fixtures). The first 50 keys —
-the driver's recorded window — span all four families: 13 cdc, 14 rel,
-10 win, 13 llm.
+the driver's recorded window — span all four families (8 cdc, 11 rel,
+3 win, 28 llm this round; the union of the r5/r6/r7 windows covers every
+contract key).
 
 Determinism rules used throughout (so value-hashes match the oracle):
 - money aggregates run over ``decimal(18,2)`` casts (exact, associative,
@@ -1546,16 +1547,20 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the FIRST
     # 50 entries. Round 6 rotated the window onto 44 never-checked queries
-    # (union of r5+r6 windows = 94 of 114 keys); round 7 completes the
-    # rotation (VERDICT r6 next-round #3): positions 1-21 are the 20 keys no
-    # driver window has ever recorded plus `llm_pack_sequences` (whose r6 red
-    # row was an oracle typing bug — DuckDB HUGEINT vs Spark BIGINT — fixed
-    # this round and re-submitted for a green row). Positions 22-50 are 29
-    # representative re-checks drawn from the rows last driver-verified in
-    # round 5 (the CDC mutate/history family, the salted/asof/range joins,
-    # the dedup family incl. both r5->r6 bench movers). Union of the
-    # r5/r6/r7 windows = all 114 contract keys. Everything below 50 stays
-    # covered by the local typed gate (tools/check_contract.py) and pytest.
+    # (union of r5+r6 windows = 94 of the 114 pre-round-7 keys); round 7
+    # completes the rotation (VERDICT r6 next-round #3): positions 1-21 are
+    # the 20 keys no driver window has ever recorded plus
+    # `llm_pack_sequences` (whose r6 red row was an oracle typing bug —
+    # DuckDB HUGEINT vs Spark BIGINT — fixed this round and re-submitted for
+    # a green row). Positions 22-43 are 22 representative re-checks drawn
+    # from the rows last driver-verified in round 5 (the CDC mutate/history
+    # family, the salted/asof joins, the dedup family incl. both r5->r6
+    # bench movers). Positions 44-50 are the SEVEN NEW round-7 contract
+    # queries (BPE train/encode, PQ encode/top-k, quality classifier,
+    # tokenizer composite, span corruption), so nothing ships a round
+    # without an independent driver check. Union of the r5/r6/r7 windows =
+    # all 121 contract keys. Everything below 50 stays covered by the local
+    # typed gate (tools/check_contract.py) and pytest.
     return {
         # --- never-driver-verified (driver sees these first) --------- 1-21
         "llm_pack_sequences": q_pack_sequences,
@@ -1579,36 +1584,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_output_snapshot": q_output_snapshot,
         "rel_cube": q_cube_orders,
         "win_first_unique": q_first_unique_window,
-        # --- re-checks: rows last driver-verified in round 5 -------- 22-50
+        # --- re-checks: rows last driver-verified in round 5 -------- 22-43
         "cdc_flatten_update": q_flatten_update,
         "cdc_keyvalue_mapping": q_keyvalue_mapping,
         "cdc_decimal_compat": q_decimal_compat,
         "cdc_mongo_flatten": q_mongo_flatten,
-        "cdc_offset_discovery": q_offset_discovery,
         "cdc_incremental_scan": q_incremental_scan,
-        "cdc_insert_into": q_insert_into,
         "cdc_update_on": q_update_on,
-        "cdc_delete_on": q_delete_on,
         "cdc_history_scd2": q_history_scd2,
         "cdc_temporal_lookup": q_temporal_lookup,
         "rel_shipping_priority": R.shipping_priority,
         "rel_salted_agg": q_salted_agg,
         "rel_json_props": q_json_props,
         "rel_asof_join": q_asof_join,
-        "rel_range_join": q_range_join,
-        "rel_salted_join": q_salted_join,
         "rel_pattern_sequence": q_pattern_sequence,
         "rel_rollup_multi": q_rollup_multi,
-        "rel_percentiles": q_percentiles,
         "win_frequent": q_frequent,
         "win_length_batch": q_length_batch,
         "llm_dedup_exact": q_dedup_exact,
         "llm_paragraph_dedup": q_paragraph_dedup,
         "llm_minhash_pairs": q_minhash_pairs,
-        "llm_url_dedup": q_url_dedup,
         "llm_decontaminate": q_decontaminate,
         "llm_curate": q_curate,
         "llm_knn_join_bucketed": q_knn_join_bucketed,
+        # --- NEW round-7 operators (first driver check) -------------- 44-50
+        "llm_bpe_train": q_bpe_train,
+        "llm_bpe_encode": q_bpe_encode,
+        "llm_pq_encode": q_pq_encode,
+        "llm_pq_topk": q_pq_topk,
+        "llm_quality_classifier": q_quality_classifier,
+        "llm_tokenize_pipeline": q_tokenize_pipeline,
+        "llm_span_corruption": q_span_corruption,
         # --- position 51+: r6-green flagships + remainder (local gate) ----
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
@@ -1676,13 +1682,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_topk_cosine": q_topk_cosine,
         "llm_ivf_ann": q_ivf_ann,
         "llm_distinctive_terms": q_distinctive_terms,
-        "llm_bpe_train": q_bpe_train,
-        "llm_bpe_encode": q_bpe_encode,
-        "llm_pq_encode": q_pq_encode,
-        "llm_pq_topk": q_pq_topk,
-        "llm_quality_classifier": q_quality_classifier,
-        "llm_tokenize_pipeline": q_tokenize_pipeline,
-        "llm_span_corruption": q_span_corruption,
+        # re-checks rotated out of the 50-window for the round-7 newcomers
+        # (driver-r5-green; still under the local typed gate + pytest)
+        "cdc_offset_discovery": q_offset_discovery,
+        "cdc_insert_into": q_insert_into,
+        "cdc_delete_on": q_delete_on,
+        "rel_range_join": q_range_join,
+        "rel_salted_join": q_salted_join,
+        "rel_percentiles": q_percentiles,
+        "llm_url_dedup": q_url_dedup,
     }
 
 

@@ -11,7 +11,7 @@ DuckDB HUGEINT (``sum(BIGINT)`` widens to int128) where Spark emits int64 —
 invisible to a Python-int-normalizing comparison, fatal to a typed hash.
 Exit code 1 on any mismatch.
 
-Usage: PYTHONPATH=/root/repo python tools/check_contract.py [names...]
+Usage: python tools/check_contract.py [names...]
 """
 
 from __future__ import annotations
@@ -20,6 +20,12 @@ import math
 import os
 import sys
 import time
+
+# Runnable as `python tools/check_contract.py` without PYTHONPATH: the repo
+# root (one level up) hosts __spark_entry__ and siddhi_io_cdc_spark.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [

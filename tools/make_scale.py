@@ -49,8 +49,15 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 import duckdb
+
+# Runnable as `python tools/<name>.py` without PYTHONPATH: the repo root
+# (one level up) hosts __spark_entry__ and siddhi_io_cdc_spark.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 #: table -> list of (column, keyspace) pairs to shift per replica. Columns
 #: not listed are carried through unchanged.
