@@ -555,6 +555,53 @@ def q_span_corruption(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 for a 3-term query (Robertson/Zaragoza 2009 eq.
+    3.2 smoothed idf). One declarative plan: the token explode feeds both
+    the tf and df aggregations, the ≤3-row df table and the 1-row corpus
+    stats broadcast back, the top-k is distributed TakeOrdered. The oracle
+    restates the same expression tree (same literal/association order, so
+    the doubles match bit-for-bit before the round-6)."""
+    from siddhi_io_cdc_spark.functions.retrieval import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), ["spark", "shuffle", "vector"], k=10)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): log-likelihood ratio of
+    an add-one-smoothed hashed-ngram LM of the TARGET slice (lang='en')
+    vs the raw corpus, unigram+bigram features in 1024 md5 buckets. The
+    bucket tables stay 1024 rows at any corpus size — the whole point of
+    hashed DSIR — so both LM joins broadcast."""
+    from siddhi_io_cdc_spark.functions.export import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), F.col("lang") == "en").select(
+        "doc_id", "dsir_weight", "n_features"
+    )
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval: dense cosine top-10 over the embeddings table
+    (query = vec 0, ids align 1:1 with doc_ids) fused with lexical BM25
+    top-10 by reciprocal-rank fusion (Cormack et al. 2009, rrf_k=60).
+    Both inputs are bounded top-ks, so the fusion aggregates ≤20 rows;
+    rank assignment happens after each limit."""
+    from pyspark.sql import Window
+
+    from siddhi_io_cdc_spark.functions.retrieval import bm25_topk, rrf_fuse
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    dense = topk_cosine(emb, qv, k=10).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        ),
+    ).select(F.col("vec_id").alias("doc_id"), "rank")
+    lex = bm25_topk(_docs(spark, sf_dir), ["spark", "shuffle", "vector"], k=10)
+    return rrf_fuse([dense, lex.select("doc_id", "rank")], k=10)
+
+
 def q_tokenize_pipeline(spark, sf_dir):
     """Composite flagship for the tokenizer family: train 6 BPE merges on
     the corpus, encode the corpus with the LEARNED merges, pack the true
@@ -1616,6 +1663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_tokenize_pipeline": q_tokenize_pipeline,
         "llm_span_corruption": q_span_corruption,
         # --- position 51+: r6-green flagships + remainder (local gate) ----
+        # The three retrieval/selection ops below landed after the round-7
+        # window was sealed; they are first in line for the round-8 window.
+        "llm_bm25_topk": q_bm25_topk,
+        "llm_dsir_weights": q_dsir_weights,
+        "llm_hybrid_retrieval": q_hybrid_retrieval,
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
         "rel_pricing_summary": R.pricing_summary,
@@ -2188,6 +2240,63 @@ _KNN_LSH_SQL = _knn_lsh_oracle_sql()
 # all-pairs Jaccard >= 0.7 set. Verified equal to the Spark LSH output at
 # sf0.001 and sf0.01 (100% banding recall on this corpus; the exact verify
 # removes all false positives).
+# BM25 restatement shared by llm_bm25_topk and llm_hybrid_retrieval: the
+# same expression tree as functions/retrieval.bm25_score — map-only per-term
+# frequencies from the word array (no token explode), ONE 1-row corpus
+# aggregate for (N, total tokens, per-term df), per-doc score summed in
+# FIXED term order with absent terms contributing an exact 0.0, identical
+# literal values and association order. Every float literal is cast to
+# DOUBLE because bare decimals parse as DECIMAL in DuckDB. k1=1.2, b=0.75
+# -> k1+1 = 2.2, 1-b = 0.25; norm_len = dl * n_docs / tot.
+_BM25_TERMS = ["spark", "shuffle", "vector"]
+
+
+def _bm25_top10_cte() -> str:
+    tf_cols = ",\n                     ".join(
+        f"len(list_filter(ws, w -> w = '{t}'))::BIGINT AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n                     ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    term_scores = "\n                   + ".join(
+        f"""CASE WHEN tf{i} > 0 THEN
+                       ln(CAST(1.0 AS DOUBLE)
+                          + (n_docs - df{i} + CAST(0.5 AS DOUBLE))
+                            / (df{i} + CAST(0.5 AS DOUBLE)))
+                       * (tf{i} * CAST(2.2 AS DOUBLE)
+                          / (tf{i} + CAST(1.2 AS DOUBLE)
+                                 * (CAST(0.25 AS DOUBLE)
+                                    + CAST(0.75 AS DOUBLE)
+                                      * (dl * n_docs / tot))))
+                     ELSE CAST(0.0 AS DOUBLE) END"""
+        for i in range(len(_BM25_TERMS))
+    )
+    matched = " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
+    return f"""
+            bm25_staged AS (
+              SELECT doc_id, len(ws)::BIGINT AS dl,
+                     {tf_cols}
+              FROM (SELECT doc_id,
+                           list_filter(string_split({_NORM}, ' '),
+                                       w -> w != '') AS ws
+                    FROM documents)),
+            bm25_stats AS (
+              SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS tot,
+                     {df_cols}
+              FROM bm25_staged),
+            bm25_top AS (
+              SELECT doc_id,
+                     CAST(round(
+                     {term_scores}, 6) AS DOUBLE) AS bm25
+              FROM bm25_staged CROSS JOIN bm25_stats
+              WHERE {matched}
+              ORDER BY bm25 DESC, doc_id LIMIT 10)"""
+
+
+_BM25_TOP10_CTE = _bm25_top10_cte()
+
 _MINHASH_PAIRS_CTE = f"""
             WITH RECURSIVE corpus AS (
               SELECT doc_id, text FROM documents
@@ -2833,6 +2942,96 @@ def _oracle_sql_dict() -> dict[str, str]:
                               * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS score
               FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
               ORDER BY score DESC, e.vec_id LIMIT 10)""",
+        "llm_bm25_topk": f"""
+            WITH {_BM25_TOP10_CTE}
+            SELECT doc_id, bm25,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM bm25_top ORDER BY rank""",
+        # Hybrid RRF: dense top-10 (the llm_topk_cosine restatement, plus a
+        # rank) fused with the BM25 top-10 by sum(1/(60+rank)) rounded to 9.
+        "llm_hybrid_retrieval": f"""
+            WITH {_BM25_TOP10_CTE},
+            dense AS (
+              SELECT vec_id AS doc_id,
+                     CAST(row_number() OVER (ORDER BY score DESC, vec_id)
+                          AS INTEGER) AS rank
+              FROM (
+                SELECT e.vec_id,
+                       round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))
+                             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                                * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))), 6) AS score
+                FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                ORDER BY score DESC, e.vec_id LIMIT 10)),
+            lex AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                          AS INTEGER) AS rank
+              FROM bm25_top),
+            uni AS (
+              SELECT doc_id,
+                     CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS rr
+              FROM dense
+              UNION ALL
+              SELECT doc_id,
+                     CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank)
+              FROM lex),
+            fused AS (
+              SELECT doc_id, CAST(round(sum(rr), 9) AS DOUBLE) AS rrf
+              FROM uni GROUP BY doc_id
+              ORDER BY rrf DESC, doc_id LIMIT 10)
+            SELECT doc_id, rrf,
+                   CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM fused ORDER BY rank""",
+        # DSIR: unigram+bigram features hashed into 1024 md5 buckets, add-one
+        # smoothed target (lang='en') vs raw LMs, per-doc log-ratio sum.
+        "llm_dsir_weights": f"""
+            WITH d AS (
+              SELECT doc_id, (lang = 'en') AS tgt,
+                     list_filter(string_split({_NORM}, ' '),
+                                 w -> w != '') AS ws
+              FROM documents),
+            grams AS (
+              SELECT doc_id, tgt, unnest(ws) AS g FROM d
+              UNION ALL
+              SELECT doc_id, tgt,
+                     unnest(CASE WHEN len(ws) >= 2
+                            THEN list_transform(
+                                   generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])
+                            ELSE [] END) AS g
+              FROM d),
+            hashed AS (
+              SELECT doc_id, tgt,
+                     CAST(('0x' || substr(md5('0' || chr(31) || g), 1, 15))
+                          AS BIGINT) % 1024 AS b
+              FROM grams),
+            raw_lm AS (SELECT b, count(*)::BIGINT AS cr
+                       FROM hashed GROUP BY b),
+            tgt_lm AS (SELECT b, count(*)::BIGINT AS ct
+                       FROM hashed WHERE tgt GROUP BY b),
+            totals AS (
+              SELECT count(*)::BIGINT AS nr,
+                     sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS nt
+              FROM hashed),
+            scored AS (
+              SELECT doc_id,
+                     CAST(round(sum(
+                       ln((COALESCE(ct, 0) + CAST(1.0 AS DOUBLE))
+                          / (nt + CAST(1024.0 AS DOUBLE)))
+                       - ln((cr + CAST(1.0 AS DOUBLE))
+                            / (nr + CAST(1024.0 AS DOUBLE)))), 6)
+                        AS DOUBLE) AS dsir_weight,
+                     count(*)::BIGINT AS n_features
+              FROM hashed
+              JOIN raw_lm USING (b)
+              LEFT JOIN tgt_lm USING (b)
+              CROSS JOIN totals
+              GROUP BY doc_id)
+            SELECT ids.doc_id, s.dsir_weight, s.n_features
+            FROM (SELECT DISTINCT doc_id FROM documents) ids
+            LEFT JOIN scored s USING (doc_id)""",
         # llm_ivf_ann probes every inverted list (nprobe == nlist) → exact
         # top-k, so the brute-force oracle applies verbatim.
         "llm_ivf_ann": """

@@ -97,6 +97,9 @@ BENCH_QUERIES = [
     "llm_quality_classifier",
     "llm_tokenize_pipeline",
     "llm_span_corruption",
+    "llm_bm25_topk",
+    "llm_dsir_weights",
+    "llm_hybrid_retrieval",
 ]
 
 

@@ -616,7 +616,10 @@ def span_corruption(
         )
     from siddhi_io_cdc_spark.functions.text import TOKEN_RE
 
-    staged = df.withColumn(
+    # fan_out before the per-token hash/slice work: a small file count
+    # otherwise caps parallelism well below the session's cores (the
+    # row-group-starvation pitfall measured on the text family).
+    staged = _fan_out(df).withColumn(
         "__toks", F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     )
     toks = F.col("__toks")
@@ -671,4 +674,105 @@ def span_corruption(
         .withColumn("target_text", target_text)
         .withColumn("n_masked", n_masked.cast("bigint"))
         .drop("__toks")
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio between a TARGET bag-of-hashed-ngrams LM and
+    the RAW-corpus LM, so that resampling by weight shifts the corpus
+    toward the target distribution.
+
+    Features are the paper's unigram+bigram union, hashed into ``buckets``
+    buckets with the engine-portable md5 hash (:func:`stable_hash`), so the
+    oracle can restate every bucket id. Both LMs are add-one smoothed over
+    the bucket space: ``p(b) = (c(b) + 1) / (total + buckets)``. The weight
+    is ``sum_positions [ln p_target(b) - ln p_raw(b)]`` rounded to 6
+    decimals (magnitude-homogeneous summands — the n-gram-NLL exactness
+    argument), NULL for documents with no features.
+
+    ``target`` is a boolean Column over ``df``'s columns selecting the
+    target-domain examples (e.g. ``F.col("lang") == "en"``); the raw LM is
+    the whole corpus.
+
+    Scale shape: one explode feeds both LM aggregations (each at most
+    ``buckets`` rows — broadcast back) and the per-position scoring join;
+    the only fact-sized shuffle is the final per-document sum. At 100 TB
+    the bucket tables stay 1024 rows regardless of corpus size — that is
+    the point of hashed DSIR over exact-vocabulary LMs.
+    """
+    from siddhi_io_cdc_spark.functions.text import normalize_text, word_ngrams
+    from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
+
+    if buckets <= 1:
+        raise ValueError(f"buckets must be > 1 (got {buckets})")
+    grams1 = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    feats = _fan_out(df.select(F.col(id_col), F.col(text_col), target.alias("__t"))).select(
+        F.col(id_col),
+        F.col("__t"),
+        F.explode(F.concat(grams1, word_ngrams(text_col, 2))).alias("__g"),
+    )
+    hashed = scoped_persist(
+        feats.select(
+            F.col(id_col),
+            F.col("__t"),
+            F.pmod(stable_hash(F.col("__g"), seed=seed), F.lit(buckets)).alias("__b"),
+        )
+    )
+    raw_lm = hashed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt_lm = hashed.where(F.col("__t")).groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__ct")
+    )
+    totals = hashed.agg(
+        F.count(F.lit(1)).alias("__nr"),
+        F.sum(F.col("__t").cast("bigint")).alias("__nt"),
+    )
+    B = F.lit(float(buckets))
+    log_ratio = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0)) / (F.col("__nt") + B)
+    ) - F.log((F.col("__cr") + F.lit(1.0)) / (F.col("__nr") + B))
+    scored = (
+        hashed.join(F.broadcast(raw_lm), "__b")
+        .join(F.broadcast(tgt_lm), "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(log_ratio), 6).alias("dsir_weight"),
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+        )
+    )
+    out = df.select(id_col).distinct().join(scored, id_col, "left")
+    return tag_caches(out, [hashed])
+
+
+def dsir_select(
+    df: DataFrame,
+    target: Column,
+    n: int,
+    buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Select the ``n`` documents with the highest DSIR importance weight
+    (deterministic total order: weight desc, id asc) — the top-rank
+    variant of the paper's Gumbel resampling (their appendix ablation;
+    exactly reproducible where Gumbel noise is not). Featureless documents
+    (NULL weight) are never selected. Distributed TakeOrdered, no global
+    sort."""
+    w = dsir_weights(
+        df, target, buckets=buckets, id_col=id_col, text_col=text_col, seed=seed
+    )
+    return (
+        w.where(F.col("dsir_weight").isNotNull())
+        .orderBy(F.col("dsir_weight").desc(), F.col(id_col).asc())
+        .limit(n)
     )
