@@ -811,6 +811,29 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cell-blocked keep-one semantic
+    dedup over the embeddings with 5 planted identical clones. End-state
+    argument (same as llm_embedding_near_dup): identical vectors always
+    share a cell, and the fixture's max NATURAL cosine is far below the
+    0.99 threshold, so the cell blocking is lossless here and the end state
+    is exactly 'drop the non-minimal member of every all-pairs cosine>=0.99
+    component' — which the oracle restates with a recursive closure."""
+    from siddhi_io_cdc_spark.functions.dedup import semantic_dedup
+    from siddhi_io_cdc_spark.functions.similarity import ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    clone = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clone)
+    return (
+        semantic_dedup(corpus, ivf_centroids(64, nlist=16), tau=0.99)
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 # -- Temporal joins & window aggregations (custom operators) ----------------
 
 
@@ -1668,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_bm25_topk": q_bm25_topk,
         "llm_dsir_weights": q_dsir_weights,
         "llm_hybrid_retrieval": q_hybrid_retrieval,
+        "llm_semantic_dedup": q_semantic_dedup,
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
         "rel_pricing_summary": R.pricing_summary,
@@ -3259,6 +3283,34 @@ def _oracle_sql_dict() -> dict[str, str]:
         # that shard assignment restates exactly outside Spark
         # (functions/export.py:42): DuckDB parses the same 15-hex-digit
         # prefix of md5(seed || 0x1f || id) as a 60-bit BIGINT.
+        # llm_semantic_dedup: identical clones share every k-means cell, and
+        # the fixture's max natural cosine is far below 0.99, so the cell
+        # blocking is lossless and the end state is the all-pairs closure.
+        "llm_semantic_dedup": """
+            WITH RECURSIVE corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings WHERE vec_id < 5),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                      >= 0.99),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(node, other) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.node, e.dst FROM reach r
+              JOIN edges e ON r.other = e.src AND e.dst <> r.node)
+            SELECT vec_id FROM corpus
+            WHERE vec_id NOT IN (
+                SELECT node FROM reach GROUP BY node HAVING min(other) < node)
+            ORDER BY vec_id""",
         "llm_shard_for_training": f"""
             WITH h AS (
               SELECT doc_id, {_STABLE_HASH} AS hh FROM documents)

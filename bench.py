@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "llm_bm25_topk",
     "llm_dsir_weights",
     "llm_hybrid_retrieval",
+    "llm_semantic_dedup",
 ]
 
 

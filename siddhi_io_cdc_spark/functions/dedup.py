@@ -816,3 +816,65 @@ def duplicate_spans(
         id_col, "pos", F.col("n_copies").cast("bigint").alias("n_copies")
     )
     return tag_caches(out, [windows, dups])
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids,
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023): within-cluster pairs
+    with cosine similarity >= ``tau``, where clusters are k-means cells
+    over the embeddings (``centroids`` is the small driver-side nlist×dim
+    matrix — :func:`~siddhi_io_cdc_spark.functions.similarity.ivf_centroids`
+    or a trained codebook).
+
+    This is the paper's design verbatim: the clustering bounds the
+    quadratic all-pairs to WITHIN-cell work. At 100 TB the knob is the
+    paper's own (k grows with N: nlist ≈ √N keeps expected cell size ≈ √N,
+    total pair work ≈ N^1.5 instead of N²); the join is a single equi-join
+    on the cell id, so each cell's pairs compute co-partitioned, and skewed
+    cells can reuse the measured per-cell salting of the kNN family.
+
+    Returns ``(id_a, id_b, cosine)``, id_a < id_b, cosine rounded to 6.
+    """
+    from siddhi_io_cdc_spark.functions.similarity import cosine, ivf_assign
+
+    cells = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).withColumn("__cell", ivf_assign(F.col("__v"), centroids))
+    a = cells.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__cell"
+    )
+    return (
+        a.join(b, "__cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .where(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids,
+    tau: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup keep-one semantic dedup: drop all but one member of every
+    within-cell cosine-``tau`` component. The survivor is the SMALLEST id
+    (deterministic and oracle-checkable; the paper keeps a random or
+    lowest-centroid-similarity member — same dedup set, different
+    representative), matching :func:`dedup_near`'s canonical-min rule.
+    Rows in no pair survive untouched. Returns the surviving rows.
+    """
+    pairs = semantic_dedup_pairs(
+        df, centroids, tau=tau, vec_col=vec_col, id_col=id_col
+    )
+    return dedup_near(df, pairs, id_col=id_col)
