@@ -555,6 +555,19 @@ def q_span_corruption(spark, sf_dir):
     )
 
 
+def q_ul2_denoisers(spark, sf_dir):
+    """UL2 mixture-of-denoisers (Tay et al. 2022): hash-routed R (span 3/
+    block 20) / X (span 8/block 16) / S (PrefixLM split) denoising pairs,
+    one map-only staged scan evaluating all three branches under a CASE.
+    The oracle restates every branch: the two span parameterizations via
+    the generated slice SQL and the S pivot via the portable md5 hash."""
+    from siddhi_io_cdc_spark.functions.export import ul2_denoisers
+
+    return ul2_denoisers(_docs(spark, sf_dir)).select(
+        "doc_id", "denoiser", "input_text", "target_text"
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-10 for a 3-term query (Robertson/Zaragoza 2009 eq.
     3.2 smoothed idf). One declarative plan: the token explode feeds both
@@ -1692,6 +1705,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dsir_weights": q_dsir_weights,
         "llm_hybrid_retrieval": q_hybrid_retrieval,
         "llm_semantic_dedup": q_semantic_dedup,
+        "llm_span_corruption": q_span_corruption,
+        # --- position 51+: r6-green flagships + remainder (local gate) ----
+        # The three retrieval/selection ops below landed after the round-7
+        # window was sealed; they are first in line for the round-8 window.
+        "llm_bm25_topk": q_bm25_topk,
+        "llm_dsir_weights": q_dsir_weights,
+        "llm_hybrid_retrieval": q_hybrid_retrieval,
+        "llm_semantic_dedup": q_semantic_dedup,
+        "llm_ul2_denoisers": q_ul2_denoisers,
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
         "rel_pricing_summary": R.pricing_summary,
@@ -1785,6 +1807,42 @@ _SPAN_START = (
     "|| chr(31) || CAST(bi AS VARCHAR)), 1, 15)) AS BIGINT) "
     "% (len(toks[bi*20+1 : least((bi+1)*20, len(toks))]) - 3 + 1))"
 )
+
+
+def _span_sql(span: int, block: int) -> tuple[str, str]:
+    """Parameterized DuckDB restatement of the span-corruption
+    ``(input_text, target_text)`` expressions over a CTE exposing
+    ``doc_id, toks`` — the generator behind the UL2 oracle's R and X
+    branches (the 3/20 llm_span_corruption oracle is the same shape,
+    written out literally)."""
+    start = (
+        f"(CAST(('0x' || substr(md5('0' || chr(31) || CAST(doc_id AS VARCHAR) "
+        f"|| chr(31) || CAST(bi AS VARCHAR)), 1, 15)) AS BIGINT) "
+        f"% (len(toks[bi*{block}+1 : least((bi+1)*{block}, len(toks))]) - {span} + 1))"
+    )
+    nb = (
+        f"CASE WHEN len(toks) > 0 THEN CAST(ceil(len(toks) / {block}.0) AS INT) "
+        f"ELSE 0 END"
+    )
+    blk = f"toks[bi*{block}+1 : least((bi+1)*{block}, len(toks))]"
+    inp = (
+        f"array_to_string(flatten(list_transform(range({nb}), bi -> "
+        f"CASE WHEN len({blk}) >= {span} "
+        f"THEN toks[bi*{block}+1 : bi*{block} + CAST({start} AS INT)] "
+        f"|| ['<extra_id_' || CAST(bi AS VARCHAR) || '>'] "
+        f"|| toks[bi*{block} + CAST({start} AS INT) + {span + 1} "
+        f": least((bi+1)*{block}, len(toks))] "
+        f"ELSE {blk} END)), ' ')"
+    )
+    tgt = (
+        f"array_to_string(flatten(list_transform(range({nb}), bi -> "
+        f"CASE WHEN len({blk}) >= {span} "
+        f"THEN ['<extra_id_' || CAST(bi AS VARCHAR) || '>'] "
+        f"|| toks[bi*{block} + CAST({start} AS INT) + 1 "
+        f": bi*{block} + CAST({start} AS INT) + {span}] "
+        f"ELSE [] END)), ' ')"
+    )
+    return inp, tgt
 
 #: DuckDB restatement of functions.export.stable_hash(doc_id, seed=0):
 #: 60-bit BIGINT from the first 15 hex digits of md5('0' || 0x1f || id).
@@ -3706,6 +3764,38 @@ def _oracle_sql_dict() -> dict[str, str]:
         # llm_span_corruption: block-grid T5 masking — per block the md5
         # start offset, sentinel insertion, and span extraction restate as
         # list slices inside one list_transform (no sequential state).
+        # llm_ul2_denoisers: route = md5 hash % 3; R/X branches from the
+        # parameterized span-SQL generator; S pivot from md5('0'|0x1f|'s:'|id).
+        "llm_ul2_denoisers": (lambda r, x: f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+                     CAST(('0x' || substr(md5('0' || chr(31)
+                            || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 3 AS route,
+                     CASE WHEN len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= 2
+                          THEN CAST(1 + (CAST(('0x' || substr(md5('0' || chr(31)
+                                 || 's:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT)
+                               % (len(regexp_extract_all(lower(text), '{TOKEN_RE}')) - 1))
+                               AS INT)
+                          ELSE CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                               AS INT) END AS pv
+              FROM documents)
+            SELECT doc_id,
+                   CASE route WHEN 0 THEN 'r' WHEN 1 THEN 'x' ELSE 's' END
+                     AS denoiser,
+                   CASE route
+                     WHEN 0 THEN {r[0]}
+                     WHEN 1 THEN {x[0]}
+                     ELSE array_to_string(toks[1 : pv] || ['<extra_id_0>'], ' ')
+                   END AS input_text,
+                   CASE route
+                     WHEN 0 THEN {r[1]}
+                     WHEN 1 THEN {x[1]}
+                     ELSE array_to_string(['<extra_id_0>'] || toks[pv + 1 : len(toks)], ' ')
+                   END AS target_text
+            FROM t""")(_span_sql(3, 20), _span_sql(8, 16)),
         "llm_span_corruption": f"""
             WITH t AS (
               SELECT doc_id,

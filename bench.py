@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "llm_dsir_weights",
     "llm_hybrid_retrieval",
     "llm_semantic_dedup",
+    "llm_ul2_denoisers",
 ]
 
 

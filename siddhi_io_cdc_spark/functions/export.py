@@ -622,7 +622,24 @@ def span_corruption(
     staged = _fan_out(df).withColumn(
         "__toks", F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     )
-    toks = F.col("__toks")
+    input_text, target_text, n_masked = _span_corruption_exprs(
+        F.col("__toks"), id_col, span_len, block_len, seed
+    )
+    return (
+        staged.withColumn("input_text", input_text)
+        .withColumn("target_text", target_text)
+        .withColumn("n_masked", n_masked.cast("bigint"))
+        .drop("__toks")
+    )
+
+
+def _span_corruption_exprs(
+    toks: Column, id_col: str, span_len: int, block_len: int, seed: int
+) -> tuple[Column, Column, Column]:
+    """The span-corruption column expressions over a staged token-array
+    column: ``(input_text, target_text, n_masked)``. Shared by
+    :func:`span_corruption` and the R/X branches of :func:`ul2_denoisers`
+    (which evaluates two parameterizations over ONE staged scan)."""
     n = F.size(toks)
     nblocks = F.ceil(n / F.lit(block_len)).cast("int")
     bseq = F.when(n > 0, F.sequence(F.lit(0), nblocks - 1)).otherwise(
@@ -669,11 +686,66 @@ def span_corruption(
     n_masked = F.size(
         F.filter(bseq, lambda b: F.size(F.slice(toks, b * block_len + 1, block_len)) >= L)
     )
-    return (
-        staged.withColumn("input_text", input_text)
-        .withColumn("target_text", target_text)
-        .withColumn("n_masked", n_masked.cast("bigint"))
-        .drop("__toks")
+    return input_text, target_text, n_masked
+
+
+def ul2_denoisers(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """UL2 mixture-of-denoisers prep (Tay et al. 2022): every document is
+    deterministically routed by the portable md5 hash to one of the three
+    objective families and emitted as a denoising pair —
+
+    - ``r`` (regular): T5 span corruption, span 3 / block 20 (15% rate);
+    - ``x`` (extreme): aggressive corruption, span 8 / block 16 (50% rate);
+    - ``s`` (sequential, PrefixLM): split at a hash-derived pivot (both
+      sides non-empty when the document has ≥ 2 tokens);
+      ``input = prefix + <extra_id_0>``, ``target = <extra_id_0> + suffix``.
+
+    Routing by hash (not by row position) keeps the 7:25 paper mixture out
+    of scope on purpose: an exactly-restatable uniform third per objective,
+    stable under repartition/replay. One staged scan evaluates all three
+    branches under a CASE — map-only, no shuffle, no Python; at 100 TB this
+    is a single pass like chunking. Returns
+    ``(id_col, denoiser, input_text, target_text)``.
+    """
+    from siddhi_io_cdc_spark.functions.text import TOKEN_RE
+
+    staged = _fan_out(df).withColumn(
+        "__toks", F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    route = F.pmod(stable_hash(F.col(id_col), seed=seed), F.lit(3))
+
+    r_in, r_tgt, _ = _span_corruption_exprs(toks, id_col, 3, 20, seed)
+    x_in, x_tgt, _ = _span_corruption_exprs(toks, id_col, 8, 16, seed)
+
+    # S branch: pivot in [1, n-1] so prefix and suffix are both non-empty;
+    # degenerate docs (n < 2) put everything in the prefix, empty target.
+    pivot_hash = stable_hash(
+        F.concat(F.lit("s:"), F.col(id_col).cast("string")), seed=seed
+    )
+    pivot = F.when(n >= 2, (F.lit(1) + F.pmod(pivot_hash, n - 1)).cast("int")).otherwise(
+        n.cast("int")
+    )
+    sentinel = F.array(F.lit("<extra_id_0>"))
+    s_in = F.array_join(F.concat(F.slice(toks, 1, pivot), sentinel), " ")
+    s_tgt = F.array_join(F.concat(sentinel, F.slice(toks, pivot + 1, n - pivot)), " ")
+
+    return staged.select(
+        F.col(id_col),
+        F.when(route == 0, F.lit("r"))
+        .when(route == 1, F.lit("x"))
+        .otherwise(F.lit("s"))
+        .alias("denoiser"),
+        F.when(route == 0, r_in).when(route == 1, x_in).otherwise(s_in)
+        .alias("input_text"),
+        F.when(route == 0, r_tgt).when(route == 1, x_tgt).otherwise(s_tgt)
+        .alias("target_text"),
     )
 
 

@@ -486,3 +486,69 @@ def test_temperature_mixture_upsamples_small_domains(spark):
     import pytest
     with pytest.raises(ValueError, match="alpha"):
         temperature_mixture(df, alpha=1.5)
+
+
+class TestUL2Denoisers:
+    def test_routing_and_branch_parity(self, spark, sf_dir):
+        from siddhi_io_cdc_spark.functions.export import (
+            span_corruption,
+            stable_hash,
+            ul2_denoisers,
+        )
+
+        docs_df = _docs(spark, sf_dir)
+        out = ul2_denoisers(docs_df).collect()
+        routes = {
+            r.doc_id: r.denoiser for r in out
+        }
+        # routing is the portable hash % 3, so every family appears
+        assert set(routes.values()) == {"r", "x", "s"}
+        # R-routed docs must equal the standalone T5 span corruption (3/20)
+        r_ids = [i for i, d in routes.items() if d == "r"]
+        t5 = {
+            r.doc_id: (r.input_text, r.target_text)
+            for r in span_corruption(docs_df).collect()
+        }
+        got = {r.doc_id: (r.input_text, r.target_text) for r in out}
+        for i in r_ids:
+            assert got[i] == t5[i]
+
+    def test_s_branch_splits_reconstruct(self, spark):
+        from pyspark.sql import functions as F
+
+        from siddhi_io_cdc_spark.functions.export import ul2_denoisers
+
+        # enough docs that some hash-route to 's'
+        rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(30)]
+        rows.append((100, ""))  # degenerate: no tokens
+        rows.append((101, "single"))
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        out = {r.doc_id: r for r in ul2_denoisers(df).collect()}
+        s_rows = [r for r in out.values() if r.denoiser == "s" and r.doc_id < 100]
+        assert s_rows, "no doc routed to the S family"
+        for r in s_rows:
+            assert r.input_text.endswith(" <extra_id_0>")
+            assert r.target_text.startswith("<extra_id_0> ")
+            prefix = r.input_text[: -len(" <extra_id_0>")]
+            suffix = r.target_text[len("<extra_id_0> "):]
+            assert prefix and suffix  # both sides non-empty for n >= 2
+            assert f"{prefix} {suffix}" == "alpha beta gamma delta epsilon zeta"
+        # degenerate docs don't crash; empty doc yields bare sentinels
+        for i in (100, 101):
+            assert out[i].denoiser in {"r", "x", "s"}
+
+    def test_x_branch_rate(self, spark):
+        from siddhi_io_cdc_spark.functions.export import ul2_denoisers
+
+        text = " ".join(f"tok{i}" for i in range(64))  # tokenizes to 128 TOKEN_RE tokens
+        df = spark.createDataFrame(
+            [(i, text) for i in range(30)], "doc_id LONG, text STRING"
+        )
+        out = [r for r in ul2_denoisers(df).collect() if r.denoiser == "x"]
+        assert out
+        for r in out:
+            # span 8 / block 16 -> exactly half the tokens masked
+            n_target_tokens = len(r.target_text.split()) - r.target_text.count(
+                "<extra_id_"
+            )
+            assert n_target_tokens == 64
