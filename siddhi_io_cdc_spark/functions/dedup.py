@@ -838,23 +838,41 @@ def semantic_dedup_pairs(
     on the cell id, so each cell's pairs compute co-partitioned, and skewed
     cells can reuse the measured per-cell salting of the kNN family.
 
+    Two measured costs shape the body (sf1, 20k vectors, 1.44M pairs):
+    the input is ``fan_out`` BEFORE the self-join — the probe side of the
+    broadcast join otherwise inherits the scan's row-group count (4 tasks
+    on the shipped parquet, 90 s where 32 tasks take a fraction); and the
+    per-row L2 norms are precomputed as columns so the per-pair expression
+    is ONE interpreted-HOF dot instead of three (``dot/(na*nb)`` is the
+    same operation tree as ``cosine()`` — division by the norm product —
+    so the values are bit-identical, the norms are just not re-derived
+    1.44M times).
+
     Returns ``(id_a, id_b, cosine)``, id_a < id_b, cosine rounded to 6.
     """
-    from siddhi_io_cdc_spark.functions.similarity import cosine, ivf_assign
+    from siddhi_io_cdc_spark.functions.similarity import dot, ivf_assign, norm
 
-    cells = df.select(
-        F.col(id_col), F.col(vec_col).alias("__v")
-    ).withColumn("__cell", ivf_assign(F.col("__v"), centroids))
+    cells = _fan_out(df.select(F.col(id_col), F.col(vec_col).alias("__v"))).select(
+        F.col(id_col),
+        F.col("__v"),
+        ivf_assign(F.col("__v"), centroids).alias("__cell"),
+        norm(F.col("__v")).alias("__n"),
+    )
     a = cells.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"), "__cell"
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__cell",
     )
     b = cells.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"), "__cell"
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__cell",
+    )
+    cos = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
     )
     return (
         a.join(b, "__cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn("cosine", cos)
         .where(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
     )
