@@ -127,3 +127,12 @@ def test_dsir_select_top_n(dsir_docs):
 def test_dsir_validates_buckets(dsir_docs):
     with pytest.raises(ValueError, match="buckets"):
         dsir_weights(dsir_docs, F.col("lang") == "math", buckets=1)
+
+
+def test_bm25_absent_term_is_harmless(docs):
+    """A query term absent from the whole corpus contributes no score and
+    does not perturb the other terms' ranking (exact 0.0 in the fixed-order
+    sum)."""
+    base = {r.doc_id: r.bm25 for r in bm25_score(docs, ["spark"]).collect()}
+    wide = {r.doc_id: r.bm25 for r in bm25_score(docs, ["spark", "zzzmissing"]).collect()}
+    assert base == wide
