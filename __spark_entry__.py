@@ -568,6 +568,17 @@ def q_ul2_denoisers(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """Top-60 DSIR importance resampling selection (deterministic top-rank
+    variant): distributed TakeOrdered over the per-doc weights; featureless
+    docs never selected."""
+    from siddhi_io_cdc_spark.functions.export import dsir_select
+
+    return dsir_select(_docs(spark, sf_dir), F.col("lang") == "en", n=60).select(
+        "doc_id", "dsir_weight", "n_features"
+    )
+
+
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-10 for a 3-term query (Robertson/Zaragoza 2009 eq.
     3.2 smoothed idf). One declarative plan: the token explode feeds both
@@ -1714,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_hybrid_retrieval": q_hybrid_retrieval,
         "llm_semantic_dedup": q_semantic_dedup,
         "llm_ul2_denoisers": q_ul2_denoisers,
+        "llm_dsir_select": q_dsir_select,
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
         "rel_pricing_summary": R.pricing_summary,
@@ -2378,6 +2390,53 @@ def _bm25_top10_cte() -> str:
 
 
 _BM25_TOP10_CTE = _bm25_top10_cte()
+
+# DSIR restatement shared by llm_dsir_weights and llm_dsir_select:
+# unigram+bigram features hashed into 1024 md5 buckets, add-one smoothed
+# target (lang='en') vs raw LMs, per-doc log-ratio sum. Ends at `scored`.
+_DSIR_SCORED_CTE = f"""d AS (
+              SELECT doc_id, (lang = 'en') AS tgt,
+                     list_filter(string_split({_NORM}, ' '),
+                                 w -> w != '') AS ws
+              FROM documents),
+            grams AS (
+              SELECT doc_id, tgt, unnest(ws) AS g FROM d
+              UNION ALL
+              SELECT doc_id, tgt,
+                     unnest(CASE WHEN len(ws) >= 2
+                            THEN list_transform(
+                                   generate_series(1, len(ws) - 1),
+                                   i -> ws[i] || ' ' || ws[i + 1])
+                            ELSE [] END) AS g
+              FROM d),
+            hashed AS (
+              SELECT doc_id, tgt,
+                     CAST(('0x' || substr(md5('0' || chr(31) || g), 1, 15))
+                          AS BIGINT) % 1024 AS b
+              FROM grams),
+            raw_lm AS (SELECT b, count(*)::BIGINT AS cr
+                       FROM hashed GROUP BY b),
+            tgt_lm AS (SELECT b, count(*)::BIGINT AS ct
+                       FROM hashed WHERE tgt GROUP BY b),
+            totals AS (
+              SELECT count(*)::BIGINT AS nr,
+                     sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS nt
+              FROM hashed),
+            scored AS (
+              SELECT doc_id,
+                     CAST(round(sum(
+                       ln((COALESCE(ct, 0) + CAST(1.0 AS DOUBLE))
+                          / (nt + CAST(1024.0 AS DOUBLE)))
+                       - ln((cr + CAST(1.0 AS DOUBLE))
+                            / (nr + CAST(1024.0 AS DOUBLE)))), 6)
+                        AS DOUBLE) AS dsir_weight,
+                     count(*)::BIGINT AS n_features
+              FROM hashed
+              JOIN raw_lm USING (b)
+              LEFT JOIN tgt_lm USING (b)
+              CROSS JOIN totals
+              GROUP BY doc_id)"""
+
 
 _MINHASH_PAIRS_CTE = f"""
             WITH RECURSIVE corpus AS (
@@ -3069,51 +3128,18 @@ def _oracle_sql_dict() -> dict[str, str]:
         # DSIR: unigram+bigram features hashed into 1024 md5 buckets, add-one
         # smoothed target (lang='en') vs raw LMs, per-doc log-ratio sum.
         "llm_dsir_weights": f"""
-            WITH d AS (
-              SELECT doc_id, (lang = 'en') AS tgt,
-                     list_filter(string_split({_NORM}, ' '),
-                                 w -> w != '') AS ws
-              FROM documents),
-            grams AS (
-              SELECT doc_id, tgt, unnest(ws) AS g FROM d
-              UNION ALL
-              SELECT doc_id, tgt,
-                     unnest(CASE WHEN len(ws) >= 2
-                            THEN list_transform(
-                                   generate_series(1, len(ws) - 1),
-                                   i -> ws[i] || ' ' || ws[i + 1])
-                            ELSE [] END) AS g
-              FROM d),
-            hashed AS (
-              SELECT doc_id, tgt,
-                     CAST(('0x' || substr(md5('0' || chr(31) || g), 1, 15))
-                          AS BIGINT) % 1024 AS b
-              FROM grams),
-            raw_lm AS (SELECT b, count(*)::BIGINT AS cr
-                       FROM hashed GROUP BY b),
-            tgt_lm AS (SELECT b, count(*)::BIGINT AS ct
-                       FROM hashed WHERE tgt GROUP BY b),
-            totals AS (
-              SELECT count(*)::BIGINT AS nr,
-                     sum(CASE WHEN tgt THEN 1 ELSE 0 END)::BIGINT AS nt
-              FROM hashed),
-            scored AS (
-              SELECT doc_id,
-                     CAST(round(sum(
-                       ln((COALESCE(ct, 0) + CAST(1.0 AS DOUBLE))
-                          / (nt + CAST(1024.0 AS DOUBLE)))
-                       - ln((cr + CAST(1.0 AS DOUBLE))
-                            / (nr + CAST(1024.0 AS DOUBLE)))), 6)
-                        AS DOUBLE) AS dsir_weight,
-                     count(*)::BIGINT AS n_features
-              FROM hashed
-              JOIN raw_lm USING (b)
-              LEFT JOIN tgt_lm USING (b)
-              CROSS JOIN totals
-              GROUP BY doc_id)
+            WITH {_DSIR_SCORED_CTE}
             SELECT ids.doc_id, s.dsir_weight, s.n_features
             FROM (SELECT DISTINCT doc_id FROM documents) ids
             LEFT JOIN scored s USING (doc_id)""",
+        # Top-n resampling selection over the same weights (TakeOrdered;
+        # featureless NULL-weight docs never selected).
+        "llm_dsir_select": f"""
+            WITH {_DSIR_SCORED_CTE}
+            SELECT doc_id, dsir_weight, n_features
+            FROM scored
+            WHERE dsir_weight IS NOT NULL
+            ORDER BY dsir_weight DESC, doc_id LIMIT 60""",
         # llm_ivf_ann probes every inverted list (nprobe == nlist) → exact
         # top-k, so the brute-force oracle applies verbatim.
         "llm_ivf_ann": """

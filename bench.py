@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "llm_hybrid_retrieval",
     "llm_semantic_dedup",
     "llm_ul2_denoisers",
+    "llm_dsir_select",
 ]
 
 
