@@ -1,0 +1,370 @@
+"""Incremental BM25 inverted-index maintenance under CDC.
+
+``functions/retrieval.py:bm25_topk`` answers a fixed query with one corpus
+scan — right for ad-hoc curation queries, wrong for a serving path that
+fields many queries against a corpus kept current by CDC. This module
+materializes the classic inverted layout and keeps it current under a
+changelog, composing the house patterns:
+
+- **postings/**: ``(term, doc_id, tf)`` PARTITIONED BY a term-hash bucket
+  (``tbucket = pmod(xxhash64(term), nbuckets)``), so answering a query
+  reads only the query terms' bucket directories (partition-pruned scans —
+  the inverted-index access path); corpus-wide document frequency of a
+  term is a count over its own bucket only.
+- **docs/**: ``(doc_id, dl)`` — the document-length table behind BM25's
+  length normalization; the corpus scalars (N, total tokens) are one
+  narrow aggregate over it at query time (2 longs per doc; a production
+  deployment can additionally cache the 1-row result, which replays
+  cleanly because it is derived state).
+
+Maintenance per micro-batch touches O(batch's distinct term buckets +
+doc buckets), never O(index). Like the IVF applier, update/delete ops
+MUST carry the BEFORE image (``before_<text_col>``): an updated document
+may drop terms, and without the old text those postings' buckets are
+unknowable short of an O(index) scan — the flatten operator's update
+projection provides exactly that column. Replay-idempotent: per-bucket
+content is a pure function of {old rows not in batch} ∪ {batch's final
+state}, plus a per-``batch_id`` marker to skip clean re-runs. Filesystem
+metadata ops go through the Hadoop FS API (s3a/hdfs-capable).
+
+The query path restates EXACTLY the expression tree of
+``functions/retrieval.bm25_score`` (same literals, same association
+order, fixed-order term sum), so an index probe and a fresh corpus scan
+return bit-identical scores — pinned by ``tests/test_bm25_index.py``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.text import normalize_text
+from siddhi_io_cdc_spark.functions.similarity import _hadoop_read_text
+from siddhi_io_cdc_spark.streaming.ivf_index import (
+    _hadoop_delete,
+    _hadoop_exists,
+    _hadoop_list_dirs,
+    _hadoop_write_text,
+    _marker_path,
+)
+
+TBUCKET_COL = "tbucket"
+DBUCKET_COL = "dbucket"
+
+
+def _tbucket(term: Column, nbuckets: int) -> Column:
+    return F.pmod(F.xxhash64(term), F.lit(nbuckets)).cast("int")
+
+
+def _doc_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__t"))
+        .select(
+            "doc_id",
+            F.explode(F.split(normalize_text("__t"), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def write_bm25_index(
+    spark,
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nbuckets: int = 64,
+    doc_buckets: int = 16,
+) -> None:
+    """Materialize the inverted layout from a document corpus: postings
+    partitioned by term bucket, doc lengths partitioned by doc bucket."""
+    base = index_path.rstrip("/")
+    toks = _doc_terms(df, text_col, id_col)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    (
+        tf.withColumn(TBUCKET_COL, _tbucket(F.col("term"), nbuckets))
+        .write.mode("overwrite")
+        .partitionBy(TBUCKET_COL)
+        .parquet(base + "/postings")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    (
+        dl.withColumn(
+            DBUCKET_COL, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(doc_buckets)).cast("int")
+        )
+        .write.mode("overwrite")
+        .partitionBy(DBUCKET_COL)
+        .parquet(base + "/docs")
+    )
+    _hadoop_write_text(
+        spark, base + "/_meta.json", f'{{"nbuckets": {nbuckets}, "doc_buckets": {doc_buckets}}}'
+    )
+
+
+def _merge_partitioned(
+    spark,
+    path: str,
+    part_col: str,
+    touched: list[int],
+    replacement: DataFrame,
+) -> None:
+    """Replace the touched partitions of ``path`` with ``replacement``
+    (already carrying ``part_col``): stage → dynamic partition overwrite →
+    drop emptied partition dirs. Same shape as the IVF applier's swap."""
+    import uuid
+
+    staging = path + ".stage-" + uuid.uuid4().hex
+    replacement.write.partitionBy(part_col).parquet(staging)
+    try:
+        present = {
+            int(d.split("=", 1)[1])
+            for d in _hadoop_list_dirs(spark, staging)
+            if d.startswith(part_col + "=")
+        }
+        if present:
+            (
+                spark.read.parquet(staging)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(part_col)
+                .parquet(path)
+            )
+        for b in set(touched) - present:
+            _hadoop_delete(spark, path + f"/{part_col}={b}")
+    finally:
+        _hadoop_delete(spark, staging)
+
+
+def apply_changelog_bm25(
+    spark,
+    index_path: str,
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_col: str = "ts_ms",
+    op_col: str = "operation",
+    batch_id=None,
+) -> None:
+    """Apply one micro-batch of flattened CDC events to the inverted index.
+
+    Per key, only the latest event by ``seq_col`` decides the final state
+    (``apply_changelog`` semantics). Update/delete rows must carry
+    ``before_<text_col>`` (non-NULL): dropped terms' postings live in
+    buckets derivable only from the OLD text.
+    """
+    import json as _json
+
+    base = index_path.rstrip("/")
+    if batch_id is not None and _hadoop_exists(spark, _marker_path(base, batch_id)):
+        return
+    meta = _json.loads(_hadoop_read_text(spark, base + "/_meta.json"))
+    nbuckets, doc_buckets = meta["nbuckets"], meta["doc_buckets"]
+
+    before_text = f"before_{text_col}"
+    moving_ops = ("update", "delete")
+    movers = batch_df.where(F.col(op_col).isin(*moving_ops))
+    if before_text not in batch_df.columns:
+        if movers.limit(1).count():
+            raise ValueError(
+                f"batch contains {moving_ops} ops but no '{before_text}' column: "
+                "dropped terms' postings buckets are unknowable without the old "
+                "text. Flatten the stream with the update projection."
+            )
+    elif movers.where(F.col(before_text).isNull()).limit(1).count():
+        raise ValueError(
+            f"batch contains {moving_ops} rows with a NULL '{before_text}' "
+            "before image: the old postings are unknowable, so stale rows "
+            "would survive. Emit whole before images."
+        )
+
+    # Final state per key in this batch (latest by seq): one row per doc id
+    # with its op. 'read' snapshot rows upsert like inserts.
+    latest = (
+        batch_df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    # Term-bucket touched set: terms of after images (upserts) + terms of
+    # before images (update/delete) — bounded collect of distinct bucket
+    # ids (<= nbuckets small ints), same pattern as the IVF cell collect.
+    after_terms = _doc_terms(
+        latest.where(F.col(op_col) != "delete"), text_col, id_col
+    )
+    parts = [after_terms.select(_tbucket(F.col("term"), nbuckets).alias("b"))]
+    if before_text in batch_df.columns:
+        old_terms = _doc_terms(
+            latest.where(F.col(op_col).isin(*moving_ops)), before_text, id_col
+        )
+        parts.append(old_terms.select(_tbucket(F.col("term"), nbuckets).alias("b")))
+    touched_t = [
+        r[0]
+        for r in reduce(lambda a, b: a.unionByName(b), parts).distinct().collect()
+        if r[0] is not None
+    ]
+    batch_ids = latest.select(F.col(id_col).alias("doc_id")).distinct()
+
+    if touched_t:
+        # New postings for every non-deleted doc in the batch.
+        new_tf = (
+            after_terms.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(TBUCKET_COL, _tbucket(F.col("term"), nbuckets))
+        )
+        target = (
+            spark.read.parquet(base + "/postings")
+            .where(F.col(TBUCKET_COL).isin(touched_t))
+        )
+        # Drop every surviving posting of the batch's docs (anti-join on the
+        # doc id — covers removed terms), then add the new rows.
+        kept = target.join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        _merge_partitioned(
+            spark,
+            base + "/postings",
+            TBUCKET_COL,
+            touched_t,
+            kept.unionByName(new_tf),
+        )
+
+    # docs/ table: replace the batch docs' rows in their doc buckets.
+    new_dl = (
+        after_terms.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+        .withColumn(
+            DBUCKET_COL, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(doc_buckets)).cast("int")
+        )
+    )
+    touched_d = [
+        r[0]
+        for r in batch_ids.select(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(doc_buckets)).cast("int").alias("b")
+        ).distinct().collect()
+    ]
+    if touched_d:
+        dtarget = (
+            spark.read.parquet(base + "/docs")
+            .where(F.col(DBUCKET_COL).isin(touched_d))
+        )
+        dkept = dtarget.join(F.broadcast(batch_ids), "doc_id", "left_anti")
+        _merge_partitioned(
+            spark, base + "/docs", DBUCKET_COL, touched_d, dkept.unionByName(new_dl)
+        )
+
+    if batch_id is not None:
+        _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
+
+
+def foreach_batch_bm25_index(
+    spark,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_col: str = "ts_ms",
+    op_col: str = "operation",
+):
+    """``foreachBatch`` adapter: wire a flattened CDC stream into
+    :func:`apply_changelog_bm25`. Exactly-once per ``batch_id`` via the
+    marker file; crash-and-replay converges (per-bucket state is pure)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changelog_bm25(
+            spark,
+            index_path,
+            batch_df,
+            text_col=text_col,
+            id_col=id_col,
+            seq_col=seq_col,
+            op_col=op_col,
+            batch_id=batch_id,
+        )
+
+    return _apply
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Answer a BM25 top-k from the maintained index: reads ONLY the query
+    terms' postings buckets (partition-pruned) plus the narrow docs table.
+    Bit-identical to ``functions/retrieval.bm25_topk`` over the equivalent
+    corpus: each per-term score uses the same literals and association
+    order as ``bm25_score`` (the term's document frequency enters as a
+    driver-collected BIGINT literal — same value, same arithmetic), terms
+    sum in fixed order with exact 0.0 for absent terms, and the ordering
+    ties break on doc_id."""
+    import json as _json
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct (duplicate terms double-count)")
+    base = index_path.rstrip("/")
+    meta = _json.loads(_hadoop_read_text(spark, base + "/_meta.json"))
+    nbuckets = meta["nbuckets"]
+
+    # term -> bucket via the same JVM hash (|terms|-row job, driver-safe)
+    tdf = spark.createDataFrame([(t,) for t in query_terms], "term STRING")
+    buckets = sorted({
+        r[0]
+        for r in tdf.select(_tbucket(F.col("term"), nbuckets).alias("b")).collect()
+    })
+    postings = (
+        spark.read.parquet(base + "/postings")
+        .where(F.col(TBUCKET_COL).isin(buckets))  # partition-pruned
+        .where(F.col("term").isin(list(query_terms)))
+    )
+    # per-term document frequency: a count within the pruned buckets only;
+    # <= |terms| rows to the driver, entering the score as literals
+    dfreq = {
+        r["term"]: r["df"]
+        for r in postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+    docs = spark.read.parquet(base + "/docs").select("doc_id", "dl")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    # one row per doc holding its query-term tfs (bounded pivot on the
+    # literal term list; docs with no query term never appear — the same
+    # "matched" semantics as bm25_score)
+    tfp = postings.groupBy("doc_id").pivot("term", list(query_terms)).agg(
+        F.first("tf")
+    )
+    staged = tfp.join(docs, "doc_id").crossJoin(F.broadcast(stats))
+
+    norm_len = F.col("dl") * F.col("n_docs") / F.col("total_tokens")
+
+    def term_score(t: str) -> Column:
+        tf = F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("bigint")
+        dfq = F.lit(int(dfreq.get(t, 0))).cast("bigint")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - dfq + F.lit(0.5)) / (dfq + F.lit(0.5))
+        )
+        score = idf * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * norm_len))
+        )
+        return F.when(tf > 0, score).otherwise(F.lit(0.0))
+
+    total = reduce(
+        lambda a, t: a + term_score(t), query_terms[1:], term_score(query_terms[0])
+    )
+    top = (
+        staged.select("doc_id", F.round(total, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w))
