@@ -156,11 +156,18 @@ def apply_changelog_bm25(
     """
     import json as _json
 
+    from siddhi_io_cdc_spark.operators.mutate import rekey_deletes
+
     base = index_path.rstrip("/")
     if batch_id is not None and _hadoop_exists(spark, _marker_path(base, batch_id)):
         return
     meta = _json.loads(_hadoop_read_text(spark, base + "/_meta.json"))
     nbuckets, doc_buckets = meta["nbuckets"], meta["doc_buckets"]
+
+    # Multi-op flatten fills a delete's missing after image with TYPE
+    # DEFAULTS (doc_id would read 0, deleting the wrong document) — re-key
+    # deletes from the before image first, same as every other applier.
+    batch_df = rekey_deletes(batch_df, [id_col], op_col)
 
     before_text = f"before_{text_col}"
     moving_ops = ("update", "delete")

@@ -121,3 +121,103 @@ def test_probe_reads_only_query_buckets(spark, index_path):
     write_bm25_index(spark, docs, index_path, nbuckets=8, doc_buckets=4)
     plan = bm25_topk_indexed(spark, index_path, ["spark"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert "tbucket" in plan  # partition filter reached the scan
+
+
+def test_cdc_source_to_bm25_index_end_to_end(spark, tmp_path):
+    """The COMPOSED serving path — cdc_read_stream (listening mode,
+    JSON-lines changelog) -> flatten -> foreach_batch_bm25_index — with a
+    mid-stream restart from checkpoint. Probe results must equal a fresh
+    write_bm25_index over the final corpus state."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from siddhi_io_cdc_spark.api import cdc_read_stream
+    from siddhi_io_cdc_spark.streaming.bm25_index import foreach_batch_bm25_index
+
+    row_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+
+    def text(i, gen=0):
+        words = ["spark", "shuffle", "join", "quick", "brown", "fox"]
+        return " ".join(words[(i + j + gen) % len(words)] for j in range(4 + i % 5))
+
+    def ev(op, i, ts, gen=0, old_gen=0):
+        return {
+            "op": op,
+            "before": None if op == "c" else {"doc_id": i, "text": text(i, old_gen)},
+            "after": None if op == "d" else {"doc_id": i, "text": text(i, gen)},
+            "source": {"ts_ms": ts},
+            "ts_ms": ts,
+        }
+
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    path = str(tmp_path / "bm25")
+    ckpt = str(tmp_path / "ckpt")
+
+    write_bm25_index(
+        spark,
+        _corpus(spark, [(i, text(i)) for i in range(20)]),
+        path, nbuckets=8, doc_buckets=4,
+    )
+
+    def write_chunk(n, events):
+        with open(os.path.join(log, f"chunk{n}.json"), "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+
+    def run_stream():
+        flat = cdc_read_stream(
+            spark,
+            {"mode": "listening", "path": log,
+             "operation": "insert,update,delete"},
+            row_schema=row_schema,
+        )
+        q = (
+            flat.writeStream
+            .foreachBatch(foreach_batch_bm25_index(spark, path))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_chunk(1, [ev("c", i, ts=i) for i in range(20, 26)])
+    run_stream()
+    # stream down; term-dropping updates + deletes arrive "offline"; restart
+    write_chunk(2, [ev("u", i, ts=100 + i, gen=3) for i in range(3, 8)]
+                   + [ev("d", i, ts=200 + i) for i in range(15, 18)])
+    run_stream()
+
+    final_rows = (
+        [(i, text(i)) for i in range(3)]
+        + [(i, text(i, 3)) for i in range(3, 8)]
+        + [(i, text(i)) for i in range(8, 15)]
+        + [(i, text(i)) for i in range(18, 26)]
+    )
+    want = _ranking(bm25_topk(_corpus(spark, final_rows), TERMS, k=10))
+    got = _ranking(bm25_topk_indexed(spark, path, TERMS, k=10))
+    assert got == want
+
+
+def test_hybrid_from_maintained_indexes(spark, tmp_path):
+    """Hybrid serving from MAINTAINED state: RRF-fuse the partition-pruned
+    BM25 probe with a dense ranking — identical to fusing the scan-based
+    BM25 (probe-vs-scan parity composes through the fusion)."""
+    from siddhi_io_cdc_spark.functions.retrieval import rrf_fuse
+
+    docs = _corpus(spark, DOCS)
+    path = str(tmp_path / "bm25h")
+    write_bm25_index(spark, docs, path, nbuckets=8, doc_buckets=4)
+    dense = spark.createDataFrame(
+        [(2, 1), (0, 2), (5, 3)], "doc_id LONG, rank INT"
+    )
+    lex_idx = bm25_topk_indexed(spark, path, TERMS, k=5).select("doc_id", "rank")
+    lex_scan = bm25_topk(docs, TERMS, k=5).select("doc_id", "rank")
+    got = [(r.doc_id, r.rrf, r.rank) for r in rrf_fuse([dense, lex_idx], k=5).collect()]
+    want = [(r.doc_id, r.rrf, r.rank) for r in rrf_fuse([dense, lex_scan], k=5).collect()]
+    assert got == want
