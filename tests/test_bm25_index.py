@@ -7,7 +7,6 @@ rankings.
 """
 
 import pytest
-from pyspark.sql import functions as F
 
 from siddhi_io_cdc_spark.functions.retrieval import bm25_topk
 from siddhi_io_cdc_spark.streaming.bm25_index import (
