@@ -101,6 +101,23 @@ def write_bm25_index(
     _hadoop_write_text(
         spark, base + "/_meta.json", f'{{"nbuckets": {nbuckets}, "doc_buckets": {doc_buckets}}}'
     )
+    _write_stats(spark, base)
+
+
+def _write_stats(spark, base: str) -> None:
+    """Persist the corpus scalars (N, total tokens) as DERIVED state — a
+    1-row aggregate over the narrow docs table, rewritten after every
+    batch, so crash-replay regenerates it and the probe never scans even
+    the doc-length table for its two scalars."""
+    r = (
+        spark.read.parquet(base + "/docs")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+        .first()
+    )
+    _hadoop_write_text(
+        spark, base + "/_stats.json",
+        f'{{"n_docs": {int(r["n"])}, "total_tokens": {int(r["t"] or 0)}}}',
+    )
 
 
 def _merge_partitioned(
@@ -264,6 +281,7 @@ def apply_changelog_bm25(
             spark, base + "/docs", DBUCKET_COL, touched_d, dkept.unionByName(new_dl)
         )
 
+    _write_stats(spark, base)
     if batch_id is not None:
         _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
 
@@ -339,9 +357,19 @@ def bm25_topk_indexed(
         for r in postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
     }
     docs = spark.read.parquet(base + "/docs").select("doc_id", "dl")
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
-    )
+    stats_path = base + "/_stats.json"
+    if _hadoop_exists(spark, stats_path):
+        # derived-state cache maintained by the applier: same two BIGINTs
+        # the aggregate would produce, so scores stay bit-identical
+        cached = _json.loads(_hadoop_read_text(spark, stats_path))
+        stats = spark.createDataFrame(
+            [(int(cached["n_docs"]), int(cached["total_tokens"]))],
+            "n_docs BIGINT, total_tokens BIGINT",
+        )
+    else:
+        stats = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+        )
     # one row per doc holding its query-term tfs (bounded pivot on the
     # literal term list; docs with no query term never appear — the same
     # "matched" semantics as bm25_score)

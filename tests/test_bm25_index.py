@@ -220,3 +220,32 @@ def test_hybrid_from_maintained_indexes(spark, tmp_path):
     got = [(r.doc_id, r.rrf, r.rank) for r in rrf_fuse([dense, lex_idx], k=5).collect()]
     want = [(r.doc_id, r.rrf, r.rank) for r in rrf_fuse([dense, lex_scan], k=5).collect()]
     assert got == want
+
+
+def test_stats_cache_is_exact_derived_state(spark, index_path):
+    """The cached corpus scalars equal the docs-table aggregate after every
+    apply, and deleting the cache changes nothing in probe results (the
+    probe falls back to the aggregate — same two BIGINTs)."""
+    import json as _json
+
+    from siddhi_io_cdc_spark.functions.similarity import _hadoop_read_text
+    from siddhi_io_cdc_spark.streaming.ivf_index import _hadoop_delete
+
+    docs = _corpus(spark, DOCS)
+    write_bm25_index(spark, docs, index_path, nbuckets=8, doc_buckets=4)
+    batch = _changelog(
+        spark, [(6, "spark twice spark", None, "insert", 10),
+                (5, None, DOCS[5][1], "delete", 11)]
+    )
+    apply_changelog_bm25(spark, index_path, batch, batch_id=1)
+
+    cached = _json.loads(_hadoop_read_text(spark, index_path + "/_stats.json"))
+    d = spark.read.parquet(index_path + "/docs")
+    agg = d.groupBy().sum("dl").collect()[0][0]
+    assert cached["n_docs"] == d.count() == 6
+    assert cached["total_tokens"] == agg
+
+    with_cache = _ranking(bm25_topk_indexed(spark, index_path, TERMS, k=10))
+    _hadoop_delete(spark, index_path + "/_stats.json")
+    without_cache = _ranking(bm25_topk_indexed(spark, index_path, TERMS, k=10))
+    assert with_cache == without_cache
