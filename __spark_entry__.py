@@ -1710,15 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_tokenize_pipeline": q_tokenize_pipeline,
         "llm_span_corruption": q_span_corruption,
         # --- position 51+: r6-green flagships + remainder (local gate) ----
-        # The three retrieval/selection ops below landed after the round-7
-        # window was sealed; they are first in line for the round-8 window.
-        "llm_bm25_topk": q_bm25_topk,
-        "llm_dsir_weights": q_dsir_weights,
-        "llm_hybrid_retrieval": q_hybrid_retrieval,
-        "llm_semantic_dedup": q_semantic_dedup,
-        "llm_span_corruption": q_span_corruption,
-        # --- position 51+: r6-green flagships + remainder (local gate) ----
-        # The three retrieval/selection ops below landed after the round-7
+        # The retrieval/selection ops below landed after the round-7
         # window was sealed; they are first in line for the round-8 window.
         "llm_bm25_topk": q_bm25_topk,
         "llm_dsir_weights": q_dsir_weights,
