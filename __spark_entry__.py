@@ -579,6 +579,49 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def _doc_tokens(spark, sf_dir):
+    """The house token stream (lang, tok): TOKEN_RE over lowered text."""
+    return _docs(spark, sf_dir).select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("tok"),
+    )
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-language distinct-token cardinality by the portable md5
+    HyperLogLog (functions/sketch.py): register state is bit-identical in
+    any engine with md5, so the ORACLE rebuilds the sketch itself — the
+    estimate, not just the input, is cross-checked. The corpus-sized token
+    stream collapses map-side into <= 256 registers per language."""
+    from siddhi_io_cdc_spark.functions.sketch import hll_distinct
+
+    return hll_distinct(
+        _doc_tokens(spark, sf_dir), "tok", p=8, group_cols=["lang"]
+    )
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min point estimates for the corpus's top-8 tokens: build the
+    512x4 sketch (one explode + groupBy with map-side combine), then probe
+    it for the 8 heaviest tokens (exact counts kept alongside, so the row
+    shows the sketch's one-sided error). The sketch side is fixed-size by
+    construction and broadcast to the probe."""
+    from siddhi_io_cdc_spark.functions.sketch import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    toks = _doc_tokens(spark, sf_dir).select("tok")
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_cnt")
+    )
+    top = exact.orderBy(F.col("exact_cnt").desc(), "tok").limit(8)
+    sk = cms_sketch(toks, "tok", width=512, depth=4)
+    return cms_point_estimates(sk, top, "tok", width=512, depth=4)
+
+
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-10 for a 3-term query (Robertson/Zaragoza 2009 eq.
     3.2 smoothed idf). One declarative plan: the token explode feeds both
@@ -1718,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_semantic_dedup": q_semantic_dedup,
         "llm_ul2_denoisers": q_ul2_denoisers,
         "llm_dsir_select": q_dsir_select,
+        "llm_hll_distinct": q_hll_distinct,
+        "llm_cms_counts": q_cms_counts,
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
         "rel_pricing_summary": R.pricing_summary,
@@ -2581,6 +2626,18 @@ def oracle_sql() -> dict[str, str]:
     return d
 
 
+#: HyperLogLog oracle fragments (p=8, m=256) — must mirror
+#: functions/sketch.py exactly. The rho chain is pure integer compares
+#: (no log2 float hazard); the numerator is ONE Python float embedded as
+#: the identical literal in both engines.
+_HLL_RHO_SQL = (
+    "CASE "
+    + " ".join(f"WHEN v >= {1 << (32 - k)} THEN {k}" for k in range(1, 33))
+    + " ELSE 33 END"
+)
+_HLL_NUM = (0.7213 / (1 + 1.079 / 256)) * 256 * 256 * float(1 << 33)
+
+
 def _oracle_sql_dict() -> dict[str, str]:
     after_cols = ", ".join(EVENT_COLS)
     before_cols = ", ".join(f"{_BEFORE[c]} AS before_{c}" for c in EVENT_COLS)
@@ -3132,6 +3189,70 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM scored
             WHERE dsir_weight IS NOT NULL
             ORDER BY dsir_weight DESC, doc_id LIMIT 60""",
+        # llm_hll_distinct: the oracle REBUILDS the HyperLogLog sketch —
+        # same md5 preimage, same 12-bit bucket / 32-bit rho split, same
+        # exact-integer harmonic sum (sum(2^(33-rho)) scaled by 2^33, so
+        # the raw estimate is one division of exact operands) — and only
+        # then the estimator. Register state is the contract, not just the
+        # final number. (sketch.py:hll_registers / hll_estimate)
+        "llm_hll_distinct": f"""
+            WITH toks AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+              FROM documents),
+            br AS (
+              SELECT lang,
+                     CAST(('0x' || substr(hx, 1, 3)) AS BIGINT) % 256 AS bucket,
+                     CAST(('0x' || substr(hx, 4, 8)) AS BIGINT) AS v
+              FROM (SELECT lang, md5('0' || chr(31) || tok) AS hx FROM toks)),
+            regs AS (
+              SELECT lang, bucket, max({_HLL_RHO_SQL}) AS max_rho
+              FROM br GROUP BY lang, bucket),
+            agg AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_buckets_set,
+                     CAST(sum(CAST(1 AS BIGINT) << (33 - max_rho)) AS BIGINT)
+                       AS s_present
+              FROM regs GROUP BY lang),
+            est AS (
+              SELECT lang, n_buckets_set,
+                     {_HLL_NUM!r} / CAST(s_present
+                         + (256 - n_buckets_set) * 8589934592 AS DOUBLE) AS raw,
+                     256 - n_buckets_set AS zeros
+              FROM agg)
+            SELECT lang, n_buckets_set,
+                   round(CASE WHEN raw <= 640.0 AND zeros > 0
+                              THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                              ELSE raw END, 6) AS n_distinct_est
+            FROM est""",
+        # llm_cms_counts: rebuild the 512x4 count-min sketch (per-row md5
+        # seed '0.d', 60-bit prefix mod width) and point-query it for the
+        # top-8 exact tokens; min over the 4 rows, absent cells count 0.
+        "llm_cms_counts": f"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+              FROM documents),
+            exact AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM toks GROUP BY tok),
+            top AS (
+              SELECT tok, exact_cnt FROM exact
+              ORDER BY exact_cnt DESC, tok LIMIT 8),
+            dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+            sk AS (
+              SELECT d,
+                     CAST(('0x' || substr(md5('0.' || CAST(d AS VARCHAR)
+                         || chr(31) || tok), 1, 15)) AS BIGINT) % 512 AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM toks CROSS JOIN dd GROUP BY 1, 2),
+            probes AS (
+              SELECT t.tok, t.exact_cnt, dd.d,
+                     CAST(('0x' || substr(md5('0.' || CAST(dd.d AS VARCHAR)
+                         || chr(31) || t.tok), 1, 15)) AS BIGINT) % 512 AS bucket
+              FROM top t CROSS JOIN dd)
+            SELECT p.tok, p.exact_cnt,
+                   CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est
+            FROM probes p LEFT JOIN sk s USING (d, bucket)
+            GROUP BY p.tok, p.exact_cnt""",
         # llm_ivf_ann probes every inverted list (nprobe == nlist) → exact
         # top-k, so the brute-force oracle applies verbatim.
         "llm_ivf_ann": """

@@ -1,0 +1,130 @@
+"""HyperLogLog / count-min sketch: accuracy, determinism, mergeability."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.sketch import (
+    cms_point_estimates,
+    cms_sketch,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    # 5000 distinct keys, each appearing 1 + (k % 3) times -> 10k rows
+    return spark.range(5000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("tok"),
+        F.explode(F.sequence(F.lit(0), F.col("id") % 3)).alias("rep"),
+    ).select("tok").persist()
+
+
+def test_hll_accuracy_and_determinism(spark, stream):
+    est1 = hll_distinct(stream, "tok", p=8).collect()[0]
+    est2 = hll_distinct(stream, "tok", p=8).collect()[0]
+    assert est1 == est2  # md5-derived: bit-deterministic across runs
+    # p=8 -> sigma ~ 1.04/sqrt(256) = 6.5%; 5000 distinct
+    assert abs(est1["n_distinct_est"] - 5000) / 5000 < 0.15
+    assert 0 < est1["n_buckets_set"] <= 256
+
+
+def test_hll_repetitions_do_not_move_registers(spark, stream):
+    once = stream.distinct()
+    r_all = sorted(map(tuple, hll_registers(stream, "tok", p=8).collect()))
+    r_once = sorted(map(tuple, hll_registers(once, "tok", p=8).collect()))
+    assert r_all == r_once
+
+
+def test_hll_linear_counting_small_range(spark):
+    small = spark.range(10).select(F.col("id").cast("string").alias("tok"))
+    est = hll_distinct(small, "tok", p=8).collect()[0]
+    # linear-counting branch: essentially exact at 10 << 256 registers
+    assert abs(est["n_distinct_est"] - 10) <= 1
+
+
+def test_hll_merge_is_register_max(spark, stream):
+    a = stream.where(F.substring("tok", 5, 1).isin("0", "1", "2"))
+    b = stream.where(~F.substring("tok", 5, 1).isin("0", "1", "2"))
+    merged = (
+        hll_registers(a, "tok", p=8)
+        .unionByName(hll_registers(b, "tok", p=8))
+        .groupBy("bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    whole = hll_registers(stream, "tok", p=8)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # and the estimate off the merged registers matches the one-shot path
+    assert (
+        hll_estimate(merged, p=8).collect()
+        == hll_distinct(stream, "tok", p=8).collect()
+    )
+
+
+def test_hll_grouped(spark):
+    df = spark.range(600).select(
+        F.when(F.col("id") < 200, "en").otherwise("de").alias("lang"),
+        F.concat(
+            F.lit("w"),
+            F.when(F.col("id") < 200, F.col("id") % 20)
+            .otherwise(F.col("id") % 50)
+            .cast("string"),
+        ).alias("tok"),
+    )
+    out = {
+        r["lang"]: r["n_distinct_est"]
+        for r in hll_distinct(df, "tok", p=8, group_cols=["lang"]).collect()
+    }
+    # en: 20 distinct, de: 50 distinct — linear-counting regime, ~±15%
+    assert abs(out["en"] - 20) <= 4 and abs(out["de"] - 50) <= 8
+
+
+def test_hll_null_skipped(spark):
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "tok string")
+    est = hll_distinct(df, "tok", p=8).collect()[0]
+    assert abs(est["n_distinct_est"] - 2) <= 1
+
+
+def test_cms_never_underestimates_and_is_exact_when_sparse(spark, stream):
+    exact = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    sk = cms_sketch(stream, "tok", width=4096, depth=4)
+    est = cms_point_estimates(
+        sk, exact, "tok", width=4096, depth=4
+    )
+    bad = est.where(F.col("cms_est") < F.col("cnt")).count()
+    assert bad == 0  # one-sided error: min over rows never undercounts
+    # 5000 keys in 4 x 4096 counters: collisions exist, but most keys exact
+    exact_frac = est.where(F.col("cms_est") == F.col("cnt")).count() / 5000
+    assert exact_frac > 0.5
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark, stream):
+    sk = cms_sketch(stream, "tok", width=4096, depth=4)
+    absent = spark.createDataFrame([("nope",)], "tok string")
+    est = cms_point_estimates(sk, absent, "tok", width=4096, depth=4).collect()
+    assert est[0]["cms_est"] >= 0  # >= 0 always; usually 0
+
+
+def test_cms_merge_is_counter_sum(spark, stream):
+    a = stream.where(F.substring("tok", 5, 1).isin("0", "1", "2"))
+    b = stream.where(~F.substring("tok", 5, 1).isin("0", "1", "2"))
+    merged = (
+        cms_sketch(a, "tok", width=512, depth=4)
+        .unionByName(cms_sketch(b, "tok", width=512, depth=4))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    whole = cms_sketch(stream, "tok", width=512, depth=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_validates(spark, stream):
+    with pytest.raises(ValueError):
+        cms_sketch(stream, "tok", width=0)
+    with pytest.raises(ValueError):
+        hll_registers(stream, "tok", p=3)
