@@ -622,6 +622,15 @@ def q_cms_counts(spark, sf_dir):
     return cms_point_estimates(sk, top, "tok", width=512, depth=4)
 
 
+def q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram scoring (the KenLM/CCNet smoothing):
+    every statistic is an exact integer count, the probability a
+    fixed-shape arithmetic tree the oracle restates verbatim."""
+    from siddhi_io_cdc_spark.functions.export import kneser_ney_logprob
+
+    return kneser_ney_logprob(_docs(spark, sf_dir))
+
+
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-10 for a 3-term query (Robertson/Zaragoza 2009 eq.
     3.2 smoothed idf). One declarative plan: the token explode feeds both
@@ -1763,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_dsir_select": q_dsir_select,
         "llm_hll_distinct": q_hll_distinct,
         "llm_cms_counts": q_cms_counts,
+        "llm_kneser_ney": q_kneser_ney,
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
         "rel_pricing_summary": R.pricing_summary,
@@ -3253,6 +3263,45 @@ def _oracle_sql_dict() -> dict[str, str]:
                    CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS cms_est
             FROM probes p LEFT JOIN sk s USING (d, bucket)
             GROUP BY p.tok, p.exact_cnt""",
+        # llm_kneser_ney: interpolated KN bigram (Chen & Goodman 1998
+        # eq. 4.24, D = 0.75). Every statistic is an exact integer count of
+        # the bigram vocabulary; the probability tree below matches
+        # export.kneser_ney_logprob's association order token for token.
+        "llm_kneser_ney": f"""
+            WITH t AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents),
+            big AS (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 1)) AS i
+                    FROM t WHERE len(toks) >= 2)),
+            vocab AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+              FROM big GROUP BY w1, w2),
+            lstats AS (
+              SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                     CAST(count(*) AS BIGINT) AS n1p_w1
+              FROM vocab GROUP BY w1),
+            rstats AS (
+              SELECT w2, CAST(count(*) AS BIGINT) AS n1p_w2
+              FROM vocab GROUP BY w2),
+            types AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM vocab),
+            scored AS (
+              SELECT doc_id,
+                     round(avg(-ln(
+                       (greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                          / CAST(c1 AS DOUBLE))
+                       + (0.75 * CAST(n1p_w1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                         * (CAST(n1p_w2 AS DOUBLE) / CAST(n_types AS DOUBLE))
+                     )), 6) AS kn_nll,
+                     CAST(count(*) AS BIGINT) AS n_bigrams
+              FROM big JOIN vocab USING (w1, w2) JOIN lstats USING (w1)
+                   JOIN rstats USING (w2) CROSS JOIN types
+              GROUP BY doc_id)
+            SELECT d.doc_id, s.kn_nll, s.n_bigrams
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN scored s USING (doc_id)""",
         # llm_ivf_ann probes every inverted list (nprobe == nlist) → exact
         # top-k, so the brute-force oracle applies verbatim.
         "llm_ivf_ann": """

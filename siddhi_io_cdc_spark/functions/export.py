@@ -338,6 +338,98 @@ def bigram_logprob(
     return tag_caches(out, [big, vocab])
 
 
+def kneser_ney_logprob(
+    df: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab_max: int | None = 5_000_000,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an interpolated
+    Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman 1998 eq. 4.24)
+    trained on the scored corpus itself — the smoothing KenLM applies,
+    i.e. what CCNet actually scores with (Wenzek et al. 2020), one step
+    past the MLE ladder (:func:`bigram_logprob`):
+
+        P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                 + (D * N1+(w1,.)/c(w1)) * (N1+(.,w2) / N1+(.,.))
+
+    where ``N1+`` are the continuation-type counts. Unlike the MLE rungs
+    this assigns mass to UNSEEN bigrams, so the score separates "common
+    words in novel orders" (natural text) from "common words in common
+    orders" (boilerplate) — the actual CCNet discrimination signal.
+
+    Every quantity is an exact integer count off the bigram-vocabulary
+    table; the probability is a fixed-shape arithmetic tree over them
+    (both engines evaluate the identical association order), so the oracle
+    restates it verbatim. Shuffles: the bigram vocabulary aggregate, three
+    VOCABULARY-sized aggregates for c(w1)/N1+(w1,.)/N1+(.,w2) (plus one
+    1-row type total), the lookup join (broadcast under the same measured
+    guard as :func:`bigram_logprob`), and the per-document regroup —
+    corpus-sized data crosses the wire once.
+
+    Documents with fewer than two tokens get NULL scores.
+    """
+    from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
+
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0, 1) (got {discount})")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = scoped_persist(
+        _fan_out(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(pairs).alias("__bg"))
+        .select(
+            id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
+        )
+    )
+    vocab = scoped_persist(
+        big.groupBy("__w1", "__w2").agg(F.count("*").cast("bigint").alias("__c12"))
+    )
+    # All three KN statistics are aggregates OF the (tiny) vocabulary table:
+    # c(w1) = sum of bigram counts, N1+(w1,.) / N1+(.,w2) = row counts per
+    # side, N1+(.,.) = the vocabulary's own row count.
+    left = vocab.groupBy("__w1").agg(
+        F.sum("__c12").cast("bigint").alias("__c1"),
+        F.count("*").cast("bigint").alias("__n1p_w1"),
+    )
+    right = vocab.groupBy("__w2").agg(F.count("*").cast("bigint").alias("__n1p_w2"))
+    types = vocab.agg(F.count("*").cast("bigint").alias("__n_types"))
+    use_broadcast = (
+        broadcast_vocab_max is None or vocab.count() <= broadcast_vocab_max
+    )
+    d = F.lit(float(discount))
+    # fixed-shape arithmetic tree — the oracle restates this association
+    # order token for token
+    p = (
+        F.greatest(F.col("__c12").cast("double") - d, F.lit(0.0))
+        / F.col("__c1").cast("double")
+    ) + (d * F.col("__n1p_w1").cast("double") / F.col("__c1").cast("double")) * (
+        F.col("__n1p_w2").cast("double") / F.col("__n_types").cast("double")
+    )
+    lm = (
+        vocab.join(left, "__w1")
+        .join(right, "__w2")
+        .crossJoin(F.broadcast(types))
+        .select("__w1", "__w2", p.alias("__p"))
+    )
+    scored = (
+        big.join(F.broadcast(lm) if use_broadcast else lm, ["__w1", "__w2"])
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log("__p")), 6).alias("kn_nll"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    out = df.select(id_col).distinct().join(scored, id_col, "left")
+    return tag_caches(out, [big, vocab])
+
+
 def ngram_logprob(
     df: DataFrame,
     n: int = 5,

@@ -552,3 +552,71 @@ class TestUL2Denoisers:
                 "<extra_id_"
             )
             assert n_target_tokens == 64
+
+
+def test_kneser_ney_matches_pure_python_reference(spark):
+    from siddhi_io_cdc_spark.functions.export import kneser_ney_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b c a"), (3, "a"), (4, "c a b")],
+        "doc_id long, text string",
+    )
+    # pure-Python interpolated-KN reference over the same corpus
+    corpus = {1: "a b a b c".split(), 2: "b c a".split(), 4: "c a b".split()}
+    from collections import Counter
+
+    c12 = Counter()
+    for toks in corpus.values():
+        for w1, w2 in zip(toks, toks[1:]):
+            c12[(w1, w2)] += 1
+    c1 = Counter()
+    n1p_l = Counter()
+    n1p_r = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p_l[w1] += 1
+        n1p_r[w2] += 1
+    n_types = len(c12)
+    D = 0.75
+
+    def p(w1, w2):
+        return (max(c12[(w1, w2)] - D, 0.0) / c1[w1]) + (
+            D * n1p_l[w1] / c1[w1]
+        ) * (n1p_r[w2] / n_types)
+
+    expect = {}
+    for doc, toks in corpus.items():
+        vals = [-math.log(p(w1, w2)) for w1, w2 in zip(toks, toks[1:])]
+        expect[doc] = (round(sum(vals) / len(vals), 6), len(vals))
+    expect[3] = (None, None)  # single token: no bigram positions
+
+    got = {
+        r.doc_id: (r.kn_nll, r.n_bigrams)
+        for r in kneser_ney_logprob(docs).collect()
+    }
+    assert got == expect
+
+
+def test_kneser_ney_smooths_unseen_bigrams(spark):
+    # the defining KN property the MLE ladder lacks: an UNSEEN bigram made
+    # of seen words still gets positive probability mass
+    from siddhi_io_cdc_spark.functions.export import kneser_ney_logprob
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.kn_nll for r in kneser_ney_logprob(train).collect()}
+    assert all(v is not None and v > 0 for v in out.values())
+    with pytest.raises(ValueError):
+        kneser_ney_logprob(train, discount=1.5)
+
+
+def test_kneser_ney_shuffle_fallback_matches_broadcast(spark, sf_dir):
+    from siddhi_io_cdc_spark.functions.export import kneser_ney_logprob
+
+    docs = _docs(spark, sf_dir).limit(40)
+    a = sorted(map(tuple, kneser_ney_logprob(docs).collect()))
+    b = sorted(
+        map(tuple, kneser_ney_logprob(docs, broadcast_vocab_max=1).collect())
+    )
+    assert a == b and len(a) == 40
