@@ -631,6 +631,38 @@ def q_kneser_ney(spark, sf_dir):
     return kneser_ney_logprob(_docs(spark, sf_dir))
 
 
+def q_unigram_lm(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenizer training (hard EM): final
+    piece table after seed + 2 Viterbi/recount rounds. The oracle restates
+    the ENTIRE trainer — seed substring counts, both unrolled-DP ladders,
+    both renormalizations — as one generated CTE chain."""
+    from siddhi_io_cdc_spark.functions.unigram_lm import unigram_lm_train
+
+    return unigram_lm_train(
+        _docs(spark, sf_dir),
+        vocab_size=48,
+        max_piece_len=3,
+        max_word_len=12,
+        n_iters=2,
+    )
+
+
+def q_unigram_encode(spark, sf_dir):
+    """Tokenizer-family composite #2: train the unigram LM, then encode the
+    corpus with the LEARNED pieces (DP per distinct word, broadcast join
+    back, position-ordered reassembly; >12-char words pass through OOV)."""
+    from siddhi_io_cdc_spark.functions.unigram_lm import (
+        unigram_lm_encode,
+        unigram_lm_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    vocab = unigram_lm_train(
+        docs, vocab_size=48, max_piece_len=3, max_word_len=12, n_iters=2
+    )
+    return unigram_lm_encode(docs, vocab, max_word_len=12, max_piece_len=3)
+
+
 def q_bm25_topk(spark, sf_dir):
     """Okapi BM25 top-10 for a 3-term query (Robertson/Zaragoza 2009 eq.
     3.2 smoothed idf). One declarative plan: the token explode feeds both
@@ -1773,6 +1805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_hll_distinct": q_hll_distinct,
         "llm_cms_counts": q_cms_counts,
         "llm_kneser_ney": q_kneser_ney,
+        "llm_unigram_lm": q_unigram_lm,
+        "llm_unigram_encode": q_unigram_encode,
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
         "rel_pricing_summary": R.pricing_summary,
@@ -2202,6 +2236,172 @@ def _tokenize_pipeline_oracle_sql(n_merges: int = 6) -> str:
              CAST(floor(cum / 512.0) AS BIGINT) AS seq_id,
              CAST(cum % 512 AS BIGINT) AS seq_offset, n_tokens
       FROM c"""
+
+
+def _unigram_viterbi_ctes(
+    tag: str, src: str, vocab: str, L: int, P: int
+) -> tuple[list[str], str]:
+    """Unrolled Viterbi DP over word positions as one MATERIALIZED CTE per
+    level — mirrors unigram_lm.viterbi_segment: level ``i`` holds the best
+    (score, delimited-symbol segmentation) of the first ``i`` characters;
+    candidates scan LONGEST piece first and the strict-> fold keeps the
+    earlier candidate on ties, the same rule as the Spark fold. Piece
+    lookups are scalar subqueries against the (materialized, model-sized)
+    vocab CTE; a missing piece scores -1e9 exactly like the Spark
+    coalesce. Returns (ctes, final_level_name)."""
+    ctes = [
+        f"{tag}0 AS MATERIALIZED (SELECT *, CAST(0.0 AS DOUBLE) AS s0,"
+        f" '' AS g0 FROM {src})"
+    ]
+    for i in range(1, L + 1):
+        cands = []
+        for l in range(min(i, P), 0, -1):
+            sub = f"substr(word, {i - l + 1}, {l})"
+            lp = (
+                f"coalesce((SELECT logprob FROM {vocab} v WHERE v.piece = {sub}),"
+                " -1000000000.0)"
+            )
+            cands.append(
+                f"struct_pack(s := s{i - l} + {lp}, "
+                f"g := g{i - l} || '(' || {sub} || ')')"
+            )
+        best = cands[0]
+        for c in cands[1:]:
+            best = f"CASE WHEN ({c}).s > ({best}).s THEN {c} ELSE {best} END"
+        ctes.append(
+            f"""{tag}{i} AS MATERIALIZED (
+      SELECT * EXCLUDE (b), b.s AS s{i}, b.g AS g{i}
+      FROM (SELECT *, {best} AS b FROM {tag}{i - 1}))"""
+        )
+    return ctes, f"{tag}{L}"
+
+
+def _unigram_seg_case(L: int) -> str:
+    """seg = the DP level matching the word's length (train words are
+    always 1..L chars)."""
+    whens = " ".join(f"WHEN {i} THEN g{i}" for i in range(1, L + 1))
+    return f"CASE length(word) {whens} END"
+
+
+def _unigram_train_ctes(
+    vocab_size: int = 48, P: int = 3, L: int = 12, n_iters: int = 2
+) -> tuple[list[str], str]:
+    """CTE chain restating unigram_lm_train: word table -> substring seed
+    vocabulary (all chars + top multis, ties lexicographic) -> ``n_iters``
+    hard-EM rounds (Viterbi CTE ladder + piece recount + renormalize).
+    Returns (ctes, final_vocab_cte)."""
+    ctes = [
+        f"""uwords AS MATERIALIZED (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents)
+      WHERE length(word) <= {L} GROUP BY word)""",
+        f"""ugrid AS (
+      SELECT word, freq, i, unnest(generate_series(1, {P})) AS l
+      FROM (SELECT word, freq,
+                   unnest(generate_series(1, length(word))) AS i
+            FROM uwords))""",
+        """useed AS MATERIALIZED (
+      SELECT substr(word, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS piece_count
+      FROM ugrid WHERE i + l - 1 <= length(word) GROUP BY 1)""",
+        """uchars AS (SELECT piece, piece_count FROM useed WHERE length(piece) = 1)""",
+        f"""umulti AS (
+      SELECT piece, piece_count FROM (
+        SELECT piece, piece_count,
+               row_number() OVER (ORDER BY piece_count DESC, piece) AS rk
+        FROM useed WHERE length(piece) > 1)
+      WHERE rk <= greatest({vocab_size} - (SELECT count(*) FROM uchars), 0))""",
+        """uv0c AS (SELECT * FROM uchars UNION ALL SELECT * FROM umulti)""",
+        """uv0 AS MATERIALIZED (
+      SELECT piece, piece_count,
+             round(ln(CAST(piece_count AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+               AS logprob
+      FROM uv0c, (SELECT CAST(sum(piece_count) AS BIGINT) AS tot FROM uv0c))""",
+    ]
+    vocab = "uv0"
+    for k in range(1, n_iters + 1):
+        dp, last = _unigram_viterbi_ctes(f"ud{k}_", "uwords", vocab, L, P)
+        ctes.extend(dp)
+        ctes.append(
+            f"""useg{k} AS (
+      SELECT word, freq, {_unigram_seg_case(L)} AS seg FROM {last})"""
+        )
+        ctes.append(
+            f"""ucnt{k} AS MATERIALIZED (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS piece_count
+      FROM (SELECT unnest(string_split(trim(seg, '()'), ')(')) AS piece, freq
+            FROM useg{k})
+      GROUP BY piece)"""
+        )
+        ctes.append(
+            f"""uv{k} AS MATERIALIZED (
+      SELECT piece, piece_count,
+             round(ln(CAST(piece_count AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+               AS logprob
+      FROM ucnt{k},
+           (SELECT CAST(sum(piece_count) AS BIGINT) AS tot FROM ucnt{k}))"""
+        )
+        vocab = f"uv{k}"
+    return ctes, vocab
+
+
+def _unigram_train_oracle_sql() -> str:
+    ctes, vocab = _unigram_train_ctes()
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT piece, piece_count, logprob FROM {vocab}"
+    )
+
+
+def _unigram_encode_oracle_sql(L: int = 12, P: int = 3) -> str:
+    """Train (full CTE chain) then encode the corpus with the LEARNED
+    pieces: DP once per DISTINCT document word, position-ordered regroup,
+    >L-char words passed through as single OOV pieces, wordless documents
+    kept with NULL output — mirrors unigram_lm_encode."""
+    ctes, vocab = _unigram_train_ctes()
+    ctes.append(
+        """epos AS MATERIALIZED (
+      SELECT doc_id, i AS pos, toks[i] AS word
+      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+            FROM (SELECT doc_id,
+                         regexp_extract_all(lower(text), '[a-z]+') AS toks
+                  FROM documents)))"""
+    )
+    ctes.append(
+        f"""ewords AS MATERIALIZED (
+      SELECT DISTINCT word FROM epos WHERE length(word) <= {L})"""
+    )
+    dp, last = _unigram_viterbi_ctes("ue_", "ewords", vocab, L, P)
+    ctes.extend(dp)
+    ctes.append(
+        f"""eseg AS (
+      SELECT word, {_unigram_seg_case(L)} AS seg FROM {last}
+      UNION ALL
+      SELECT word, '(' || word || ')' AS seg
+      FROM (SELECT DISTINCT word FROM epos WHERE length(word) > {L}))"""
+    )
+    ctes.append(
+        """ewp AS (
+      SELECT word,
+             array_to_string(string_split(trim(seg, '()'), ')('), ' ') AS wp,
+             CAST(len(string_split(trim(seg, '()'), ')(')) AS BIGINT) AS wn
+      FROM eseg)"""
+    )
+    ctes.append(
+        """eagg AS (
+      SELECT doc_id, string_agg(wp, ' ' ORDER BY pos) AS pieces,
+             CAST(sum(wn) AS BIGINT) AS n_pieces
+      FROM epos JOIN ewp USING (word) GROUP BY doc_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT d.doc_id, e.pieces, e.n_pieces
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN eagg e USING (doc_id)"""
+    )
 
 
 def _rag_pipeline_oracle_sql() -> str:
@@ -3302,6 +3502,13 @@ def _oracle_sql_dict() -> dict[str, str]:
             SELECT d.doc_id, s.kn_nll, s.n_bigrams
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN scored s USING (doc_id)""",
+        # llm_unigram_lm / llm_unigram_encode: the whole SentencePiece-style
+        # hard-EM trainer (and the encode composite on top of it) restated
+        # as generated CTE chains — one MATERIALIZED CTE per Viterbi DP
+        # level, scalar-subquery piece lookups, the same longest-piece tie
+        # rule. See _unigram_train_ctes / _unigram_viterbi_ctes above.
+        "llm_unigram_lm": _unigram_train_oracle_sql(),
+        "llm_unigram_encode": _unigram_encode_oracle_sql(),
         # llm_ivf_ann probes every inverted list (nprobe == nlist) → exact
         # top-k, so the brute-force oracle applies verbatim.
         "llm_ivf_ann": """
