@@ -103,6 +103,13 @@ BENCH_QUERIES = [
     "llm_semantic_dedup",
     "llm_ul2_denoisers",
     "llm_dsir_select",
+    # Round 7 (this session): sketches, KN smoothing, the unigram-LM
+    # tokenizer family.
+    "llm_hll_distinct",
+    "llm_cms_counts",
+    "llm_kneser_ney",
+    "llm_unigram_lm",
+    "llm_unigram_encode",
 ]
 
 

@@ -152,40 +152,40 @@ def viterbi_segment(
     lp_map = F.create_map(
         *[x for p, lp in vocab for x in (F.lit(p), F.lit(float(lp)))]
     )
+    # Each DP level is ONE selectExpr with a server-side SQL string —
+    # building the same tree as Column objects costs ~2 s of py4j round
+    # trips per call (driver-side, serial: the pitfall that matters when a
+    # 100 TB job's driver plans many of these). Later levels reference the
+    # previous level's struct FIELDS (__b{j}.s), which are named-column
+    # projections, so the tree stays linear exactly like the oracle's
+    # MATERIALIZED CTE ladder.
     cur = words.withColumn("__lp", lp_map)
-    cur = cur.withColumn("__s0", F.lit(0.0)).withColumn("__g0", F.lit(""))
     for i in range(1, max_word_len + 1):
         cands = []
         # longest candidate first: on equal scores the strict-> scan keeps
         # the earlier (longer-piece) candidate — the documented tie rule
         for l in range(min(i, max_piece_len), 0, -1):
-            piece = F.col(word_col).substr(i - l + 1, l)
-            lp = F.coalesce(F.element_at(F.col("__lp"), piece), F.lit(_NEG_INF))
+            j = i - l
+            sub = f"substr({word_col}, {j + 1}, {l})"
+            lp = f"coalesce(element_at(__lp, {sub}), -1000000000.0D)"
+            s_prev = f"__b{j}.s" if j else "0.0D"
+            g_prev = f"__b{j}.g" if j else "''"
             cands.append(
-                F.struct(
-                    (F.col(f"__s{i - l}") + lp).alias("s"),
-                    F.concat(
-                        F.col(f"__g{i - l}"), F.lit("("), piece, F.lit(")")
-                    ).alias("g"),
-                )
+                f"named_struct('s', {s_prev} + {lp}, "
+                f"'g', concat({g_prev}, '(', {sub}, ')'))"
             )
         best = cands[0]
         for c in cands[1:]:
-            best = F.when(c["s"] > best["s"], c).otherwise(best)
-        cur = (
-            cur.select("*", best.alias(f"__b{i}"))
-            .select(
-                "*",
-                F.col(f"__b{i}.s").alias(f"__s{i}"),
-                F.col(f"__b{i}.g").alias(f"__g{i}"),
-            )
-            .drop(f"__b{i}")
-        )
-    seg: Column = F.concat(F.lit("("), F.col(word_col), F.lit(")"))  # OOV passthrough
-    for i in range(1, max_word_len + 1):
-        seg = F.when(F.length(word_col) == i, F.col(f"__g{i}")).otherwise(seg)
-    keep = [c for c in words.columns]
-    return cur.select(*keep, seg.alias(seg_col))
+            best = f"CASE WHEN ({c}).s > ({best}).s THEN {c} ELSE {best} END"
+        cur = cur.selectExpr("*", f"{best} AS __b{i}")
+    whens = " ".join(
+        f"WHEN {i} THEN __b{i}.g" for i in range(1, max_word_len + 1)
+    )
+    seg_sql = (  # ELSE: >max_word_len words pass through as one OOV piece
+        f"CASE length({word_col}) {whens} "
+        f"ELSE concat('(', {word_col}, ')') END"
+    )
+    return cur.selectExpr(*words.columns, f"{seg_sql} AS {seg_col}")
 
 
 def unigram_lm_train(
@@ -217,16 +217,20 @@ def unigram_lm_train(
     spark = df.sparkSession
     words = word_frequencies(df, text_col, max_word_len).persist()
     try:
-        vocab_df = _with_logprob(seed_pieces(words, vocab_size, max_piece_len))
+        # Each round ends in a bounded model-sized collect (the piece table
+        # IS the model), and the next round's vocabulary enters as LITERAL
+        # rows — so every segmentation pass over the cached word table runs
+        # exactly once, instead of the whole EM lineage re-executing per
+        # round (and once more at materialization). Log-probs are computed
+        # IN Spark before collecting, so the rounding mode (HALF_UP) stays
+        # the engine's own — a Python-side round() is banker's and could
+        # diverge on an exact half at the 9th decimal.
+        rows = _with_logprob(
+            seed_pieces(words, vocab_size, max_piece_len)
+        ).collect()
         for _ in range(n_iters):
-            # bounded collect: the piece table is the model (<= vocab_size)
-            vocab = [
-                (r["piece"], r["logprob"])
-                for r in vocab_df.orderBy("piece").collect()
-            ]
-            segged = viterbi_segment(
-                words, vocab, max_word_len, max_piece_len
-            )
+            vocab = sorted((r["piece"], r["logprob"]) for r in rows)
+            segged = viterbi_segment(words, vocab, max_word_len, max_piece_len)
             counts = (
                 segged.select(
                     F.explode(_split_symbols(F.col("seg"))).alias("piece"),
@@ -235,8 +239,10 @@ def unigram_lm_train(
                 .groupBy("piece")
                 .agg(F.sum("freq").cast("bigint").alias("piece_count"))
             )
-            vocab_df = _with_logprob(counts)
-        return vocab_df
+            rows = _with_logprob(counts).collect()
+        return spark.createDataFrame(
+            rows, "piece string, piece_count bigint, logprob double"
+        )
     finally:
         words.unpersist()
 
