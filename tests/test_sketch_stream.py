@@ -1,0 +1,190 @@
+"""CDC-incremental sketch maintenance: CMS linearity, HLL monotonicity,
+replay skip, before-image guards, versioned-state crash behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.sketch import cms_sketch, hll_registers
+from siddhi_io_cdc_spark.streaming.sketch import (
+    _tokens,
+    apply_changelog_cms,
+    apply_changelog_hll,
+    foreach_batch_cms,
+    read_cms,
+    read_hll_registers,
+    write_cms_state,
+    write_hll_state,
+)
+
+SCHEMA = (
+    "doc_id bigint, text string, before_text string, "
+    "operation string, ts_ms bigint"
+)
+
+
+@pytest.fixture()
+def corpus0(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta beta delta"),
+            (3, "gamma delta epsilon"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def _batches(spark):
+    b1 = spark.createDataFrame(
+        [
+            (4, "zeta alpha", None, "insert", 10),
+            (2, "beta theta", "beta beta delta", "update", 11),
+            (3, None, "gamma delta epsilon", "delete", 12),
+        ],
+        SCHEMA,
+    )
+    # intra-batch chain: doc 5 inserted then updated in the same batch
+    b2 = spark.createDataFrame(
+        [
+            (5, "iota iota", None, "insert", 20),
+            (5, "iota kappa", "iota iota", "update", 21),
+            (1, "alpha beta gamma mu", "alpha beta gamma", "update", 22),
+        ],
+        SCHEMA,
+    )
+    return b1, b2
+
+
+def _final_corpus(spark):
+    # hand-applied changelog result
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma mu"),
+            (2, "beta theta"),
+            (4, "zeta alpha"),
+            (5, "iota kappa"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_cms_maintained_equals_fresh_sketch(spark, corpus0, tmp_path):
+    path = str(tmp_path / "cms")
+    write_cms_state(spark, corpus0, path, width=64, depth=3, seed=0)
+    b1, b2 = _batches(spark)
+    apply_changelog_cms(spark, b1, path, batch_id=1)
+    apply_changelog_cms(spark, b2, path, batch_id=2)
+    got = sorted(map(tuple, read_cms(spark, path).collect()))
+    fresh = cms_sketch(
+        _tokens(_final_corpus(spark), "text"), "tok", width=64, depth=3, seed=0
+    )
+    assert got == sorted(map(tuple, fresh.collect()))
+
+
+def test_cms_replay_skips_applied_batch(spark, corpus0, tmp_path):
+    path = str(tmp_path / "cms")
+    write_cms_state(spark, corpus0, path, width=64, depth=3)
+    b1, _ = _batches(spark)
+    apply_changelog_cms(spark, b1, path, batch_id=1)
+    before = sorted(map(tuple, read_cms(spark, path).collect()))
+    apply_changelog_cms(spark, b1, path, batch_id=1)  # replay: pointer skip
+    assert sorted(map(tuple, read_cms(spark, path).collect())) == before
+
+
+def test_cms_guards_missing_and_null_before(spark, corpus0, tmp_path):
+    path = str(tmp_path / "cms")
+    write_cms_state(spark, corpus0, path, width=64, depth=3)
+    no_col = spark.createDataFrame(
+        [(2, "x", "update", 1)],
+        "doc_id bigint, text string, operation string, ts_ms bigint",
+    )
+    with pytest.raises(ValueError, match="no 'before_text' column"):
+        apply_changelog_cms(spark, no_col, path, batch_id=3)
+    null_before = spark.createDataFrame(
+        [(2, "x", None, "update", 1)], SCHEMA
+    )
+    with pytest.raises(ValueError, match="NULL 'before_text'"):
+        apply_changelog_cms(spark, null_before, path, batch_id=3)
+
+
+def test_cms_foreach_batch_adapter(spark, corpus0, tmp_path):
+    path = str(tmp_path / "cms")
+    write_cms_state(spark, corpus0, path, width=64, depth=3)
+    b1, b2 = _batches(spark)
+    fn = foreach_batch_cms(spark, path)
+    fn(b1, 1)
+    fn(b2, 2)
+    fn(b2, 2)  # the adapter passes batch_id through -> replay skip
+    got = sorted(map(tuple, read_cms(spark, path).collect()))
+    fresh = cms_sketch(
+        _tokens(_final_corpus(spark), "text"), "tok", width=64, depth=3
+    )
+    assert got == sorted(map(tuple, fresh.collect()))
+
+
+def test_cms_insert_then_delete_nets_to_zero(spark, corpus0, tmp_path):
+    path = str(tmp_path / "cms")
+    write_cms_state(spark, corpus0, path, width=64, depth=3)
+    b = spark.createDataFrame(
+        [
+            (9, "omega omega", None, "insert", 1),
+            (9, None, "omega omega", "delete", 2),
+        ],
+        SCHEMA,
+    )
+    before = sorted(map(tuple, read_cms(spark, path).collect()))
+    apply_changelog_cms(spark, b, path, batch_id=1)
+    assert sorted(map(tuple, read_cms(spark, path).collect())) == before
+
+
+def test_hll_insert_only_matches_fresh_registers(spark, corpus0, tmp_path):
+    path = str(tmp_path / "hll")
+    write_hll_state(spark, corpus0, path, p=8)
+    b = spark.createDataFrame(
+        [(4, "zeta alpha", None, "insert", 10)], SCHEMA
+    )
+    apply_changelog_hll(spark, b, path, batch_id=1)
+    got = sorted(map(tuple, read_hll_registers(spark, path).collect()))
+    union = corpus0.unionByName(
+        spark.createDataFrame([(4, "zeta alpha")], "doc_id bigint, text string")
+    )
+    fresh = hll_registers(_tokens(union, "text"), "tok", p=8)
+    assert got == sorted(map(tuple, fresh.collect()))
+
+
+def test_hll_mutations_raise_by_default_union_opt_in(spark, corpus0, tmp_path):
+    path = str(tmp_path / "hll")
+    write_hll_state(spark, corpus0, path, p=8)
+    b1, _ = _batches(spark)
+    with pytest.raises(ValueError, match="max-monotone"):
+        apply_changelog_hll(spark, b1, path, batch_id=1)
+    # union mode merges after images and never loses a register
+    before = dict(
+        (r["bucket"], r["max_rho"])
+        for r in read_hll_registers(spark, path).collect()
+    )
+    apply_changelog_hll(spark, b1, path, on_mutate="union", batch_id=1)
+    after = dict(
+        (r["bucket"], r["max_rho"])
+        for r in read_hll_registers(spark, path).collect()
+    )
+    assert all(after.get(b, 0) >= rho for b, rho in before.items())
+    with pytest.raises(ValueError, match="on_mutate"):
+        apply_changelog_hll(spark, b1, path, on_mutate="bogus")
+
+
+def test_versioned_state_single_live_dir(spark, corpus0, tmp_path):
+    # after several applies exactly one state-* version remains (GC) and
+    # the pointer names it
+    import json
+    import os
+
+    path = str(tmp_path / "cms")
+    write_cms_state(spark, corpus0, path, width=64, depth=3)
+    b1, b2 = _batches(spark)
+    apply_changelog_cms(spark, b1, path, batch_id=1)
+    apply_changelog_cms(spark, b2, path, batch_id=2)
+    dirs = [d for d in os.listdir(path) if d.startswith("state-")]
+    assert dirs == ["state-2"]
+    ptr = json.load(open(os.path.join(path, "_current.json")))
+    assert ptr == {"dir": "state-2", "batch_id": 2}
