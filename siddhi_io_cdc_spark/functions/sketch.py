@@ -260,3 +260,75 @@ def cms_point_estimates(
         .cast("bigint")
         .alias("cms_est")
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Bloom-filter membership state: the DISTINCT set bit indices
+    (``bit`` int) of every value's ``k`` hash positions.
+
+    The third classical sketch next to HLL/CMS: fixed-size NO-FALSE-
+    NEGATIVE membership (the curation uses: "was this URL / shingle /
+    doc hash ever ingested" without keeping the corpus-sized key set).
+    Same house-md5 hash family as the CMS rows (per-``j`` seed
+    ``"{seed}.{j}"``), so the bit set — the state itself, not just the
+    answers — restates exactly in any engine. Mergeable by
+    union+distinct, i.e. bitwise OR: per-partition bit sets combine
+    map-side, so the corpus-sized stream shuffles at most ``m_bits``
+    rows. NULLs are skipped.
+    """
+    if m_bits <= 0 or k <= 0:
+        raise ValueError(f"m_bits/k must be positive (got {m_bits}, {k})")
+    bits = F.array(
+        *[
+            (_cms_bucket(F.col(col), j, m_bits, seed)).alias(f"b{j}")
+            for j in range(k)
+        ]
+    )
+    return (
+        _fan_out(df)
+        .where(F.col(col).isNotNull())
+        .select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    bits: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = 4096,
+    k: int = 3,
+    seed: int = 0,
+) -> DataFrame:
+    """Probe a Bloom bit set for every row of ``keys`` → the input columns
+    plus ``bloom_hit`` (true iff ALL ``k`` of the key's bits are set —
+    possibly-present; false is DEFINITELY absent).
+
+    The bit table is at most ``m_bits`` rows by construction and is
+    broadcast, so probing any number of keys is map-only — the shape that
+    lets a Bloom pre-filter run ahead of an expensive exact join (e.g.
+    corpus-membership checks in decontamination or streaming dedup)
+    without shuffling the probe side.
+    """
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    _cms_bucket(F.col(key_col), j, m_bits, seed)
+                    for j in range(k)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hit = bits.select("bit", F.lit(True).alias("__set"))
+    joined = probes.join(F.broadcast(hit), "bit", "left")
+    return joined.groupBy(*keys.columns).agg(
+        (F.count(F.when(F.col("__set"), 1)) == k).alias("bloom_hit")
+    )

@@ -128,3 +128,44 @@ def test_cms_validates(spark, stream):
         cms_sketch(stream, "tok", width=0)
     with pytest.raises(ValueError):
         hll_registers(stream, "tok", p=3)
+
+
+def test_bloom_no_false_negatives_and_rare_false_positives(spark, stream):
+    from siddhi_io_cdc_spark.functions.sketch import (
+        bloom_bits,
+        bloom_maybe_contains,
+    )
+
+    present = stream.distinct()
+    bits = bloom_bits(stream, "tok", m_bits=65536, k=3)
+    hits = bloom_maybe_contains(bits, present, "tok", m_bits=65536, k=3)
+    assert hits.where(~F.col("bloom_hit")).count() == 0  # no false negatives
+    absent = spark.range(500).select(
+        F.concat(F.lit("absent_"), F.col("id")).alias("tok")
+    )
+    fp = bloom_maybe_contains(bits, absent, "tok", m_bits=65536, k=3)
+    # 5000 keys * 3 hashes in 65536 bits -> fpr ~ (1-e^-0.23)^3 ~ 0.9%
+    assert fp.where(F.col("bloom_hit")).count() < 25
+
+
+def test_bloom_merge_is_bit_union(spark, stream):
+    from siddhi_io_cdc_spark.functions.sketch import bloom_bits
+
+    a = stream.where(F.substring("tok", 5, 1).isin("0", "1", "2"))
+    b = stream.where(~F.substring("tok", 5, 1).isin("0", "1", "2"))
+    merged = (
+        bloom_bits(a, "tok", 4096, 3)
+        .unionByName(bloom_bits(b, "tok", 4096, 3))
+        .distinct()
+    )
+    whole = bloom_bits(stream, "tok", 4096, 3)
+    assert sorted(r["bit"] for r in merged.collect()) == sorted(
+        r["bit"] for r in whole.collect()
+    )
+
+
+def test_bloom_validates(spark, stream):
+    from siddhi_io_cdc_spark.functions.sketch import bloom_bits
+
+    with pytest.raises(ValueError):
+        bloom_bits(stream, "tok", m_bits=0)
