@@ -1724,23 +1724,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the FIRST
-    # 50 entries. Round 6 rotated the window onto 44 never-checked queries
-    # (union of r5+r6 windows = 94 of the 114 pre-round-7 keys); round 7
-    # completes the rotation (VERDICT r6 next-round #3): positions 1-21 are
-    # the 20 keys no driver window has ever recorded plus
-    # `llm_pack_sequences` (whose r6 red row was an oracle typing bug —
-    # DuckDB HUGEINT vs Spark BIGINT — fixed this round and re-submitted for
-    # a green row). Positions 22-43 are 22 representative re-checks drawn
-    # from the rows last driver-verified in round 5 (the CDC mutate/history
-    # family, the salted/asof joins, the dedup family incl. both r5->r6
-    # bench movers). Positions 44-50 are the SEVEN NEW round-7 contract
-    # queries (BPE train/encode, PQ encode/top-k, quality classifier,
-    # tokenizer composite, span corruption), so nothing ships a round
-    # without an independent driver check. Union of the r5/r6/r7 windows =
-    # all 121 contract keys. Everything below 50 stays covered by the local
-    # typed gate (tools/check_contract.py) and pytest.
+    # 50 entries. STANDING RULE (VERDICT r7 #6): a NEW contract query must
+    # enter this dict ABOVE position 50 in the same round it lands — insert
+    # it at the "round-8 newcomers" marker below and push the LAST re-check
+    # of the window past 50. Round-8 window: positions 1-11 are the eleven
+    # queries no driver window has ever recorded (they landed after the
+    # round-7 window sealed); positions 12-33 are ALL 22 rows whose latest
+    # driver evidence is round 5; positions 34-50 are round-8 newcomers
+    # followed by re-checks of the oldest round-6 rows. After this rotation
+    # every contract key has a driver-green row within the last three
+    # rounds. Everything below 50 stays covered by the local typed gate
+    # (tools/check_contract.py) and pytest.
     return {
-        # --- never-driver-verified (driver sees these first) --------- 1-21
+        # --- never-driver-verified (driver sees these first) --------- 1-11
+        "llm_bm25_topk": q_bm25_topk,
+        "llm_dsir_weights": q_dsir_weights,
+        "llm_hybrid_retrieval": q_hybrid_retrieval,
+        "llm_semantic_dedup": q_semantic_dedup,
+        "llm_ul2_denoisers": q_ul2_denoisers,
+        "llm_dsir_select": q_dsir_select,
+        "llm_hll_distinct": q_hll_distinct,
+        "llm_cms_counts": q_cms_counts,
+        "llm_kneser_ney": q_kneser_ney,
+        "llm_unigram_lm": q_unigram_lm,
+        "llm_unigram_encode": q_unigram_encode,
+        # --- re-checks: rows last driver-verified in round 5 -------- 12-33
+        "cdc_offset_discovery": q_offset_discovery,
+        "cdc_insert_into": q_insert_into,
+        "cdc_delete_on": q_delete_on,
+        "rel_range_join": q_range_join,
+        "rel_salted_join": q_salted_join,
+        "rel_percentiles": q_percentiles,
+        "rel_custdist": R.customer_order_distribution,
+        "rel_small_qty_revenue": R.small_quantity_revenue,
+        "rel_pattern_or": q_pattern_or,
+        "rel_pattern_runs": q_pattern_runs,
+        "win_length": q_length_window,
+        "win_tumbling": q_tumbling_window,
+        "win_sliding": q_sliding_window,
+        "win_unique": q_unique_window,
+        "win_sort": q_sort_window,
+        "win_time_length": q_time_length_window,
+        "win_delay": q_delay_window,
+        "llm_text_stats": q_text_stats,
+        "llm_topk_cosine": q_topk_cosine,
+        "llm_ivf_ann": q_ivf_ann,
+        "llm_distinctive_terms": q_distinctive_terms,
+        "llm_url_dedup": q_url_dedup,
+        # --- round-8 newcomers (insert NEW contract queries HERE) --- 34-
+        # --- re-checks: oldest round-6 rows ------------------------- -50
+        "cdc_flatten_multi_op": q_flatten_multi_op,
+        "cdc_apply_changelog": q_apply_changelog,
+        "cdc_flatten_insert_delete": q_flatten_insert_delete,
+        "cdc_flatten_snapshot": q_flatten_snapshot,
+        "rel_pricing_summary": R.pricing_summary,
+        "rel_asof_forward": q_asof_forward,
+        "rel_pattern_match": q_pattern_match,
+        "rel_pattern_absent": q_pattern_absent,
+        "win_session": q_session_window,
+        "win_lossy_frequent": q_lossy_frequent,
+        "llm_near_dedup": q_near_dedup,
+        "llm_cdc_pipeline": q_cdc_pipeline,
+        "llm_duplicate_spans": q_duplicate_spans,
+        "llm_gopher_quality": q_gopher_quality,
+        "llm_knn_join": q_knn_join,
+        "llm_embedding_near_dup": q_embedding_near_dup,
+        "llm_multimodal_decode": q_multimodal_decode,
+        # --- position 51+: driver-r7/r6-green remainder (local gate) ------
         "llm_pack_sequences": q_pack_sequences,
         "llm_bpe_pairs": q_bpe_pairs,
         "llm_simhash_pairs": q_simhash_pairs,
@@ -1762,7 +1812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_output_snapshot": q_output_snapshot,
         "rel_cube": q_cube_orders,
         "win_first_unique": q_first_unique_window,
-        # --- re-checks: rows last driver-verified in round 5 -------- 22-43
         "cdc_flatten_update": q_flatten_update,
         "cdc_keyvalue_mapping": q_keyvalue_mapping,
         "cdc_decimal_compat": q_decimal_compat,
@@ -1785,7 +1834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_decontaminate": q_decontaminate,
         "llm_curate": q_curate,
         "llm_knn_join_bucketed": q_knn_join_bucketed,
-        # --- NEW round-7 operators (first driver check) -------------- 44-50
         "llm_bpe_train": q_bpe_train,
         "llm_bpe_encode": q_bpe_encode,
         "llm_pq_encode": q_pq_encode,
@@ -1793,51 +1841,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_quality_classifier": q_quality_classifier,
         "llm_tokenize_pipeline": q_tokenize_pipeline,
         "llm_span_corruption": q_span_corruption,
-        # --- position 51+: r6-green flagships + remainder (local gate) ----
-        # The retrieval/selection ops below landed after the round-7
-        # window was sealed; they are first in line for the round-8 window.
-        "llm_bm25_topk": q_bm25_topk,
-        "llm_dsir_weights": q_dsir_weights,
-        "llm_hybrid_retrieval": q_hybrid_retrieval,
-        "llm_semantic_dedup": q_semantic_dedup,
-        "llm_ul2_denoisers": q_ul2_denoisers,
-        "llm_dsir_select": q_dsir_select,
-        "llm_hll_distinct": q_hll_distinct,
-        "llm_cms_counts": q_cms_counts,
-        "llm_kneser_ney": q_kneser_ney,
-        "llm_unigram_lm": q_unigram_lm,
-        "llm_unigram_encode": q_unigram_encode,
-        "cdc_flatten_multi_op": q_flatten_multi_op,
-        "cdc_apply_changelog": q_apply_changelog,
-        "rel_pricing_summary": R.pricing_summary,
-        "win_session": q_session_window,
-        "llm_near_dedup": q_near_dedup,
-        "llm_cdc_pipeline": q_cdc_pipeline,
-        "llm_multimodal_decode": q_multimodal_decode,
-        "llm_trigram_logprob": q_trigram_logprob,
-        "llm_5gram_logprob": q_5gram_logprob,
-        "llm_image_near_dup": q_image_near_dup,
-        "llm_knn_join_trained": q_knn_join_trained,
-        "llm_gopher_quality": q_gopher_quality,
-        "llm_rag_pipeline": q_rag_pipeline,
-        "llm_shard_for_training": q_shard_for_training,
-        "llm_chunk_documents": q_chunk_documents,
-        "llm_unigram_logprob": q_unigram_logprob,
-        "llm_mixture_sample": q_mixture_sample,
-        "llm_chunk_tokens": q_chunk_documents_tokens,
-        "llm_bigram_logprob": q_bigram_logprob,
-        "llm_perplexity_buckets": q_perplexity_buckets,
-        "llm_knn_join_probed": q_knn_join_probed,
-        "llm_knn_join_lsh": q_knn_join_lsh,
-        "llm_knn_join": q_knn_join,
-        "llm_ann_cosine": q_ann_cosine,
-        "llm_embedding_near_dup": q_embedding_near_dup,
-        "llm_audio_decode": q_audio_decode,
-        "win_lossy_frequent": q_lossy_frequent,
         "cdc_flatten_insert": q_flatten_insert,
         "cdc_flatten_delete": q_flatten_delete,
-        "cdc_flatten_insert_delete": q_flatten_insert_delete,
-        "cdc_flatten_snapshot": q_flatten_snapshot,
         "cdc_lowercase_columns": q_lowercase_columns,
         "cdc_int_widening": q_int_widening,
         "rel_local_supplier_volume": R.local_supplier_volume,
@@ -1852,36 +1857,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_customers_without_orders": R.customers_without_orders,
         "rel_top_revenue_suppliers": R.top_revenue_suppliers,
         "rel_supplier_counts_by_size": R.supplier_counts_by_size,
-        "rel_asof_forward": q_asof_forward,
         "rel_scalar_funcs": q_scalar_funcs,
-        "rel_pattern_match": q_pattern_match,
-        "rel_pattern_absent": q_pattern_absent,
-        "llm_duplicate_spans": q_duplicate_spans,
         "llm_temperature_mixture": q_temperature_mixture,
-        "rel_small_qty_revenue": R.small_quantity_revenue,
-        "rel_custdist": R.customer_order_distribution,
-        "rel_pattern_or": q_pattern_or,
-        "rel_pattern_runs": q_pattern_runs,
-        "win_length": q_length_window,
-        "win_tumbling": q_tumbling_window,
-        "win_sliding": q_sliding_window,
-        "win_unique": q_unique_window,
-        "win_sort": q_sort_window,
-        "win_time_length": q_time_length_window,
-        "win_delay": q_delay_window,
-        "llm_text_stats": q_text_stats,
-        "llm_topk_cosine": q_topk_cosine,
-        "llm_ivf_ann": q_ivf_ann,
-        "llm_distinctive_terms": q_distinctive_terms,
-        # re-checks rotated out of the 50-window for the round-7 newcomers
-        # (driver-r5-green; still under the local typed gate + pytest)
-        "cdc_offset_discovery": q_offset_discovery,
-        "cdc_insert_into": q_insert_into,
-        "cdc_delete_on": q_delete_on,
-        "rel_range_join": q_range_join,
-        "rel_salted_join": q_salted_join,
-        "rel_percentiles": q_percentiles,
-        "llm_url_dedup": q_url_dedup,
+        "llm_trigram_logprob": q_trigram_logprob,
+        "llm_5gram_logprob": q_5gram_logprob,
+        "llm_image_near_dup": q_image_near_dup,
+        "llm_knn_join_trained": q_knn_join_trained,
+        "llm_rag_pipeline": q_rag_pipeline,
+        "llm_shard_for_training": q_shard_for_training,
+        "llm_chunk_documents": q_chunk_documents,
+        "llm_unigram_logprob": q_unigram_logprob,
+        "llm_mixture_sample": q_mixture_sample,
+        "llm_chunk_tokens": q_chunk_documents_tokens,
+        "llm_bigram_logprob": q_bigram_logprob,
+        "llm_perplexity_buckets": q_perplexity_buckets,
+        "llm_knn_join_probed": q_knn_join_probed,
+        "llm_knn_join_lsh": q_knn_join_lsh,
+        "llm_ann_cosine": q_ann_cosine,
+        "llm_audio_decode": q_audio_decode,
     }
 
 

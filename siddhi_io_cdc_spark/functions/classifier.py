@@ -100,6 +100,18 @@ def _fast_sigmoid_py(z: float) -> float:
     return 0.5 + z / (2.0 * (1.0 + abs(z)))
 
 
+def _round9(x: float) -> float:
+    """Round a collected scalar to 9 decimals HALF-AWAY-FROM-ZERO on its
+    shortest decimal repr — the same rule as Spark's ``F.round`` (Java
+    ``BigDecimal.valueOf(x).setScale(9, HALF_UP)``) and DuckDB's ``round``.
+    Python's built-in ``round()`` is banker's (half-to-even): an exact half
+    at the 9th decimal would diverge from the oracle and desynchronize
+    every subsequent GD iteration."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP))
+
+
 @dataclass(frozen=True)
 class QualityClassifier:
     """6 weights (bias first) over standardized FEATURE_NAMES features."""
@@ -143,9 +155,9 @@ def train_quality_classifier(
         mrow = feats.agg(*aggs).collect()[0]
         means, scales = [], []
         for i in range(1, 6):
-            m = round(float(mrow[f"s{i}"]) / n, 9)
+            m = _round9(float(mrow[f"s{i}"]) / n)
             var = float(mrow[f"q{i}"]) / n - m * m
-            s = round(var**0.5, 9) if var > 0 else 0.0
+            s = _round9(var**0.5) if var > 0 else 0.0
             means.append(m)
             scales.append(s if s != 0.0 else 1.0)
 
@@ -164,7 +176,7 @@ def train_quality_classifier(
                 *[F.sum(resid * xs[i]).alias(f"g{i + 1}") for i in range(5)],
             ).collect()[0]
             w = [
-                round(w[i] - lr * float(grads[f"g{i}"]) / n, 9) for i in range(6)
+                _round9(w[i] - lr * float(grads[f"g{i}"]) / n) for i in range(6)
             ]
     finally:
         feats.unpersist()

@@ -89,7 +89,15 @@ def write_bm25_index(
         .partitionBy(TBUCKET_COL)
         .parquet(base + "/postings")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+    # dl via LEFT join from the full document set: a token-less document
+    # still counts toward N / avgdl in bm25_score's corpus aggregate, so it
+    # needs a dl=0 row here or the probe's n_docs drifts from the scan's.
+    counted = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("__c"))
+    dl = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(counted, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("__c"), F.lit(0)).cast("bigint").alias("dl"))
+    )
     (
         dl.withColumn(
             DBUCKET_COL, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(doc_buckets)).cast("int")
@@ -224,9 +232,15 @@ def apply_changelog_bm25(
     )
     parts = [after_terms.select(_tbucket(F.col("term"), nbuckets).alias("b"))]
     if before_text in batch_df.columns:
-        old_terms = _doc_terms(
-            latest.where(F.col(op_col).isin(*moving_ops)), before_text, id_col
-        )
+        # Old-term buckets come from ALL movers in the batch, not just the
+        # latest event per key: in an intra-batch chain (update A->B then
+        # B->C) the latest event's before image is B, but the PRE-BATCH
+        # postings live in buckets derived from A — only the earliest
+        # event's before image covers them. The union of every mover's
+        # before image is a superset of the pre-batch text's buckets
+        # (extra buckets merely widen the touched set), same shape as the
+        # IVF applier's old_cells.
+        old_terms = _doc_terms(movers, before_text, id_col)
         parts.append(old_terms.select(_tbucket(F.col("term"), nbuckets).alias("b")))
     touched_t = [
         r[0]
@@ -257,10 +271,19 @@ def apply_changelog_bm25(
             kept.unionByName(new_tf),
         )
 
-    # docs/ table: replace the batch docs' rows in their doc buckets.
+    # docs/ table: replace the batch docs' rows in their doc buckets. Every
+    # upserted doc gets a dl row — LEFT join so a doc updated/inserted with
+    # token-less text lands as dl=0 (it still counts toward N / avgdl).
+    upsert_ids = (
+        latest.where(F.col(op_col) != "delete")
+        .select(F.col(id_col).alias("doc_id"))
+    )
+    counted = after_terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
     new_dl = (
-        after_terms.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("dl"))
+        upsert_ids.join(counted, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("__c"), F.lit(0)).cast("bigint").alias("dl"))
         .withColumn(
             DBUCKET_COL, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(doc_buckets)).cast("int")
         )

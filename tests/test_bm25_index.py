@@ -84,6 +84,77 @@ def test_incremental_apply_matches_fresh_rebuild(spark, index_path):
     assert postings.where("doc_id = 3").count() == 0  # deleted doc
 
 
+def test_intra_batch_update_chain_drops_pre_batch_postings(spark, index_path):
+    """Two updates to one key in one batch: the LATEST event's before image
+    ('gamma ...') is NOT the pre-batch text ('alpha beta ...'), so the
+    pre-batch postings' buckets are derivable only from the EARLIEST
+    mover's before image. The touched set must cover them or stale 'alpha'
+    postings survive and the probe diverges from a fresh scan."""
+    seed = [(0, "alpha beta common"), (1, "common filler text")]
+    write_bm25_index(spark, _corpus(spark, seed), index_path, nbuckets=64, doc_buckets=4)
+    batch = _changelog(
+        spark,
+        [
+            (0, "gamma common", "alpha beta common", "update", 10),
+            (0, "delta common", "gamma common", "update", 11),
+        ],
+    )
+    apply_changelog_bm25(spark, index_path, batch, batch_id=1)
+
+    postings = spark.read.parquet(index_path + "/postings")
+    assert postings.where("doc_id = 0 AND term IN ('alpha','beta','gamma')").count() == 0
+
+    final_rows = [(0, "delta common"), (1, "common filler text")]
+    for terms in (["alpha"], ["beta"], ["gamma"], ["delta", "common"]):
+        want = _ranking(bm25_topk(_corpus(spark, final_rows), terms, k=10))
+        got = _ranking(bm25_topk_indexed(spark, index_path, terms, k=10))
+        assert got == want, terms
+
+
+def test_intra_batch_update_then_delete_chain(spark, index_path):
+    """update A->B then delete(B) for one key in one batch: A's buckets come
+    only from the first mover's before image."""
+    seed = [(0, "alpha solo"), (1, "spark text")]
+    write_bm25_index(spark, _corpus(spark, seed), index_path, nbuckets=64, doc_buckets=4)
+    batch = _changelog(
+        spark,
+        [
+            (0, "bravo solo", "alpha solo", "update", 10),
+            (0, None, "bravo solo", "delete", 11),
+        ],
+    )
+    apply_changelog_bm25(spark, index_path, batch, batch_id=1)
+    postings = spark.read.parquet(index_path + "/postings")
+    assert postings.where("doc_id = 0").count() == 0
+    want = _ranking(bm25_topk(_corpus(spark, [(1, "spark text")]), ["alpha", "spark"], k=5))
+    got = _ranking(bm25_topk_indexed(spark, index_path, ["alpha", "spark"], k=5))
+    assert got == want
+
+
+def test_token_less_documents_count_toward_corpus_stats(spark, index_path):
+    """A zero-token document contributes no postings but DOES count toward
+    N (and avgdl's denominator) in bm25_score's corpus aggregate — the
+    docs/ table needs its dl=0 row for probe/scan parity."""
+    docs = _corpus(spark, DOCS + [(6, ""), (7, "   ")])
+    write_bm25_index(spark, docs, index_path, nbuckets=8, doc_buckets=4)
+    d = spark.read.parquet(index_path + "/docs")
+    assert d.count() == 8
+    assert d.where("dl = 0").count() == 2
+    got = _ranking(bm25_topk_indexed(spark, index_path, TERMS, k=10))
+    want = _ranking(bm25_topk(docs, TERMS, k=10))
+    assert got == want
+
+    # an update TO empty text keeps the doc in the stats with dl=0
+    batch = _changelog(spark, [(0, "", DOCS[0][1], "update", 10)])
+    apply_changelog_bm25(spark, index_path, batch, batch_id=1)
+    d = spark.read.parquet(index_path + "/docs")
+    assert d.where("doc_id = 0 AND dl = 0").count() == 1
+    final = [(0, "")] + DOCS[1:] + [(6, ""), (7, "   ")]
+    got = _ranking(bm25_topk_indexed(spark, index_path, TERMS, k=10))
+    want = _ranking(bm25_topk(_corpus(spark, final), TERMS, k=10))
+    assert got == want
+
+
 def test_replay_is_idempotent(spark, index_path):
     docs = _corpus(spark, DOCS)
     write_bm25_index(spark, docs, index_path, nbuckets=8, doc_buckets=4)

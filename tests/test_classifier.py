@@ -93,3 +93,16 @@ def test_apply_plan_is_map_only(spark):
     )
     # only fan_out's round-robin widening; no hash shuffle, no Python
     assert "Exchange hashpartitioning" not in plan and "Python" not in plan
+
+
+def test_round9_is_half_away_from_zero():
+    """Collected-scalar rounding must match the engines' HALF_UP (away from
+    zero), not Python round()'s banker's half-to-even — an exact half at
+    the 9th decimal would otherwise desynchronize every GD iteration."""
+    from siddhi_io_cdc_spark.functions.classifier import _round9
+
+    assert _round9(0.0000000005) == 1e-9       # round() gives 0.0
+    assert _round9(-0.0000000005) == -1e-9     # away from zero
+    assert _round9(0.0000000015) == 2e-9
+    assert _round9(1.2345678915) == 1.234567892
+    assert _round9(0.1) == 0.1                 # shortest-repr passthrough
