@@ -249,7 +249,10 @@ def minhash_prep(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    toks = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+    # min_bytes_per_slot=0: shingle+minhash cost is ~100x a regex pass per
+    # byte AND this stage feeds the band self-join (probe parallelism) —
+    # the size-based skip measured +10.1 s on llm_near_dedup at sf0.1
+    toks = _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0).select(
         F.col(id_col).alias("__id"),
         F.split(normalize_text(text_col), " ").alias("__toks"),
     )
@@ -427,7 +430,10 @@ def simhash_pairs(
     # Persist: the 64-bit vote fold is the expensive part and feeds both
     # sides of the chunk self-join. Fan out first so the fold uses all cores.
     h = scoped_persist(
-        _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))).select(
+        # min_bytes_per_slot=0: per-token md5 chunks dominate (+20.6 s at
+        # sf0.1 when the size-based skip applied) and the result feeds the
+        # pigeonhole self-join
+        _fan_out(df.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)), min_bytes_per_slot=0).select(
             F.col(id_col).alias("__id"),
             simhash64(text_col, portable=portable).alias("__h"),
         )
@@ -509,7 +515,9 @@ def ngram_jaccard_pairs(
     calls total, not L x num_hashes (see minhash_signature). The normalized
     text is staged as its own projection so the per-gram substr reads a
     materialized column instead of re-running the normalize regex."""
-    normed = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+    # min_bytes_per_slot=0: gram-set hashing + self-join probe (same class
+    # as minhash/simhash)
+    normed = _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0).select(
         F.col(id_col).alias("__id"), normalize_text(text_col).alias("__norm")
     )
     grams = F.array_distinct(
@@ -580,7 +588,7 @@ def decontaminate(
     b_id_col = b_id_col or id_col
     # fan_out: the shingle+hash projection is the CPU; a compact parquet
     # input would otherwise run it on row-group-count cores.
-    c = _fan_out(corpus.select(F.col(id_col), F.col(text_col))).select(
+    c = _fan_out(corpus.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0).select(
         F.col(id_col).alias("doc_id"),
         F.explode(token_shingle_hashes(text_col, k)).alias("__sh"),
     )
@@ -783,7 +791,7 @@ def duplicate_spans(
     # compact parquet input (row-group granularity) must not serialize it
     # on a handful of partitions. No-op on already-wide inputs.
     windows = scoped_persist(
-        _fan_out(df.select(F.col(id_col), F.col(text_col)))
+        _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0)
         .select(
             F.col(id_col),
             F.regexp_extract_all(
@@ -824,6 +832,8 @@ def semantic_dedup_pairs(
     tau: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pq_codebooks=None,
+    prefilter_margin: float | None = None,
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023): within-cluster pairs
     with cosine similarity >= ``tau``, where clusters are k-means cells
@@ -848,31 +858,113 @@ def semantic_dedup_pairs(
     so the values are bit-identical, the norms are just not re-derived
     1.44M times).
 
+    ``pq_codebooks`` (an ``m x k x dim/m`` array, e.g. from
+    ``similarity.pq_train``) turns on the ADC PREFILTER — the measured
+    floor past ~10M candidate pairs is the per-pair interpreted-HOF dot
+    (~9 µs/pair across 32 cores). The pair stage first estimates every
+    within-cell pair's dot through its PQ codes: ``approx_dot = Σ_j
+    table[j][code_a_j][code_b_j]`` where the ``m·k²`` centroid-pair dot
+    table (8·16² = 2048 doubles) enters as a literal — per pair, m array
+    lookups instead of a dim-wide fold. Shortlisted pairs proceed to the
+    EXACT cosine (the same expression as the unfiltered path, so
+    surviving values are bit-identical). Two shortlist modes:
+
+    - ``prefilter_margin=None`` (default): the PROVABLE Cauchy-Schwarz
+      bound. With per-row residual norms ``e = ||v - Q(v)||`` and
+      quantized norms ``q = ||Q(v)||`` (both corpus-sized, computed once
+      per row by ``similarity.pq_row_stats``),
+      ``v_a.v_b <= Q_a.Q_b + q_a*e_b + e_a*q_b + e_a*e_b`` — a pair is
+      dropped only when even the upper bound cannot reach
+      ``tau * ||v_a|| * ||v_b||``, so the prefiltered pair set is EXACTLY
+      the unfiltered one (zero false negatives by construction). Pruning
+      power tracks codebook quality: tight codebooks → small residuals →
+      tight bounds (on random unquantizable data the bound keeps most
+      pairs — it degrades to correct-but-unhelpful, never to wrong).
+    - ``prefilter_margin=x``: the aggressive heuristic — keep pairs with
+      ``approx_dot/(na*nb) >= tau - x``. Cheaper bar, but recall-
+      approximate: symmetric-ADC error measured p99 ≈ 0.25 on random
+      64-d/m=8/k=16 data, so a small margin CAN drop true pairs. Use only
+      when the codebook's measured error is known.
+
     Returns ``(id_a, id_b, cosine)``, id_a < id_b, cosine rounded to 6.
     """
-    from siddhi_io_cdc_spark.functions.similarity import dot, ivf_assign, norm
+    from siddhi_io_cdc_spark.functions.similarity import (
+        dot,
+        ivf_assign,
+        norm,
+        pq_row_stats,
+    )
 
-    cells = _fan_out(df.select(F.col(id_col), F.col(vec_col).alias("__v"))).select(
+    # min_bytes_per_slot=0: the probe side of the cell self-join inherits
+    # this partitioning — pair volume, not input bytes, is the cost
+    staged = _fan_out(
+        df.select(F.col(id_col), F.col(vec_col).alias("__v")), min_bytes_per_slot=0
+    )
+    cols = [
         F.col(id_col),
         F.col("__v"),
         ivf_assign(F.col("__v"), centroids).alias("__cell"),
         norm(F.col("__v")).alias("__n"),
-    )
+    ]
+    if pq_codebooks is not None:
+        # per-ROW cost (corpus-sized, not pair-sized): code array, quantized
+        # norm, residual norm
+        code, qn, eps = pq_row_stats(F.col("__v"), pq_codebooks)
+        cols += [code.alias("__code"), qn.alias("__q"), eps.alias("__e")]
+    cells = staged.select(*cols)
+    pq_cols = ["__code", "__q", "__e"] if pq_codebooks is not None else []
     a = cells.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"), "__cell",
+        F.col("__n").alias("__na"), F.col("__cell"),
+        *[F.col(c).alias(c + "_a") for c in pq_cols],
     )
     b = cells.select(
         F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
-        F.col("__n").alias("__nb"), "__cell",
+        F.col("__n").alias("__nb"), F.col("__cell"),
+        *[F.col(c).alias(c + "_b") for c in pq_cols],
     )
+    paired = a.join(b, "__cell").where(F.col("id_a") < F.col("id_b"))
+    if pq_codebooks is not None:
+        kc = len(pq_codebooks[0])
+        # literal m*k^2 table of centroid-pair dots, flattened row-major so
+        # one element_at serves each subspace: table[j][ca*k + cb]
+        pair_dots = [
+            [
+                float(sum(float(x) * float(y) for x, y in zip(ca, cb)))
+                for ca in pq_codebooks[j]
+                for cb in pq_codebooks[j]
+            ]
+            for j in range(len(pq_codebooks))
+        ]
+        approx = None
+        for j, tbl in enumerate(pair_dots):
+            idx = (
+                F.element_at(F.col("__code_a"), j + 1) * kc
+                + F.element_at(F.col("__code_b"), j + 1)
+                + 1
+            ).cast("int")
+            term = F.element_at(F.lit(tbl), idx)
+            approx = term if approx is None else approx + term
+        if prefilter_margin is None:
+            # Cauchy-Schwarz upper bound on the true dot: exact shortlist
+            slack = (
+                F.col("__q_a") * F.col("__e_b")
+                + F.col("__e_a") * F.col("__q_b")
+                + F.col("__e_a") * F.col("__e_b")
+            )
+            paired = paired.where(
+                approx + slack >= F.lit(float(tau)) * F.col("__na") * F.col("__nb")
+            )
+        else:
+            approx_cos = approx / (F.col("__na") * F.col("__nb"))
+            paired = paired.where(
+                approx_cos >= F.lit(float(tau - prefilter_margin))
+            )
     cos = F.round(
         dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
     )
     return (
-        a.join(b, "__cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
+        paired.withColumn("cosine", cos)
         .where(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
     )
@@ -884,6 +976,8 @@ def semantic_dedup(
     tau: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    pq_codebooks=None,
+    prefilter_margin: float | None = None,
 ) -> DataFrame:
     """SemDeDup keep-one semantic dedup: drop all but one member of every
     within-cell cosine-``tau`` component. The survivor is the SMALLEST id
@@ -891,8 +985,11 @@ def semantic_dedup(
     lowest-centroid-similarity member — same dedup set, different
     representative), matching :func:`dedup_near`'s canonical-min rule.
     Rows in no pair survive untouched. Returns the surviving rows.
+    ``pq_codebooks``/``prefilter_margin``: the ADC pair prefilter for large
+    within-cell pair volumes — see :func:`semantic_dedup_pairs`.
     """
     pairs = semantic_dedup_pairs(
-        df, centroids, tau=tau, vec_col=vec_col, id_col=id_col
+        df, centroids, tau=tau, vec_col=vec_col, id_col=id_col,
+        pq_codebooks=pq_codebooks, prefilter_margin=prefilter_margin,
     )
     return dedup_near(df, pairs, id_col=id_col)

@@ -18,6 +18,7 @@ Two paths, both pure DataFrame ops:
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 from itertools import combinations
 
 from pyspark.sql import Column, DataFrame
@@ -905,6 +906,38 @@ def pq_assign(vec_col: Column, codebooks) -> Column:
         dists = _pq_subspace_dists(F.slice(v, j * d_sub + 1, d_sub), codebooks[j])
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("bigint"))
     return F.array(*codes)
+
+
+def pq_row_stats(vec_col: Column, codebooks) -> tuple[Column, Column, Column]:
+    """Per-row PQ statistics for pair-stage bounds: ``(codes, q_norm,
+    resid_norm)`` where ``codes`` is the :func:`pq_assign` code array,
+    ``q_norm = ||Q(v)||`` (subspaces are disjoint coordinate blocks, so the
+    quantized vector's squared norm is the SUM of the chosen centroids'
+    literal squared norms), and ``resid_norm = ||v - Q(v)||`` (per subspace,
+    ``min_c ||s - c||^2`` is exactly the shifted distance the argmin already
+    scans, plus the dropped ``||s||^2``). All three are corpus-sized
+    (per-row) work; they let a pair stage bound the true dot product by
+    Cauchy-Schwarz: ``v_a.v_b <= Q_a.Q_b + q_a*e_b + e_a*q_b + e_a*e_b``."""
+    m, _k, d_sub = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    v = vec_col.cast("array<double>")
+    codes, shifted_mins, qsq_terms = [], [], []
+    for j in range(m):
+        dists = _pq_subspace_dists(F.slice(v, j * d_sub + 1, d_sub), codebooks[j])
+        mn = F.array_min(dists)
+        code = (F.array_position(dists, mn) - 1).cast("bigint")
+        codes.append(code)
+        shifted_mins.append(mn)  # = ||s-c||^2 - ||s||^2 for the chosen c
+        sq = [float(sum(float(x) * float(x) for x in c)) for c in codebooks[j]]
+        qsq_terms.append(F.element_at(F.lit(sq), (code + 1).cast("int")))
+    vsq = dot(v, v)
+    eps2 = reduce(lambda a, b: a + b, shifted_mins) + vsq
+    qsq = reduce(lambda a, b: a + b, qsq_terms)
+    # fp noise can push an exact-zero residual slightly negative
+    return (
+        F.array(*codes),
+        F.sqrt(qsq),
+        F.sqrt(F.greatest(eps2, F.lit(0.0))),
+    )
 
 
 def pq_encode(

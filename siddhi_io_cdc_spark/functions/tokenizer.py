@@ -67,6 +67,9 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 8,
     min_word_len: int = 2,
+    checkpoint_every: int = 16,
+    sample_rate: float | None = None,
+    sample_id_col: str = "doc_id",
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges from a corpus.
 
@@ -80,9 +83,33 @@ def bpe_train(
     pair — a scalar handoff, not a data path) and rewrites the cached
     vocabulary with one more literal replace; the corpus itself is touched
     only by the initial word-count pass.
+
+    Realistic-vocabulary scale (32k-100k merges) is bounded by DRIVER-side
+    cost, not data volume: building round ``k``'s plan from round ``k-1``'s
+    lineage re-analyzes a chain of ``k`` replaces (O(n²) total plan work),
+    and executing it re-applies all ``k`` from the cached base. Two knobs
+    close this:
+
+    - ``checkpoint_every``: every K merges the rewritten vocabulary is
+      materialized with ``localCheckpoint`` (vocabulary-sized, NOT
+      corpus-sized) and the lineage truncated, so plans stay ≤ K replaces
+      deep and total work is O(n_merges·K·|vocab|) — linear in merges. The
+      measured merges-vs-wall curve lives in ``BASELINE.md``.
+    - ``sample_rate``: the industry-standard split — TRAIN on a
+      deterministic hash-sample of the corpus (``text.deterministic_sample``
+      keyed on ``sample_id_col``; engine-portable, partitioning-independent),
+      then ENCODE the full corpus with the learned table. Merge statistics
+      saturate at a few GB of text, so the word-count pass needn't scan
+      100 TB.
     """
     if n_merges <= 0:
         raise ValueError(f"n_merges must be positive (got {n_merges})")
+    if checkpoint_every <= 0:
+        raise ValueError(f"checkpoint_every must be positive (got {checkpoint_every})")
+    if sample_rate is not None:
+        from siddhi_io_cdc_spark.functions.text import deterministic_sample
+
+        df = deterministic_sample(df, sample_rate, id_col=sample_id_col)
     spark = df.sparkSession
     vocab = (
         _fan_out(df.select(F.col(text_col)))
@@ -100,6 +127,7 @@ def bpe_train(
     try:
         merges: list[tuple[int, str, str, int]] = []
         cur = vocab
+        pending = 0  # replaces applied since the last lineage truncation
         for rank in range(1, n_merges + 1):
             staged = cur.withColumn("__syms", _split_symbols(F.col("__sym"))).where(
                 F.size("__syms") >= 2
@@ -123,6 +151,14 @@ def bpe_train(
             left, right, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
             merges.append((rank, left, right, int(cnt)))
             cur = cur.withColumn("__sym", _apply_merge(F.col("__sym"), left, right))
+            pending += 1
+            if pending >= checkpoint_every and rank < n_merges:
+                # Materialize the vocabulary-sized table and CUT the lineage:
+                # without this, round k's plan carries k chained replaces
+                # (quadratic plan-analysis + re-execution cost — the real
+                # binding constraint at 32k+ merges, measured in BASELINE.md).
+                cur = cur.localCheckpoint(eager=True)
+                pending = 0
     finally:
         vocab.unpersist()
     return spark.createDataFrame(

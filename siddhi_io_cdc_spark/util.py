@@ -63,7 +63,35 @@ def cache_scope():
             df.unpersist()
 
 
-def fan_out(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+#: Plan-stats bytes of per-slot work below which the widening shuffle is
+#: skipped: under ~128 KiB of (compressed, per plan statistics) input per
+#: core the narrow compute finishes faster than the extra stage + exchange
+#: cost. Measured: at sf0.1 (584 KiB documents → 18 KiB/core) the always-on
+#: shuffle taxed the r7 bench ~0.4-1.3 s per text query; at sf1/sf2
+#: (180/375 KiB per core) the widening is a 10× wall-time win
+#: (gopher_quality 15.3 s → 1.5 s at sf2, BASELINE.md round-7 section).
+MIN_FAN_OUT_BYTES_PER_SLOT = 128 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for the optimized plan (for a scan:
+    sum of file sizes × compression factor; for a local relation: rows ×
+    row-width). None when unavailable — callers treat unknown as large."""
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return None
+    # Long.MaxValue-ish sentinels mean "no estimate"
+    return None if size >= (1 << 62) else size
+
+
+def fan_out(
+    df: DataFrame,
+    num_partitions: int | None = None,
+    min_bytes_per_slot: int = MIN_FAN_OUT_BYTES_PER_SLOT,
+) -> DataFrame:
     """Ensure CPU-heavy narrow stages actually parallelize.
 
     A small/compact parquet input can arrive in a handful of partitions
@@ -73,8 +101,18 @@ def fan_out(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     DOWN: a 100 TB input already carrying thousands of partitions must not
     be collapsed (the shuffle would dwarf the win), so this is a no-op
     there.
+
+    The widening is ALSO skipped when the estimated per-core work is below
+    the shuffle's own cost (``min_bytes_per_slot`` of plan-stats bytes per
+    target partition): round-robin-shuffling a few hundred KiB to 32 cores
+    costs more scheduling than the narrow compute it parallelizes. Unknown
+    sizes (no stats) widen as before — the conservative choice for the
+    scale this engine targets.
     """
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    size = _plan_size_bytes(df)
+    if size is not None and size < parts * min_bytes_per_slot:
+        return df
     if df.rdd.getNumPartitions() < parts:
         return df.repartition(parts)
     return df

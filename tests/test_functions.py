@@ -895,3 +895,39 @@ def test_ivf_tied_centroid_dots_probe_identical_cells(spark, tmp_path):
         .collect()
     }
     assert cells == {0}
+
+
+def test_fan_out_skips_small_inputs_and_widens_large(spark, tmp_path):
+    """The widening shuffle engages only when the estimated per-core work
+    clears MIN_FAN_OUT_BYTES_PER_SLOT: repartitioning a few hundred KiB to
+    32 cores costs more than the narrow compute it parallelizes (the
+    measured r7 sf0.1 bench tax), while a compact multi-MiB scan must still
+    widen (the measured 10x sf2 win)."""
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.util import fan_out
+
+    parts = spark.sparkContext.defaultParallelism * 4  # force "too narrow"
+    small_path = str(tmp_path / "small")
+    spark.range(100).withColumn("text", F.lit("tiny")).coalesce(1).write.parquet(small_path)
+    small = spark.read.parquet(small_path)
+    assert fan_out(small, num_partitions=parts) is small  # below the floor
+
+    big_path = str(tmp_path / "big")
+    blob = "x" * 64
+    (
+        spark.range(400_000)
+        .withColumn("text", F.concat(F.lit(blob), F.col("id").cast("string")))
+        .coalesce(1)
+        .write.option("compression", "none")
+        .parquet(big_path)
+    )
+    big = spark.read.parquet(big_path)  # ~28 MB > parts * 128 KiB
+    assert big.rdd.getNumPartitions() < parts
+    widened = fan_out(big, num_partitions=parts)
+    assert widened is not big
+    assert widened.rdd.getNumPartitions() == parts
+
+    # explicit threshold override: force-widen the small input
+    forced = fan_out(small, num_partitions=parts, min_bytes_per_slot=0)
+    assert forced.rdd.getNumPartitions() == parts

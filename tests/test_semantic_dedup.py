@@ -48,3 +48,78 @@ def test_cell_blocking_bounds_pairs(vecs):
         assert not (a in cluster_x and b in cluster_y), f"cross-cell pair {(a, b)}"
         assert not (a in cluster_y and b in cluster_x), f"cross-cell pair {(a, b)}"
     assert (10, 11) in pairs and (0, 1) in pairs
+
+
+def test_pq_prefilter_parity_with_exact_path(spark):
+    """The default (Cauchy-Schwarz-bounded) ADC prefilter guarantees the
+    shortlist is a superset of the true pair set, so the prefiltered result
+    equals the exact path: identical pair sets AND identical (bit-exact)
+    cosines, since survivors are scored by the same expression."""
+    import numpy as np
+
+    from siddhi_io_cdc_spark.functions.similarity import pq_train
+
+    rs = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for base in range(24):
+        v = rs.randn(8)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        if base % 3 == 0:  # plant a near-clone (tiny perturbation)
+            w = v + rs.randn(8) * 0.005
+            w /= np.linalg.norm(w)
+            rows.append((vid, [float(x) for x in w])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = ivf_centroids(8, nlist=3)
+    books = pq_train(df, m=2, k=8, seed=3)
+
+    exact = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in semantic_dedup_pairs(df, cents, tau=0.99).collect()
+    )
+    assert exact, "fixture must plant at least one pair"
+    pre = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in semantic_dedup_pairs(
+            df, cents, tau=0.99, pq_codebooks=books
+        ).collect()
+    )
+    assert pre == exact
+
+    kept_exact = {r.vec_id for r in semantic_dedup(df, cents, tau=0.99).collect()}
+    kept_pre = {
+        r.vec_id
+        for r in semantic_dedup(
+            df, cents, tau=0.99, pq_codebooks=books
+        ).collect()
+    }
+    assert kept_pre == kept_exact
+
+
+def test_pq_prefilter_actually_prunes(spark):
+    """With a zero margin and a coarse codebook, far-apart pairs are pruned
+    before the exact dot (the point of the prefilter): the prefiltered
+    candidate set at tau=0 equals the unfiltered one only after the exact
+    cosine — here we check the plan-level effect indirectly via a tight
+    tau where the sets agree and a sanity case where pruning is visible."""
+    import numpy as np
+
+    from siddhi_io_cdc_spark.functions.similarity import pq_train
+
+    rs = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in (v / np.linalg.norm(v))])
+        for i, v in ((j, rs.randn(8)) for j in range(60))
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = ivf_centroids(8, nlist=1)  # one cell: all pairs are candidates
+    books = pq_train(df, m=2, k=8, seed=5)
+    # a NEGATIVE margin tightens the bar above tau: random unit vectors in
+    # 8-d rarely reach cosine 0.9, so the shortlist collapses while the
+    # exact path still evaluates every within-cell pair
+    strict = semantic_dedup_pairs(
+        df, cents, tau=0.9, pq_codebooks=books, prefilter_margin=-0.5
+    ).count()
+    exact = semantic_dedup_pairs(df, cents, tau=0.9).count()
+    assert strict <= exact

@@ -181,3 +181,56 @@ def test_span_corruption_plan_is_map_only(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
     plan = span_corruption(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_bpe_train_checkpointing_is_semantically_invisible(spark):
+    """Lineage truncation every K merges must not change the learned table:
+    checkpoint_every=1 (truncate after every merge), =2, and =1000 (never
+    truncates within 6 rounds) all produce identical merges."""
+    texts = ["low low lower lowest", "newer newest new", "wide wider widest"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+
+    def table(ck):
+        return [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train(df, n_merges=6, checkpoint_every=ck)
+            .orderBy("merge_rank").collect()
+        ]
+
+    base = table(1000)
+    assert len(base) == 6
+    assert table(1) == base
+    assert table(2) == base
+
+
+def test_bpe_train_sampled_corpus_path(spark):
+    """sample_rate trains on the deterministic hash-sample: the merge table
+    equals training directly on the pre-filtered slice, and the full corpus
+    encodes with it (the standard train-on-sample / encode-everything
+    split)."""
+    from siddhi_io_cdc_spark.functions.text import deterministic_sample
+
+    rows = [(i, f"pattern pattern patter pat word{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train(df, n_merges=4, sample_rate=0.5)
+        .orderBy("merge_rank").collect()
+    ]
+    manual = deterministic_sample(df, 0.5)
+    assert 0 < manual.count() < 40
+    want = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train(manual, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    assert got == want
+
+    encoded = bpe_encode(df, bpe_train(df, n_merges=4, sample_rate=0.5))
+    assert encoded.count() == 40  # full corpus encoded with the sampled model
+    assert "bpe_tokens" in encoded.columns
+
+
+def test_bpe_train_rejects_bad_checkpoint_every(spark):
+    df = spark.createDataFrame([("ab ab",)], "text string")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        bpe_train(df, n_merges=2, checkpoint_every=0)
