@@ -873,25 +873,13 @@ def dsir_weights(
     the bucket tables stay 1024 rows regardless of corpus size — that is
     the point of hashed DSIR over exact-vocabulary LMs.
     """
-    from siddhi_io_cdc_spark.functions.text import normalize_text, word_ngrams
     from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
 
     if buckets <= 1:
         raise ValueError(f"buckets must be > 1 (got {buckets})")
-    grams1 = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
-    # min_bytes_per_slot=0: 1024-bucket ngram hashing is per-byte heavy
-    # (size-based skip measured +3.4 s on llm_dsir_weights at sf0.1)
-    feats = _fan_out(df.select(F.col(id_col), F.col(text_col), target.alias("__t")), min_bytes_per_slot=0).select(
-        F.col(id_col),
-        F.col("__t"),
-        F.explode(F.concat(grams1, word_ngrams(text_col, 2))).alias("__g"),
-    )
     hashed = scoped_persist(
-        feats.select(
-            F.col(id_col),
-            F.col("__t"),
-            F.pmod(stable_hash(F.col("__g"), seed=seed), F.lit(buckets)).alias("__b"),
-        )
+        dsir_hashed_grams(df, buckets, id_col=id_col, text_col=text_col,
+                          seed=seed, flag=target)
     )
     raw_lm = hashed.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
     tgt_lm = hashed.where(F.col("__t")).groupBy("__b").agg(
@@ -901,6 +889,56 @@ def dsir_weights(
         F.count(F.lit(1)).alias("__nr"),
         F.sum(F.col("__t").cast("bigint")).alias("__nt"),
     )
+    out = _dsir_score(df, hashed, raw_lm, tgt_lm, totals, buckets, id_col)
+    return tag_caches(out, [hashed])
+
+
+def dsir_hashed_grams(
+    df: DataFrame,
+    buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+    flag: Column | None = None,
+) -> DataFrame:
+    """The hashed unigram+bigram feature stream ``(id, [__t,] __b)`` shared
+    by :func:`dsir_weights` and the CDC-incremental LM maintainer
+    (``streaming/dsir.py``) — one definition, so batch and incremental
+    bucket ids cannot drift."""
+    from siddhi_io_cdc_spark.functions.text import normalize_text, word_ngrams
+
+    grams1 = F.filter(F.split(normalize_text(text_col), " "), lambda t: t != "")
+    cols = [F.col(id_col)] + ([flag.alias("__t")] if flag is not None else [])
+    # min_bytes_per_slot=0: 1024-bucket ngram hashing is per-byte heavy
+    # (size-based skip measured +3.4 s on llm_dsir_weights at sf0.1)
+    feats = _fan_out(
+        df.select(*cols, F.col(text_col)), min_bytes_per_slot=0
+    ).select(
+        F.col(id_col),
+        *([F.col("__t")] if flag is not None else []),
+        F.explode(F.concat(grams1, word_ngrams(text_col, 2))).alias("__g"),
+    )
+    return feats.select(
+        F.col(id_col),
+        *([F.col("__t")] if flag is not None else []),
+        F.pmod(stable_hash(F.col("__g"), seed=seed), F.lit(buckets)).alias("__b"),
+    )
+
+
+def _dsir_score(
+    df: DataFrame,
+    hashed: DataFrame,
+    raw_lm: DataFrame,
+    tgt_lm: DataFrame,
+    totals: DataFrame,
+    buckets: int,
+    id_col: str,
+) -> DataFrame:
+    """Score per-document log-likelihood ratios from LM bucket tables —
+    the shared arithmetic tail of the batch scorer and the maintained-state
+    scorer (identical expression tree, so the two paths are bit-equal).
+    ``raw_lm``: (__b, __cr); ``tgt_lm``: (__b, __ct); ``totals``: 1 row
+    (__nr, __nt)."""
     B = F.lit(float(buckets))
     log_ratio = F.log(
         (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0)) / (F.col("__nt") + B)
@@ -915,8 +953,7 @@ def dsir_weights(
             F.count(F.lit(1)).cast("bigint").alias("n_features"),
         )
     )
-    out = df.select(id_col).distinct().join(scored, id_col, "left")
-    return tag_caches(out, [hashed])
+    return df.select(id_col).distinct().join(scored, id_col, "left")
 
 
 def dsir_select(

@@ -1,4 +1,11 @@
 from siddhi_io_cdc_spark.streaming.cep import absent_pattern_stream
+from siddhi_io_cdc_spark.streaming.dsir import (
+    apply_changelog_dsir,
+    dsir_weights_from_state,
+    foreach_batch_dsir,
+    read_dsir_state,
+    write_dsir_state,
+)
 from siddhi_io_cdc_spark.streaming.dedup import (
     compact_lsh_index,
     foreach_batch_minhash_dedup,
@@ -29,7 +36,12 @@ from siddhi_io_cdc_spark.streaming.windows import (
 __all__ = [
     "CDCMetricsListener",
     "absent_pattern_stream",
+    "apply_changelog_dsir",
     "cron_run",
+    "dsir_weights_from_state",
+    "foreach_batch_dsir",
+    "read_dsir_state",
+    "write_dsir_state",
     "followed_by_stream",
     "compact_lsh_index",
     "foreach_batch_minhash_dedup",
