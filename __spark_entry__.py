@@ -485,6 +485,17 @@ def q_duplicate_spans(spark, sf_dir):
     return duplicate_spans(_docs(spark, sf_dir), width=30, stride=15)
 
 
+def q_duplicate_spans_maximal(spark, sf_dir):
+    """MAXIMAL duplicated token runs (Lee et al. 2021 exact-substring
+    dedup): every 16-token window hashed (no anchor sampling — exactness
+    costs the suffix-array's O(corpus) window pass), duplicated-window
+    positions merged into maximal per-document runs by gaps-and-islands.
+    Returns (doc_id, span_start, span_len) with exact run boundaries."""
+    from siddhi_io_cdc_spark.functions.dedup import duplicate_spans_maximal
+
+    return duplicate_spans_maximal(_docs(spark, sf_dir), seed_width=16)
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Temperature re-weighting (w ∝ n^0.5) then the mixture_sample
     keep-hash pass. The fixture's source domains are perfectly balanced
@@ -1772,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_distinctive_terms": q_distinctive_terms,
         "llm_url_dedup": q_url_dedup,
         # --- round-8 newcomers (insert NEW contract queries HERE) --- 34-
+        "llm_duplicate_spans_maximal": q_duplicate_spans_maximal,
         # --- re-checks: oldest round-6 rows ------------------------- -50
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
@@ -1789,8 +1801,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_gopher_quality": q_gopher_quality,
         "llm_knn_join": q_knn_join,
         "llm_embedding_near_dup": q_embedding_near_dup,
-        "llm_multimodal_decode": q_multimodal_decode,
         # --- position 51+: driver-r7/r6-green remainder (local gate) ------
+        "llm_multimodal_decode": q_multimodal_decode,
         "llm_pack_sequences": q_pack_sequences,
         "llm_bpe_pairs": q_bpe_pairs,
         "llm_simhash_pairs": q_simhash_pairs,
@@ -3958,6 +3970,46 @@ def _oracle_sql_dict() -> dict[str, str]:
                   HAVING count(*) >= 2)
             SELECT w.doc_id, w.pos, CAST(d.n_copies AS BIGINT) AS n_copies
             FROM w JOIN d USING (h)""",
+        # llm_duplicate_spans_maximal: EVERY 16-token window hashed (no
+        # anchor), duplicated positions -> maximal runs by gaps-and-islands
+        # (pos - row_number per doc); run boundaries exact for every
+        # duplication of >= 16 tokens.
+        "llm_duplicate_spans_maximal": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents),
+            w AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     md5(array_to_string(toks[i : i + 15], ' ')) AS h
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 15)) AS i
+                    FROM t WHERE len(toks) >= 16)),
+            d AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+            m AS (
+              SELECT w.doc_id, w.pos,
+                     w.pos - CAST(row_number() OVER (
+                       PARTITION BY w.doc_id ORDER BY w.pos) AS INT) AS g
+              FROM w JOIN d USING (h)),
+            runs AS (
+              SELECT doc_id, min(pos) AS s,
+                     min(pos) + count(*) + 14 AS e
+              FROM m GROUP BY doc_id, g),
+            brks AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -2147483648) + 1
+                          THEN 1 ELSE 0 END AS brk
+              FROM runs),
+            grps AS (
+              SELECT doc_id, s, e,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+              FROM brks)
+            SELECT doc_id, CAST(min(s) AS INT) AS span_start,
+                   CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len
+            FROM grps GROUP BY doc_id, grp""",
         # llm_temperature_mixture: weights recomputed from counts with pow;
         # the rest is the mixture_sample threshold pipeline verbatim.
         "llm_temperature_mixture": f"""

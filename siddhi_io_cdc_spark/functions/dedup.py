@@ -13,7 +13,7 @@ Python touches a row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from siddhi_io_cdc_spark.functions.text import normalize_text
@@ -824,6 +824,129 @@ def duplicate_spans(
         id_col, "pos", F.col("n_copies").cast("bigint").alias("n_copies")
     )
     return tag_caches(out, [windows, dups])
+
+
+def duplicate_spans_maximal(
+    df: DataFrame,
+    seed_width: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_copies: int = 2,
+    broadcast_dups_max: int | None = 5_000_000,
+) -> DataFrame:
+    """MAXIMAL cross-document duplicated token runs — the full
+    exact-substring dedup of Lee et al. 2021 §4.1, where
+    :func:`duplicate_spans` reports only fixed-width seed windows.
+
+    Semantics (the paper's coverage rule): a token position is duplicated
+    iff some ``>= seed_width``-token substring through it occurs
+    ``min_copies``-or-more times corpus-wide; the output is each document's
+    MAXIMAL runs of duplicated positions —
+    ``(doc_id, span_start, span_len)`` with ``span_start`` 1-based and the
+    run covering tokens ``[span_start, span_start + span_len - 1]``. A
+    duplicated run of ``T >= seed_width`` tokens appears as exactly its
+    ``T - seed_width + 1`` consecutive duplicated window positions, so run
+    boundaries are EXACT for every duplication of at least ``seed_width``
+    tokens (shorter duplications are below the threshold by definition).
+    Overlapping duplications with different partners merge into one
+    maximal covered run, which is precisely the text the paper removes.
+
+    Spark restatement of the suffix-array pass, three bounded shapes:
+
+    1. ONE corpus scan hashes EVERY ``seed_width``-token window (portable
+       md5 of the joined slice, computed inside the per-document row before
+       the explode — the same hash-before-explode layout that took
+       ``duplicate_spans`` from 11.3x to 2.0x at 20x data). Unlike the
+       sampled operator there is no anchor sampling: exactness costs
+       O(total_tokens) window hashes, the same asymptotic price the
+       suffix array pays.
+    2. The duplicated-hash set is one map-side-combined count aggregate,
+       joined back broadcast when its measured size fits
+       ``broadcast_dups_max`` (duplicated text is rare; broadcast is the
+       expected branch), else shuffle.
+    3. Maximal runs are gaps-and-islands per document — ``pos − row_number``
+       over the duplicated positions, ONE keyed shuffle on ``id_col``
+       (the grouping the output needs anyway). At 100 TB: shapes 1-2 are
+       embarrassingly parallel; shape 3 shuffles only duplicated positions.
+    """
+    from siddhi_io_cdc_spark.functions.text import TOKEN_RE
+
+    if seed_width < 2:
+        raise ValueError(f"seed_width must be >= 2 (got {seed_width})")
+    if min_copies < 2:
+        raise ValueError(f"min_copies must be >= 2 (got {min_copies})")
+    w = seed_width
+    toks = F.col("__toks")
+    length = F.size(toks)
+    spans = F.when(
+        length >= w,
+        F.transform(
+            F.sequence(F.lit(1), length - (w - 1)),
+            lambda p: F.struct(
+                p.alias("pos"),
+                F.md5(F.array_join(F.slice(toks, p, w), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    windows = scoped_persist(
+        _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0)
+        .select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            ).alias("__toks"),
+        )
+        .select(F.col(id_col), F.explode(spans).alias("__w"))
+        .select(id_col, F.col("__w.pos").alias("pos"), F.col("__w.h").alias("__h"))
+    )
+    dups = scoped_persist(
+        windows.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= min_copies)
+        .select("__h")
+    )
+    use_broadcast = (
+        broadcast_dups_max is None or dups.count() <= broadcast_dups_max
+    )
+    marked = windows.join(
+        F.broadcast(dups) if use_broadcast else dups, "__h"
+    ).select(id_col, "pos")
+    isl = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        marked.withColumn("__g", F.col("pos") - F.row_number().over(isl))
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min("pos").alias("__s"),
+            (F.min("pos") + F.count(F.lit(1)) + F.lit(w - 2)).alias("__e"),
+        )
+    )
+    # Window-start islands can still OVERLAP in token space: two duplicated
+    # regions overlapping by < seed_width leave a gap in duplicated window
+    # STARTS (the straddling windows are unique) while their covered token
+    # intervals [start, last_start + w - 1] intersect. A second interval-
+    # merge pass — same partition key, so Catalyst reuses the exchange —
+    # coalesces intervals that overlap or touch into the true maximal
+    # covered runs.
+    ivl = Window.partitionBy(id_col).orderBy("__s")
+    prev_end = F.max("__e").over(
+        ivl.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        runs.withColumn(
+            "__brk",
+            F.when(
+                prev_end.isNull() | (F.col("__s") > prev_end + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("__grp", F.sum("__brk").over(ivl))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("__s").alias("span_start"),
+            (F.max("__e") - F.min("__s") + 1).cast("bigint").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )
+    return tag_caches(merged, [windows, dups])
 
 
 def semantic_dedup_pairs(

@@ -620,3 +620,66 @@ def test_kneser_ney_shuffle_fallback_matches_broadcast(spark, sf_dir):
         map(tuple, kneser_ney_logprob(docs, broadcast_vocab_max=1).collect())
     )
     assert a == b and len(a) == 40
+
+
+def test_duplicate_spans_maximal_exact_boundaries(spark):
+    """Planted duplications: maximal runs report EXACT start/len; disjoint
+    duplications in one document stay separate runs; sub-threshold
+    duplications (< seed_width tokens) never appear."""
+    from siddhi_io_cdc_spark.functions.dedup import duplicate_spans_maximal
+
+    run_a = " ".join(f"alpha{i:02d}" for i in range(20))  # 20 tokens
+    run_b = " ".join(f"bravo{i:02d}" for i in range(16))  # exactly seed_width
+    short = " ".join(f"mini{i}" for i in range(7))        # 14 toks < 16
+    docs = [
+        (1, "one two " + run_a + " three " + run_b + " four five"),
+        (2, "x " + run_a + " y"),
+        (3, "p q r " + run_b),
+        (4, "noise " + short + " more noise"),
+        (5, "other " + short + " trailing words here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans_maximal(df, seed_width=16).collect()
+    }
+    # tokens: alphaNN/bravoNN are single TOKEN_RE tokens? TOKEN_RE splits
+    # letter/digit boundaries -> each planted word is 2 tokens, runs double
+    assert (1, 3, 40) in got            # doc1: one,two then 40-token run_a
+    assert (1, 3 + 40 + 1, 32) in got   # doc1: 'three' then 32-token run_b
+    assert (2, 2, 40) in got            # doc2: 'x' then run_a
+    assert (3, 4, 32) in got            # doc3: p,q,r then run_b
+    assert all(d not in (4, 5) for d, _, _ in got)  # 14-token dup: below bar
+    assert len(got) == 4
+
+
+def test_duplicate_spans_maximal_overlapping_duplications_merge(spark):
+    """Two different duplicated substrings overlapping in one document merge
+    into one maximal covered run (the Lee et al. removal semantics)."""
+    from siddhi_io_cdc_spark.functions.dedup import duplicate_spans_maximal
+
+    seg1 = " ".join(f"left{i:02d}" for i in range(12))    # 24 tokens
+    seg2 = " ".join(f"right{i:02d}" for i in range(12))   # 24 tokens
+    docs = [
+        (1, seg1 + " " + seg2),      # covered by both partners
+        (2, "aa bb " + seg1),        # shares seg1 with doc1
+        (3, seg2 + " zz"),           # shares seg2 with doc1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans_maximal(df, seed_width=16).collect()
+    }
+    assert (1, 1, 48) in got  # one merged maximal run covering the document
+
+
+def test_duplicate_spans_maximal_guards(spark):
+    from siddhi_io_cdc_spark.functions.dedup import duplicate_spans_maximal
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seed_width"):
+        duplicate_spans_maximal(df, seed_width=1)
+    with _pytest.raises(ValueError, match="min_copies"):
+        duplicate_spans_maximal(df, min_copies=1)

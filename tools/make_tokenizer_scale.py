@@ -43,6 +43,10 @@ def main() -> None:
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--no-checkpoint", action="store_true",
                     help="disable lineage truncation (quantifies the quadratic baseline)")
+    ap.add_argument("--augment", action="store_true",
+                    help="widen the fixture vocabulary deterministically so the "
+                         "merge supply outlasts 1024 rounds (measurement corpus)")
+    ap.add_argument("--skip-unigram", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,6 +63,34 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(os.path.join(args.sf, "documents.parquet"))
+    if args.augment:
+        # The shipped fixture has only ~300 distinct words at ANY sf (the
+        # generator draws from a small list), so the merge supply exhausts
+        # after ~90 rounds — too few to measure a 1024-merge curve. Widen
+        # the vocabulary DETERMINISTICALLY: each word gains a 4-letter
+        # suffix derived from md5(word, doc_id%64), giving ~300*64 distinct
+        # words with the original frequency skew. This is a measurement
+        # corpus (wall-time axis), not a contract fixture.
+        from pyspark.sql import functions as F
+
+        words = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        aug = F.array_join(
+            F.transform(
+                words,
+                lambda w: F.concat(
+                    w,
+                    F.translate(
+                        F.substring(
+                            F.md5(F.concat(w, (F.col("doc_id") % 64).cast("string"))),
+                            1, 4,
+                        ),
+                        "0123456789", "qwertyuiop",
+                    ),
+                ),
+            ),
+            " ",
+        )
+        docs = docs.select("doc_id", aug.alias("text"))
     n_docs = docs.count()
 
     out: dict = {"sf": args.sf, "n_docs": n_docs, "cpus": int(args.cpus),
@@ -76,7 +108,7 @@ def main() -> None:
         print(f"bpe n_merges={m}: {dt:.1f}s ({dt / m * 1000:.0f} ms/merge, "
               f"{n_learned} learned)", file=sys.stderr)
 
-    for v in [int(x) for x in args.vocabs.split(",") if x]:
+    for v in [] if args.skip_unigram else [int(x) for x in args.vocabs.split(",") if x]:
         t0 = time.monotonic()
         pieces = unigram_lm_train(docs, vocab_size=v, max_piece_len=4, n_iters=2)
         n_pieces = pieces.count()
