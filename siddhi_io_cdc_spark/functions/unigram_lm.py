@@ -134,7 +134,7 @@ def _with_logprob(counts: DataFrame) -> DataFrame:
 
 def viterbi_segment(
     words: DataFrame,
-    vocab: list[tuple[str, float]],
+    vocab: list[tuple[str, float]] | DataFrame,
     max_word_len: int,
     max_piece_len: int,
     word_col: str = "word",
@@ -148,10 +148,65 @@ def viterbi_segment(
     references the previous by name — Catalyst keeps the tree linear and
     the identical SQL restatement materializes one CTE per level. Words
     longer than ``max_word_len`` bypass the DP as one OOV piece.
+
+    ``vocab`` as a LIST attaches the piece log-probs as a literal map —
+    exactly SQL-restatable, but the generated Java grows with the vocab
+    and exceeds janino's 64 KiB method limit near ~8k pieces (measured:
+    608 codegen-fallback warnings at vocab 8000, BASELINE.md round 8),
+    falling back to interpreted evaluation. ``vocab`` as a DATAFRAME
+    ``(piece, logprob)`` is the scale path: each row gets a DATA-derived
+    ``{substring -> logprob}`` map (explode the word's distinct
+    substrings, one broadcast join against the piece table, regroup), so
+    every DP level probes the same ``element_at(__lp, ...)`` expression —
+    identical SQL, identical results (parity pinned by test) — while the
+    generated code stays constant-size at ANY vocabulary.
     """
-    lp_map = F.create_map(
-        *[x for p, lp in vocab for x in (F.lit(p), F.lit(float(lp)))]
-    )
+    if isinstance(vocab, DataFrame):
+        subs = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(word_col)),
+                    lambda i: F.array_compact(
+                        F.array(
+                            *[
+                                F.when(
+                                    F.length(word_col) - i + 1 >= l,
+                                    F.col(word_col).substr(i, F.lit(l)),
+                                )
+                                for l in range(1, max_piece_len + 1)
+                            ]
+                        )
+                    ),
+                )
+            )
+        )
+        hits = (
+            words.select(F.col(word_col), F.explode(subs).alias("__sub"))
+            .join(
+                F.broadcast(
+                    vocab.select(
+                        F.col("piece").alias("__sub"),
+                        F.col("logprob").cast("double").alias("__plp"),
+                    )
+                ),
+                "__sub",
+            )
+            .groupBy(word_col)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct(F.col("__sub"), F.col("__plp")))
+                ).alias("__lp")
+            )
+        )
+        # left join: a word with NO vocab substring keeps a NULL map —
+        # element_at(NULL, k) is NULL, so every candidate coalesces to the
+        # OOV score exactly like a literal-map miss
+        cur = words.join(hits, word_col, "left")
+    else:
+        lp_map = F.create_map(
+            *[x for p, lp in vocab for x in (F.lit(p), F.lit(float(lp)))]
+        )
+        cur = words.withColumn("__lp", lp_map)
     # Each DP level is ONE selectExpr with a server-side SQL string —
     # building the same tree as Column objects costs ~2 s of py4j round
     # trips per call (driver-side, serial: the pitfall that matters when a
@@ -159,7 +214,6 @@ def viterbi_segment(
     # previous level's struct FIELDS (__b{j}.s), which are named-column
     # projections, so the tree stays linear exactly like the oracle's
     # MATERIALIZED CTE ladder.
-    cur = words.withColumn("__lp", lp_map)
     for i in range(1, max_word_len + 1):
         cands = []
         # longest candidate first: on equal scores the strict-> scan keeps
@@ -254,6 +308,7 @@ def unigram_lm_encode(
     max_piece_len: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """Tokenize documents with a trained piece table →
     ``(id_col, pieces, n_pieces)`` where ``pieces`` is the space-joined
@@ -265,19 +320,29 @@ def unigram_lm_encode(
     regroup (order restored by position, so the output is deterministic
     regardless of partitioning). Words longer than ``max_word_len`` pass
     through as single OOV pieces.
+
+    ``broadcast_vocab=True`` keeps a DataFrame ``vocab`` distributed and
+    routes the DP through the data-derived per-word lookup map (see
+    :func:`viterbi_segment`) — the path for SentencePiece-real piece
+    counts, where the literal map exceeds the codegen method limit.
     """
-    if isinstance(vocab, DataFrame):
+    if isinstance(vocab, DataFrame) and not broadcast_vocab:
         # bounded collect: model artifact, <= vocab_size rows
         vocab = [
             (r["piece"], r["logprob"]) for r in vocab.orderBy("piece").collect()
         ]
+    elif broadcast_vocab and not isinstance(vocab, DataFrame):
+        raise ValueError("broadcast_vocab=True requires a DataFrame vocab")
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
     pos = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.posexplode(toks).alias("pos", "word")
     )
     distinct_words = pos.select("word").distinct()
     segged = viterbi_segment(
-        distinct_words, list(vocab), max_word_len, max_piece_len
+        distinct_words,
+        vocab if broadcast_vocab else list(vocab),
+        max_word_len,
+        max_piece_len,
     ).select(
         "word",
         F.array_join(_split_symbols(F.col("seg")), " ").alias("__wp"),

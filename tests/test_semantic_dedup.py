@@ -123,3 +123,57 @@ def test_pq_prefilter_actually_prunes(spark):
     ).count()
     exact = semantic_dedup_pairs(df, cents, tau=0.9).count()
     assert strict <= exact
+
+
+def test_numpy_engine_matches_sql_engine(spark):
+    """The BLAS per-cell engine returns the same pair set with cosines equal
+    to the interpreted path within float noise (both round to 6; values can
+    differ only on an exact rounding half, absent here by construction)."""
+    import numpy as np
+
+    rs = np.random.RandomState(3)
+    rows = []
+    vid = 0
+    for base in range(30):
+        v = rs.randn(8); v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        if base % 4 == 0:
+            w = v + rs.randn(8) * 0.004; w /= np.linalg.norm(w)
+            rows.append((vid, [float(x) for x in w])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = ivf_centroids(8, nlist=3)
+    sql_pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in semantic_dedup_pairs(df, cents, tau=0.99).collect()
+    }
+    np_pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in semantic_dedup_pairs(df, cents, tau=0.99, engine="numpy").collect()
+    }
+    assert sql_pairs.keys() == np_pairs.keys() and sql_pairs
+    for k in sql_pairs:
+        assert abs(sql_pairs[k] - np_pairs[k]) < 1e-9
+
+    kept_sql = {r.vec_id for r in semantic_dedup(df, cents, tau=0.99).collect()}
+    kept_np = {
+        r.vec_id
+        for r in semantic_dedup(df, cents, tau=0.99, engine="numpy").collect()
+    }
+    assert kept_np == kept_sql
+
+
+def test_numpy_engine_guards(spark):
+    import numpy as np
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    cents = [[1.0, 0.0]]
+    with pytest.raises(ValueError, match="engine"):
+        semantic_dedup_pairs(df, cents, engine="pandas")
+    from siddhi_io_cdc_spark.functions.similarity import pq_codebooks
+
+    with pytest.raises(ValueError, match="prefilter"):
+        semantic_dedup_pairs(
+            df, cents, engine="numpy", pq_codebooks=pq_codebooks(2, m=1, k=2)
+        )

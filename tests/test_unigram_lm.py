@@ -176,3 +176,43 @@ def test_train_validates(spark, docs):
         unigram_lm_train(docs, n_iters=0)
     with pytest.raises(ValueError):
         unigram_lm_train(docs, max_piece_len=5, max_word_len=4)
+
+
+def test_broadcast_vocab_dp_parity_with_literal(spark):
+    """The data-derived per-word lookup map (the ≥8k-piece codegen path)
+    must segment identically to the literal map: same pieces, same counts,
+    for every document — including OOV-substring words (NULL map rows)."""
+    from siddhi_io_cdc_spark.functions.unigram_lm import (
+        unigram_lm_encode,
+        unigram_lm_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "pack my box with five dozen jugs"),
+            (3, "zzzzqqqq xxxx"),  # substrings mostly absent from the vocab
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = unigram_lm_train(docs, vocab_size=48, max_piece_len=3, n_iters=2)
+    lit = {
+        (r.doc_id): (r.pieces, r.n_pieces)
+        for r in unigram_lm_encode(docs, vocab).collect()
+    }
+    bc = {
+        (r.doc_id): (r.pieces, r.n_pieces)
+        for r in unigram_lm_encode(docs, vocab, broadcast_vocab=True).collect()
+    }
+    assert bc == lit
+
+
+def test_broadcast_vocab_requires_dataframe(spark):
+    from siddhi_io_cdc_spark.functions.unigram_lm import unigram_lm_encode
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="broadcast_vocab"):
+        unigram_lm_encode(docs, [("a", -1.0)], broadcast_vocab=True)
