@@ -496,6 +496,16 @@ def q_duplicate_spans_maximal(spark, sf_dir):
     return duplicate_spans_maximal(_docs(spark, sf_dir), seed_width=16)
 
 
+def q_dedup_substrings(spark, sf_dir):
+    """Exact-substring REMOVAL (Lee et al. 2021): excise every maximal
+    duplicated >= 16-token run from every document (the rewrite is over
+    the TOKEN_RE token stream — lowercased, single-space re-joined, the
+    same normalization every dedup operator shares)."""
+    from siddhi_io_cdc_spark.functions.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), seed_width=16)
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Temperature re-weighting (w ∝ n^0.5) then the mixture_sample
     keep-hash pass. The fixture's source domains are perfectly balanced
@@ -1784,6 +1794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_url_dedup": q_url_dedup,
         # --- round-8 newcomers (insert NEW contract queries HERE) --- 34-
         "llm_duplicate_spans_maximal": q_duplicate_spans_maximal,
+        "llm_dedup_substrings": q_dedup_substrings,
         # --- re-checks: oldest round-6 rows ------------------------- -50
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
@@ -1800,8 +1811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_duplicate_spans": q_duplicate_spans,
         "llm_gopher_quality": q_gopher_quality,
         "llm_knn_join": q_knn_join,
-        "llm_embedding_near_dup": q_embedding_near_dup,
         # --- position 51+: driver-r7/r6-green remainder (local gate) ------
+        "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_multimodal_decode": q_multimodal_decode,
         "llm_pack_sequences": q_pack_sequences,
         "llm_bpe_pairs": q_bpe_pairs,
@@ -4010,6 +4021,59 @@ def _oracle_sql_dict() -> dict[str, str]:
             SELECT doc_id, CAST(min(s) AS INT) AS span_start,
                    CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len
             FROM grps GROUP BY doc_id, grp""",
+        # llm_dedup_substrings: the maximal-span chain above + the removal
+        # rewrite — covered positions per doc, token stream re-joined with
+        # the survivors (list comprehension in DuckDB, filter+transform in
+        # Spark; both engines lowercase + single-space re-join).
+        "llm_dedup_substrings": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents),
+            w AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     md5(array_to_string(toks[i : i + 15], ' ')) AS h
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 15)) AS i
+                    FROM t WHERE len(toks) >= 16)),
+            d AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+            m AS (
+              SELECT w.doc_id, w.pos,
+                     w.pos - CAST(row_number() OVER (
+                       PARTITION BY w.doc_id ORDER BY w.pos) AS INT) AS g
+              FROM w JOIN d USING (h)),
+            runs AS (
+              SELECT doc_id, min(pos) AS s,
+                     min(pos) + count(*) + 14 AS e
+              FROM m GROUP BY doc_id, g),
+            brks AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -2147483648) + 1
+                          THEN 1 ELSE 0 END AS brk
+              FROM runs),
+            grps AS (
+              SELECT doc_id, s, e,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+              FROM brks),
+            spans AS (
+              SELECT doc_id, min(s) AS s, max(e) AS e
+              FROM grps GROUP BY doc_id, grp),
+            covs AS (
+              SELECT doc_id, flatten(list(generate_series(s, e))) AS cov
+              FROM spans GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(array_to_string(
+                     [t.toks[CAST(p AS INT)]
+                      for p in generate_series(1, len(t.toks))
+                      if c.cov IS NULL OR NOT list_contains(c.cov, p)],
+                     ' '), '') AS text_out,
+                   CAST(CASE WHEN c.cov IS NULL THEN 0
+                             ELSE len(c.cov) END AS BIGINT)
+                     AS n_removed_tokens
+            FROM t LEFT JOIN covs c USING (doc_id)""",
         # llm_temperature_mixture: weights recomputed from counts with pow;
         # the rest is the mixture_sample threshold pipeline verbatim.
         "llm_temperature_mixture": f"""

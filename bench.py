@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "llm_kneser_ney",
     "llm_unigram_lm",
     "llm_unigram_encode",
+    "llm_duplicate_spans_maximal",
+    "llm_dedup_substrings",
 ]
 
 

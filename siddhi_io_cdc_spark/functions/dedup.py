@@ -1214,3 +1214,102 @@ def semantic_dedup(
         engine=engine,
     )
     return dedup_near(df, pairs, id_col=id_col)
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    seed_width: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_copies: int = 2,
+    keep_first_copy: bool = False,
+) -> DataFrame:
+    """Excise maximal duplicated token runs from the corpus — the actual
+    REMOVAL step of Lee et al. 2021 (their ExactSubstr dedup deletes the
+    duplicated substring from every occurrence; ``keep_first_copy=True``
+    spares the single smallest ``(doc_id, span_start)`` occurrence of each
+    distinct run text, for pipelines that want one surviving copy).
+
+    Returns ``(id_col, text_out, n_removed_tokens)`` for EVERY input
+    document (untouched docs pass through with ``n_removed_tokens = 0``).
+
+    Shape: :func:`duplicate_spans_maximal` finds the runs (its three
+    bounded stages); the runs collapse to one row per document
+    (``collect_list`` of (start, len) — bounded by runs-per-doc, not
+    corpus size), broadcast-or-shuffle join back onto the corpus, then the
+    rewrite is MAP-ONLY array work: covered positions from the run list,
+    surviving tokens re-joined in order. No second corpus shuffle.
+    """
+    from siddhi_io_cdc_spark.functions.text import TOKEN_RE
+
+    runs = duplicate_spans_maximal(
+        df, seed_width=seed_width, id_col=id_col, text_col=text_col,
+        min_copies=min_copies,
+    )
+    if keep_first_copy:
+        # one surviving occurrence per distinct covered TEXT: re-derive the
+        # run's token text, keep the min (doc_id, span_start) per text
+        toks_of = F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+        )
+        with_text = (
+            runs.join(df.select(F.col(id_col), F.col(text_col)), id_col)
+            .withColumn(
+                "__rt",
+                F.array_join(
+                    F.slice(toks_of, F.col("span_start"),
+                            F.col("span_len").cast("int")),
+                    " ",
+                ),
+            )
+        )
+        first = (
+            with_text.groupBy("__rt")
+            .agg(F.min(F.struct(F.col(id_col), F.col("span_start"))).alias("__f"))
+            .select(
+                F.col("__f").getField(id_col).alias(id_col),
+                F.col("__f.span_start").alias("span_start"),
+                F.lit(True).alias("__keep"),
+            )
+        )
+        runs = (
+            with_text.join(first, [id_col, "span_start"], "left")
+            .where(F.col("__keep").isNull())
+            .select(id_col, "span_start", "span_len")
+        )
+    per_doc = runs.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("__runs")
+    )
+    joined = df.join(per_doc, id_col, "left")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__runs"), F.array()),
+                lambda r: F.sequence(
+                    r["span_start"],
+                    r["span_start"] + r["span_len"].cast("int") - 1,
+                ),
+            )
+        )
+    )
+    staged = joined.select(
+        *[F.col(c) for c in df.columns],
+        toks.alias("__toks"),
+        covered.alias("__cov"),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1))),
+            lambda p: F.when(
+                (p <= F.size("__toks")) & ~F.array_contains("__cov", p),
+                F.element_at("__toks", p),
+            ),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text_out"),
+        F.size("__cov").cast("bigint").alias("n_removed_tokens"),
+    )

@@ -683,3 +683,45 @@ def test_duplicate_spans_maximal_guards(spark):
         duplicate_spans_maximal(df, seed_width=1)
     with _pytest.raises(ValueError, match="min_copies"):
         duplicate_spans_maximal(df, min_copies=1)
+
+
+def test_remove_duplicate_spans_rewrites_and_passthrough(spark):
+    from siddhi_io_cdc_spark.functions.dedup import remove_duplicate_spans
+
+    shared = " ".join(f"tok{i}" for i in range(12))  # 24 TOKEN_RE tokens
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, "x " + shared + " y z"),
+            (3, "clean document nothing here repeats"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_out, r.n_removed_tokens)
+        for r in remove_duplicate_spans(df, seed_width=16).collect()
+    }
+    assert got[1] == ("alpha beta gamma", 24)
+    assert got[2] == ("x y z", 24)
+    assert got[3] == ("clean document nothing here repeats", 0)
+    assert got[4] == ("", 0)  # empty docs pass through
+
+
+def test_remove_duplicate_spans_keep_first_copy(spark):
+    from siddhi_io_cdc_spark.functions.dedup import remove_duplicate_spans
+
+    shared = " ".join(f"tok{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, "alpha beta " + shared), (2, "x " + shared + " y")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_out, r.n_removed_tokens)
+        for r in remove_duplicate_spans(
+            df, seed_width=16, keep_first_copy=True
+        ).collect()
+    }
+    # smallest (doc_id, span_start) occurrence survives; the other is excised
+    assert got[1][1] == 0 and got[1][0].startswith("alpha beta tok 0")
+    assert got[2] == ("x y", 24)
