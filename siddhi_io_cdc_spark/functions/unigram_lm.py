@@ -249,6 +249,7 @@ def unigram_lm_train(
     max_word_len: int = 12,
     n_iters: int = 2,
     text_col: str = "text",
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """Train the unigram-LM piece table: seed vocabulary → ``n_iters`` hard-EM
     rounds (Viterbi segment the word-frequency table, re-count pieces,
@@ -270,20 +271,32 @@ def unigram_lm_train(
         )
     spark = df.sparkSession
     words = word_frequencies(df, text_col, max_word_len).persist()
+    round_caches: list[DataFrame] = []
     try:
-        # Each round ends in a bounded model-sized collect (the piece table
-        # IS the model), and the next round's vocabulary enters as LITERAL
-        # rows — so every segmentation pass over the cached word table runs
-        # exactly once, instead of the whole EM lineage re-executing per
-        # round (and once more at materialization). Log-probs are computed
-        # IN Spark before collecting, so the rounding mode (HALF_UP) stays
-        # the engine's own — a Python-side round() is banker's and could
-        # diverge on an exact half at the 9th decimal.
-        rows = _with_logprob(
-            seed_pieces(words, vocab_size, max_piece_len)
-        ).collect()
+        # Each round ends in a bounded model-sized step (the piece table IS
+        # the model): with broadcast_vocab=False (default, the exact
+        # contract-oracle shape) the table is COLLECTED and the next
+        # round's vocabulary enters as literal rows; with
+        # broadcast_vocab=True the table stays a (persisted) DataFrame and
+        # the DP probes a data-derived per-word map — same values, but the
+        # generated code stays constant-size at any vocab, avoiding the
+        # janino 64 KiB fallback measured at ~8k pieces (BASELINE.md r8).
+        # Either way every segmentation pass over the cached word table
+        # runs exactly once per round. Log-probs are computed IN Spark
+        # before they land anywhere (rounding mode HALF_UP stays the
+        # engine's own — Python round() is banker's and could diverge on
+        # an exact half at the 9th decimal).
+        cur = _with_logprob(seed_pieces(words, vocab_size, max_piece_len))
+        if broadcast_vocab:
+            cur = cur.persist()
+            round_caches.append(cur)
+        else:
+            rows = cur.collect()
         for _ in range(n_iters):
-            vocab = sorted((r["piece"], r["logprob"]) for r in rows)
+            if broadcast_vocab:
+                vocab = cur.select("piece", "logprob")
+            else:
+                vocab = sorted((r["piece"], r["logprob"]) for r in rows)
             segged = viterbi_segment(words, vocab, max_word_len, max_piece_len)
             counts = (
                 segged.select(
@@ -293,12 +306,21 @@ def unigram_lm_train(
                 .groupBy("piece")
                 .agg(F.sum("freq").cast("bigint").alias("piece_count"))
             )
-            rows = _with_logprob(counts).collect()
+            cur = _with_logprob(counts)
+            if broadcast_vocab:
+                cur = cur.persist()
+                round_caches.append(cur)
+            else:
+                rows = cur.collect()
+        if broadcast_vocab:
+            rows = cur.collect()
         return spark.createDataFrame(
             rows, "piece string, piece_count bigint, logprob double"
         )
     finally:
         words.unpersist()
+        for c in round_caches:
+            c.unpersist()
 
 
 def unigram_lm_encode(

@@ -216,3 +216,29 @@ def test_broadcast_vocab_requires_dataframe(spark):
 
     with _pytest.raises(ValueError, match="broadcast_vocab"):
         unigram_lm_encode(docs, [("a", -1.0)], broadcast_vocab=True)
+
+
+def test_train_broadcast_vocab_parity(spark):
+    """EM rounds driven by the distributed piece table (broadcast DP maps)
+    must learn exactly the literal-path model."""
+    from siddhi_io_cdc_spark.functions.unigram_lm import unigram_lm_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "sphinx of black quartz judge my vow"),
+        ],
+        "doc_id long, text string",
+    )
+    lit = sorted(
+        (r.piece, r.piece_count, r.logprob)
+        for r in unigram_lm_train(docs, vocab_size=48, n_iters=2).collect()
+    )
+    bc = sorted(
+        (r.piece, r.piece_count, r.logprob)
+        for r in unigram_lm_train(
+            docs, vocab_size=48, n_iters=2, broadcast_vocab=True
+        ).collect()
+    )
+    assert bc == lit
