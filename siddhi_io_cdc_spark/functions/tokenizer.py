@@ -204,3 +204,43 @@ def bpe_encode(
     return df.withColumn("bpe_tokens", toks).withColumn(
         "n_bpe_tokens", F.size(F.col("bpe_tokens"))
     )
+
+
+def save_bpe_model(spark, merges: DataFrame | Sequence[tuple], path: str) -> None:
+    """Persist a learned merge table as a JSON model artifact through the
+    Hadoop FS API (s3a/hdfs/local — the same transport as the IVF/PQ
+    codebooks), so a tokenizer trained once rides into every ingest job.
+    A merge table is n_merges rows — a model, not a data path."""
+    import json
+
+    from siddhi_io_cdc_spark.functions.similarity import _hadoop_write_text
+
+    if isinstance(merges, DataFrame):
+        rows = [
+            [int(r["merge_rank"]), r["left"], r["right"], int(r["pair_count"])]
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+    else:
+        rows = [
+            [i + 1, left, right, int(cnt) if cnt is not None else 0]
+            for i, (left, right, *rest) in enumerate(
+                (m if len(m) != 4 else m[1:]) for m in merges
+            )
+            for cnt in [rest[0] if rest else 0]
+        ]
+    _hadoop_write_text(
+        spark, path, json.dumps({"kind": "bpe", "merges": rows})
+    )
+
+
+def load_bpe_model(spark, path: str) -> list[tuple[str, str]]:
+    """Load a :func:`save_bpe_model` artifact as the rank-ordered
+    ``(left, right)`` list :func:`bpe_encode` consumes."""
+    import json
+
+    from siddhi_io_cdc_spark.functions.similarity import _hadoop_read_text
+
+    model = json.loads(_hadoop_read_text(spark, path))
+    if model.get("kind") != "bpe":
+        raise ValueError(f"not a BPE model artifact: {path}")
+    return [(m[1], m[2]) for m in sorted(model["merges"], key=lambda m: m[0])]

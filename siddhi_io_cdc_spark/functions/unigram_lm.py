@@ -386,3 +386,41 @@ def unigram_lm_encode(
     # documents with no WORD_RE match keep a row (NULL pieces), so encode
     # is total over the corpus like the LM scorers
     return df.select(id_col).distinct().join(agg, id_col, "left")
+
+
+def save_unigram_model(spark, pieces: DataFrame, path: str) -> None:
+    """Persist a trained piece table ``(piece, piece_count, logprob)`` as a
+    JSON artifact through the Hadoop FS API — model-sized by construction
+    (the collect is the piece table itself)."""
+    import json
+
+    from siddhi_io_cdc_spark.functions.similarity import _hadoop_write_text
+
+    rows = [
+        [r["piece"], int(r["piece_count"]), float(r["logprob"])]
+        for r in pieces.orderBy("piece").collect()
+    ]
+    _hadoop_write_text(
+        spark, path, json.dumps({"kind": "unigram_lm", "pieces": rows})
+    )
+
+
+def load_unigram_model(
+    spark, path: str, as_dataframe: bool = False
+) -> list[tuple[str, float]] | DataFrame:
+    """Load a :func:`save_unigram_model` artifact: the ``(piece, logprob)``
+    list :func:`unigram_lm_encode` consumes, or (``as_dataframe=True``)
+    the full table for ``broadcast_vocab=True`` encoding."""
+    import json
+
+    from siddhi_io_cdc_spark.functions.similarity import _hadoop_read_text
+
+    model = json.loads(_hadoop_read_text(spark, path))
+    if model.get("kind") != "unigram_lm":
+        raise ValueError(f"not a unigram-LM model artifact: {path}")
+    if as_dataframe:
+        return spark.createDataFrame(
+            [(p, int(c), float(lp)) for p, c, lp in model["pieces"]],
+            "piece string, piece_count bigint, logprob double",
+        )
+    return [(p, float(lp)) for p, c, lp in model["pieces"]]

@@ -234,3 +234,32 @@ def test_bpe_train_rejects_bad_checkpoint_every(spark):
     df = spark.createDataFrame([("ab ab",)], "text string")
     with pytest.raises(ValueError, match="checkpoint_every"):
         bpe_train(df, n_merges=2, checkpoint_every=0)
+
+
+def test_bpe_model_save_load_roundtrip(spark, tmp_path):
+    from siddhi_io_cdc_spark.functions.tokenizer import (
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    df = spark.createDataFrame(
+        [("low low lower lowest",), ("newer newest new",)], "text string"
+    )
+    merges = bpe_train(df, n_merges=4)
+    path = str(tmp_path / "bpe_model.json")
+    save_bpe_model(spark, merges, path)
+    loaded = load_bpe_model(spark, path)
+    want = [(r.left, r.right) for r in merges.orderBy("merge_rank").collect()]
+    assert loaded == want
+    # encode parity through the reloaded artifact
+    a = bpe_encode(df, merges).select("bpe_tokens").collect()
+    b = bpe_encode(df, loaded).select("bpe_tokens").collect()
+    assert [r.bpe_tokens for r in a] == [r.bpe_tokens for r in b]
+
+    import pytest as _pytest
+
+    from siddhi_io_cdc_spark.functions.similarity import _hadoop_write_text
+
+    _hadoop_write_text(spark, str(tmp_path / "junk.json"), '{"kind": "x"}')
+    with _pytest.raises(ValueError, match="BPE model"):
+        load_bpe_model(spark, str(tmp_path / "junk.json"))

@@ -242,3 +242,33 @@ def test_train_broadcast_vocab_parity(spark):
         ).collect()
     )
     assert bc == lit
+
+
+def test_unigram_model_save_load_roundtrip(spark, tmp_path):
+    from siddhi_io_cdc_spark.functions.unigram_lm import (
+        load_unigram_model,
+        save_unigram_model,
+        unigram_lm_encode,
+        unigram_lm_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "pack my box with jugs")],
+        "doc_id long, text string",
+    )
+    pieces = unigram_lm_train(docs, vocab_size=48, n_iters=1)
+    path = str(tmp_path / "uni_model.json")
+    save_unigram_model(spark, pieces, path)
+    loaded = load_unigram_model(spark, path)
+    want = sorted((r.piece, r.logprob) for r in pieces.collect())
+    assert sorted(loaded) == want
+    a = {(r.doc_id): r.pieces for r in unigram_lm_encode(docs, pieces).collect()}
+    b = {(r.doc_id): r.pieces for r in unigram_lm_encode(docs, loaded).collect()}
+    assert a == b
+    # DataFrame form feeds the broadcast_vocab scale path
+    as_df = load_unigram_model(spark, path, as_dataframe=True)
+    c = {
+        (r.doc_id): r.pieces
+        for r in unigram_lm_encode(docs, as_df, broadcast_vocab=True).collect()
+    }
+    assert c == a
