@@ -30,10 +30,13 @@ seed substring counting, each EM round's segmentation and re-counting —
 runs over the CACHED vocabulary table, i.e. cost ``O(corpus) + n_iters *
 O(|word vocab| * max_word_len * max_piece_len)``. Encoding segments only
 DISTINCT words and broadcast-joins the result back to token positions, so
-the corpus-sized pass is one join + regroup. The piece table itself rides
-into the executors as a literal map (model-sized; at SentencePiece's real
-32k-piece scale swap the literal for a broadcast span join — the DP shape
-is unchanged).
+the corpus-sized pass is one join + regroup. The piece table rides
+into the executors either as a literal map (default — the exact shape
+the contract oracle restates) or, with ``broadcast_vocab=True`` on the
+trainer/encoder, as data-derived per-word lookup maps built by one
+broadcast join — the ≥8k-piece path where the literal map exceeds
+janino's 64 KiB codegen limit (measured 8.2×/5.2× train/encode wins at
+the 2001-piece model, BASELINE.md round 8).
 
 Reference scope note: the reference engine (siddhi-io-cdc) has no
 tokenizer surface; this module belongs to the LLM-pipeline extension the

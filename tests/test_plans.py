@@ -223,3 +223,35 @@ def test_retention_windows_single_shuffle(spark, sf_dir, entrymod):
         assert p.count("Exchange hashpartitioning") == 1, name
         # never a global single-partition window
         assert "Exchange SinglePartition" not in p or "AggregateExec" in p, name
+
+
+def test_maximal_spans_two_keyed_windows_share_exchange(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["llm_duplicate_spans_maximal"](spark, sf_dir))
+    # stages: window-hash agg (1 exchange on __h), islands + interval merge
+    # both partition on doc_id (exchange reused), broadcast join-back of the
+    # duplicated-hash set; NO cartesian, NO python
+    assert "CartesianProduct" not in p and "Python" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_dedup_substrings_rewrite_is_map_side_after_join(spark, sf_dir, entrymod):
+    p = plan_of(entrymod.queries()["llm_dedup_substrings"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "Python" not in p
+
+
+def test_semantic_numpy_engine_single_python_node(spark, sf_dir, entrymod):
+    """engine='numpy' is ONE ArrowEvalPython-free FlatMapGroupsInPandas node
+    over the cell grouping — the only Python in the plan, by design."""
+    from pyspark.sql import functions as F
+
+    from siddhi_io_cdc_spark.functions.dedup import semantic_dedup_pairs
+    from siddhi_io_cdc_spark.functions.similarity import ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = semantic_dedup_pairs(
+        emb, ivf_centroids(64, nlist=4), tau=0.9, engine="numpy"
+    )
+    p = plan_of(pairs)
+    assert p.count("FlatMapGroupsInPandas") == 1
+    assert p.count("Exchange hashpartitioning") == 1  # the cell grouping
