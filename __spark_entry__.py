@@ -963,6 +963,29 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_numpy(spark, sf_dir):
+    """The SAME SemDeDup end state computed by the vectorized pair engine
+    (per-cell BLAS cosine matrices via applyInPandas — the measured
+    >10M-pair production path, BASELINE.md round 8). The oracle is shared
+    with llm_semantic_dedup: the kept-id set is engine-independent (clone
+    cosines ~1.0, max natural cosine far below the 0.99 bar — no rounding
+    boundary in range)."""
+    from siddhi_io_cdc_spark.functions.dedup import semantic_dedup
+    from siddhi_io_cdc_spark.functions.similarity import ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    clone = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clone)
+    return (
+        semantic_dedup(corpus, ivf_centroids(64, nlist=16), tau=0.99,
+                       engine="numpy")
+        .select("vec_id")
+        .orderBy("vec_id")
+    )
+
+
 # -- Temporal joins & window aggregations (custom operators) ----------------
 
 
@@ -1795,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 newcomers (insert NEW contract queries HERE) --- 34-
         "llm_duplicate_spans_maximal": q_duplicate_spans_maximal,
         "llm_dedup_substrings": q_dedup_substrings,
+        "llm_semantic_dedup_numpy": q_semantic_dedup_numpy,
         # --- re-checks: oldest round-6 rows ------------------------- -50
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
@@ -1810,8 +1834,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_cdc_pipeline": q_cdc_pipeline,
         "llm_duplicate_spans": q_duplicate_spans,
         "llm_gopher_quality": q_gopher_quality,
-        "llm_knn_join": q_knn_join,
         # --- position 51+: driver-r7/r6-green remainder (local gate) ------
+        "llm_knn_join": q_knn_join,
         "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_multimodal_decode": q_multimodal_decode,
         "llm_pack_sequences": q_pack_sequences,
@@ -2843,6 +2867,35 @@ def _curate_sql(lang: str = "en", min_quality: float = 0.6, source: str = "docum
         GROUP BY {_NORM}"""
 
 
+#: Shared by llm_semantic_dedup and llm_semantic_dedup_numpy (the two
+#: engines are pinned to the same end state).
+_SEMANTIC_DEDUP_SQL = """
+            WITH RECURSIVE corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS embedding
+              FROM embeddings WHERE vec_id < 5),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6)
+                      >= 0.99),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs),
+            reach(node, other) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.node, e.dst FROM reach r
+              JOIN edges e ON r.other = e.src AND e.dst <> r.node)
+            SELECT vec_id FROM corpus
+            WHERE vec_id NOT IN (
+                SELECT node FROM reach GROUP BY node HAVING min(other) < node)
+            ORDER BY vec_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_dict()
     # Trained-centroid kNN probes every cell (nprobe == nlist), so it is
@@ -3755,31 +3808,11 @@ def _oracle_sql_dict() -> dict[str, str]:
         # llm_semantic_dedup: identical clones share every k-means cell, and
         # the fixture's max natural cosine is far below 0.99, so the cell
         # blocking is lossless and the end state is the all-pairs closure.
-        "llm_semantic_dedup": """
-            WITH RECURSIVE corpus AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
-              FROM embeddings
-              UNION ALL
-              SELECT vec_id + 10000000, CAST(embedding AS DOUBLE[]) AS embedding
-              FROM embeddings WHERE vec_id < 5),
-            pairs AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b
-              FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-              WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6)
-                      >= 0.99),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION
-              SELECT id_b, id_a FROM pairs),
-            reach(node, other) AS (
-              SELECT src, dst FROM edges
-              UNION
-              SELECT r.node, e.dst FROM reach r
-              JOIN edges e ON r.other = e.src AND e.dst <> r.node)
-            SELECT vec_id FROM corpus
-            WHERE vec_id NOT IN (
-                SELECT node FROM reach GROUP BY node HAVING min(other) < node)
-            ORDER BY vec_id""",
+        "llm_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+        # llm_semantic_dedup_numpy: SAME end state, computed by the
+        # vectorized per-cell BLAS engine — the oracle is shared because
+        # the kept-id set is engine-independent on this fixture.
+        "llm_semantic_dedup_numpy": _SEMANTIC_DEDUP_SQL,
         "llm_shard_for_training": f"""
             WITH h AS (
               SELECT doc_id, {_STABLE_HASH} AS hh FROM documents)

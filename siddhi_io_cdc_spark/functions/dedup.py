@@ -833,6 +833,7 @@ def duplicate_spans_maximal(
     text_col: str = "text",
     min_copies: int = 2,
     broadcast_dups_max: int | None = 5_000_000,
+    screen_stride: int | None = None,
 ) -> DataFrame:
     """MAXIMAL cross-document duplicated token runs — the full
     exact-substring dedup of Lee et al. 2021 §4.1, where
@@ -868,6 +869,19 @@ def duplicate_spans_maximal(
        over the duplicated positions, ONE keyed shuffle on ``id_col``
        (the grouping the output needs anyway). At 100 TB: shapes 1-2 are
        embarrassingly parallel; shape 3 shuffles only duplicated positions.
+
+    ``screen_stride``: the 100 TB two-stage form. Stage 0 runs the CHEAP
+    content-anchored sampler (:func:`duplicate_spans` at this stride) and
+    keeps only documents it flags; the dense pass then scans survivors
+    only — on a mostly-clean corpus that is ~1/stride of the window-hash
+    work. Recall is the sampler's, but CONSISTENTLY so: the anchor is a
+    pure function of the token at each position, so a duplicated run
+    either anchors in EVERY copy (all its documents survive the screen —
+    within-survivor counts then equal corpus-wide counts and the dense
+    stage is exact for it) or in none (the whole run is missed, never
+    half-counted). Miss probability for a run of T tokens:
+    ``(1 − 1/stride)^(T − seed_width + 1)`` — e.g. < 2% four strides past
+    ``seed_width``. Leave ``None`` for the exact single-stage form.
     """
     from siddhi_io_cdc_spark.functions.text import TOKEN_RE
 
@@ -875,6 +889,20 @@ def duplicate_spans_maximal(
         raise ValueError(f"seed_width must be >= 2 (got {seed_width})")
     if min_copies < 2:
         raise ValueError(f"min_copies must be >= 2 (got {min_copies})")
+    if screen_stride is not None:
+        if not 1 <= screen_stride <= seed_width:
+            raise ValueError(
+                f"screen_stride must be in [1, seed_width] (got {screen_stride})"
+            )
+        flagged = (
+            duplicate_spans(
+                df, width=seed_width, stride=screen_stride,
+                id_col=id_col, text_col=text_col, min_copies=min_copies,
+            )
+            .select(id_col)
+            .distinct()
+        )
+        df = df.join(flagged, id_col, "left_semi")
     w = seed_width
     toks = F.col("__toks")
     length = F.size(toks)

@@ -725,3 +725,39 @@ def test_remove_duplicate_spans_keep_first_copy(spark):
     # smallest (doc_id, span_start) occurrence survives; the other is excised
     assert got[1][1] == 0 and got[1][0].startswith("alpha beta tok 0")
     assert got[2] == ("x y", 24)
+
+
+def test_maximal_spans_screen_consistency(spark):
+    """Two-stage form: every run the screen catches is reported with the
+    same exact boundaries as the single-stage form (the anchor is content-
+    derived, so a run survives the screen in ALL copies or none)."""
+    from siddhi_io_cdc_spark.functions.dedup import duplicate_spans_maximal
+
+    run_a = " ".join(f"alpha{i:02d}" for i in range(30))  # long run: screened
+    docs = [
+        (1, "one two " + run_a + " three"),
+        (2, "x " + run_a + " y"),
+        (3, "clean text with nothing repeated in it"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    exact = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans_maximal(df, seed_width=16).collect()
+    }
+    screened = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicate_spans_maximal(
+            df, seed_width=16, screen_stride=2
+        ).collect()
+    }
+    # the screen can only lose whole runs, never shift boundaries
+    assert screened <= exact
+    # a 60-token run, 45 anchor chances at stride 2: P(miss) = 2^-45 — the
+    # planted run is always screened
+    assert any(d == 1 for d, _, _ in screened) and any(d == 2 for d, _, _ in screened)
+    assert screened == exact  # on this fixture nothing else exists
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="screen_stride"):
+        duplicate_spans_maximal(df, seed_width=16, screen_stride=32)
