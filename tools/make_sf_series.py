@@ -1,0 +1,79 @@
+"""Scale-series runner: cold + steady seconds for a committed query subset
+at one sf directory (fresh session per invocation — run once per sf).
+
+Reproduces the BENCH_sf{1,2}_r{N}.json methodology: every query executes
+through the noop DSv2 sink (full plan, nothing collected), the builder
+re-runs inside the timed region (driver-side build work counts), steady =
+min of two post-warm runs.
+
+Usage:
+    python tools/make_sf_series.py --sf /tmp/sf2 [--queries a,b,c]
+        > BENCH_sf2_rN.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+#: The committed scale-series subset (BASELINE.md three-point table) plus
+#: the round-8 newcomers.
+DEFAULT_QUERIES = [
+    "cdc_flatten_multi_op", "cdc_apply_changelog", "rel_pricing_summary",
+    "llm_dedup_exact", "llm_minhash_pairs", "llm_simhash_pairs",
+    "llm_near_dedup", "llm_image_near_dup", "llm_duplicate_spans",
+    "llm_knn_join_bucketed", "llm_knn_join_probed", "llm_knn_join_lsh",
+    "llm_knn_join_trained", "llm_5gram_logprob", "llm_rag_pipeline",
+    "llm_cdc_pipeline",
+    "llm_duplicate_spans_maximal", "llm_dedup_substrings",
+    "llm_semantic_dedup_numpy",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", required=True)
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+    from siddhi_io_cdc_spark.util import cache_scope
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", args.cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+
+    def run(name: str) -> float:
+        t0 = time.monotonic()
+        with cache_scope():
+            qs[name](spark, args.sf).write.format("noop").mode("overwrite").save()
+        return time.monotonic() - t0
+
+    out = {"sf_dir": args.sf, "queries": {}}
+    for name in args.queries.split(","):
+        cold = run(name)
+        steady = min(run(name), run(name))
+        out["queries"][name] = {"cold": round(cold, 3), "steady": round(steady, 3)}
+        print(f"{name}: cold={cold:.2f}s steady={steady:.2f}s", file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
