@@ -496,6 +496,24 @@ def q_duplicate_spans_maximal(spark, sf_dir):
     return duplicate_spans_maximal(_docs(spark, sf_dir), seed_width=16)
 
 
+def q_decontaminate_spans(spark, sf_dir):
+    """Span-level benchmark decontamination: maximal >= 16-token runs of
+    the train slice (doc_id%7 != 0) that verbatim-overlap the benchmark
+    slice (doc_id%7 == 0) — the surgical form next to the doc-level
+    llm_decontaminate. The %7 split puts planted-clone partners on BOTH
+    sides of the cut (538 overlapping windows at sf0.01; the doc-level
+    query's %97 split leaves zero cross-side 16-token overlap — an empty
+    result proves nothing)."""
+    from siddhi_io_cdc_spark.functions.dedup import decontaminate_spans
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate_spans(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0),
+        seed_width=16,
+    )
+
+
 def q_dedup_substrings(spark, sf_dir):
     """Exact-substring REMOVAL (Lee et al. 2021): excise every maximal
     duplicated >= 16-token run from every document (the rewrite is over
@@ -1819,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_duplicate_spans_maximal": q_duplicate_spans_maximal,
         "llm_dedup_substrings": q_dedup_substrings,
         "llm_semantic_dedup_numpy": q_semantic_dedup_numpy,
+        "llm_decontaminate_spans": q_decontaminate_spans,
         # --- re-checks: oldest round-6 rows ------------------------- -50
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
@@ -1833,8 +1852,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_near_dedup": q_near_dedup,
         "llm_cdc_pipeline": q_cdc_pipeline,
         "llm_duplicate_spans": q_duplicate_spans,
-        "llm_gopher_quality": q_gopher_quality,
         # --- position 51+: driver-r7/r6-green remainder (local gate) ------
+        "llm_gopher_quality": q_gopher_quality,
         "llm_knn_join": q_knn_join,
         "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_multimodal_decode": q_multimodal_decode,
@@ -4035,6 +4054,53 @@ def _oracle_sql_dict() -> dict[str, str]:
                      w.pos - CAST(row_number() OVER (
                        PARTITION BY w.doc_id ORDER BY w.pos) AS INT) AS g
               FROM w JOIN d USING (h)),
+            runs AS (
+              SELECT doc_id, min(pos) AS s,
+                     min(pos) + count(*) + 14 AS e
+              FROM m GROUP BY doc_id, g),
+            brks AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), -2147483648) + 1
+                          THEN 1 ELSE 0 END AS brk
+              FROM runs),
+            grps AS (
+              SELECT doc_id, s, e,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp
+              FROM brks)
+            SELECT doc_id, CAST(min(s) AS INT) AS span_start,
+                   CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len
+            FROM grps GROUP BY doc_id, grp""",
+        # llm_decontaminate_spans: train windows marked by membership in the
+        # benchmark window-hash set, then the same island + interval-merge
+        # chain as the maximal-span oracle.
+        "llm_decontaminate_spans": f"""
+            WITH tr AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents WHERE doc_id % 7 <> 0),
+            be AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents WHERE doc_id % 7 = 0),
+            w AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     md5(array_to_string(toks[i : i + 15], ' ')) AS h
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 15)) AS i
+                    FROM tr WHERE len(toks) >= 16)),
+            bh AS (
+              SELECT DISTINCT md5(array_to_string(toks[i : i + 15], ' ')) AS h
+              FROM (SELECT toks,
+                           unnest(generate_series(1, len(toks) - 15)) AS i
+                    FROM be WHERE len(toks) >= 16)),
+            m AS (
+              SELECT w.doc_id, w.pos,
+                     w.pos - CAST(row_number() OVER (
+                       PARTITION BY w.doc_id ORDER BY w.pos) AS INT) AS g
+              FROM w JOIN bh USING (h)),
             runs AS (
               SELECT doc_id, min(pos) AS s,
                      min(pos) + count(*) + 14 AS e

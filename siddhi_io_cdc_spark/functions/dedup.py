@@ -826,6 +826,71 @@ def duplicate_spans(
     return tag_caches(out, [windows, dups])
 
 
+def _window_table(df: DataFrame, w: int, id_col: str, text_col: str) -> DataFrame:
+    """Dense ``(id, pos, __h)`` window-hash table: every ``w``-token window
+    md5-hashed INSIDE the per-document row before the explode (the
+    hash-before-explode layout) — shared by the maximal-span and
+    span-decontamination operators."""
+    from siddhi_io_cdc_spark.functions.text import TOKEN_RE
+
+    toks = F.col("__toks")
+    length = F.size(toks)
+    spans = F.when(
+        length >= w,
+        F.transform(
+            F.sequence(F.lit(1), length - (w - 1)),
+            lambda p: F.struct(
+                p.alias("pos"),
+                F.md5(F.array_join(F.slice(toks, p, w), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    return (
+        _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0)
+        .select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            ).alias("__toks"),
+        )
+        .select(F.col(id_col), F.explode(spans).alias("__w"))
+        .select(id_col, F.col("__w.pos").alias("pos"), F.col("__w.h").alias("__h"))
+    )
+
+
+def _maximal_runs(marked: DataFrame, id_col: str, w: int) -> DataFrame:
+    """Maximal covered token runs from marked window-start positions:
+    gaps-and-islands over starts, then an interval-merge pass (same
+    partition key — the exchange is reused) because regions overlapping by
+    < w leave a gap in STARTS while their covered intervals intersect."""
+    isl = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        marked.withColumn("__g", F.col("pos") - F.row_number().over(isl))
+        .groupBy(id_col, "__g")
+        .agg(
+            F.min("pos").alias("__s"),
+            (F.min("pos") + F.count(F.lit(1)) + F.lit(w - 2)).alias("__e"),
+        )
+    )
+    ivl = Window.partitionBy(id_col).orderBy("__s")
+    prev_end = F.max("__e").over(ivl.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        runs.withColumn(
+            "__brk",
+            F.when(
+                prev_end.isNull() | (F.col("__s") > prev_end + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn("__grp", F.sum("__brk").over(ivl))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("__s").alias("span_start"),
+            (F.max("__e") - F.min("__s") + 1).cast("bigint").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )
+
+
 def duplicate_spans_maximal(
     df: DataFrame,
     seed_width: int = 16,
@@ -883,8 +948,6 @@ def duplicate_spans_maximal(
     ``(1 − 1/stride)^(T − seed_width + 1)`` — e.g. < 2% four strides past
     ``seed_width``. Leave ``None`` for the exact single-stage form.
     """
-    from siddhi_io_cdc_spark.functions.text import TOKEN_RE
-
     if seed_width < 2:
         raise ValueError(f"seed_width must be >= 2 (got {seed_width})")
     if min_copies < 2:
@@ -904,29 +967,7 @@ def duplicate_spans_maximal(
         )
         df = df.join(flagged, id_col, "left_semi")
     w = seed_width
-    toks = F.col("__toks")
-    length = F.size(toks)
-    spans = F.when(
-        length >= w,
-        F.transform(
-            F.sequence(F.lit(1), length - (w - 1)),
-            lambda p: F.struct(
-                p.alias("pos"),
-                F.md5(F.array_join(F.slice(toks, p, w), " ")).alias("h"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
-    windows = scoped_persist(
-        _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0)
-        .select(
-            F.col(id_col),
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
-            ).alias("__toks"),
-        )
-        .select(F.col(id_col), F.explode(spans).alias("__w"))
-        .select(id_col, F.col("__w.pos").alias("pos"), F.col("__w.h").alias("__h"))
-    )
+    windows = scoped_persist(_window_table(df, w, id_col, text_col))
     dups = scoped_persist(
         windows.groupBy("__h")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -939,42 +980,68 @@ def duplicate_spans_maximal(
     marked = windows.join(
         F.broadcast(dups) if use_broadcast else dups, "__h"
     ).select(id_col, "pos")
-    isl = Window.partitionBy(id_col).orderBy("pos")
-    runs = (
-        marked.withColumn("__g", F.col("pos") - F.row_number().over(isl))
-        .groupBy(id_col, "__g")
-        .agg(
-            F.min("pos").alias("__s"),
-            (F.min("pos") + F.count(F.lit(1)) + F.lit(w - 2)).alias("__e"),
-        )
-    )
-    # Window-start islands can still OVERLAP in token space: two duplicated
-    # regions overlapping by < seed_width leave a gap in duplicated window
-    # STARTS (the straddling windows are unique) while their covered token
-    # intervals [start, last_start + w - 1] intersect. A second interval-
-    # merge pass — same partition key, so Catalyst reuses the exchange —
-    # coalesces intervals that overlap or touch into the true maximal
-    # covered runs.
-    ivl = Window.partitionBy(id_col).orderBy("__s")
-    prev_end = F.max("__e").over(
-        ivl.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    merged = (
-        runs.withColumn(
-            "__brk",
-            F.when(
-                prev_end.isNull() | (F.col("__s") > prev_end + 1), 1
-            ).otherwise(0),
-        )
-        .withColumn("__grp", F.sum("__brk").over(ivl))
-        .groupBy(id_col, "__grp")
-        .agg(
-            F.min("__s").alias("span_start"),
-            (F.max("__e") - F.min("__s") + 1).cast("bigint").alias("span_len"),
-        )
-        .select(id_col, "span_start", "span_len")
-    )
+    merged = _maximal_runs(marked, id_col, w)
     return tag_caches(merged, [windows, dups])
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    seed_width: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    b_text_col: str | None = None,
+) -> DataFrame:
+    """Span-level benchmark decontamination: the maximal token runs of
+    ``df`` that verbatim-overlap the benchmark corpus — i.e. every maximal
+    run of positions whose ``seed_width``-token window occurs ANYWHERE in
+    ``benchmark``. Doc-level :func:`decontaminate` drops whole documents
+    sharing shingles; this is the surgical form (the Lee et al./GPT-3
+    appendix practice): report — and with
+    :func:`remove_contaminated_spans`, excise — just the overlapping text.
+
+    Returns ``(id_col, span_start, span_len)``, boundaries exact for every
+    overlap of >= ``seed_width`` tokens (same island + interval-merge
+    machinery as :func:`duplicate_spans_maximal`).
+
+    Scale shape: the corpus-side dense window table is the suffix-array-
+    price pass; the benchmark side collapses to DISTINCT window hashes
+    (benchmarks are tiny next to training corpora) and broadcast-joins
+    onto the corpus windows — no corpus shuffle before the per-doc
+    islands.
+    """
+    if seed_width < 2:
+        raise ValueError(f"seed_width must be >= 2 (got {seed_width})")
+    w = seed_width
+    b_text = b_text_col or text_col
+    bench = benchmark.select(F.col(b_text).alias(text_col)).withColumn(
+        "__bid", F.monotonically_increasing_id()
+    )
+    bench_hashes = scoped_persist(
+        _window_table(bench, w, "__bid", text_col).select("__h").distinct()
+    )
+    windows = scoped_persist(_window_table(df, w, id_col, text_col))
+    marked = windows.join(F.broadcast(bench_hashes), "__h").select(id_col, "pos")
+    runs = _maximal_runs(marked, id_col, w)
+    return tag_caches(runs, [windows, bench_hashes])
+
+
+def remove_contaminated_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    seed_width: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    b_text_col: str | None = None,
+) -> DataFrame:
+    """Excise every benchmark-overlapping maximal run from the corpus —
+    ``(id_col, text_out, n_removed_tokens)`` for EVERY input document
+    (same map-only rewrite as :func:`remove_duplicate_spans`)."""
+    runs = decontaminate_spans(
+        df, benchmark, seed_width=seed_width, id_col=id_col,
+        text_col=text_col, b_text_col=b_text_col,
+    )
+    return _excise_runs(df, runs, id_col, text_col)
 
 
 def semantic_dedup_pairs(
@@ -1305,6 +1372,18 @@ def remove_duplicate_spans(
             .where(F.col("__keep").isNull())
             .select(id_col, "span_start", "span_len")
         )
+    return _excise_runs(df, runs, id_col, text_col)
+
+
+def _excise_runs(
+    df: DataFrame, runs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Map-only excision of ``(span_start, span_len)`` runs from the token
+    stream: one collect_list row per doc joined back, covered positions
+    from the run list, survivors re-joined in order — shared by the
+    duplicate-span and benchmark-contamination removers."""
+    from siddhi_io_cdc_spark.functions.text import TOKEN_RE
+
     per_doc = runs.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_len")).alias("__runs")
     )

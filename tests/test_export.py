@@ -761,3 +761,44 @@ def test_maximal_spans_screen_consistency(spark):
 
     with _pytest.raises(ValueError, match="screen_stride"):
         duplicate_spans_maximal(df, seed_width=16, screen_stride=32)
+
+
+def test_decontaminate_spans_exact_boundaries(spark):
+    from siddhi_io_cdc_spark.functions.dedup import (
+        decontaminate_spans,
+        remove_contaminated_spans,
+    )
+
+    leak = " ".join(f"bench{i:02d}" for i in range(12))  # 24 TOKEN_RE tokens
+    train = spark.createDataFrame(
+        [
+            (1, "intro words " + leak + " outro"),
+            (2, "totally clean training document here"),
+            (3, leak),  # the whole document is the leaked text
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "question preamble " + leak + " answer choices")],
+        "doc_id long, text string",
+    )
+    runs = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in decontaminate_spans(train, bench, seed_width=16).collect()
+    }
+    assert runs == {(1, 3, 24), (3, 1, 24)}
+
+    removed = {
+        r.doc_id: (r.text_out, r.n_removed_tokens)
+        for r in remove_contaminated_spans(train, bench, seed_width=16).collect()
+    }
+    assert removed[1] == ("intro words outro", 24)
+    assert removed[2][1] == 0
+    assert removed[3] == ("", 24)
+
+    # duplication WITHIN the corpus alone never flags (only bench overlap)
+    dup = " ".join(f"traindup{i:02d}" for i in range(12))
+    train2 = spark.createDataFrame(
+        [(1, dup), (2, dup + " extra")], "doc_id long, text string"
+    )
+    assert decontaminate_spans(train2, bench, seed_width=16).count() == 0
