@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "llm_unigram_encode",
     "llm_duplicate_spans_maximal",
     "llm_dedup_substrings",
+    "llm_decontaminate_spans",
 ]
 
 
