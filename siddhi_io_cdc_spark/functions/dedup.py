@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from siddhi_io_cdc_spark.functions.text import normalize_text
 from siddhi_io_cdc_spark.util import fan_out as _fan_out
-from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
+from siddhi_io_cdc_spark.util import _CACHE_TAG, scoped_persist, tag_caches
 
 # A large prime < 2^31 for minhash modular arithmetic (fits comfortably in
 # long multiplication without overflow of intermediates mattering — Java long
@@ -1041,7 +1041,13 @@ def remove_contaminated_spans(
         df, benchmark, seed_width=seed_width, id_col=id_col,
         text_col=text_col, b_text_col=b_text_col,
     )
-    return _excise_runs(df, runs, id_col, text_col)
+    # _excise_runs returns a fresh DataFrame: re-tag the persisted
+    # intermediates decontaminate_spans hung on `runs` so
+    # release_caches(result) frees them.
+    return tag_caches(
+        _excise_runs(df, runs, id_col, text_col),
+        getattr(runs, _CACHE_TAG, []),
+    )
 
 
 def semantic_dedup_pairs(
@@ -1094,8 +1100,12 @@ def semantic_dedup_pairs(
       per row by ``similarity.pq_row_stats``),
       ``v_a.v_b <= Q_a.Q_b + q_a*e_b + e_a*q_b + e_a*e_b`` — a pair is
       dropped only when even the upper bound cannot reach
-      ``tau * ||v_a|| * ||v_b||``, so the prefiltered pair set is EXACTLY
-      the unfiltered one (zero false negatives by construction). Pruning
+      ``(tau - 5e-7) * ||v_a|| * ||v_b||``. The half-ulp slack matches the
+      final filter's 6-decimal rounding (``round(cos,6) >= tau`` admits
+      true cosines down to ``tau - 5e-7``), so the prefiltered pair set
+      equals the unfiltered one up to float evaluation of the bound
+      itself — no false negative can arise from the rounding boundary.
+      Pruning
       power tracks codebook quality: tight codebooks → small residuals →
       tight bounds (on random unquantizable data the bound keeps most
       pairs — it degrades to correct-but-unhelpful, never to wrong).
@@ -1187,14 +1197,18 @@ def semantic_dedup_pairs(
             term = F.element_at(F.lit(tbl), idx)
             approx = term if approx is None else approx + term
         if prefilter_margin is None:
-            # Cauchy-Schwarz upper bound on the true dot: exact shortlist
+            # Cauchy-Schwarz upper bound on the true dot: exact shortlist.
+            # Bar is tau - 5e-7 (half an ulp of the final 6-decimal
+            # rounding): round(cos,6) >= tau admits true cosines down to
+            # tau - 5e-7, so the prefilter must not cut above that.
             slack = (
                 F.col("__q_a") * F.col("__e_b")
                 + F.col("__e_a") * F.col("__q_b")
                 + F.col("__e_a") * F.col("__e_b")
             )
             paired = paired.where(
-                approx + slack >= F.lit(float(tau)) * F.col("__na") * F.col("__nb")
+                approx + slack
+                >= F.lit(float(tau) - 5e-7) * F.col("__na") * F.col("__nb")
             )
         else:
             approx_cos = approx / (F.col("__na") * F.col("__nb"))
@@ -1229,6 +1243,19 @@ def _semantic_pairs_numpy(
     the kNN family documents."""
     from siddhi_io_cdc_spark.functions.similarity import ivf_assign
 
+    # Mirror the SQL engine's id-type preservation: the output schema is
+    # derived from the input id column, not assumed 64-bit numeric.
+    id_sql = df.schema[id_col].dataType.simpleString()
+    if id_sql in ("bigint", "int", "smallint", "tinyint"):
+        id_out, id_np = "bigint", "int64"
+    elif id_sql == "string":
+        id_out, id_np = "string", "object"
+    else:
+        raise ValueError(
+            f"engine='numpy' supports integral or string id columns; "
+            f"{id_col!r} is {id_sql} — use engine='sql'"
+        )
+
     cells = _fan_out(
         df.select(F.col(id_col), F.col(vec_col).alias("__v")),
         min_bytes_per_slot=0,
@@ -1242,10 +1269,13 @@ def _semantic_pairs_numpy(
         import numpy as np
         import pandas as pd
 
-        if len(pdf) < 2:
+        def empty():
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                {"id_a": id_np, "id_b": id_np, "cosine": "float64"}
             )
+
+        if len(pdf) < 2:
+            return empty()
         ids = pdf["vec_id"].to_numpy()
         X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
         nrm = np.linalg.norm(X, axis=1)
@@ -1268,9 +1298,7 @@ def _semantic_pairs_numpy(
                     out_b.append(hi)
                     out_c.append(np.round(row[cand], 6))
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
+            return empty()
         return pd.DataFrame(
             {
                 "id_a": np.concatenate(out_a),
@@ -1280,7 +1308,7 @@ def _semantic_pairs_numpy(
         )
 
     return cells.groupBy("__cell").applyInPandas(
-        cell_pairs, "id_a long, id_b long, cosine double"
+        cell_pairs, f"id_a {id_out}, id_b {id_out}, cosine double"
     )
 
 
@@ -1341,6 +1369,9 @@ def remove_duplicate_spans(
         df, seed_width=seed_width, id_col=id_col, text_col=text_col,
         min_copies=min_copies,
     )
+    # The keep_first_copy branch reassigns `runs`; hold the persisted-dep
+    # tags now so the result can release them either way.
+    cache_deps = getattr(runs, _CACHE_TAG, [])
     if keep_first_copy:
         # one surviving occurrence per distinct covered TEXT: re-derive the
         # run's token text, keep the min (doc_id, span_start) per text
@@ -1372,16 +1403,24 @@ def remove_duplicate_spans(
             .where(F.col("__keep").isNull())
             .select(id_col, "span_start", "span_len")
         )
-    return _excise_runs(df, runs, id_col, text_col)
+    return tag_caches(_excise_runs(df, runs, id_col, text_col), cache_deps)
 
 
 def _excise_runs(
     df: DataFrame, runs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
     """Map-only excision of ``(span_start, span_len)`` runs from the token
-    stream: one collect_list row per doc joined back, covered positions
-    from the run list, survivors re-joined in order — shared by the
-    duplicate-span and benchmark-contamination removers."""
+    stream: one collect_list row per doc joined back, runs merged into
+    disjoint sorted intervals, survivors re-assembled as the slices
+    BETWEEN intervals — shared by the duplicate-span and
+    benchmark-contamination removers.
+
+    The rewrite is O(tokens + runs²) per document (the interval merge
+    copies the small accumulator array per run; the token pass is gap
+    slices, no per-position membership test). The previous per-position
+    ``array_contains`` against an exploded covered-position array was
+    O(tokens × covered_tokens) — quadratic exactly on the long, heavily
+    duplicated documents this operator targets."""
     from siddhi_io_cdc_spark.functions.text import TOKEN_RE
 
     per_doc = runs.groupBy(id_col).agg(
@@ -1389,34 +1428,78 @@ def _excise_runs(
     )
     joined = df.join(per_doc, id_col, "left")
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce(F.col("__runs"), F.array()),
-                lambda r: F.sequence(
-                    r["span_start"],
-                    r["span_start"] + r["span_len"].cast("int") - 1,
+    # Merge the sorted (start, len) runs into disjoint intervals (s, e);
+    # adjacent intervals merge too (harmless — same covered set). Struct
+    # sort is lexicographic on (span_start, span_len), exactly the order
+    # the sweep needs.
+    empty_ivl = F.array().cast("array<struct<s:int,e:int>>")
+    merged = F.aggregate(
+        F.array_sort(F.coalesce(F.col("__runs"), F.array())),
+        empty_ivl,
+        lambda acc, r: F.when(
+            (F.size(acc) > 0)
+            & (
+                r["span_start"].cast("int")
+                <= F.element_at(acc, -1)["e"] + F.lit(1)
+            ),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"],
+                            (
+                                r["span_start"] + r["span_len"] - 1
+                            ).cast("int"),
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        r["span_start"].cast("int").alias("s"),
+                        (r["span_start"] + r["span_len"] - 1)
+                        .cast("int")
+                        .alias("e"),
+                    )
                 ),
             )
-        )
+        ),
     )
     staged = joined.select(
         *[F.col(c) for c in df.columns],
         toks.alias("__toks"),
-        covered.alias("__cov"),
+        merged.alias("__ivl"),
     )
-    kept = F.filter(
+    # Gap i (1-based, size(__ivl)+1 gaps): from the end of interval i-1
+    # (or token 1) to the start of interval i (or the last token).
+    gap_start = lambda i: F.when(  # noqa: E731
+        i == 1, F.lit(1)
+    ).otherwise(F.element_at("__ivl", i - 1)["e"] + 1)
+    gap_end = lambda i: F.when(  # noqa: E731
+        i <= F.size("__ivl"), F.element_at("__ivl", i)["s"] - 1
+    ).otherwise(F.size("__toks"))
+    kept = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1))),
-            lambda p: F.when(
-                (p <= F.size("__toks")) & ~F.array_contains("__cov", p),
-                F.element_at("__toks", p),
+            F.sequence(F.lit(1), F.size("__ivl") + 1),
+            lambda i: F.slice(
+                "__toks",
+                gap_start(i),
+                F.greatest(gap_end(i) - gap_start(i) + 1, F.lit(0)),
             ),
-        ),
-        lambda t: t.isNotNull(),
+        )
+    )
+    n_removed = F.aggregate(
+        "__ivl",
+        F.lit(0).cast("bigint"),
+        lambda acc, ivl: acc + (ivl["e"] - ivl["s"] + 1).cast("bigint"),
     )
     return staged.select(
         F.col(id_col),
         F.array_join(kept, " ").alias("text_out"),
-        F.size("__cov").cast("bigint").alias("n_removed_tokens"),
+        n_removed.alias("n_removed_tokens"),
     )

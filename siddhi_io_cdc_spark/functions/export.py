@@ -938,13 +938,24 @@ def _dsir_score(
     the shared arithmetic tail of the batch scorer and the maintained-state
     scorer (identical expression tree, so the two paths are bit-equal).
     ``raw_lm``: (__b, __cr); ``tgt_lm``: (__b, __ct); ``totals``: 1 row
-    (__nr, __nt)."""
+    (__nr, __nt).
+
+    Both LM joins are LEFT with counts coalesced to 0: a feature hashing
+    to a bucket absent from an LM table scores with the add-one-smoothed
+    zero count the DSIR definition implies. For the batch scorer this is
+    value-identical to an inner raw join (its raw LM covers every bucket
+    the hashed stream produces); for the maintained-state scorer
+    (streaming/dsir.py — state drops 0/0 buckets) it is the difference
+    between scoring a not-yet-reflected corpus correctly and silently
+    dropping its unseen-bucket features from the sum and n_features."""
     B = F.lit(float(buckets))
     log_ratio = F.log(
         (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0)) / (F.col("__nt") + B)
-    ) - F.log((F.col("__cr") + F.lit(1.0)) / (F.col("__nr") + B))
+    ) - F.log(
+        (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(1.0)) / (F.col("__nr") + B)
+    )
     scored = (
-        hashed.join(F.broadcast(raw_lm), "__b")
+        hashed.join(F.broadcast(raw_lm), "__b", "left")
         .join(F.broadcast(tgt_lm), "__b", "left")
         .crossJoin(F.broadcast(totals))
         .groupBy(id_col)

@@ -254,3 +254,38 @@ def test_streaming_end_to_end(spark, corpus0, tmp_path):
         "doc_id bigint, text string, lang string",
     )
     assert _state_rows(spark, path) == _rebuilt_rows(spark, final)
+
+
+def test_scoring_from_state_handles_unseen_buckets(spark, corpus0, tmp_path):
+    """Scoring a corpus NOT fully reflected in the maintained state (the
+    natural DSIR use: weighting incoming raw documents) must score features
+    hashing to state-absent buckets with the add-one-smoothed zero counts,
+    not silently drop them (round-8 advisory: the raw-LM join was INNER)."""
+    import math
+
+    path = str(tmp_path / "dsir")
+    write_dsir_state(spark, corpus0, path, TARGET(), buckets=BUCKETS)
+    fresh = spark.createDataFrame(
+        [(99, "zzqx wvvk ploomph qrrtz unseen vocabulary entirely", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = dsir_weights_from_state(spark, fresh, path).collect()
+    assert len(got) == 1
+    row = got[0]
+    # independent expectation: per-feature log ratio with buckets absent
+    # from the state contributing log((0+1)/(nt+B)) - log((0+1)/(nr+B))
+    state = {b: (cr, ct) for b, (cr, ct) in _state_rows(spark, path).items()}
+    nr = sum(cr for cr, _ in state.values())
+    nt = sum(ct for _, ct in state.values())
+    feats = [
+        r["__b"]
+        for r in dsir_hashed_grams(fresh, BUCKETS).collect()
+    ]
+    assert feats, "fixture must produce features"
+    expect = sum(
+        math.log((state.get(b, (0, 0))[1] + 1.0) / (nt + BUCKETS))
+        - math.log((state.get(b, (0, 0))[0] + 1.0) / (nr + BUCKETS))
+        for b in feats
+    )
+    assert row["n_features"] == len(feats)  # every feature counted
+    assert abs(row["dsir_weight"] - round(expect, 6)) < 1e-6

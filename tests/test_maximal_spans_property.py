@@ -94,3 +94,69 @@ def test_maximal_spans_match_bruteforce_coverage(spark, docs):
     for d, t in toks.items():
         keep = [tok for i, tok in enumerate(t, start=1) if i not in covered[d]]
         assert removed[d] == (" ".join(keep), len(covered[d]))
+
+
+def test_excise_runs_overlapping_and_adjacent_intervals(spark):
+    """_excise_runs must handle OVERLAPPING and adjacent run intervals
+    (shared removal tail; the interval-merge rewrite replaced a per-position
+    covered-array scan). Reference excision computed independently."""
+    from siddhi_io_cdc_spark.functions.dedup import _excise_runs
+
+    tok = lambda i: chr(96 + i) * 2  # aa..tt (alpha-only under TOKEN_RE)
+    text = " ".join(tok(i) for i in range(1, 21))
+    df = spark.createDataFrame([(1, text), (2, "short doc")],
+                               "doc_id bigint, text string")
+    # overlap (2-6, 4-9), adjacency (11-12, 13-14), isolated (17-17)
+    runs = spark.createDataFrame(
+        [(1, 2, 5), (1, 4, 6), (1, 11, 2), (1, 13, 2), (1, 17, 1)],
+        "doc_id bigint, span_start int, span_len bigint",
+    )
+    out = {r.doc_id: r for r in _excise_runs(df, runs, "doc_id", "text").collect()}
+    covered = set(range(2, 10)) | set(range(11, 15)) | {17}
+    expect = " ".join(tok(i) for i in range(1, 21) if i not in covered)
+    assert out[1].text_out == expect
+    assert out[1].n_removed_tokens == len(covered)
+    assert out[2].text_out == "short doc" and out[2].n_removed_tokens == 0
+
+
+def test_removers_propagate_cache_tags(spark):
+    """remove_duplicate_spans / remove_contaminated_spans must carry the
+    persisted-intermediate tags of their span finders so
+    release_caches(result) frees them (round-8 advisory: the excision
+    wrapper dropped the tags)."""
+    from siddhi_io_cdc_spark.functions.dedup import (
+        remove_contaminated_spans,
+        remove_duplicate_spans,
+    )
+    from siddhi_io_cdc_spark.util import _CACHE_TAG, release_caches
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta iota kappa")],
+        "doc_id bigint, text string",
+    )
+    # build each case only after the previous release: identical plans
+    # share a CacheManager entry, so eager construction would cross-talk
+    for build in (
+        lambda: remove_duplicate_spans(df, seed_width=4),
+        lambda: remove_duplicate_spans(df, seed_width=4, keep_first_copy=True),
+    ):
+        result = build()
+        deps = getattr(result, _CACHE_TAG, [])
+        assert deps, "result must carry its finder's persisted deps"
+        result.count()
+        assert any(d.storageLevel.useMemory or d.storageLevel.useDisk
+                   for d in deps)
+        release_caches(result)
+        assert all(not d.storageLevel.useMemory and not d.storageLevel.useDisk
+                   for d in deps)
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "bench_id bigint, text string"
+    )
+    result = remove_contaminated_spans(df, bench, seed_width=4)
+    deps = getattr(result, _CACHE_TAG, [])
+    assert deps
+    result.count()
+    release_caches(result)
+    assert all(not d.storageLevel.useMemory and not d.storageLevel.useDisk
+               for d in deps)

@@ -177,3 +177,33 @@ def test_numpy_engine_guards(spark):
         semantic_dedup_pairs(
             df, cents, engine="numpy", pq_codebooks=pq_codebooks(2, m=1, k=2)
         )
+
+
+def test_numpy_engine_string_ids(spark):
+    """The numpy engine derives its output id type from the input (round-8
+    advisory: the applyInPandas schema hardcoded long ids)."""
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    rows = []
+    for i in range(12):
+        v = rs.randn(6); v /= np.linalg.norm(v)
+        rows.append((f"doc-{i:03d}", [float(x) for x in v]))
+        if i % 3 == 0:
+            w = v + rs.randn(6) * 0.003; w /= np.linalg.norm(w)
+            rows.append((f"dup-{i:03d}", [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id STRING, embedding ARRAY<DOUBLE>")
+    cents = ivf_centroids(6, nlist=2)
+    sql_pairs = {
+        (r.id_a, r.id_b)
+        for r in semantic_dedup_pairs(df, cents, tau=0.99).collect()
+    }
+    np_res = semantic_dedup_pairs(df, cents, tau=0.99, engine="numpy")
+    assert dict(np_res.dtypes)["id_a"] == "string"
+    np_pairs = {(r.id_a, r.id_b) for r in np_res.collect()}
+    assert np_pairs == sql_pairs and sql_pairs
+    assert all(a < b for a, b in np_pairs)  # lexicographic canonical order
+
+    arr_df = df.select(F.array("vec_id").alias("vec_id"), "embedding")
+    with pytest.raises(ValueError, match="integral or string"):
+        semantic_dedup_pairs(arr_df, cents, engine="numpy")
