@@ -1788,17 +1788,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the FIRST
     # 50 entries. STANDING RULE (VERDICT r7 #6): a NEW contract query must
     # enter this dict ABOVE position 50 in the same round it lands — insert
-    # it at the "round-8 newcomers" marker below and push the LAST re-check
-    # of the window past 50. Round-8 window: positions 1-11 are the eleven
-    # queries no driver window has ever recorded (they landed after the
-    # round-7 window sealed); positions 12-33 are ALL 22 rows whose latest
-    # driver evidence is round 5; positions 34-50 are round-8 newcomers
-    # followed by re-checks of the oldest round-6 rows. After this rotation
-    # every contract key has a driver-green row within the last three
-    # rounds. Everything below 50 stays covered by the local typed gate
-    # (tools/check_contract.py) and pytest.
+    # it at the "round-9 newcomers" marker below and let the LAST r7
+    # re-checks slide past 50 (they stay r7-green, never older). Round-9
+    # window (VERDICT r8 ask #1): positions 1-36 are ALL 36 keys whose
+    # latest driver evidence is round 6 (multimodal/knn/logprob/export
+    # families); the remainder re-checks the OLDEST round-7 rows in their
+    # r7-window order. After this rotation no key's latest driver row is
+    # older than round 7. Everything below 50 stays covered by the local
+    # typed gate (tools/check_contract.py) and pytest.
     return {
-        # --- never-driver-verified (driver sees these first) --------- 1-11
+        # --- re-checks: the 36 keys whose latest driver evidence is r6 - 1-36
+        "llm_gopher_quality": q_gopher_quality,
+        "llm_knn_join": q_knn_join,
+        "llm_embedding_near_dup": q_embedding_near_dup,
+        "llm_multimodal_decode": q_multimodal_decode,
+        "cdc_flatten_insert": q_flatten_insert,
+        "cdc_flatten_delete": q_flatten_delete,
+        "cdc_lowercase_columns": q_lowercase_columns,
+        "cdc_int_widening": q_int_widening,
+        "rel_local_supplier_volume": R.local_supplier_volume,
+        "rel_top_orders_per_customer": R.top_orders_per_customer,
+        "rel_returnflag_rollup": R.returnflag_rollup,
+        "rel_distinct_parts": lambda s, d: R.distinct_parts_per_flag(s, d).select( "l_returnflag", "n_parts" ),
+        "rel_nations_except": R.nations_except,
+        "rel_nations_intersect": R.nations_intersect,
+        "rel_order_priority": R.order_priority_counts,
+        "rel_customers_without_orders": R.customers_without_orders,
+        "rel_top_revenue_suppliers": R.top_revenue_suppliers,
+        "rel_supplier_counts_by_size": R.supplier_counts_by_size,
+        "rel_scalar_funcs": q_scalar_funcs,
+        "llm_temperature_mixture": q_temperature_mixture,
+        "llm_trigram_logprob": q_trigram_logprob,
+        "llm_5gram_logprob": q_5gram_logprob,
+        "llm_image_near_dup": q_image_near_dup,
+        "llm_knn_join_trained": q_knn_join_trained,
+        "llm_rag_pipeline": q_rag_pipeline,
+        "llm_shard_for_training": q_shard_for_training,
+        "llm_chunk_documents": q_chunk_documents,
+        "llm_unigram_logprob": q_unigram_logprob,
+        "llm_mixture_sample": q_mixture_sample,
+        "llm_chunk_tokens": q_chunk_documents_tokens,
+        "llm_bigram_logprob": q_bigram_logprob,
+        "llm_perplexity_buckets": q_perplexity_buckets,
+        "llm_knn_join_probed": q_knn_join_probed,
+        "llm_knn_join_lsh": q_knn_join_lsh,
+        "llm_ann_cosine": q_ann_cosine,
+        "llm_audio_decode": q_audio_decode,
+        # --- round-9 newcomers (insert NEW contract queries HERE) ---- 37-
+
+        # --- re-checks: oldest round-7 rows (r7 window order) -------- -50
+        "llm_pack_sequences": q_pack_sequences,
+        "llm_bpe_pairs": q_bpe_pairs,
+        "llm_simhash_pairs": q_simhash_pairs,
+        "llm_ngram_pairs": q_ngram_pairs,
+        "llm_video_frames": q_video_frames,
+        "llm_payload_embedding": q_payload_embedding,
+        "llm_pii_scrub": q_pii_scrub,
+        "llm_lang_detect": q_lang_detect,
+        "llm_quality_score": q_quality_score,
+        "llm_fingerprint": q_fingerprint,
+        "llm_top_ngrams": q_top_ngrams,
+        "llm_label_centroids": q_label_centroids,
+        # --- position 51+: driver-r7/r8-green remainder (local gate) ------
         "llm_bm25_topk": q_bm25_topk,
         "llm_dsir_weights": q_dsir_weights,
         "llm_hybrid_retrieval": q_hybrid_retrieval,
@@ -1810,7 +1861,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_kneser_ney": q_kneser_ney,
         "llm_unigram_lm": q_unigram_lm,
         "llm_unigram_encode": q_unigram_encode,
-        # --- re-checks: rows last driver-verified in round 5 -------- 12-33
         "cdc_offset_discovery": q_offset_discovery,
         "cdc_insert_into": q_insert_into,
         "cdc_delete_on": q_delete_on,
@@ -1833,12 +1883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ivf_ann": q_ivf_ann,
         "llm_distinctive_terms": q_distinctive_terms,
         "llm_url_dedup": q_url_dedup,
-        # --- round-8 newcomers (insert NEW contract queries HERE) --- 34-
         "llm_duplicate_spans_maximal": q_duplicate_spans_maximal,
         "llm_dedup_substrings": q_dedup_substrings,
         "llm_semantic_dedup_numpy": q_semantic_dedup_numpy,
         "llm_decontaminate_spans": q_decontaminate_spans,
-        # --- re-checks: oldest round-6 rows ------------------------- -50
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_apply_changelog": q_apply_changelog,
         "cdc_flatten_insert_delete": q_flatten_insert_delete,
@@ -1852,23 +1900,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_near_dedup": q_near_dedup,
         "llm_cdc_pipeline": q_cdc_pipeline,
         "llm_duplicate_spans": q_duplicate_spans,
-        # --- position 51+: driver-r7/r6-green remainder (local gate) ------
-        "llm_gopher_quality": q_gopher_quality,
-        "llm_knn_join": q_knn_join,
-        "llm_embedding_near_dup": q_embedding_near_dup,
-        "llm_multimodal_decode": q_multimodal_decode,
-        "llm_pack_sequences": q_pack_sequences,
-        "llm_bpe_pairs": q_bpe_pairs,
-        "llm_simhash_pairs": q_simhash_pairs,
-        "llm_ngram_pairs": q_ngram_pairs,
-        "llm_video_frames": q_video_frames,
-        "llm_payload_embedding": q_payload_embedding,
-        "llm_pii_scrub": q_pii_scrub,
-        "llm_lang_detect": q_lang_detect,
-        "llm_quality_score": q_quality_score,
-        "llm_fingerprint": q_fingerprint,
-        "llm_top_ngrams": q_top_ngrams,
-        "llm_label_centroids": q_label_centroids,
         "llm_repetition": q_repetition,
         "llm_stratified_sample": q_stratified_sample,
         "llm_c4_filters": q_c4_filters,
@@ -1907,40 +1938,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_quality_classifier": q_quality_classifier,
         "llm_tokenize_pipeline": q_tokenize_pipeline,
         "llm_span_corruption": q_span_corruption,
-        "cdc_flatten_insert": q_flatten_insert,
-        "cdc_flatten_delete": q_flatten_delete,
-        "cdc_lowercase_columns": q_lowercase_columns,
-        "cdc_int_widening": q_int_widening,
-        "rel_local_supplier_volume": R.local_supplier_volume,
-        "rel_top_orders_per_customer": R.top_orders_per_customer,
-        "rel_returnflag_rollup": R.returnflag_rollup,
-        "rel_distinct_parts": lambda s, d: R.distinct_parts_per_flag(s, d).select(
-            "l_returnflag", "n_parts"
-        ),
-        "rel_nations_except": R.nations_except,
-        "rel_nations_intersect": R.nations_intersect,
-        "rel_order_priority": R.order_priority_counts,
-        "rel_customers_without_orders": R.customers_without_orders,
-        "rel_top_revenue_suppliers": R.top_revenue_suppliers,
-        "rel_supplier_counts_by_size": R.supplier_counts_by_size,
-        "rel_scalar_funcs": q_scalar_funcs,
-        "llm_temperature_mixture": q_temperature_mixture,
-        "llm_trigram_logprob": q_trigram_logprob,
-        "llm_5gram_logprob": q_5gram_logprob,
-        "llm_image_near_dup": q_image_near_dup,
-        "llm_knn_join_trained": q_knn_join_trained,
-        "llm_rag_pipeline": q_rag_pipeline,
-        "llm_shard_for_training": q_shard_for_training,
-        "llm_chunk_documents": q_chunk_documents,
-        "llm_unigram_logprob": q_unigram_logprob,
-        "llm_mixture_sample": q_mixture_sample,
-        "llm_chunk_tokens": q_chunk_documents_tokens,
-        "llm_bigram_logprob": q_bigram_logprob,
-        "llm_perplexity_buckets": q_perplexity_buckets,
-        "llm_knn_join_probed": q_knn_join_probed,
-        "llm_knn_join_lsh": q_knn_join_lsh,
-        "llm_ann_cosine": q_ann_cosine,
-        "llm_audio_decode": q_audio_decode,
     }
 
 
