@@ -191,7 +191,10 @@ def q_mongo_flatten(spark, sf_dir):
     # parquet input would serialize it on one core (production Mongo
     # changelogs arrive over many Kafka partitions — fan_out restores that
     # shape, and is a no-op on an already-partitioned input).
-    ev = fan_out(_events(spark, sf_dir))
+    # min_bytes_per_slot=0: JSON string building + get_json_object parsing
+    # dwarfs the widening shuffle even on tiny inputs — measured warm at
+    # sf0.1 (noop-sink): 1.59 s thresholded vs 0.55 s widened.
+    ev = fan_out(_events(spark, sf_dir), min_bytes_per_slot=0)
     m = F.col("event_id") % 10
     eid = F.col("event_id").cast("string")
     after = F.concat(

@@ -1132,6 +1132,7 @@ def semantic_dedup_pairs(
     Returns ``(id_a, id_b, cosine)``, id_a < id_b, cosine rounded to 6.
     """
     from siddhi_io_cdc_spark.functions.similarity import (
+        _lit_doubles,
         dot,
         ivf_assign,
         norm,
@@ -1194,7 +1195,7 @@ def semantic_dedup_pairs(
                 + F.element_at(F.col("__code_b"), j + 1)
                 + 1
             ).cast("int")
-            term = F.element_at(F.lit(tbl), idx)
+            term = F.element_at(_lit_doubles(tbl), idx)
             approx = term if approx is None else approx + term
         if prefilter_margin is None:
             # Cauchy-Schwarz upper bound on the true dot: exact shortlist.

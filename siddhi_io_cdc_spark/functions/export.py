@@ -430,6 +430,137 @@ def kneser_ney_logprob(
     return tag_caches(out, [big, vocab])
 
 
+def kneser_ney_ngram_logprob(
+    df: DataFrame,
+    n: int = 5,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab_max: int | None = 5_000_000,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an interpolated
+    Kneser-Ney ``n``-gram LM trained on the scored corpus — the full CCNet
+    scoring rung (Wenzek et al. 2020 score with a 5-gram KN LM; Chen &
+    Goodman 1998 eq. 4.24 gives the recursion, Heafield 2011 §3 the
+    adjusted-count scheme KenLM uses, restated here over DataFrame
+    aggregates). :func:`kneser_ney_logprob` is the n=2 case of the same
+    recursion (kept separate: its two-table shape is the common fast path).
+
+    Counts, KenLM-style ("adjusted counts"): the highest order uses raw
+    n-gram counts ``a_n = c(w_1^n)``; every lower order k uses CONTINUATION
+    counts derived recursively from the order above —
+    ``a_k(w^k) = |{v : a_{k+1}(v·w^k) > 0}|`` (distinct predecessors), so
+    the entire hierarchy derives from ONE corpus pass. With context sums
+    ``s_k = Σ_w a_k(ctx·w)`` and continuation-type counts
+    ``t_k = |{w : a_k(ctx·w) > 0}|``:
+
+        P_1(w)       = a_1(w) / S_1
+        P_k(w|ctx)   = max(a_k - D, 0)/s_k + (D·t_k/s_k)·P_{k-1}(w|ctx')
+
+    where ``ctx'`` drops the leftmost context word. Scoring the training
+    corpus itself means every scored n-gram has ``a_n ≥ 1`` and every
+    suffix table row exists — no zero contexts, the recursion is total.
+
+    Shape at scale: the corpus crosses the wire once (the n-gram explode +
+    vocabulary aggregate); everything after is VOCABULARY-sized — n−1
+    suffix aggregates (each strictly smaller than the last), n−1 context
+    aggregates, and a chain of vocab-to-vocab joins assembling the per-gram
+    probability. The final lookup join broadcasts only when the measured
+    vocabulary is at most ``broadcast_vocab_max`` (an n-gram vocabulary
+    approaches one row per corpus position, so the shuffle-join fallback is
+    the expected branch at 100 TB — same guard, and same reason, as
+    :func:`ngram_logprob`). Documents with fewer than ``n`` tokens get
+    NULL.
+
+    Output: ``(id_col, kn_nll, n_ngrams)`` — uniform with the n=2 rung.
+    """
+    from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2 (got {n})")
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0, 1) (got {discount})")
+
+    toks = F.col("__toks")
+    length = F.size(toks)
+    positions = F.when(
+        length >= n, F.sequence(F.lit(1), length - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        positions,
+        lambda p: F.struct(
+            *[F.element_at(toks, p + i).alias(f"__w{i + 1}") for i in range(n)]
+        ),
+    )
+    wcols = [f"__w{i + 1}" for i in range(n)]
+    grams = scoped_persist(
+        _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0)
+        .select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            ).alias("__toks"),
+        )
+        .select(F.col(id_col), F.explode(gram).alias("__g"))
+        .select(id_col, *[F.col(f"__g.{w}").alias(w) for w in wcols])
+    )
+    # a[k]: order-k table keyed by gram POSITIONS n-k+1..n (suffix
+    # alignment keeps every join a plain column-name equi-join).
+    a: dict[int, DataFrame] = {}
+    a[n] = scoped_persist(
+        grams.groupBy(*wcols).agg(F.count("*").cast("bigint").alias(f"__a{n}"))
+    )
+    for k in range(n - 1, 0, -1):
+        keys = wcols[n - k:]  # positions n-k+1..n
+        a[k] = a[k + 1].groupBy(*keys).agg(
+            F.count("*").cast("bigint").alias(f"__a{k}")
+        )
+    # context stats per order k >= 2: group a[k] by its key minus the last
+    # word; s_k = total continuation mass, t_k = distinct continuations.
+    ctx: dict[int, DataFrame] = {}
+    for k in range(n, 1, -1):
+        keys = wcols[n - k:-1]  # positions n-k+1..n-1
+        ctx[k] = a[k].groupBy(*keys).agg(
+            F.sum(f"__a{k}").cast("bigint").alias(f"__s{k}"),
+            F.count("*").cast("bigint").alias(f"__t{k}"),
+        )
+    s1 = a[1].agg(F.sum("__a1").cast("bigint").alias("__S1"))
+
+    d = F.lit(float(discount))
+    # fixed-shape arithmetic tree, innermost (unigram) outwards — the
+    # oracle restates this association order term for term
+    p = F.col("__a1").cast("double") / F.col("__S1").cast("double")
+    for k in range(2, n + 1):
+        p = (
+            F.greatest(F.col(f"__a{k}").cast("double") - d, F.lit(0.0))
+            / F.col(f"__s{k}").cast("double")
+        ) + (
+            d * F.col(f"__t{k}").cast("double") / F.col(f"__s{k}").cast("double")
+        ) * p
+
+    lm = a[n]
+    for k in range(n, 1, -1):
+        if k < n:
+            lm = lm.join(a[k], wcols[n - k:])
+        lm = lm.join(ctx[k], wcols[n - k:-1])
+    lm = lm.join(a[1], wcols[-1:]).crossJoin(F.broadcast(s1))
+    lm = lm.select(*wcols, p.alias("__p"))
+
+    use_broadcast = (
+        broadcast_vocab_max is None or a[n].count() <= broadcast_vocab_max
+    )
+    scored = (
+        grams.join(F.broadcast(lm) if use_broadcast else lm, wcols)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log("__p")), 6).alias("kn_nll"),
+            F.count("*").cast("bigint").alias("n_ngrams"),
+        )
+    )
+    out = df.select(id_col).distinct().join(scored, id_col, "left")
+    return tag_caches(out, [grams, a[n]])
+
+
 def ngram_logprob(
     df: DataFrame,
     n: int = 5,
@@ -485,7 +616,10 @@ def ngram_logprob(
     )
     wcols = [f"__w{i + 1}" for i in range(n)]
     grams = scoped_persist(
-        _fan_out(df.select(F.col(id_col), F.col(text_col)))
+        # min_bytes_per_slot=0: tokenize + per-position struct-gather +
+        # explode is heavy per input byte; measured warm at sf0.1 the size
+        # threshold cost the 5-gram rung ~0.6 s (3.6 vs 3.0 s noop-sink)
+        _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0)
         .select(
             F.col(id_col),
             F.regexp_extract_all(

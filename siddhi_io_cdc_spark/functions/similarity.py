@@ -17,6 +17,7 @@ Two paths, both pure DataFrame ops:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 from functools import reduce
 from itertools import combinations
@@ -52,7 +53,7 @@ def _as_lit_vec(v: Sequence[float]) -> Column:
     assignment/probe expression and Catalyst analysis alone cost ~4 s per
     kNN plan build (measured at sf0.1, round 5); the array-literal form is
     ~32 nodes and semantically identical (array<double> literal)."""
-    return F.lit([float(x) for x in v])
+    return _lit_doubles(v)
 
 
 def topk_cosine(
@@ -80,16 +81,42 @@ def hyperplanes(dim: int, nbits: int = 16, seed: int = 42):
     return rs.randn(nbits, dim)
 
 
+def _repr_d(x: float) -> str:
+    """SQL form of a finite double. ``repr`` round-trips every finite value
+    except that the parser folds the literal ``-0.0`` to +0.0; the explicit
+    cast keeps the sign bit."""
+    return "cast('-0.0' as double)" if x == 0.0 and math.copysign(1, x) < 0 else repr(x)
+
+
+def _lit_doubles(values) -> Column:
+    """A literal array<double> built through ONE ``F.expr`` parse instead
+    of per-element py4j literal construction. ``repr(float)`` is the
+    shortest exact round-trip form and Spark's SQL parser reads it back to
+    the identical IEEE double, so values are bit-equal to ``F.lit``
+    (pinned by test). Falls back to ``F.lit`` for non-finite values, which
+    the SQL literal syntax cannot express."""
+    vals = [float(x) for x in values]
+    if not all(math.isfinite(x) for x in vals):
+        return F.lit(vals)
+    return F.expr("array(" + ",".join(map(_repr_d, vals)) + ")")
+
+
 def _lit_matrix(m) -> Column:
-    """A literal array<array<double>> from a (rows × dim) matrix — one
-    nested literal, so plan BUILD does O(1) py4j roundtrips instead of
-    O(rows · dim). Falls back to an array of row literals if the nested
-    form is unsupported."""
+    """A literal array<array<double>> from a (rows × dim) matrix via ONE
+    ``F.expr`` parse. ``F.lit(nested_list)`` is a single py4j call but
+    PySpark still builds it elementwise JVM-side through per-element
+    literal conversion — measured 2.0 s per build at 32×64 (it dominated
+    the warm bench of every kNN query: the plan BUILD cost 3.6 s of a
+    5.7 s total). The SQL-parsed form is 0.01 s and value-identical
+    (repr round-trips doubles exactly; pinned by test)."""
     rows = [[float(x) for x in row] for row in m]
-    try:
-        return F.lit(rows)
-    except Exception:
+    if not all(math.isfinite(x) for r in rows for x in r):
         return F.array(*[F.lit(r) for r in rows])
+    return F.expr(
+        "array("
+        + ",".join("array(" + ",".join(map(_repr_d, r)) + ")" for r in rows)
+        + ")"
+    )
 
 
 def _dots_against(vec_col: Column, matrix) -> Column:
@@ -928,7 +955,7 @@ def pq_row_stats(vec_col: Column, codebooks) -> tuple[Column, Column, Column]:
         codes.append(code)
         shifted_mins.append(mn)  # = ||s-c||^2 - ||s||^2 for the chosen c
         sq = [float(sum(float(x) * float(x) for x in c)) for c in codebooks[j]]
-        qsq_terms.append(F.element_at(F.lit(sq), (code + 1).cast("int")))
+        qsq_terms.append(F.element_at(_lit_doubles(sq), (code + 1).cast("int")))
     vsq = dot(v, v)
     eps2 = reduce(lambda a, b: a + b, shifted_mins) + vsq
     qsq = reduce(lambda a, b: a + b, qsq_terms)
@@ -1013,7 +1040,7 @@ def pq_topk(
         )
     if rerank < k:
         raise ValueError(f"rerank ({rerank}) must be >= k ({k})")
-    qlit = F.lit([float(x) for x in query_vec])
+    qlit = _lit_doubles(query_vec)
     shortlist = (
         scored.select(
             F.col(id_col), F.col(vec_col), F.round(dist, 6).alias("approx_dist")
@@ -1152,7 +1179,7 @@ def probe_ivfpq_index(
     )
     # bounded collect: exactly rerank ids (the shortlist), never data
     ids = [r[id_col] for r in shortlist.collect()]
-    qlit = F.lit([float(x) for x in query_vec])
+    qlit = _lit_doubles(query_vec)
     exact = F.aggregate(
         F.zip_with(
             F.col(vec_col).cast("array<double>"), qlit, lambda x, q: (x - q) * (x - q)

@@ -432,7 +432,12 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     surface form, unlike the lowercased ``TOKEN_RE`` token family); the
     stop-word test lowercases only for the membership check.
     """
-    df = _fan_out(df)
+    # min_bytes_per_slot=0: the six regex/array passes here are an order of
+    # magnitude more CPU per input byte than the generic text ops the size
+    # threshold was tuned for — measured warm at sf0.1 (noop-sink, best of
+    # 3): 1.24 s thresholded vs 0.59 s always-widened (round-9 reclaim of
+    # the r8 warm creep; sf1/sf2 widen either way).
+    df = _fan_out(df, min_bytes_per_slot=0)
     c = F.col(text_col)
     words = F.filter(F.split(c, r"\s+"), lambda w: w != "")
     n_words = F.size(words)

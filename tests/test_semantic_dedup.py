@@ -207,3 +207,38 @@ def test_numpy_engine_string_ids(spark):
     arr_df = df.select(F.array("vec_id").alias("vec_id"), "embedding")
     with pytest.raises(ValueError, match="integral or string"):
         semantic_dedup_pairs(arr_df, cents, engine="numpy")
+
+
+def test_sql_parsed_literals_bit_equal_to_lit(spark):
+    """_lit_doubles/_lit_matrix build literals via one F.expr parse for
+    plan-build speed; values must be bit-equal to the F.lit form (repr is
+    the exact shortest round-trip and Spark's parser reads it back to the
+    same IEEE double). Also pins the non-finite fallback."""
+    import math
+    import random
+
+    from siddhi_io_cdc_spark.functions.similarity import (
+        _lit_doubles,
+        _lit_matrix,
+    )
+
+    rng = random.Random(11)
+    vals = (
+        [rng.uniform(-1e6, 1e6) for _ in range(50)]
+        + [rng.uniform(-1e-7, 1e-7) for _ in range(20)]
+        + [0.0, -0.0, 1e308, -1e308, 5e-324, 1.0000000000000002]
+    )
+    row = spark.range(1).select(
+        _lit_doubles(vals).alias("a"), F.lit([float(x) for x in vals]).alias("b")
+    ).first()
+    assert all(
+        x == y and math.copysign(1, x) == math.copysign(1, y)
+        for x, y in zip(row["a"], row["b"])
+    )
+    m = [vals[i::7] for i in range(7)]
+    row2 = spark.range(1).select(_lit_matrix(m).alias("a")).first()
+    assert [list(r) for r in row2["a"]] == [[float(x) for x in r] for r in m]
+    inf_row = spark.range(1).select(
+        _lit_doubles([1.0, float("inf")]).alias("a")
+    ).first()
+    assert inf_row["a"][1] == float("inf")
