@@ -673,6 +673,17 @@ def q_kneser_ney(spark, sf_dir):
     return kneser_ney_logprob(_docs(spark, sf_dir))
 
 
+def q_kneser_ney_5gram(spark, sf_dir):
+    """Interpolated Kneser-Ney FIVE-gram scoring — the LM CCNet actually
+    filters with (Wenzek et al. 2020 score with 5-gram KN; KenLM adjusted
+    counts per Heafield 2011). Every statistic in the four-level recursion
+    is an exact integer count off the single 5-gram vocabulary; the oracle
+    restates the whole hierarchy as a MATERIALIZED CTE chain."""
+    from siddhi_io_cdc_spark.functions.export import kneser_ney_ngram_logprob
+
+    return kneser_ney_ngram_logprob(_docs(spark, sf_dir), n=5)
+
+
 def q_unigram_lm(spark, sf_dir):
     """SentencePiece-style unigram-LM tokenizer training (hard EM): final
     piece table after seed + 2 Viterbi/recount rounds. The oracle restates
@@ -1838,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_ann_cosine": q_ann_cosine,
         "llm_audio_decode": q_audio_decode,
         # --- round-9 newcomers (insert NEW contract queries HERE) ---- 37-
+        "llm_kneser_ney_5gram": q_kneser_ney_5gram,
 
         # --- re-checks: oldest round-7 rows (r7 window order) -------- -50
         "llm_pack_sequences": q_pack_sequences,
@@ -3588,6 +3600,77 @@ def _oracle_sql_dict() -> dict[str, str]:
                    JOIN rstats USING (w2) CROSS JOIN types
               GROUP BY doc_id)
             SELECT d.doc_id, s.kn_nll, s.n_bigrams
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN scored s USING (doc_id)""",
+        # llm_kneser_ney_5gram: the full interpolated-KN recursion over
+        # KenLM-style adjusted counts — a5 raw, a4..a1 distinct-predecessor
+        # counts each derived from the order above, context sums/types per
+        # order, one nested arithmetic tree in the engine's association
+        # order. MATERIALIZED keeps DuckDB from re-inlining the hierarchy
+        # per reference (the CTE chain is reused across joins).
+        "llm_kneser_ney_5gram": f"""
+            WITH t AS MATERIALIZED (
+              SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+              FROM documents),
+            g AS MATERIALIZED (
+              SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+                     toks[i + 3] AS w4, toks[i + 4] AS w5
+              FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, len(toks) - 4)) AS i
+                    FROM t WHERE len(toks) >= 5)),
+            a5 AS MATERIALIZED (
+              SELECT w1, w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS a5
+              FROM g GROUP BY w1, w2, w3, w4, w5),
+            a4 AS MATERIALIZED (
+              SELECT w2, w3, w4, w5, CAST(count(*) AS BIGINT) AS a4
+              FROM a5 GROUP BY w2, w3, w4, w5),
+            a3 AS MATERIALIZED (
+              SELECT w3, w4, w5, CAST(count(*) AS BIGINT) AS a3
+              FROM a4 GROUP BY w3, w4, w5),
+            a2 AS MATERIALIZED (
+              SELECT w4, w5, CAST(count(*) AS BIGINT) AS a2
+              FROM a3 GROUP BY w4, w5),
+            a1 AS MATERIALIZED (
+              SELECT w5, CAST(count(*) AS BIGINT) AS a1 FROM a2 GROUP BY w5),
+            c5 AS MATERIALIZED (
+              SELECT w1, w2, w3, w4, CAST(sum(a5) AS BIGINT) AS s5,
+                     CAST(count(*) AS BIGINT) AS t5
+              FROM a5 GROUP BY w1, w2, w3, w4),
+            c4 AS MATERIALIZED (
+              SELECT w2, w3, w4, CAST(sum(a4) AS BIGINT) AS s4,
+                     CAST(count(*) AS BIGINT) AS t4
+              FROM a4 GROUP BY w2, w3, w4),
+            c3 AS MATERIALIZED (
+              SELECT w3, w4, CAST(sum(a3) AS BIGINT) AS s3,
+                     CAST(count(*) AS BIGINT) AS t3
+              FROM a3 GROUP BY w3, w4),
+            c2 AS MATERIALIZED (
+              SELECT w4, CAST(sum(a2) AS BIGINT) AS s2,
+                     CAST(count(*) AS BIGINT) AS t2
+              FROM a2 GROUP BY w4),
+            s1 AS (SELECT CAST(sum(a1) AS BIGINT) AS S1 FROM a1),
+            lm AS MATERIALIZED (
+              SELECT w1, w2, w3, w4, w5,
+                (greatest(CAST(a5 AS DOUBLE) - 0.75, 0.0) / CAST(s5 AS DOUBLE))
+                + (0.75 * CAST(t5 AS DOUBLE) / CAST(s5 AS DOUBLE)) * (
+                  (greatest(CAST(a4 AS DOUBLE) - 0.75, 0.0) / CAST(s4 AS DOUBLE))
+                  + (0.75 * CAST(t4 AS DOUBLE) / CAST(s4 AS DOUBLE)) * (
+                    (greatest(CAST(a3 AS DOUBLE) - 0.75, 0.0) / CAST(s3 AS DOUBLE))
+                    + (0.75 * CAST(t3 AS DOUBLE) / CAST(s3 AS DOUBLE)) * (
+                      (greatest(CAST(a2 AS DOUBLE) - 0.75, 0.0) / CAST(s2 AS DOUBLE))
+                      + (0.75 * CAST(t2 AS DOUBLE) / CAST(s2 AS DOUBLE))
+                        * (CAST(a1 AS DOUBLE) / CAST(S1 AS DOUBLE))))) AS p
+              FROM a5 JOIN c5 USING (w1, w2, w3, w4)
+                   JOIN a4 USING (w2, w3, w4, w5) JOIN c4 USING (w2, w3, w4)
+                   JOIN a3 USING (w3, w4, w5) JOIN c3 USING (w3, w4)
+                   JOIN a2 USING (w4, w5) JOIN c2 USING (w4)
+                   JOIN a1 USING (w5) CROSS JOIN s1),
+            scored AS (
+              SELECT doc_id, round(avg(-ln(p)), 6) AS kn_nll,
+                     CAST(count(*) AS BIGINT) AS n_ngrams
+              FROM g JOIN lm USING (w1, w2, w3, w4, w5)
+              GROUP BY doc_id)
+            SELECT d.doc_id, s.kn_nll, s.n_ngrams
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN scored s USING (doc_id)""",
         # llm_unigram_lm / llm_unigram_encode: the whole SentencePiece-style

@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "llm_duplicate_spans_maximal",
     "llm_dedup_substrings",
     "llm_decontaminate_spans",
+    # Round 9: the full CCNet scoring rung (interpolated 5-gram KN over
+    # KenLM adjusted counts).
+    "llm_kneser_ney_5gram",
 ]
 
 

@@ -802,3 +802,86 @@ def test_decontaminate_spans_exact_boundaries(spark):
         [(1, dup), (2, dup + " extra")], "doc_id long, text string"
     )
     assert decontaminate_spans(train2, bench, seed_width=16).count() == 0
+
+
+def test_kneser_ney_ngram_matches_bruteforce(spark):
+    """Interpolated KN at n=2..5 against an independent Python reference
+    implementing the Chen & Goodman recursion over KenLM-style adjusted
+    counts directly; n=2 must also be bit-equal to the dedicated bigram
+    implementation (same recursion, two-table shape)."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from siddhi_io_cdc_spark.functions.export import (
+        kneser_ney_logprob,
+        kneser_ney_ngram_logprob,
+    )
+    from siddhi_io_cdc_spark.functions.text import TOKEN_RE
+
+    docs = {
+        1: "the cat sat on the mat and the cat ran off the mat",
+        2: "the dog sat on the log and the dog ran off the log quickly",
+        3: "a cat and a dog sat on a mat together in peace",
+        4: "short one",
+        5: "the cat sat on the mat and the cat sat on the mat again",
+    }
+
+    def brute(n, D=0.75):
+        toks = {d: re.findall(TOKEN_RE, t.lower()) for d, t in docs.items()}
+        grams = [
+            tuple(ts[i:i + n]) for ts in toks.values()
+            for i in range(len(ts) - n + 1)
+        ]
+        a = {n: Counter(grams)}
+        for k in range(n - 1, 0, -1):
+            a[k] = Counter(g[-k:] for g in a[k + 1])
+        s, t = {}, {}
+        for k in range(n, 1, -1):
+            s[k] = defaultdict(int)
+            t[k] = defaultdict(int)
+            for g, c in a[k].items():
+                s[k][g[:-1]] += c
+                t[k][g[:-1]] += 1
+        S1 = sum(a[1].values())
+
+        def P(g):
+            p = a[1][g[-1:]] / S1
+            for k in range(2, n + 1):
+                gk = g[-k:]
+                p = (
+                    max(a[k][gk] - D, 0.0) / s[k][gk[:-1]]
+                    + (D * t[k][gk[:-1]] / s[k][gk[:-1]]) * p
+                )
+            return p
+
+        out = {}
+        for d, ts in toks.items():
+            gs = [tuple(ts[i:i + n]) for i in range(len(ts) - n + 1)]
+            out[d] = (
+                (round(sum(-math.log(P(g)) for g in gs) / len(gs), 6), len(gs))
+                if gs else (None, None)
+            )
+        return out
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    for n in (2, 3, 5):
+        got = {
+            r["doc_id"]: (r["kn_nll"], r["n_ngrams"])
+            for r in kneser_ney_ngram_logprob(df, n=n).collect()
+        }
+        assert got == brute(n), f"n={n}"
+    g2 = {
+        r["doc_id"]: (r["kn_nll"], r["n_bigrams"])
+        for r in kneser_ney_logprob(df).collect()
+    }
+    gn = {
+        r["doc_id"]: (r["kn_nll"], r["n_ngrams"])
+        for r in kneser_ney_ngram_logprob(df, n=2).collect()
+    }
+    assert g2 == gn
+
+    with pytest.raises(ValueError, match="n must be"):
+        kneser_ney_ngram_logprob(df, n=1)
+    with pytest.raises(ValueError, match="discount"):
+        kneser_ney_ngram_logprob(df, discount=1.5)
