@@ -728,6 +728,28 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), ["spark", "shuffle", "vector"], k=10)
 
 
+def q_bm25_probe(spark, sf_dir):
+    """BM25 top-10 served from the MAINTAINED inverted index (VERDICT r8
+    ask #5): materialize the term-bucket-partitioned postings + doc-length
+    layout, then answer through the partition-pruned probe
+    (bm25_topk_indexed). Bit-identical to the scan path by construction —
+    the oracle is the same scan restatement as llm_bm25_topk, so the
+    driver checks the SERVING path end-to-end, not just the scan."""
+    import os
+    import re as _re
+
+    from siddhi_io_cdc_spark.streaming.bm25_index import (
+        bm25_topk_indexed,
+        write_bm25_index,
+    )
+
+    idx = os.path.join(
+        "/tmp", "bm25_probe_idx_" + _re.sub(r"\W", "_", sf_dir.rstrip("/"))
+    )
+    write_bm25_index(spark, _docs(spark, sf_dir), idx)
+    return bm25_topk_indexed(spark, idx, ["spark", "shuffle", "vector"], k=10)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): log-likelihood ratio of
     an add-one-smoothed hashed-ngram LM of the TARGET slice (lang='en')
@@ -1850,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_audio_decode": q_audio_decode,
         # --- round-9 newcomers (insert NEW contract queries HERE) ---- 37-
         "llm_kneser_ney_5gram": q_kneser_ney_5gram,
+        "llm_bm25_probe": q_bm25_probe,
 
         # --- re-checks: oldest round-7 rows (r7 window order) -------- -50
         "llm_pack_sequences": q_pack_sequences,
@@ -3443,6 +3466,16 @@ def _oracle_sql_dict() -> dict[str, str]:
               FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
               ORDER BY score DESC, e.vec_id LIMIT 10)""",
         "llm_bm25_topk": f"""
+            WITH {_BM25_TOP10_CTE}
+            SELECT doc_id, bm25,
+                   CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM bm25_top ORDER BY rank""",
+        # llm_bm25_probe: the maintained-index serving path is bit-identical
+        # to the scan by construction, so its oracle IS the scan
+        # restatement — the driver's value-hash equality is exactly the
+        # probe==scan claim.
+        "llm_bm25_probe": f"""
             WITH {_BM25_TOP10_CTE}
             SELECT doc_id, bm25,
                    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
