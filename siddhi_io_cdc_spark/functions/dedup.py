@@ -1232,17 +1232,28 @@ def _semantic_pairs_numpy(
     tau: float,
     vec_col: str,
     id_col: str,
+    salt: int | str = "auto",
 ) -> DataFrame:
     """Vectorized exact within-cell pair engine: group rows by IVF cell and
     compute each cell's cosine matrix with BLAS inside one Arrow batch —
     the >10M-pair path where the interpreted per-pair fold is the floor.
 
     Memory is row-blocked (BLOCK x cell_size scores at a time), so a cell
-    costs O(cell_size * dim) resident, not O(cell_size^2). Skew note: one
-    cell = one task here; the paper's nlist ≈ √N keeps expected cell size
-    √N, and a skewed corpus should raise nlist (or pre-salt) exactly as
-    the kNN family documents."""
-    from siddhi_io_cdc_spark.functions.similarity import ivf_assign
+    costs O(cell_size * dim) resident, not O(cell_size^2).
+
+    Skew (``salt``, VERDICT r8 builder-queue #2): with ``salt=1`` one cell
+    is one task, so a hot cell serializes the stage. ``salt='auto'``
+    (default) splits each cell into its proportional share of the shuffle
+    parallelism exactly as the kNN family's per-cell salting
+    (:func:`~siddhi_io_cdc_spark.functions.similarity._cell_salts`): a row
+    hashes into block ``p`` of its cell's ``B`` blocks and replicates to
+    the ``B`` tasks ``(min(p,q), max(p,q))``, so every unordered block
+    pair — and therefore every vector pair — meets in EXACTLY one task
+    (diagonal tasks compute the block's upper triangle, off-diagonal tasks
+    the full bipartite product). Replication factor is B per row of a
+    B-block cell only (uniform cells stay at B=1, zero overhead), and the
+    pair volume per task drops from O(n_c²) to O((n_c/B)²)."""
+    from siddhi_io_cdc_spark.functions.similarity import _cell_salts, ivf_assign
 
     # Mirror the SQL engine's id-type preservation: the output schema is
     # derived from the input id column, not assumed 64-bit numeric.
@@ -1265,6 +1276,40 @@ def _semantic_pairs_numpy(
         F.col("__v"),
         ivf_assign(F.col("__v"), centroids).alias("__cell"),
     )
+    spark = df.sparkSession
+    if salt == "auto":
+        try:
+            nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            nparts = spark.sparkContext.defaultParallelism
+        salted = cells.join(
+            F.broadcast(
+                _cell_salts(cells.select("__cell", F.col("vec_id").alias("neighbor_id")), nparts)
+            ),
+            "__cell",
+        )
+    else:
+        nsalt = max(1, int(salt))
+        salted = cells.withColumn("__nsalt", F.lit(nsalt).cast("long"))
+    staged = (
+        salted.withColumn(
+            "__p", F.pmod(F.xxhash64("vec_id"), F.col("__nsalt")).cast("int")
+        )
+        .withColumn(
+            "__q",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("__nsalt") - 1).cast("int"))
+            ),
+        )
+        .select(
+            "vec_id",
+            "__v",
+            "__cell",
+            "__p",
+            F.least("__p", "__q").alias("__i"),
+            F.greatest("__p", "__q").alias("__j"),
+        )
+    )
 
     def cell_pairs(pdf):
         import numpy as np
@@ -1277,27 +1322,54 @@ def _semantic_pairs_numpy(
 
         if len(pdf) < 2:
             return empty()
-        ids = pdf["vec_id"].to_numpy()
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
-        nrm = np.linalg.norm(X, axis=1)
-        nrm[nrm == 0] = 1.0
-        Xn = X / nrm[:, None]
+
+        def normed(frame):
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in frame["__v"]]
+            )
+            nrm = np.linalg.norm(X, axis=1)
+            nrm[nrm == 0] = 1.0
+            return X / nrm[:, None]
+
+        i, j = int(pdf["__i"].iloc[0]), int(pdf["__j"].iloc[0])
         out_a, out_b, out_c = [], [], []
         block = 1024
-        n = len(ids)
-        for s0 in range(0, n, block):
-            e0 = min(s0 + block, n)
-            S = Xn[s0:e0] @ Xn.T  # (block, n)
-            for r in range(s0, e0):
-                row = S[r - s0]
-                cand = np.nonzero(np.round(row, 6) >= tau)[0]
-                cand = cand[cand > r]  # upper triangle only
-                if cand.size:
-                    a, b = ids[r], ids[cand]
-                    lo, hi = np.minimum(a, b), np.maximum(a, b)
-                    out_a.append(lo)
-                    out_b.append(hi)
-                    out_c.append(np.round(row[cand], 6))
+        if i == j:
+            ids = pdf["vec_id"].to_numpy()
+            Xn = normed(pdf)
+            n = len(ids)
+            for s0 in range(0, n, block):
+                e0 = min(s0 + block, n)
+                S = Xn[s0:e0] @ Xn.T  # (block, n)
+                for r in range(s0, e0):
+                    row = S[r - s0]
+                    cand = np.nonzero(np.round(row, 6) >= tau)[0]
+                    cand = cand[cand > r]  # upper triangle only
+                    if cand.size:
+                        a, b = ids[r], ids[cand]
+                        lo, hi = np.minimum(a, b), np.maximum(a, b)
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_c.append(np.round(row[cand], 6))
+        else:
+            A = pdf[pdf["__p"] == i]
+            B = pdf[pdf["__p"] == j]
+            if not len(A) or not len(B):
+                return empty()
+            ida, idb = A["vec_id"].to_numpy(), B["vec_id"].to_numpy()
+            An, Bn = normed(A), normed(B)
+            for s0 in range(0, len(ida), block):
+                e0 = min(s0 + block, len(ida))
+                S = An[s0:e0] @ Bn.T  # (block, |B|)
+                for r in range(s0, e0):
+                    row = S[r - s0]
+                    cand = np.nonzero(np.round(row, 6) >= tau)[0]
+                    if cand.size:
+                        a, b = ida[r], idb[cand]
+                        lo, hi = np.minimum(a, b), np.maximum(a, b)
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_c.append(np.round(row[cand], 6))
         if not out_a:
             return empty()
         return pd.DataFrame(
@@ -1308,7 +1380,7 @@ def _semantic_pairs_numpy(
             }
         )
 
-    return cells.groupBy("__cell").applyInPandas(
+    return staged.groupBy("__cell", "__i", "__j").applyInPandas(
         cell_pairs, f"id_a {id_out}, id_b {id_out}, cosine double"
     )
 

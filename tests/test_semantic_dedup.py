@@ -242,3 +242,45 @@ def test_sql_parsed_literals_bit_equal_to_lit(spark):
         _lit_doubles([1.0, float("inf")]).alias("a")
     ).first()
     assert inf_row["a"][1] == float("inf")
+
+
+def test_numpy_engine_salting_parity(spark):
+    """Per-cell salting (salt='auto'/static) must return exactly the
+    unsalted engine's pair set — every unordered block pair meets in one
+    task — on a planted fixture with ~90% of rows in ONE cell (the skew
+    case salting exists for)."""
+    import numpy as np
+
+    from siddhi_io_cdc_spark.functions.dedup import _semantic_pairs_numpy
+
+    rs = np.random.RandomState(5)
+    hot = np.array([1.0] + [0.0] * 7)
+    rows = []
+    vid = 0
+    for i in range(90):  # hot cell: small perturbations of one direction
+        v = hot + rs.randn(8) * 0.02
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    for i in range(10):  # the rest scatter
+        v = rs.randn(8); v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = [list(hot), [0.0, 1.0] + [0.0] * 6, [0.0, 0.0, 1.0] + [0.0] * 5]
+
+    def pairs(salt):
+        return {
+            (r.id_a, r.id_b): r.cosine
+            for r in _semantic_pairs_numpy(
+                df, cents, 0.999, "embedding", "vec_id", salt=salt
+            ).collect()
+        }
+
+    unsalted = pairs(1)
+    assert unsalted, "fixture must produce pairs"
+    assert pairs(4) == unsalted
+    assert pairs("auto") == unsalted
+    sql = {
+        (r.id_a, r.id_b): r.cosine
+        for r in semantic_dedup_pairs(df, cents, tau=0.999).collect()
+    }
+    assert unsalted == sql
