@@ -289,3 +289,25 @@ def test_scoring_from_state_handles_unseen_buckets(spark, corpus0, tmp_path):
     )
     assert row["n_features"] == len(feats)  # every feature counted
     assert abs(row["dsir_weight"] - round(expect, 6)) < 1e-6
+
+
+def test_state_versions_do_not_accumulate(spark, corpus0, tmp_path):
+    """The versioned-state pattern GCs superseded state-* dirs inside every
+    pointer commit (the previous version is only needed until the pointer
+    lands): after N appliers exactly one version remains, and scoring still
+    works. Pins the non-accumulation so a long-lived maintained store has
+    bounded footprint (VERDICT r8 ask #6)."""
+    import os
+
+    path = str(tmp_path / "dsir")
+    write_dsir_state(spark, corpus0, path, TARGET(), buckets=BUCKETS)
+    apply_changelog_dsir(
+        spark, _batch1(spark), path, TARGET(), BEFORE_TARGET(), batch_id=1
+    )
+    apply_changelog_dsir(
+        spark, _batch2(spark), path, TARGET(), BEFORE_TARGET(), batch_id=2
+    )
+    versions = [d for d in os.listdir(path) if d.startswith("state-")]
+    assert versions == ["state-2"]
+    final = _final_corpus(spark, corpus0, _batch1(spark), _batch2(spark))
+    assert dsir_weights_from_state(spark, final, path).count() == final.count()

@@ -242,16 +242,22 @@ def test_dedup_substrings_rewrite_is_map_side_after_join(spark, sf_dir, entrymod
 
 def test_semantic_numpy_engine_single_python_node(spark, sf_dir, entrymod):
     """engine='numpy' is ONE ArrowEvalPython-free FlatMapGroupsInPandas node
-    over the cell grouping — the only Python in the plan, by design."""
-    from pyspark.sql import functions as F
-
+    over the (cell, block-pair) grouping — the only Python in the plan, by
+    design. The default salt='auto' adds the per-cell salt-count aggregate
+    (its own exchange + a broadcast back); the unsalted form keeps the
+    original single-exchange shape."""
+    from siddhi_io_cdc_spark.functions.dedup import _semantic_pairs_numpy
     from siddhi_io_cdc_spark.functions.dedup import semantic_dedup_pairs
     from siddhi_io_cdc_spark.functions.similarity import ivf_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = semantic_dedup_pairs(
-        emb, ivf_centroids(64, nlist=4), tau=0.9, engine="numpy"
-    )
+    cents = ivf_centroids(64, nlist=4)
+    pairs = semantic_dedup_pairs(emb, cents, tau=0.9, engine="numpy")
     p = plan_of(pairs)
     assert p.count("FlatMapGroupsInPandas") == 1
-    assert p.count("Exchange hashpartitioning") == 1  # the cell grouping
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "BroadcastExchange" in p  # per-cell salts broadcast back
+    unsalted = _semantic_pairs_numpy(emb, cents, 0.9, "embedding", "vec_id", salt=1)
+    pu = plan_of(unsalted)
+    assert pu.count("FlatMapGroupsInPandas") == 1
+    assert pu.count("Exchange hashpartitioning") == 1  # the cell grouping
