@@ -81,42 +81,47 @@ def hyperplanes(dim: int, nbits: int = 16, seed: int = 42):
     return rs.randn(nbits, dim)
 
 
-def _repr_d(x: float) -> str:
-    """SQL form of a finite double. ``repr`` round-trips every finite value
-    except that the parser folds the literal ``-0.0`` to +0.0; the explicit
-    cast keeps the sign bit."""
-    return "cast('-0.0' as double)" if x == 0.0 and math.copysign(1, x) < 0 else repr(x)
-
-
 def _lit_doubles(values) -> Column:
-    """A literal array<double> built through ONE ``F.expr`` parse instead
-    of per-element py4j literal construction. ``repr(float)`` is the
-    shortest exact round-trip form and Spark's SQL parser reads it back to
-    the identical IEEE double, so values are bit-equal to ``F.lit``
-    (pinned by test). Falls back to ``F.lit`` for non-finite values, which
-    the SQL literal syntax cannot express."""
+    """A literal array<double> as ``from_json`` of ONE string literal.
+
+    Why not the obvious forms (both measured, 64-dim × 32-row scale):
+
+    - ``F.lit(nested_list)`` costs ~1.3-2.0 s of per-element py4j literal
+      construction PER BUILD — it dominated the warm bench of every
+      kNN/IVF/PQ query (plan build 3.6 s of a 5.7 s total).
+    - an ``F.expr("array(1.0D, ...)")`` parse builds in ~0.01 s but leaves
+      a 2048-node CreateArray tree that every analyzer rule re-traverses:
+      ~0.4 s of analysis per query, a net REGRESSION for the PQ/trained
+      queries that analyze several such expressions.
+
+    ``from_json(lit(json), type)`` is both: one py4j call carrying a
+    string, one expression node at analysis, and ConstantFolding collapses
+    it to a single folded Literal in the optimized plan (verified — the
+    optimized plan prints the array value). JSON double parsing is
+    ``Double.parseDouble`` of ``repr`` output — the exact shortest
+    round-trip, including -0.0's sign and subnormals (pinned by test).
+    Non-finite values are not JSON-expressible and fall back to ``F.lit``.
+    """
+    import json as _json
+
     vals = [float(x) for x in values]
     if not all(math.isfinite(x) for x in vals):
         return F.lit(vals)
-    return F.expr("array(" + ",".join(map(_repr_d, vals)) + ")")
+    return F.from_json(F.lit(_json.dumps(vals)), "array<double>")
 
 
 def _lit_matrix(m) -> Column:
-    """A literal array<array<double>> from a (rows × dim) matrix via ONE
-    ``F.expr`` parse. ``F.lit(nested_list)`` is a single py4j call but
-    PySpark still builds it elementwise JVM-side through per-element
-    literal conversion — measured 2.0 s per build at 32×64 (it dominated
-    the warm bench of every kNN query: the plan BUILD cost 3.6 s of a
-    5.7 s total). The SQL-parsed form is 0.01 s and value-identical
-    (repr round-trips doubles exactly; pinned by test)."""
+    """A literal array<array<double>> from a (rows × dim) matrix — same
+    ``from_json``-of-one-string construction as :func:`_lit_doubles` (see
+    there for the measured build/analysis trade against ``F.lit`` and a
+    parsed ``array(...)`` expression), value-bit-equal to the ``F.lit``
+    form (pinned by test)."""
+    import json as _json
+
     rows = [[float(x) for x in row] for row in m]
     if not all(math.isfinite(x) for r in rows for x in r):
         return F.array(*[F.lit(r) for r in rows])
-    return F.expr(
-        "array("
-        + ",".join("array(" + ",".join(map(_repr_d, r)) + ")" for r in rows)
-        + ")"
-    )
+    return F.from_json(F.lit(_json.dumps(rows)), "array<array<double>>")
 
 
 def _dots_against(vec_col: Column, matrix) -> Column:

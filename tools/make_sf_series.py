@@ -34,6 +34,8 @@ DEFAULT_QUERIES = [
     "llm_cdc_pipeline",
     "llm_duplicate_spans_maximal", "llm_dedup_substrings",
     "llm_semantic_dedup_numpy",
+    # round-9 newcomer
+    "llm_kneser_ney_5gram",
 ]
 
 
