@@ -684,6 +684,22 @@ def q_kneser_ney_5gram(spark, sf_dir):
     return kneser_ney_ngram_logprob(_docs(spark, sf_dir), n=5)
 
 
+def q_modified_kneser_ney(spark, sf_dir):
+    """MODIFIED Kneser-Ney n-gram scoring — KenLM's default estimator
+    (Chen & Goodman 1998 §3: three per-order discounts D1/D2/D3+ from the
+    order's count-of-counts, picked per gram by its own count). The
+    discounts are 16 driver-side doubles computed from 4-row aggregates;
+    the oracle recomputes them in SQL with the identical association
+    order, so the doubles match bit-for-bit. n=3: the estimator needs
+    nonzero count-of-counts n1..n4 at EVERY order (KenLM errors
+    identically), and the synthetic fixture's 5-gram counts have n4=0 —
+    trigram modified-KN is the highest well-defined order on it; the
+    operator itself supports any n (brute-force-pinned at n=2/3)."""
+    from siddhi_io_cdc_spark.functions.export import modified_kneser_ney_logprob
+
+    return modified_kneser_ney_logprob(_docs(spark, sf_dir), n=3)
+
+
 def q_unigram_lm(spark, sf_dir):
     """SentencePiece-style unigram-LM tokenizer training (hard EM): final
     piece table after seed + 2 Viterbi/recount rounds. The oracle restates
@@ -1873,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 newcomers (insert NEW contract queries HERE) ---- 37-
         "llm_kneser_ney_5gram": q_kneser_ney_5gram,
         "llm_bm25_probe": q_bm25_probe,
+        "llm_modified_kneser_ney": q_modified_kneser_ney,
 
         # --- re-checks: oldest round-7 rows (r7 window order) -------- -50
         "llm_pack_sequences": q_pack_sequences,
@@ -2437,6 +2454,94 @@ def _unigram_train_ctes(
         )
         vocab = f"uv{k}"
     return ctes, vocab
+
+
+def _mkn_oracle_sql(n: int) -> str:
+    """Generated oracle for llm_modified_kneser_ney: the adjusted-count
+    hierarchy at order ``n`` plus, per order, a count-of-counts CTE and a
+    discount CTE computing D1/D2/D3+ with EXACTLY the association order of
+    functions/export.modified_kn_discounts (y = n1/(n1 + 2.0*n2);
+    Dj = j - (j+1)*y*n_{j+1}/n_j), and context stats carrying the three
+    per-count continuation-type totals. The per-gram discount is a CASE on
+    the gram's own adjusted count."""
+    from siddhi_io_cdc_spark.functions.text import TOKEN_RE as _TR
+
+    W = [f"w{i}" for i in range(1, n + 1)]
+    wsel = ",\n         ".join(
+        f"toks[i{' + ' + str(i) if i else ''}] AS w{i + 1}" for i in range(n)
+    )
+    parts = ["t AS MATERIALIZED (\n  SELECT doc_id, regexp_extract_all(lower(text), '"
+             + _TR + "') AS toks FROM documents)"]
+    parts.append(
+        "g AS MATERIALIZED (\n  SELECT doc_id, " + wsel + "\n"
+        f"  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {n - 1})) AS i\n"
+        f"        FROM t WHERE len(toks) >= {n}))"
+    )
+    allw = ", ".join(W)
+    parts.append(
+        f"a{n} AS MATERIALIZED (SELECT {allw},"
+        f" CAST(count(*) AS BIGINT) AS a{n} FROM g GROUP BY {allw})"
+    )
+    for k in range(n - 1, 0, -1):
+        keys = ", ".join(W[n - k:])
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT {keys}, CAST(count(*) AS BIGINT) AS a{k}"
+            f" FROM a{k + 1} GROUP BY {keys})"
+        )
+    for k in range(2, n + 1):
+        ccs = ", ".join(
+            f"CAST(sum(CASE WHEN a{k} = {j} THEN 1 ELSE 0 END) AS DOUBLE) AS n{j}"
+            for j in range(1, 5)
+        )
+        parts.append(f"cc{k} AS (SELECT {ccs} FROM a{k})")
+        parts.append(
+            f"dsc{k} AS (SELECT 1.0 - 2.0*y*n2/n1 AS d1_{k},"
+            f" 2.0 - 3.0*y*n3/n2 AS d2_{k}, 3.0 - 4.0*y*n4/n3 AS d3_{k}\n"
+            f"  FROM (SELECT n1, n2, n3, n4, n1/(n1 + 2.0*n2) AS y FROM cc{k}))"
+        )
+    for k in range(n, 1, -1):
+        keys = ", ".join(W[n - k:-1])
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT {keys}, CAST(sum(a{k}) AS BIGINT) AS s{k},\n"
+            f"  CAST(sum(CASE WHEN a{k} = 1 THEN 1 ELSE 0 END) AS BIGINT) AS t1_{k},\n"
+            f"  CAST(sum(CASE WHEN a{k} = 2 THEN 1 ELSE 0 END) AS BIGINT) AS t2_{k},\n"
+            f"  CAST(sum(CASE WHEN a{k} >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS t3_{k}\n"
+            f"  FROM a{k} GROUP BY {keys})"
+        )
+    parts.append("s1 AS (SELECT CAST(sum(a1) AS BIGINT) AS S1 FROM a1)")
+    p_expr = "(CAST(a1 AS DOUBLE) / CAST(S1 AS DOUBLE))"
+    for k in range(2, n + 1):
+        dk = (f"(CASE WHEN a{k} = 1 THEN d1_{k} WHEN a{k} = 2 THEN d2_{k}"
+              f" ELSE d3_{k} END)")
+        gamma = (f"(d1_{k} * CAST(t1_{k} AS DOUBLE) + d2_{k} * CAST(t2_{k} AS DOUBLE)"
+                 f" + d3_{k} * CAST(t3_{k} AS DOUBLE))")
+        p_expr = (
+            f"((greatest(CAST(a{k} AS DOUBLE) - {dk}, 0.0) / CAST(s{k} AS DOUBLE))\n"
+            f"   + ({gamma} / CAST(s{k} AS DOUBLE)) * {p_expr})"
+        )
+    joins = [f"a{n}"]
+    for k in range(n, 1, -1):
+        if k < n:
+            joins.append(f"JOIN a{k} USING ({', '.join(W[n - k:])})")
+        joins.append(f"JOIN c{k} USING ({', '.join(W[n - k:-1])})")
+    joins.append(f"JOIN a1 USING ({W[-1]})")
+    joins += [f"CROSS JOIN dsc{k}" for k in range(2, n + 1)]
+    joins.append("CROSS JOIN s1")
+    parts.append(
+        f"lm AS MATERIALIZED (\n  SELECT {allw},\n  "
+        + p_expr + " AS p\n  FROM " + "\n       ".join(joins) + ")"
+    )
+    parts.append(
+        "scored AS (\n  SELECT doc_id, round(avg(-ln(p)), 6) AS mkn_nll,\n"
+        "         CAST(count(*) AS BIGINT) AS n_ngrams\n"
+        f"  FROM g JOIN lm USING ({allw}) GROUP BY doc_id)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        "SELECT d.doc_id, s.mkn_nll, s.n_ngrams\n"
+        "FROM (SELECT DISTINCT doc_id FROM documents) d\n"
+        "LEFT JOIN scored s USING (doc_id)"
+    )
 
 
 def _unigram_train_oracle_sql() -> str:
@@ -3711,6 +3816,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         # as generated CTE chains — one MATERIALIZED CTE per Viterbi DP
         # level, scalar-subquery piece lookups, the same longest-piece tie
         # rule. See _unigram_train_ctes / _unigram_viterbi_ctes above.
+        # llm_modified_kneser_ney: generated CTE chain — see _mkn5_oracle_sql.
+        "llm_modified_kneser_ney": _mkn_oracle_sql(3),
         "llm_unigram_lm": _unigram_train_oracle_sql(),
         "llm_unigram_encode": _unigram_encode_oracle_sql(),
         # llm_ivf_ann probes every inverted list (nprobe == nlist) → exact

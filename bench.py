@@ -114,8 +114,9 @@ BENCH_QUERIES = [
     "llm_dedup_substrings",
     "llm_decontaminate_spans",
     # Round 9: the full CCNet scoring rung (interpolated 5-gram KN over
-    # KenLM adjusted counts).
+    # KenLM adjusted counts) and KenLM's default modified-KN estimator.
     "llm_kneser_ney_5gram",
+    "llm_modified_kneser_ney",
 ]
 
 

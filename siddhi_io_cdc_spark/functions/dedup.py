@@ -1226,6 +1226,12 @@ def semantic_dedup_pairs(
     )
 
 
+#: Cells at or below this row count are never split by the numpy pair
+#: engine's salt='auto': ~8M scored pairs is where single-task BLAS
+#: latency starts to dominate a 32-slot stage.
+_SALT_MIN_CELL_ROWS = 4096
+
+
 def _semantic_pairs_numpy(
     df: DataFrame,
     centroids,
@@ -1243,16 +1249,17 @@ def _semantic_pairs_numpy(
 
     Skew (``salt``, VERDICT r8 builder-queue #2): with ``salt=1`` one cell
     is one task, so a hot cell serializes the stage. ``salt='auto'``
-    (default) splits each cell into its proportional share of the shuffle
-    parallelism exactly as the kNN family's per-cell salting
-    (:func:`~siddhi_io_cdc_spark.functions.similarity._cell_salts`): a row
-    hashes into block ``p`` of its cell's ``B`` blocks and replicates to
-    the ``B`` tasks ``(min(p,q), max(p,q))``, so every unordered block
-    pair — and therefore every vector pair — meets in EXACTLY one task
-    (diagonal tasks compute the block's upper triangle, off-diagonal tasks
-    the full bipartite product). Replication factor is B per row of a
-    B-block cell only (uniform cells stay at B=1, zero overhead), and the
-    pair volume per task drops from O(n_c²) to O((n_c/B)²)."""
+    (default) splits oversized cells kNN-family-style: a row hashes into
+    block ``p`` of its cell's ``B`` blocks and replicates to the ``B``
+    tasks ``(min(p,q), max(p,q))``, so every unordered block pair — and
+    therefore every vector pair — meets in EXACTLY one task (diagonal
+    tasks compute the block's upper triangle, off-diagonal tasks the full
+    bipartite product). ``B = ceil(n_c·nparts/N)`` — the cell's fair share
+    of the shuffle parallelism — but ONLY past an absolute pair-work floor
+    (``_SALT_MIN_CELL_ROWS``): splitting multiplies Arrow tasks while
+    total pair work stays ~constant, so small cells keep one task (the
+    measured tax of salting a uniform small-cell corpus was ~2x; the
+    measured win on a 90%-hot-cell fixture at 258M pairs was 10x)."""
     from siddhi_io_cdc_spark.functions.similarity import _cell_salts, ivf_assign
 
     # Mirror the SQL engine's id-type preservation: the output schema is
@@ -1277,17 +1284,44 @@ def _semantic_pairs_numpy(
         ivf_assign(F.col("__v"), centroids).alias("__cell"),
     )
     spark = df.sparkSession
+    deps = []
     if salt == "auto":
+        # the salt-count aggregate is a SECOND action over the assigned
+        # corpus — persist the assignment so the nlist-wide dot products
+        # run once, not twice (measured: the unpersisted form doubled the
+        # sf2 fixture's wall time)
+        cells = scoped_persist(cells)
+        deps = [cells]
         try:
             nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except (TypeError, ValueError):
             nparts = spark.sparkContext.defaultParallelism
-        salted = cells.join(
-            F.broadcast(
-                _cell_salts(cells.select("__cell", F.col("vec_id").alias("neighbor_id")), nparts)
-            ),
+        # Unlike the kNN join (where replication cost is per-QUERY and the
+        # fair-share rule is right), splitting a cell here multiplies
+        # Arrow tasks while total pair work stays ~constant — a pure tax
+        # unless the cell's pair volume is large enough that single-task
+        # latency dominates the stage. Salt only cells past an absolute
+        # pair-work floor (4096 rows ≈ 8M scored pairs ≈ seconds of BLAS);
+        # everything smaller keeps one task. The skewed hot cell this
+        # engine's salting exists for is far past the floor.
+        counts = cells.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n"))
+        total = counts.agg(F.sum("__n").alias("__t"))
+        salts = counts.crossJoin(F.broadcast(total)).select(
             "__cell",
+            F.when(F.col("__n") <= F.lit(_SALT_MIN_CELL_ROWS), F.lit(1))
+            .otherwise(
+                F.least(
+                    F.lit(64),
+                    F.greatest(
+                        F.lit(1),
+                        F.ceil(F.col("__n") * nparts / F.col("__t")),
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("__nsalt"),
         )
+        salted = cells.join(F.broadcast(salts), "__cell")
     else:
         nsalt = max(1, int(salt))
         salted = cells.withColumn("__nsalt", F.lit(nsalt).cast("long"))
@@ -1380,8 +1414,11 @@ def _semantic_pairs_numpy(
             }
         )
 
-    return staged.groupBy("__cell", "__i", "__j").applyInPandas(
-        cell_pairs, f"id_a {id_out}, id_b {id_out}, cosine double"
+    return tag_caches(
+        staged.groupBy("__cell", "__i", "__j").applyInPandas(
+            cell_pairs, f"id_a {id_out}, id_b {id_out}, cosine double"
+        ),
+        deps,
     )
 
 

@@ -561,6 +561,165 @@ def kneser_ney_ngram_logprob(
     return tag_caches(out, [grams, a[n]])
 
 
+def modified_kn_discounts(n1: int, n2: int, n3: int, n4: int) -> tuple[float, float, float]:
+    """The three modified-KN discounts from an order's count-of-counts
+    (Chen & Goodman 1998 eq. 4.26-4.29; what KenLM estimates per order):
+    ``Y = n1/(n1 + 2*n2)``, ``D1 = 1 - 2*Y*n2/n1``, ``D2 = 2 - 3*Y*n3/n2``,
+    ``D3+ = 3 - 4*Y*n4/n3``. Shared by the Spark scorer (as driver-side
+    literals) and the oracle generator (restated in SQL with the identical
+    association order), so the doubles match bit-for-bit. Raises when any
+    count-of-count is zero — the estimator is undefined there (KenLM
+    errors the same way); fall back to :func:`kneser_ney_ngram_logprob`'s
+    single fixed discount on such corpora."""
+    if min(n1, n2, n3, n4) <= 0:
+        raise ValueError(
+            f"modified-KN discounts undefined: count-of-counts "
+            f"(n1..n4) = {(n1, n2, n3, n4)} contain a zero — use the "
+            f"fixed-discount kneser_ney_ngram_logprob instead"
+        )
+    y = n1 / (n1 + 2.0 * n2)
+    return (1.0 - 2.0 * y * n2 / n1, 2.0 - 3.0 * y * n3 / n2, 3.0 - 4.0 * y * n4 / n3)
+
+
+def modified_kneser_ney_logprob(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab_max: int | None = 5_000_000,
+) -> DataFrame:
+    """Per-document mean negative log-probability under a MODIFIED
+    Kneser-Ney ``n``-gram LM — KenLM's default smoothing (Chen & Goodman
+    1998 §3 "modified Kneser-Ney"; Heafield et al. 2013), i.e. the
+    estimator CCNet's published models were actually trained with. Same
+    adjusted-count hierarchy as :func:`kneser_ney_ngram_logprob`; the
+    difference is the discount: instead of one fixed D, each order k uses
+    THREE discounts D1/D2/D3+ chosen by the gram's own count (1, 2, or
+    ≥3), estimated from the order's count-of-counts via
+    :func:`modified_kn_discounts`, and the backoff mass is
+    ``γ(ctx) = D1·N1(ctx·) + D2·N2(ctx·) + D3+·N3+(ctx·)`` where
+    ``Nj(ctx·)`` counts continuations with adjusted count exactly j (3+
+    for the last).
+
+    Scale shape is identical to the fixed-discount scorer plus one
+    4-row count-of-count aggregate per order collected to the driver (16
+    BIGINTs total at n=5 — the discounts enter the expression as
+    literals). The unigram level stays the undiscounted continuation
+    distribution ``a1/S1`` (the same base case as the fixed-D scorer, so
+    the two recursions differ only where the estimator differs).
+
+    Output: ``(id_col, mkn_nll, n_ngrams)``.
+    """
+    from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2 (got {n})")
+
+    toks = F.col("__toks")
+    length = F.size(toks)
+    positions = F.when(
+        length >= n, F.sequence(F.lit(1), length - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        positions,
+        lambda p: F.struct(
+            *[F.element_at(toks, p + i).alias(f"__w{i + 1}") for i in range(n)]
+        ),
+    )
+    wcols = [f"__w{i + 1}" for i in range(n)]
+    grams = scoped_persist(
+        _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0)
+        .select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            ).alias("__toks"),
+        )
+        .select(F.col(id_col), F.explode(gram).alias("__g"))
+        .select(id_col, *[F.col(f"__g.{w}").alias(w) for w in wcols])
+    )
+    a: dict[int, DataFrame] = {}
+    a[n] = scoped_persist(
+        grams.groupBy(*wcols).agg(F.count("*").cast("bigint").alias(f"__a{n}"))
+    )
+    for k in range(n - 1, 0, -1):
+        keys = wcols[n - k:]
+        a[k] = scoped_persist(
+            a[k + 1].groupBy(*keys).agg(
+                F.count("*").cast("bigint").alias(f"__a{k}")
+            )
+        )
+    # per-order discounts from the count-of-counts (4 bigints per order
+    # to the driver — constant-size at any corpus scale)
+    disc: dict[int, tuple[float, float, float]] = {}
+    for k in range(2, n + 1):
+        cc = {
+            r["__c"]: r["__n"]
+            for r in a[k]
+            .where(F.col(f"__a{k}") <= 4)
+            .groupBy(F.col(f"__a{k}").alias("__c"))
+            .agg(F.count("*").cast("bigint").alias("__n"))
+            .collect()
+        }
+        disc[k] = modified_kn_discounts(
+            cc.get(1, 0), cc.get(2, 0), cc.get(3, 0), cc.get(4, 0)
+        )
+    # context stats: total mass + the three per-count continuation types
+    ctx: dict[int, DataFrame] = {}
+    for k in range(n, 1, -1):
+        keys = wcols[n - k:-1]
+        ak = F.col(f"__a{k}")
+        ctx[k] = a[k].groupBy(*keys).agg(
+            F.sum(f"__a{k}").cast("bigint").alias(f"__s{k}"),
+            F.sum(F.when(ak == 1, 1).otherwise(0)).cast("bigint").alias(f"__t1_{k}"),
+            F.sum(F.when(ak == 2, 1).otherwise(0)).cast("bigint").alias(f"__t2_{k}"),
+            F.sum(F.when(ak >= 3, 1).otherwise(0)).cast("bigint").alias(f"__t3_{k}"),
+        )
+    s1 = a[1].agg(F.sum("__a1").cast("bigint").alias("__S1"))
+
+    # fixed-shape arithmetic tree, innermost outwards; discounts enter as
+    # literals, the per-gram discount picked by a two-branch CASE on the
+    # adjusted count
+    p = F.col("__a1").cast("double") / F.col("__S1").cast("double")
+    for k in range(2, n + 1):
+        d1, d2, d3 = disc[k]
+        ak = F.col(f"__a{k}").cast("double")
+        dk = (
+            F.when(F.col(f"__a{k}") == 1, F.lit(float(d1)))
+            .when(F.col(f"__a{k}") == 2, F.lit(float(d2)))
+            .otherwise(F.lit(float(d3)))
+        )
+        sk = F.col(f"__s{k}").cast("double")
+        gamma = (
+            F.lit(float(d1)) * F.col(f"__t1_{k}").cast("double")
+            + F.lit(float(d2)) * F.col(f"__t2_{k}").cast("double")
+            + F.lit(float(d3)) * F.col(f"__t3_{k}").cast("double")
+        )
+        p = (F.greatest(ak - dk, F.lit(0.0)) / sk) + (gamma / sk) * p
+
+    lm = a[n]
+    for k in range(n, 1, -1):
+        if k < n:
+            lm = lm.join(a[k], wcols[n - k:])
+        lm = lm.join(ctx[k], wcols[n - k:-1])
+    lm = lm.join(a[1], wcols[-1:]).crossJoin(F.broadcast(s1))
+    lm = lm.select(*wcols, p.alias("__p"))
+
+    use_broadcast = (
+        broadcast_vocab_max is None or a[n].count() <= broadcast_vocab_max
+    )
+    scored = (
+        grams.join(F.broadcast(lm) if use_broadcast else lm, wcols)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log("__p")), 6).alias("mkn_nll"),
+            F.count("*").cast("bigint").alias("n_ngrams"),
+        )
+    )
+    out = df.select(id_col).distinct().join(scored, id_col, "left")
+    return tag_caches(out, [grams, a[n]] + [a[k] for k in range(1, n)])
+
+
 def ngram_logprob(
     df: DataFrame,
     n: int = 5,

@@ -885,3 +885,81 @@ def test_kneser_ney_ngram_matches_bruteforce(spark):
         kneser_ney_ngram_logprob(df, n=1)
     with pytest.raises(ValueError, match="discount"):
         kneser_ney_ngram_logprob(df, discount=1.5)
+
+
+def test_modified_kneser_ney_matches_bruteforce(spark):
+    """Modified KN (three count-of-count discounts per order, KenLM's
+    default) against an independent Python reference at n=2 and n=3 on a
+    corpus rich enough that every order has nonzero n1..n4."""
+    import math
+    import random
+    import re
+    from collections import Counter, defaultdict
+
+    from siddhi_io_cdc_spark.functions.export import (
+        modified_kn_discounts,
+        modified_kneser_ney_logprob,
+    )
+    from siddhi_io_cdc_spark.functions.text import TOKEN_RE
+
+    rng = random.Random(13)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = {
+        d: " ".join(rng.choice(words) for _ in range(rng.randint(15, 40)))
+        for d in range(1, 13)
+    }
+
+    def brute(n):
+        toks = {d: re.findall(TOKEN_RE, t.lower()) for d, t in docs.items()}
+        grams = [
+            tuple(ts[i:i + n]) for ts in toks.values()
+            for i in range(len(ts) - n + 1)
+        ]
+        a = {n: Counter(grams)}
+        for k in range(n - 1, 0, -1):
+            a[k] = Counter(g[-k:] for g in a[k + 1])
+        disc = {}
+        for k in range(2, n + 1):
+            cc = Counter(min(c, 5) for c in a[k].values())
+            disc[k] = modified_kn_discounts(cc[1], cc[2], cc[3], cc[4])
+        s = {}
+        t123 = {}
+        for k in range(n, 1, -1):
+            s[k] = defaultdict(int)
+            t123[k] = defaultdict(lambda: [0, 0, 0])
+            for g, c in a[k].items():
+                s[k][g[:-1]] += c
+                t123[k][g[:-1]][min(c, 3) - 1] += 1
+        S1 = sum(a[1].values())
+
+        def P(g):
+            p = a[1][g[-1:]] / S1
+            for k in range(2, n + 1):
+                gk = g[-k:]
+                d1, d2, d3 = disc[k]
+                c = a[k][gk]
+                D = d1 if c == 1 else d2 if c == 2 else d3
+                t1, t2, t3 = t123[k][gk[:-1]]
+                gamma = d1 * t1 + d2 * t2 + d3 * t3
+                p = max(c - D, 0.0) / s[k][gk[:-1]] + (gamma / s[k][gk[:-1]]) * p
+            return p
+
+        out = {}
+        for d, ts in toks.items():
+            gs = [tuple(ts[i:i + n]) for i in range(len(ts) - n + 1)]
+            out[d] = (
+                (round(sum(-math.log(P(g)) for g in gs) / len(gs), 6), len(gs))
+                if gs else (None, None)
+            )
+        return out
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id bigint, text string")
+    for n in (2, 3):
+        got = {
+            r["doc_id"]: (r["mkn_nll"], r["n_ngrams"])
+            for r in modified_kneser_ney_logprob(df, n=n).collect()
+        }
+        assert got == brute(n), f"n={n}"
+
+    with pytest.raises(ValueError, match="count-of-counts"):
+        modified_kn_discounts(5, 3, 0, 1)

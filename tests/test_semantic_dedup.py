@@ -278,7 +278,15 @@ def test_numpy_engine_salting_parity(spark):
     unsalted = pairs(1)
     assert unsalted, "fixture must produce pairs"
     assert pairs(4) == unsalted
-    assert pairs("auto") == unsalted
+    # drop the pair-work floor so auto actually splits the 90-row hot cell
+    import siddhi_io_cdc_spark.functions.dedup as D
+    floor = D._SALT_MIN_CELL_ROWS
+    D._SALT_MIN_CELL_ROWS = 8
+    try:
+        assert pairs("auto") == unsalted
+    finally:
+        D._SALT_MIN_CELL_ROWS = floor
+    assert pairs("auto") == unsalted  # above the floor: B=1 everywhere
     sql = {
         (r.id_a, r.id_b): r.cosine
         for r in semantic_dedup_pairs(df, cents, tau=0.999).collect()
