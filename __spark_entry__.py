@@ -700,6 +700,25 @@ def q_modified_kneser_ney(spark, sf_dir):
     return modified_kneser_ney_logprob(_docs(spark, sf_dir), n=3)
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """Fixed-bin TURNSTILE quantile sketch (the linear histogram that —
+    unlike insert-only GK/KLL — stays maintainable under CDC deletes;
+    streaming/sketch.apply_changelog_qhist is the maintainer) over the
+    document length distribution, served as interpolated quantiles. The
+    oracle reproduces the bucket clamp, the cumulative scan, and the
+    interpolation arithmetic verbatim."""
+    from siddhi_io_cdc_spark.functions.sketch import (
+        quantile_estimates,
+        quantile_histogram,
+    )
+
+    vals = _docs(spark, sf_dir).select(F.length("text").alias("__v"))
+    sk = quantile_histogram(vals, "__v", 0.0, 4096.0, 256)
+    return quantile_estimates(
+        sk, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99], 0.0, 4096.0, 256
+    )
+
+
 def q_unigram_lm(spark, sf_dir):
     """SentencePiece-style unigram-LM tokenizer training (hard EM): final
     piece table after seed + 2 Viterbi/recount rounds. The oracle restates
@@ -1890,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_kneser_ney_5gram": q_kneser_ney_5gram,
         "llm_bm25_probe": q_bm25_probe,
         "llm_modified_kneser_ney": q_modified_kneser_ney,
+        "llm_quantile_sketch": q_quantile_sketch,
 
         # --- re-checks: oldest round-7 rows (r7 window order) -------- -50
         "llm_pack_sequences": q_pack_sequences,
@@ -3811,6 +3831,38 @@ def _oracle_sql_dict() -> dict[str, str]:
             SELECT d.doc_id, s.kn_nll, s.n_ngrams
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN scored s USING (doc_id)""",
+        # llm_quantile_sketch: bucket clamp, cumulative window, linear
+        # interpolation — the estimator arithmetic restated term for term
+        # (w = 16.0 exactly representable, so lo + w*(b + frac) matches
+        # bit-for-bit before the round-6).
+        "llm_quantile_sketch": """
+            WITH v AS (
+              SELECT CAST(length(text) AS DOUBLE) AS x
+              FROM documents WHERE text IS NOT NULL),
+            h AS (
+              SELECT CAST(least(255, greatest(0,
+                       CAST(floor((x - 0.0) / 16.0) AS BIGINT))) AS INT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM v GROUP BY 1),
+            c AS (
+              SELECT bucket, cnt,
+                     CAST(sum(cnt) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum,
+                     (SELECT CAST(sum(cnt) AS BIGINT) FROM h) AS n
+              FROM h WHERE cnt > 0),
+            qs AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
+            hit AS (
+              SELECT q, bucket, cnt, cum, n FROM (
+                SELECT q, bucket, cnt, cum, n,
+                       row_number() OVER (PARTITION BY q ORDER BY bucket) AS rn
+                FROM qs JOIN c ON CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE))
+              WHERE rn = 1)
+            SELECT q,
+                   round(0.0 + 16.0 * (CAST(bucket AS DOUBLE)
+                     + (q * CAST(n AS DOUBLE) - CAST(cum - cnt AS DOUBLE))
+                       / CAST(cnt AS DOUBLE)), 6) AS estimate
+            FROM hit ORDER BY q""",
         # llm_unigram_lm / llm_unigram_encode: the whole SentencePiece-style
         # hard-EM trainer (and the encode composite on top of it) restated
         # as generated CTE chains — one MATERIALIZED CTE per Viterbi DP

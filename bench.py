@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     # KenLM adjusted counts) and KenLM's default modified-KN estimator.
     "llm_kneser_ney_5gram",
     "llm_modified_kneser_ney",
+    "llm_quantile_sketch",
 ]
 
 

@@ -332,3 +332,127 @@ def bloom_maybe_contains(
     return joined.groupBy(*keys.columns).agg(
         (F.count(F.when(F.col("__set"), 1)) == k).alias("bloom_hit")
     )
+
+
+def _qh_bucket(value: Column, lo: float, hi: float, bins: int) -> Column:
+    """Fixed-range bin index: ``clamp(floor((x - lo)/w), 0, bins-1)`` with
+    ``w = (hi - lo)/bins``. Out-of-range values clamp into the edge bins
+    (the standard fixed-range-histogram semantics — quantile estimates
+    then saturate at the range edges, they never error)."""
+    w = (float(hi) - float(lo)) / bins
+    raw = F.floor((value.cast("double") - F.lit(float(lo))) / F.lit(w))
+    return (
+        F.least(F.lit(bins - 1).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), raw))
+        .cast("int")
+    )
+
+
+def quantile_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Fixed-bin linear histogram sketch of ``col`` → ``(bucket, cnt)``
+    (at most ``bins`` rows; empty buckets absent).
+
+    This is the TURNSTILE quantile structure: counters are linear in the
+    value stream, so sketches merge by counter sum and — unlike GK/KLL,
+    which are insert-only — support exact DELETION of a value's
+    contribution, which is what lets the CDC maintainer
+    (``streaming/sketch.apply_changelog_qhist``) keep the corpus's value
+    distribution current under updates and deletes without rescanning.
+    The price is a fixed value range declared up front (``[lo, hi)``,
+    out-of-range clamps to the edge bins) and resolution ``(hi-lo)/bins``
+    — the trade every fixed-range histogram makes.
+
+    Build shape: one map-side-combined ``groupBy`` — the corpus-sized
+    stream reduces to at most ``bins`` rows per partition before the tiny
+    shuffle, the same shape as the CMS/HLL builders.
+    """
+    if bins <= 0:
+        raise ValueError(f"bins must be positive (got {bins})")
+    if not float(lo) < float(hi):
+        raise ValueError(f"need lo < hi (got {lo}, {hi})")
+    return (
+        _fan_out(df)
+        .where(F.col(col).isNotNull())
+        .groupBy(_qh_bucket(F.col(col), lo, hi, bins).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def quantile_estimates(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Interpolated quantile estimates from a :func:`quantile_histogram`
+    → ``(q, estimate)``, one row per requested quantile, deterministic
+    and engine-restatable (the oracle reproduces the same arithmetic):
+
+    with ``N = Σ cnt`` and ``target = q·N``, the answering bucket is the
+    FIRST non-empty bucket whose cumulative count reaches ``target``;
+    the estimate interpolates linearly inside it:
+    ``lo + w·(bucket + (target − cum_before)/cnt)``. q=0 gives the left
+    edge of the first non-empty bucket, q=1 the right edge of the last.
+    Error is bounded by one bin width — the fixed-range histogram
+    guarantee.
+
+    Shape: one cumulative window over ≤ ``bins`` rows crossed with the
+    |qs|-row literal — everything after the sketch build is
+    constant-sized.
+    """
+    from pyspark.sql.window import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not 0.0 <= float(q) <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1] (got {list(qs)})")
+    w = (float(hi) - float(lo)) / bins
+    cum = (
+        sketch.where(F.col("cnt") > 0)
+        .withColumn(
+            "__cum",
+            F.sum("cnt").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                sketch.agg(F.sum("cnt").cast("bigint").alias("__n"))
+            )
+        )
+    )
+    qdf = cum.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    target = F.col("q") * F.col("__n").cast("double")
+    hit = (
+        qdf.crossJoin(cum)
+        .where(F.col("__cum").cast("double") >= target)
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("bucket"),
+                    F.col("cnt"),
+                    F.col("__cum"),
+                    F.col("__n"),
+                )
+            ).alias("__b")
+        )
+    )
+    frac = (
+        F.col("q") * F.col("__b.__n").cast("double")
+        - (F.col("__b.__cum") - F.col("__b.cnt")).cast("double")
+    ) / F.col("__b.cnt").cast("double")
+    est = F.lit(float(lo)) + F.lit(w) * (
+        F.col("__b.bucket").cast("double") + frac
+    )
+    return hit.select(
+        "q", F.round(est, 6).alias("estimate")
+    ).orderBy("q")

@@ -328,3 +328,138 @@ def foreach_batch_hll(spark, path: str, **kwargs):
         apply_changelog_hll(spark, batch_df, path, batch_id=batch_id, **kwargs)
 
     return _apply
+
+
+def write_qhist_state(
+    spark,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    lo: float = 0.0,
+    hi: float = 8192.0,
+    bins: int = 256,
+) -> None:
+    """Initialize the maintained document-length quantile histogram over a
+    corpus snapshot: the fixed-bin TURNSTILE quantile sketch
+    (``functions.sketch.quantile_histogram``) of ``length(text_col)`` —
+    the third leg of the maintained-sketch triad (HLL distinct, CMS
+    frequency, length distribution). GK/KLL-style quantile sketches are
+    insert-only; the linear histogram is what stays maintainable under a
+    changelog's updates and deletes."""
+    from siddhi_io_cdc_spark.functions.sketch import quantile_histogram
+
+    base = path.rstrip("/")
+    _hadoop_write_text(
+        spark,
+        base + "/" + _META,
+        json.dumps(
+            {"kind": "qhist", "lo": float(lo), "hi": float(hi),
+             "bins": int(bins), "text_col": text_col}
+        ),
+    )
+    vals = df.select(F.length(F.col(text_col)).alias("__v"))
+    sk = quantile_histogram(vals, "__v", lo, hi, bins)
+    _commit_state(spark, base, sk, None)
+
+
+def read_qhist(spark, path: str) -> DataFrame:
+    """The current counters ``(bucket, cnt)`` — estimate-compatible with
+    ``functions.sketch.quantile_estimates`` (pass the stored meta's
+    lo/hi/bins)."""
+    return _state_df(spark, path.rstrip("/"))
+
+
+def qhist_quantiles(spark, path: str, qs) -> DataFrame:
+    """Interpolated quantiles of the MAINTAINED length distribution —
+    ``quantile_estimates`` over the current state with the stored range."""
+    from siddhi_io_cdc_spark.functions.sketch import quantile_estimates
+
+    base = path.rstrip("/")
+    meta = json.loads(_hadoop_read_text(spark, base + "/" + _META))
+    return quantile_estimates(
+        _state_df(spark, base), qs, meta["lo"], meta["hi"], meta["bins"]
+    )
+
+
+def apply_changelog_qhist(
+    spark,
+    batch_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    seq_col: str = "ts_ms",
+    op_col: str = "operation",
+    batch_id=None,
+) -> None:
+    """Apply one flattened-changelog micro-batch to the maintained length
+    histogram: the latest surviving after image adds one count in its
+    length's bin, the earliest before image (update/delete — the document
+    existed before the batch) subtracts one. Intra-batch chains telescope,
+    so the state equals the rebuild over ``apply_changelog``'s corpus —
+    the same linearity the CMS maintainer pins. Zero counters are
+    dropped; negative counters (a changelog deleting a never-ingested
+    document) are kept, as a linear sketch must."""
+    from siddhi_io_cdc_spark.functions.sketch import quantile_histogram
+    from siddhi_io_cdc_spark.operators.mutate import rekey_deletes
+
+    base = path.rstrip("/")
+    if _already_applied(spark, base, batch_id):
+        return
+    meta = json.loads(_hadoop_read_text(spark, base + "/" + _META))
+    lo, hi, bins = meta["lo"], meta["hi"], meta["bins"]
+    text_col = meta["text_col"]
+    before = f"before_{text_col}"
+
+    batch_df = rekey_deletes(batch_df, [id_col], op_col)
+    _guard_before_image(batch_df, text_col, op_col)
+
+    w_desc = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
+    w_asc = Window.partitionBy(id_col).orderBy(F.col(seq_col).asc())
+    latest = (
+        batch_df.withColumn("__rn", F.row_number().over(w_desc))
+        .where(F.col("__rn") == 1)
+    )
+    earliest = (
+        batch_df.withColumn("__rn", F.row_number().over(w_asc))
+        .where(F.col("__rn") == 1)
+    )
+
+    def cells(rows: DataFrame, col: str, sign: int) -> DataFrame:
+        vals = rows.select(F.length(F.col(col)).alias("__v"))
+        sk = quantile_histogram(vals, "__v", lo, hi, bins)
+        return sk.select("bucket", (F.col("cnt") * sign).alias("delta"))
+
+    plus = cells(latest.where(F.col(op_col) != "delete"), text_col, 1)
+    minus = (
+        cells(
+            earliest.where(F.col(op_col).isin("update", "delete")), before, -1
+        )
+        if before in batch_df.columns
+        else cells(latest.limit(0), text_col, -1)
+    )
+    delta = (
+        plus.unionByName(minus)
+        .groupBy("bucket")
+        .agg(F.sum("delta").cast("bigint").alias("delta"))
+    )
+    old = _state_df(spark, base)
+    merged = (
+        old.join(delta, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("delta"), F.lit(0))
+            ).cast("bigint").alias("cnt"),
+        )
+        .where(F.col("cnt") != 0)
+    )
+    _commit_state(spark, base, merged, batch_id)
+
+
+def foreach_batch_qhist(spark, path: str, **kwargs):
+    """``writeStream.foreachBatch`` adapter for :func:`apply_changelog_qhist`."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changelog_qhist(spark, batch_df, path, batch_id=batch_id, **kwargs)
+
+    return _apply

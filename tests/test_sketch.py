@@ -169,3 +169,63 @@ def test_bloom_validates(spark, stream):
 
     with pytest.raises(ValueError):
         bloom_bits(stream, "tok", m_bits=0)
+
+
+def test_quantile_histogram_matches_reference(spark):
+    """Fixed-bin histogram + interpolated quantiles vs an independent
+    Python reference, including out-of-range clamping into the edge bins
+    and the q=0 / q=1 edge semantics; estimator error bounded by one bin
+    width against exact order statistics; merge-by-sum linearity."""
+    import math
+    import random
+    from collections import Counter
+
+    from siddhi_io_cdc_spark.functions.sketch import (
+        quantile_estimates,
+        quantile_histogram,
+    )
+
+    rng = random.Random(3)
+    vals = [rng.gauss(100, 25) for _ in range(4000)] + [-50.0, 1e6]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id bigint, x double"
+    )
+    LO, HI, B = 0.0, 200.0, 128
+    w = (HI - LO) / B
+    sk = quantile_histogram(df, "x", LO, HI, B)
+    qs = [0.0, 0.1, 0.5, 0.9, 0.99, 1.0]
+    got = {
+        r["q"]: r["estimate"]
+        for r in quantile_estimates(sk, qs, LO, HI, B).collect()
+    }
+    c = Counter(min(B - 1, max(0, math.floor((v - LO) / w))) for v in vals)
+    N = sum(c.values())
+
+    def ref(q):
+        t = q * N
+        cum = 0
+        for b in sorted(c):
+            cum += c[b]
+            if cum >= t:
+                return round(LO + w * (b + (t - (cum - c[b])) / c[b]), 6)
+
+    assert got == {q: ref(q) for q in qs}
+    sv = sorted(vals)
+    for q in (0.1, 0.5, 0.9):
+        assert abs(got[q] - sv[int(q * len(sv))]) <= 2 * w
+    # merge-by-sum: two half-corpus sketches compose to the full sketch
+    h1 = quantile_histogram(df.where("id % 2 = 0"), "x", LO, HI, B)
+    h2 = quantile_histogram(df.where("id % 2 = 1"), "x", LO, HI, B)
+    merged = {
+        r["bucket"]: r["cnt"]
+        for r in h1.unionByName(h2).groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    assert merged == {r["bucket"]: r["cnt"] for r in sk.collect()}
+
+    with pytest.raises(ValueError, match="bins"):
+        quantile_histogram(df, "x", LO, HI, 0)
+    with pytest.raises(ValueError, match="lo < hi"):
+        quantile_histogram(df, "x", 5.0, 5.0)
+    with pytest.raises(ValueError, match="quantiles"):
+        quantile_estimates(sk, [1.5], LO, HI, B)

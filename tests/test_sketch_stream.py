@@ -188,3 +188,79 @@ def test_versioned_state_single_live_dir(spark, corpus0, tmp_path):
     assert dirs == ["state-2"]
     ptr = json.load(open(os.path.join(path, "_current.json")))
     assert ptr == {"dir": "state-2", "batch_id": 2}
+
+
+def _qhist_rows(spark, path):
+    from siddhi_io_cdc_spark.streaming.sketch import read_qhist
+
+    return {
+        (r["bucket"]): r["cnt"] for r in read_qhist(spark, path).collect()
+    }
+
+
+def test_qhist_maintained_equals_fresh_sketch(spark, corpus0, tmp_path):
+    """Length-histogram linearity: after two changelog batches (with an
+    intra-batch insert+update chain) the maintained counters equal a fresh
+    quantile_histogram over the hand-applied final corpus, and the served
+    quantiles match the batch estimator over that rebuild."""
+    from siddhi_io_cdc_spark.functions.sketch import (
+        quantile_estimates,
+        quantile_histogram,
+    )
+    from siddhi_io_cdc_spark.streaming.sketch import (
+        apply_changelog_qhist,
+        qhist_quantiles,
+        write_qhist_state,
+    )
+
+    path = str(tmp_path / "qh")
+    write_qhist_state(spark, corpus0, path, lo=0.0, hi=64.0, bins=32)
+    b1, b2 = _batches(spark)
+    apply_changelog_qhist(spark, b1, path, batch_id=1)
+    apply_changelog_qhist(spark, b2, path, batch_id=2)
+    fresh = quantile_histogram(
+        _final_corpus(spark).select(F.length("text").alias("__v")),
+        "__v", 0.0, 64.0, 32,
+    )
+    assert _qhist_rows(spark, path) == {
+        r["bucket"]: r["cnt"] for r in fresh.collect()
+    }
+    got = {r["q"]: r["estimate"]
+           for r in qhist_quantiles(spark, path, [0.25, 0.5, 0.9]).collect()}
+    want = {r["q"]: r["estimate"]
+            for r in quantile_estimates(fresh, [0.25, 0.5, 0.9],
+                                        0.0, 64.0, 32).collect()}
+    assert got == want
+
+
+def test_qhist_replay_and_guard(spark, corpus0, tmp_path):
+    from siddhi_io_cdc_spark.streaming.sketch import (
+        apply_changelog_qhist,
+        write_qhist_state,
+    )
+
+    path = str(tmp_path / "qh")
+    write_qhist_state(spark, corpus0, path, lo=0.0, hi=64.0, bins=32)
+    b1, _ = _batches(spark)
+    apply_changelog_qhist(spark, b1, path, batch_id=7)
+    before = _qhist_rows(spark, path)
+    apply_changelog_qhist(spark, b1, path, batch_id=7)  # replay: no-op
+    assert _qhist_rows(spark, path) == before
+    null_before = spark.createDataFrame(
+        [(2, "changed", None, "update", 30)], SCHEMA
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        apply_changelog_qhist(spark, null_before, path, batch_id=8)
+
+
+def test_qhist_foreach_batch_adapter(spark, corpus0, tmp_path):
+    from siddhi_io_cdc_spark.streaming.sketch import (
+        foreach_batch_qhist,
+        write_qhist_state,
+    )
+
+    path = str(tmp_path / "qh")
+    write_qhist_state(spark, corpus0, path, lo=0.0, hi=64.0, bins=32)
+    b1, _ = _batches(spark)
+    foreach_batch_qhist(spark, path)(b1, 1)
+    assert sum(_qhist_rows(spark, path).values()) == 3  # docs 1, 2, 4
