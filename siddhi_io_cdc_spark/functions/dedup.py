@@ -1300,26 +1300,12 @@ def _semantic_pairs_numpy(
         # fair-share rule is right), splitting a cell here multiplies
         # Arrow tasks while total pair work stays ~constant — a pure tax
         # unless the cell's pair volume is large enough that single-task
-        # latency dominates the stage. Salt only cells past an absolute
-        # pair-work floor (4096 rows ≈ 8M scored pairs ≈ seconds of BLAS);
-        # everything smaller keeps one task. The skewed hot cell this
-        # engine's salting exists for is far past the floor.
-        counts = cells.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n"))
-        total = counts.agg(F.sum("__n").alias("__t"))
-        salts = counts.crossJoin(F.broadcast(total)).select(
-            "__cell",
-            F.when(F.col("__n") <= F.lit(_SALT_MIN_CELL_ROWS), F.lit(1))
-            .otherwise(
-                F.least(
-                    F.lit(64),
-                    F.greatest(
-                        F.lit(1),
-                        F.ceil(F.col("__n") * nparts / F.col("__t")),
-                    ),
-                )
-            )
-            .cast("long")
-            .alias("__nsalt"),
+        # latency dominates the stage. min_rows: salt only cells past an
+        # absolute pair-work floor (4096 rows ≈ 8M scored pairs ≈ seconds
+        # of BLAS); everything smaller keeps one task. The skewed hot cell
+        # this engine's salting exists for is far past the floor.
+        salts = _cell_salts(
+            cells.select("__cell"), nparts, min_rows=_SALT_MIN_CELL_ROWS
         )
         salted = cells.join(F.broadcast(salts), "__cell")
     else:
@@ -1446,7 +1432,11 @@ def semantic_dedup(
         pq_codebooks=pq_codebooks, prefilter_margin=prefilter_margin,
         engine=engine,
     )
-    return dedup_near(df, pairs, id_col=id_col)
+    # pairs may carry persisted deps (the numpy engine's cell assignment
+    # under salt='auto') — re-tag them so release_caches(result) frees them
+    return tag_caches(
+        dedup_near(df, pairs, id_col=id_col), getattr(pairs, _CACHE_TAG, [])
+    )
 
 
 def remove_duplicate_spans(

@@ -430,6 +430,86 @@ def kneser_ney_logprob(
     return tag_caches(out, [big, vocab])
 
 
+def _kn_hierarchy(df, n, id_col, text_col, persist_lower=False):
+    """Shared front half of both n-gram Kneser-Ney scorers: the exploded
+    n-gram table plus the KenLM adjusted-count hierarchy ``a[1..n]`` (raw
+    counts at the top order, recursive distinct-predecessor continuation
+    counts below — each table keyed by gram POSITIONS n-k+1..n so every
+    later join is a plain column-name equi-join). ``persist_lower``
+    additionally persists a[k<n] — the modified scorer runs one
+    count-of-count collect per order against them before the final plan."""
+    from siddhi_io_cdc_spark.util import scoped_persist
+
+    toks = F.col("__toks")
+    length = F.size(toks)
+    positions = F.when(
+        length >= n, F.sequence(F.lit(1), length - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.transform(
+        positions,
+        lambda p: F.struct(
+            *[F.element_at(toks, p + i).alias(f"__w{i + 1}") for i in range(n)]
+        ),
+    )
+    wcols = [f"__w{i + 1}" for i in range(n)]
+    grams = scoped_persist(
+        # min_bytes_per_slot=0: tokenize + per-position struct-gather +
+        # explode is heavy per input byte (same call-site measurement as
+        # ngram_logprob's)
+        _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0)
+        .select(
+            F.col(id_col),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
+            ).alias("__toks"),
+        )
+        .select(F.col(id_col), F.explode(gram).alias("__g"))
+        .select(id_col, *[F.col(f"__g.{w}").alias(w) for w in wcols])
+    )
+    a: dict[int, DataFrame] = {}
+    a[n] = scoped_persist(
+        grams.groupBy(*wcols).agg(F.count("*").cast("bigint").alias(f"__a{n}"))
+    )
+    for k in range(n - 1, 0, -1):
+        lower = a[k + 1].groupBy(*wcols[n - k:]).agg(
+            F.count("*").cast("bigint").alias(f"__a{k}")
+        )
+        a[k] = scoped_persist(lower) if persist_lower else lower
+    return grams, a, wcols
+
+
+def _kn_score(df, grams, a, ctx, prob, wcols, n, id_col, broadcast_vocab_max,
+              out_name, deps):
+    """Shared back half of both n-gram Kneser-Ney scorers: assemble the
+    per-gram probability by the vocab-to-vocab join chain (a[n] ⋈ ctx[n] ⋈
+    a[n-1] ⋈ ... ⋈ a[1] ⋈ S1), guard the corpus lookup join on the
+    MEASURED vocabulary size, regroup per document, left-join every input
+    id (< n-token documents get NULL)."""
+    from siddhi_io_cdc_spark.util import tag_caches
+
+    s1 = a[1].agg(F.sum("__a1").cast("bigint").alias("__S1"))
+    lm = a[n]
+    for k in range(n, 1, -1):
+        if k < n:
+            lm = lm.join(a[k], wcols[n - k:])
+        lm = lm.join(ctx[k], wcols[n - k:-1])
+    lm = lm.join(a[1], wcols[-1:]).crossJoin(F.broadcast(s1))
+    lm = lm.select(*wcols, prob.alias("__p"))
+    use_broadcast = (
+        broadcast_vocab_max is None or a[n].count() <= broadcast_vocab_max
+    )
+    scored = (
+        grams.join(F.broadcast(lm) if use_broadcast else lm, wcols)
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(-F.log("__p")), 6).alias(out_name),
+            F.count("*").cast("bigint").alias("n_ngrams"),
+        )
+    )
+    out = df.select(id_col).distinct().join(scored, id_col, "left")
+    return tag_caches(out, deps)
+
+
 def kneser_ney_ngram_logprob(
     df: DataFrame,
     n: int = 5,
@@ -474,108 +554,61 @@ def kneser_ney_ngram_logprob(
 
     Output: ``(id_col, kn_nll, n_ngrams)`` — uniform with the n=2 rung.
     """
-    from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
-
     if n < 2:
         raise ValueError(f"n must be >= 2 (got {n})")
     if not 0 < discount < 1:
         raise ValueError(f"discount must be in (0, 1) (got {discount})")
 
-    toks = F.col("__toks")
-    length = F.size(toks)
-    positions = F.when(
-        length >= n, F.sequence(F.lit(1), length - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        positions,
-        lambda p: F.struct(
-            *[F.element_at(toks, p + i).alias(f"__w{i + 1}") for i in range(n)]
-        ),
-    )
-    wcols = [f"__w{i + 1}" for i in range(n)]
-    grams = scoped_persist(
-        _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0)
-        .select(
-            F.col(id_col),
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
-            ).alias("__toks"),
-        )
-        .select(F.col(id_col), F.explode(gram).alias("__g"))
-        .select(id_col, *[F.col(f"__g.{w}").alias(w) for w in wcols])
-    )
-    # a[k]: order-k table keyed by gram POSITIONS n-k+1..n (suffix
-    # alignment keeps every join a plain column-name equi-join).
-    a: dict[int, DataFrame] = {}
-    a[n] = scoped_persist(
-        grams.groupBy(*wcols).agg(F.count("*").cast("bigint").alias(f"__a{n}"))
-    )
-    for k in range(n - 1, 0, -1):
-        keys = wcols[n - k:]  # positions n-k+1..n
-        a[k] = a[k + 1].groupBy(*keys).agg(
-            F.count("*").cast("bigint").alias(f"__a{k}")
-        )
+    grams, a, wcols = _kn_hierarchy(df, n, id_col, text_col)
     # context stats per order k >= 2: group a[k] by its key minus the last
     # word; s_k = total continuation mass, t_k = distinct continuations.
     ctx: dict[int, DataFrame] = {}
     for k in range(n, 1, -1):
-        keys = wcols[n - k:-1]  # positions n-k+1..n-1
-        ctx[k] = a[k].groupBy(*keys).agg(
+        ctx[k] = a[k].groupBy(*wcols[n - k:-1]).agg(
             F.sum(f"__a{k}").cast("bigint").alias(f"__s{k}"),
             F.count("*").cast("bigint").alias(f"__t{k}"),
         )
-    s1 = a[1].agg(F.sum("__a1").cast("bigint").alias("__S1"))
-
     d = F.lit(float(discount))
     # fixed-shape arithmetic tree, innermost (unigram) outwards — the
     # oracle restates this association order term for term
-    p = F.col("__a1").cast("double") / F.col("__S1").cast("double")
+    prob = F.col("__a1").cast("double") / F.col("__S1").cast("double")
     for k in range(2, n + 1):
-        p = (
+        prob = (
             F.greatest(F.col(f"__a{k}").cast("double") - d, F.lit(0.0))
             / F.col(f"__s{k}").cast("double")
         ) + (
             d * F.col(f"__t{k}").cast("double") / F.col(f"__s{k}").cast("double")
-        ) * p
-
-    lm = a[n]
-    for k in range(n, 1, -1):
-        if k < n:
-            lm = lm.join(a[k], wcols[n - k:])
-        lm = lm.join(ctx[k], wcols[n - k:-1])
-    lm = lm.join(a[1], wcols[-1:]).crossJoin(F.broadcast(s1))
-    lm = lm.select(*wcols, p.alias("__p"))
-
-    use_broadcast = (
-        broadcast_vocab_max is None or a[n].count() <= broadcast_vocab_max
-    )
-    scored = (
-        grams.join(F.broadcast(lm) if use_broadcast else lm, wcols)
-        .groupBy(id_col)
-        .agg(
-            F.round(F.avg(-F.log("__p")), 6).alias("kn_nll"),
-            F.count("*").cast("bigint").alias("n_ngrams"),
-        )
-    )
-    out = df.select(id_col).distinct().join(scored, id_col, "left")
-    return tag_caches(out, [grams, a[n]])
+        ) * prob
+    return _kn_score(df, grams, a, ctx, prob, wcols, n, id_col,
+                     broadcast_vocab_max, "kn_nll", [grams, a[n]])
 
 
-def modified_kn_discounts(n1: int, n2: int, n3: int, n4: int) -> tuple[float, float, float]:
+def modified_kn_discounts(
+    n1: int, n2: int, n3: int, n4: int,
+    fallback: tuple[float, float, float] | None = None,
+) -> tuple[float, float, float]:
     """The three modified-KN discounts from an order's count-of-counts
     (Chen & Goodman 1998 eq. 4.26-4.29; what KenLM estimates per order):
     ``Y = n1/(n1 + 2*n2)``, ``D1 = 1 - 2*Y*n2/n1``, ``D2 = 2 - 3*Y*n3/n2``,
     ``D3+ = 3 - 4*Y*n4/n3``. Shared by the Spark scorer (as driver-side
     literals) and the oracle generator (restated in SQL with the identical
-    association order), so the doubles match bit-for-bit. Raises when any
-    count-of-count is zero — the estimator is undefined there (KenLM
-    errors the same way); fall back to :func:`kneser_ney_ngram_logprob`'s
-    single fixed discount on such corpora."""
+    association order), so the doubles match bit-for-bit.
+
+    When any count-of-count is zero the estimator is undefined. Default:
+    raise, exactly as KenLM's ``lmplz`` errors ("Could not calculate
+    Kneser-Ney discounts"). ``fallback`` substitutes the given
+    ``(D1, D2, D3+)`` for the degenerate order instead — KenLM's
+    ``--discount_fallback`` escape hatch (its default is 0.5/1.0/1.5)."""
     if min(n1, n2, n3, n4) <= 0:
+        if fallback is not None:
+            d1, d2, d3 = fallback
+            return (float(d1), float(d2), float(d3))
         raise ValueError(
             f"modified-KN discounts undefined: count-of-counts "
-            f"(n1..n4) = {(n1, n2, n3, n4)} contain a zero — use the "
-            f"fixed-discount kneser_ney_ngram_logprob instead"
+            f"(n1..n4) = {(n1, n2, n3, n4)} contain a zero — pass "
+            f"discount_fallback (KenLM --discount_fallback, e.g. "
+            f"(0.5, 1.0, 1.5)) or use the fixed-discount "
+            f"kneser_ney_ngram_logprob instead"
         )
     y = n1 / (n1 + 2.0 * n2)
     return (1.0 - 2.0 * y * n2 / n1, 2.0 - 3.0 * y * n3 / n2, 3.0 - 4.0 * y * n4 / n3)
@@ -587,6 +620,7 @@ def modified_kneser_ney_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_vocab_max: int | None = 5_000_000,
+    discount_fallback: tuple[float, float, float] | None = None,
 ) -> DataFrame:
     """Per-document mean negative log-probability under a MODIFIED
     Kneser-Ney ``n``-gram LM — KenLM's default smoothing (Chen & Goodman
@@ -610,45 +644,12 @@ def modified_kneser_ney_logprob(
 
     Output: ``(id_col, mkn_nll, n_ngrams)``.
     """
-    from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
-
     if n < 2:
         raise ValueError(f"n must be >= 2 (got {n})")
 
-    toks = F.col("__toks")
-    length = F.size(toks)
-    positions = F.when(
-        length >= n, F.sequence(F.lit(1), length - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        positions,
-        lambda p: F.struct(
-            *[F.element_at(toks, p + i).alias(f"__w{i + 1}") for i in range(n)]
-        ),
-    )
-    wcols = [f"__w{i + 1}" for i in range(n)]
-    grams = scoped_persist(
-        _fan_out(df.select(F.col(id_col), F.col(text_col)), min_bytes_per_slot=0)
-        .select(
-            F.col(id_col),
-            F.regexp_extract_all(
-                F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0
-            ).alias("__toks"),
-        )
-        .select(F.col(id_col), F.explode(gram).alias("__g"))
-        .select(id_col, *[F.col(f"__g.{w}").alias(w) for w in wcols])
-    )
-    a: dict[int, DataFrame] = {}
-    a[n] = scoped_persist(
-        grams.groupBy(*wcols).agg(F.count("*").cast("bigint").alias(f"__a{n}"))
-    )
-    for k in range(n - 1, 0, -1):
-        keys = wcols[n - k:]
-        a[k] = scoped_persist(
-            a[k + 1].groupBy(*keys).agg(
-                F.count("*").cast("bigint").alias(f"__a{k}")
-            )
-        )
+    # persist_lower: the per-order count-of-count collects below run one
+    # action per order against a[k] before the final plan
+    grams, a, wcols = _kn_hierarchy(df, n, id_col, text_col, persist_lower=True)
     # per-order discounts from the count-of-counts (4 bigints per order
     # to the driver — constant-size at any corpus scale)
     disc: dict[int, tuple[float, float, float]] = {}
@@ -662,25 +663,23 @@ def modified_kneser_ney_logprob(
             .collect()
         }
         disc[k] = modified_kn_discounts(
-            cc.get(1, 0), cc.get(2, 0), cc.get(3, 0), cc.get(4, 0)
+            cc.get(1, 0), cc.get(2, 0), cc.get(3, 0), cc.get(4, 0),
+            fallback=discount_fallback,
         )
     # context stats: total mass + the three per-count continuation types
     ctx: dict[int, DataFrame] = {}
     for k in range(n, 1, -1):
-        keys = wcols[n - k:-1]
         ak = F.col(f"__a{k}")
-        ctx[k] = a[k].groupBy(*keys).agg(
+        ctx[k] = a[k].groupBy(*wcols[n - k:-1]).agg(
             F.sum(f"__a{k}").cast("bigint").alias(f"__s{k}"),
             F.sum(F.when(ak == 1, 1).otherwise(0)).cast("bigint").alias(f"__t1_{k}"),
             F.sum(F.when(ak == 2, 1).otherwise(0)).cast("bigint").alias(f"__t2_{k}"),
             F.sum(F.when(ak >= 3, 1).otherwise(0)).cast("bigint").alias(f"__t3_{k}"),
         )
-    s1 = a[1].agg(F.sum("__a1").cast("bigint").alias("__S1"))
-
     # fixed-shape arithmetic tree, innermost outwards; discounts enter as
     # literals, the per-gram discount picked by a two-branch CASE on the
     # adjusted count
-    p = F.col("__a1").cast("double") / F.col("__S1").cast("double")
+    prob = F.col("__a1").cast("double") / F.col("__S1").cast("double")
     for k in range(2, n + 1):
         d1, d2, d3 = disc[k]
         ak = F.col(f"__a{k}").cast("double")
@@ -695,29 +694,10 @@ def modified_kneser_ney_logprob(
             + F.lit(float(d2)) * F.col(f"__t2_{k}").cast("double")
             + F.lit(float(d3)) * F.col(f"__t3_{k}").cast("double")
         )
-        p = (F.greatest(ak - dk, F.lit(0.0)) / sk) + (gamma / sk) * p
-
-    lm = a[n]
-    for k in range(n, 1, -1):
-        if k < n:
-            lm = lm.join(a[k], wcols[n - k:])
-        lm = lm.join(ctx[k], wcols[n - k:-1])
-    lm = lm.join(a[1], wcols[-1:]).crossJoin(F.broadcast(s1))
-    lm = lm.select(*wcols, p.alias("__p"))
-
-    use_broadcast = (
-        broadcast_vocab_max is None or a[n].count() <= broadcast_vocab_max
-    )
-    scored = (
-        grams.join(F.broadcast(lm) if use_broadcast else lm, wcols)
-        .groupBy(id_col)
-        .agg(
-            F.round(F.avg(-F.log("__p")), 6).alias("mkn_nll"),
-            F.count("*").cast("bigint").alias("n_ngrams"),
-        )
-    )
-    out = df.select(id_col).distinct().join(scored, id_col, "left")
-    return tag_caches(out, [grams, a[n]] + [a[k] for k in range(1, n)])
+        prob = (F.greatest(ak - dk, F.lit(0.0)) / sk) + (gamma / sk) * prob
+    return _kn_score(df, grams, a, ctx, prob, wcols, n, id_col,
+                     broadcast_vocab_max, "mkn_nll",
+                     [grams] + [a[k] for k in range(1, n + 1)])
 
 
 def ngram_logprob(

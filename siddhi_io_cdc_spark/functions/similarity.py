@@ -518,7 +518,9 @@ def knn_join(
     )
 
 
-def _cell_salts(corpus_cells: DataFrame, nparts: int, max_salt: int = 64) -> DataFrame:
+def _cell_salts(
+    corpus_cells: DataFrame, nparts: int, max_salt: int = 64, min_rows: int = 0
+) -> DataFrame:
     """Per-cell salt counts for ``salt='auto'``: cell ``c`` gets
     ``ceil(n_c * nparts / N)`` slices (its fair share of the shuffle
     parallelism), clamped to [1, max_salt]. One hash-aggregate over the
@@ -528,17 +530,27 @@ def _cell_salts(corpus_cells: DataFrame, nparts: int, max_salt: int = 64) -> Dat
     centroids on clustered data a hot cell can hold a large corpus share;
     static salt=4 then leaves a stage dominated by 4 oversized tasks, while
     the proportional salt splits exactly the hot cells and leaves uniform
-    cells at 1 (no pointless query replication)."""
+    cells at 1 (no pointless query replication).
+
+    ``min_rows``: cells at or below this row count keep 1 slice regardless
+    of fair share — the SemDeDup pair engine's absolute pair-work floor
+    (splitting there multiplies Arrow tasks while total pair work stays
+    constant, so small cells must not split). The kNN joins keep the
+    default 0 (their replication cost is per-query, and fair share is the
+    right rule)."""
     counts = corpus_cells.groupBy("__cell").agg(F.count(F.lit(1)).alias("__n"))
     total = counts.agg(F.sum("__n").alias("__t"))
+    fair = F.least(
+        F.lit(max_salt),
+        F.greatest(F.lit(1), F.ceil(F.col("__n") * nparts / F.col("__t"))),
+    )
+    nsalt = (
+        F.when(F.col("__n") <= F.lit(min_rows), F.lit(1)).otherwise(fair)
+        if min_rows > 0
+        else fair
+    )
     return counts.crossJoin(F.broadcast(total)).select(
-        "__cell",
-        F.least(
-            F.lit(max_salt),
-            F.greatest(F.lit(1), F.ceil(F.col("__n") * nparts / F.col("__t"))),
-        )
-        .cast("long")
-        .alias("__nsalt"),
+        "__cell", nsalt.cast("long").alias("__nsalt")
     )
 
 

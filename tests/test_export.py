@@ -963,3 +963,7 @@ def test_modified_kneser_ney_matches_bruteforce(spark):
 
     with pytest.raises(ValueError, match="count-of-counts"):
         modified_kn_discounts(5, 3, 0, 1)
+    # KenLM's --discount_fallback escape hatch for degenerate orders
+    assert modified_kn_discounts(5, 3, 0, 1, fallback=(0.5, 1.0, 1.5)) == (
+        0.5, 1.0, 1.5,
+    )

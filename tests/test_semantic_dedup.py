@@ -292,3 +292,28 @@ def test_numpy_engine_salting_parity(spark):
         for r in semantic_dedup_pairs(df, cents, tau=0.999).collect()
     }
     assert unsalted == sql
+
+
+def test_semantic_dedup_numpy_propagates_cache_tags(spark):
+    """semantic_dedup(engine='numpy') must carry the pair engine's
+    persisted cell-assignment dep so release_caches(result) frees it
+    (round-9 review: the keep-one wrapper returned an untagged frame)."""
+    import numpy as np
+
+    from siddhi_io_cdc_spark.util import _CACHE_TAG, release_caches
+
+    rs = np.random.RandomState(2)
+    rows = []
+    for i in range(20):
+        v = rs.randn(6); v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = ivf_centroids(6, nlist=2)
+    result = semantic_dedup(df, cents, tau=0.99, engine="numpy")
+    deps = getattr(result, _CACHE_TAG, [])
+    assert deps, "numpy engine's persisted cell assignment must be tagged"
+    result.count()
+    assert any(d.storageLevel.useMemory or d.storageLevel.useDisk for d in deps)
+    release_caches(result)
+    assert all(not d.storageLevel.useMemory and not d.storageLevel.useDisk
+               for d in deps)
