@@ -8,8 +8,8 @@ approximate paths, whose oracles restate the probe machinery itself
 (hyperplane/centroid literals, closed-form planted-clone constructions) and
 the multimodal decodes (closed-form P5/WAV fixtures). The first 50 keys —
 the driver's recorded window — span all four families (8 cdc, 11 rel,
-3 win, 28 llm this round; the union of the r5/r6/r7 windows covers every
-contract key).
+3 win, 28 llm this round; after the round-10 rotation no key's latest
+driver-green row is older than round 8).
 
 Determinism rules used throughout (so value-hashes match the oracle):
 - money aggregates run over ``decimal(18,2)`` casts (exact, associative,
@@ -785,8 +785,13 @@ def q_bm25_probe(spark, sf_dir):
         write_bm25_index,
     )
 
+    # Per-process path: two drivers running against the same fixture must
+    # not race on one index directory (one rebuilding while the other
+    # probes). Same-process repeat calls still reuse the built index.
     idx = os.path.join(
-        "/tmp", "bm25_probe_idx_" + _re.sub(r"\W", "_", sf_dir.rstrip("/"))
+        "/tmp",
+        "bm25_probe_idx_%s_%d"
+        % (_re.sub(r"\W", "_", sf_dir.rstrip("/")), os.getpid()),
     )
     write_bm25_index(spark, _docs(spark, sf_dir), idx)
     return bm25_topk_indexed(spark, idx, ["spark", "shuffle", "vector"], k=10)
@@ -1866,16 +1871,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the FIRST
     # 50 entries. STANDING RULE (VERDICT r7 #6): a NEW contract query must
     # enter this dict ABOVE position 50 in the same round it lands — insert
-    # it at the "round-9 newcomers" marker below and let the LAST r7
-    # re-checks slide past 50 (they stay r7-green, never older). Round-9
-    # window (VERDICT r8 ask #1): positions 1-36 are ALL 36 keys whose
-    # latest driver evidence is round 6 (multimodal/knn/logprob/export
-    # families); the remainder re-checks the OLDEST round-7 rows in their
-    # r7-window order. After this rotation no key's latest driver row is
-    # older than round 7. Everything below 50 stays covered by the local
-    # typed gate (tools/check_contract.py) and pytest.
+    # it at the "round-10 newcomers" marker below and let the last r8
+    # fillers slide past 50 (they stay r8-green, never older). Round-10
+    # window (VERDICT r9 ask #1): positions 1-40 are ALL 40 keys whose
+    # latest driver evidence is round 7 (in their r7-window order); the 10
+    # remaining slots re-check the OLDEST round-8 rows. After this rotation
+    # no key's latest driver row is older than round 8. Everything below 50
+    # stays covered by the local typed gate (tools/check_contract.py) and
+    # pytest.
     return {
-        # --- re-checks: the 36 keys whose latest driver evidence is r6 - 1-36
+        # --- re-checks: the 40 keys whose latest driver evidence is r7 - 1-40
+        "llm_top_ngrams": q_top_ngrams,
+        "llm_label_centroids": q_label_centroids,
+        "llm_repetition": q_repetition,
+        "llm_stratified_sample": q_stratified_sample,
+        "llm_c4_filters": q_c4_filters,
+        "rel_pattern_both": q_pattern_both,
+        "rel_pattern_immediate": q_pattern_immediate,
+        "rel_output_every_nth": q_output_every_nth,
+        "rel_output_snapshot": q_output_snapshot,
+        "rel_cube": q_cube_orders,
+        "win_first_unique": q_first_unique_window,
+        "cdc_flatten_update": q_flatten_update,
+        "cdc_keyvalue_mapping": q_keyvalue_mapping,
+        "cdc_decimal_compat": q_decimal_compat,
+        "cdc_mongo_flatten": q_mongo_flatten,
+        "cdc_incremental_scan": q_incremental_scan,
+        "cdc_update_on": q_update_on,
+        "cdc_history_scd2": q_history_scd2,
+        "cdc_temporal_lookup": q_temporal_lookup,
+        "rel_shipping_priority": R.shipping_priority,
+        "rel_salted_agg": q_salted_agg,
+        "rel_json_props": q_json_props,
+        "rel_asof_join": q_asof_join,
+        "rel_pattern_sequence": q_pattern_sequence,
+        "rel_rollup_multi": q_rollup_multi,
+        "win_frequent": q_frequent,
+        "win_length_batch": q_length_batch,
+        "llm_dedup_exact": q_dedup_exact,
+        "llm_paragraph_dedup": q_paragraph_dedup,
+        "llm_minhash_pairs": q_minhash_pairs,
+        "llm_decontaminate": q_decontaminate,
+        "llm_curate": q_curate,
+        "llm_knn_join_bucketed": q_knn_join_bucketed,
+        "llm_bpe_train": q_bpe_train,
+        "llm_bpe_encode": q_bpe_encode,
+        "llm_pq_encode": q_pq_encode,
+        "llm_pq_topk": q_pq_topk,
+        "llm_quality_classifier": q_quality_classifier,
+        "llm_tokenize_pipeline": q_tokenize_pipeline,
+        "llm_span_corruption": q_span_corruption,
+        # --- round-10 newcomers (insert NEW contract queries HERE) --- 41-
+        # --- re-checks: the 10 OLDEST round-8 rows (fillers to 50) -------
+        "llm_bm25_topk": q_bm25_topk,
+        "llm_dsir_weights": q_dsir_weights,
+        "llm_hybrid_retrieval": q_hybrid_retrieval,
+        "llm_semantic_dedup": q_semantic_dedup,
+        "llm_ul2_denoisers": q_ul2_denoisers,
+        "llm_dsir_select": q_dsir_select,
+        "llm_hll_distinct": q_hll_distinct,
+        "llm_cms_counts": q_cms_counts,
+        "llm_kneser_ney": q_kneser_ney,
+        "llm_unigram_lm": q_unigram_lm,
+        # --- position 51+: driver-r8/r9-green remainder (local gate) ------
         "llm_gopher_quality": q_gopher_quality,
         "llm_knn_join": q_knn_join,
         "llm_embedding_near_dup": q_embedding_near_dup,
@@ -1912,13 +1970,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_knn_join_lsh": q_knn_join_lsh,
         "llm_ann_cosine": q_ann_cosine,
         "llm_audio_decode": q_audio_decode,
-        # --- round-9 newcomers (insert NEW contract queries HERE) ---- 37-
         "llm_kneser_ney_5gram": q_kneser_ney_5gram,
         "llm_bm25_probe": q_bm25_probe,
         "llm_modified_kneser_ney": q_modified_kneser_ney,
         "llm_quantile_sketch": q_quantile_sketch,
-
-        # --- re-checks: oldest round-7 rows (r7 window order) -------- -50
         "llm_pack_sequences": q_pack_sequences,
         "llm_bpe_pairs": q_bpe_pairs,
         "llm_simhash_pairs": q_simhash_pairs,
@@ -1929,19 +1984,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_lang_detect": q_lang_detect,
         "llm_quality_score": q_quality_score,
         "llm_fingerprint": q_fingerprint,
-        "llm_top_ngrams": q_top_ngrams,
-        "llm_label_centroids": q_label_centroids,
-        # --- position 51+: driver-r7/r8-green remainder (local gate) ------
-        "llm_bm25_topk": q_bm25_topk,
-        "llm_dsir_weights": q_dsir_weights,
-        "llm_hybrid_retrieval": q_hybrid_retrieval,
-        "llm_semantic_dedup": q_semantic_dedup,
-        "llm_ul2_denoisers": q_ul2_denoisers,
-        "llm_dsir_select": q_dsir_select,
-        "llm_hll_distinct": q_hll_distinct,
-        "llm_cms_counts": q_cms_counts,
-        "llm_kneser_ney": q_kneser_ney,
-        "llm_unigram_lm": q_unigram_lm,
         "llm_unigram_encode": q_unigram_encode,
         "cdc_offset_discovery": q_offset_discovery,
         "cdc_insert_into": q_insert_into,
@@ -1982,44 +2024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_near_dedup": q_near_dedup,
         "llm_cdc_pipeline": q_cdc_pipeline,
         "llm_duplicate_spans": q_duplicate_spans,
-        "llm_repetition": q_repetition,
-        "llm_stratified_sample": q_stratified_sample,
-        "llm_c4_filters": q_c4_filters,
-        "rel_pattern_both": q_pattern_both,
-        "rel_pattern_immediate": q_pattern_immediate,
-        "rel_output_every_nth": q_output_every_nth,
-        "rel_output_snapshot": q_output_snapshot,
-        "rel_cube": q_cube_orders,
-        "win_first_unique": q_first_unique_window,
-        "cdc_flatten_update": q_flatten_update,
-        "cdc_keyvalue_mapping": q_keyvalue_mapping,
-        "cdc_decimal_compat": q_decimal_compat,
-        "cdc_mongo_flatten": q_mongo_flatten,
-        "cdc_incremental_scan": q_incremental_scan,
-        "cdc_update_on": q_update_on,
-        "cdc_history_scd2": q_history_scd2,
-        "cdc_temporal_lookup": q_temporal_lookup,
-        "rel_shipping_priority": R.shipping_priority,
-        "rel_salted_agg": q_salted_agg,
-        "rel_json_props": q_json_props,
-        "rel_asof_join": q_asof_join,
-        "rel_pattern_sequence": q_pattern_sequence,
-        "rel_rollup_multi": q_rollup_multi,
-        "win_frequent": q_frequent,
-        "win_length_batch": q_length_batch,
-        "llm_dedup_exact": q_dedup_exact,
-        "llm_paragraph_dedup": q_paragraph_dedup,
-        "llm_minhash_pairs": q_minhash_pairs,
-        "llm_decontaminate": q_decontaminate,
-        "llm_curate": q_curate,
-        "llm_knn_join_bucketed": q_knn_join_bucketed,
-        "llm_bpe_train": q_bpe_train,
-        "llm_bpe_encode": q_bpe_encode,
-        "llm_pq_encode": q_pq_encode,
-        "llm_pq_topk": q_pq_topk,
-        "llm_quality_classifier": q_quality_classifier,
-        "llm_tokenize_pipeline": q_tokenize_pipeline,
-        "llm_span_corruption": q_span_corruption,
     }
 
 
@@ -2521,10 +2525,28 @@ def _mkn_oracle_sql(n: int) -> str:
             for j in range(1, 5)
         )
         parts.append(f"cc{k} AS (SELECT {ccs} FROM a{k})")
+        # Mirrors export.modified_kn_discounts INCLUDING the KenLM
+        # --discount_fallback branch the query passes (0.5/1.0/1.5): a
+        # degenerate order (any n_j = 0, which DuckDB surfaces as NULL
+        # divisions, or any D_j outside KenLM's [0, j] range) takes the
+        # fallback literals instead of dividing by zero — so a future
+        # degenerate contract fixture fails loudly as "fallback fired on
+        # both sides", never as an opaque hash mismatch.
         parts.append(
-            f"dsc{k} AS (SELECT 1.0 - 2.0*y*n2/n1 AS d1_{k},"
-            f" 2.0 - 3.0*y*n3/n2 AS d2_{k}, 3.0 - 4.0*y*n4/n3 AS d3_{k}\n"
-            f"  FROM (SELECT n1, n2, n3, n4, n1/(n1 + 2.0*n2) AS y FROM cc{k}))"
+            f"dsc{k} AS (SELECT\n"
+            f"    CASE WHEN bad{k} THEN 0.5 ELSE rd1 END AS d1_{k},\n"
+            f"    CASE WHEN bad{k} THEN 1.0 ELSE rd2 END AS d2_{k},\n"
+            f"    CASE WHEN bad{k} THEN 1.5 ELSE rd3 END AS d3_{k}\n"
+            f"  FROM (SELECT rd1, rd2, rd3,\n"
+            f"          (n1 <= 0 OR n2 <= 0 OR n3 <= 0 OR n4 <= 0\n"
+            f"           OR rd1 < 0 OR rd1 > 1 OR rd2 < 0 OR rd2 > 2\n"
+            f"           OR rd3 < 0 OR rd3 > 3) AS bad{k}\n"
+            f"        FROM (SELECT n1, n2, n3, n4,\n"
+            f"                1.0 - 2.0*y*n2/n1 AS rd1,\n"
+            f"                2.0 - 3.0*y*n3/n2 AS rd2,\n"
+            f"                3.0 - 4.0*y*n4/n3 AS rd3\n"
+            f"              FROM (SELECT n1, n2, n3, n4,"
+            f" n1/(n1 + 2.0*n2) AS y FROM cc{k}))))"
         )
     for k in range(n, 1, -1):
         keys = ", ".join(W[n - k:-1])

@@ -611,7 +611,23 @@ def modified_kn_discounts(
             f"kneser_ney_ngram_logprob instead"
         )
     y = n1 / (n1 + 2.0 * n2)
-    return (1.0 - 2.0 * y * n2 / n1, 2.0 - 3.0 * y * n3 / n2, 3.0 - 4.0 * y * n4 / n3)
+    ds = (1.0 - 2.0 * y * n2 / n1, 2.0 - 3.0 * y * n3 / n2, 3.0 - 4.0 * y * n4 / n3)
+    # KenLM's range check (lm/builder/adjust_counts.cc): each Dj must lie in
+    # [0, j], else the discount would assign negative mass (gamma < 0 -> a
+    # negative per-gram probability -> NaN NLL downstream of F.log). Skewed
+    # count-of-counts (e.g. n3 >> n2) violate this even with all nj > 0.
+    for j, d in enumerate(ds, start=1):
+        if not (0.0 <= d <= float(j)):
+            if fallback is not None:
+                d1, d2, d3 = fallback
+                return (float(d1), float(d2), float(d3))
+            raise ValueError(
+                f"modified-KN discount D{j}={d!r} outside [0, {j}] for "
+                f"count-of-counts (n1..n4) = {(n1, n2, n3, n4)} — KenLM "
+                f"refuses such discounts; pass discount_fallback (e.g. "
+                f"(0.5, 1.0, 1.5)) or use kneser_ney_ngram_logprob"
+            )
+    return ds
 
 
 def modified_kneser_ney_logprob(

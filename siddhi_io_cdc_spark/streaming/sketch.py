@@ -371,14 +371,30 @@ def read_qhist(spark, path: str) -> DataFrame:
 
 def qhist_quantiles(spark, path: str, qs) -> DataFrame:
     """Interpolated quantiles of the MAINTAINED length distribution —
-    ``quantile_estimates`` over the current state with the stored range."""
+    ``quantile_estimates`` over the current state with the stored range.
+
+    The turnstile state may legitimately hold NEGATIVE counters while a
+    changelog is mid-flight (a delete for a not-yet-ingested document),
+    but quantiles over such a state are undefined: the cumulative sum is
+    non-monotone, so the 'first bucket reaching target' pick and the
+    interpolation fraction both go wrong silently. Serving fails LOUDLY
+    here instead — re-apply the missing changelog, then query."""
     from siddhi_io_cdc_spark.functions.sketch import quantile_estimates
 
     base = path.rstrip("/")
     meta = json.loads(_hadoop_read_text(spark, base + "/" + _META))
-    return quantile_estimates(
-        _state_df(spark, base), qs, meta["lo"], meta["hi"], meta["bins"]
-    )
+    state = _state_df(spark, base)
+    # ≤ `bins`-row state: the drift check is one tiny driver action.
+    neg = state.where(F.col("cnt") < 0).limit(1).collect()
+    if neg:
+        raise ValueError(
+            f"qhist state at {base} has a negative counter "
+            f"(bucket {neg[0]['bucket']}: {neg[0]['cnt']}) — a changelog "
+            f"delete arrived before its insert; quantiles over a drifted "
+            f"turnstile state are undefined. Apply the missing batches "
+            f"before serving."
+        )
+    return quantile_estimates(state, qs, meta["lo"], meta["hi"], meta["bins"])
 
 
 def apply_changelog_qhist(

@@ -967,3 +967,12 @@ def test_modified_kneser_ney_matches_bruteforce(spark):
     assert modified_kn_discounts(5, 3, 0, 1, fallback=(0.5, 1.0, 1.5)) == (
         0.5, 1.0, 1.5,
     )
+    # KenLM's range check (each Dj in [0, j]): all-nonzero but skewed
+    # count-of-counts (n3 >> n2 here gives D2 = 2 - 3*y*n3/n2 < 0) must
+    # refuse rather than hand a negative discount (=> gamma < 0 => negative
+    # probability => silent NaN NLL) to the scorer.
+    with pytest.raises(ValueError, match=r"outside \[0, 2\]"):
+        modified_kn_discounts(10, 1, 50, 1)
+    assert modified_kn_discounts(10, 1, 50, 1, fallback=(0.5, 1.0, 1.5)) == (
+        0.5, 1.0, 1.5,
+    )

@@ -253,6 +253,28 @@ def test_qhist_replay_and_guard(spark, corpus0, tmp_path):
         apply_changelog_qhist(spark, null_before, path, batch_id=8)
 
 
+def test_qhist_quantiles_refuse_negative_drifted_state(spark, tmp_path):
+    """A delete for a never-ingested document leaves a negative counter —
+    legal for the linear (turnstile) state, undefined for quantile
+    serving: qhist_quantiles must fail loudly, not interpolate over a
+    non-monotone cumulative."""
+    from siddhi_io_cdc_spark.streaming.sketch import (
+        apply_changelog_qhist,
+        qhist_quantiles,
+        write_qhist_state,
+    )
+
+    path = str(tmp_path / "qh")
+    empty = spark.createDataFrame([], SCHEMA)
+    write_qhist_state(spark, empty, path, lo=0.0, hi=64.0, bins=32)
+    orphan_delete = spark.createDataFrame(
+        [(99, None, "ghost document text", "delete", 10)], SCHEMA
+    )
+    apply_changelog_qhist(spark, orphan_delete, path, batch_id=1)
+    with pytest.raises(ValueError, match="negative counter"):
+        qhist_quantiles(spark, path, [0.5]).collect()
+
+
 def test_qhist_foreach_batch_adapter(spark, corpus0, tmp_path):
     from siddhi_io_cdc_spark.streaming.sketch import (
         foreach_batch_qhist,
