@@ -684,6 +684,47 @@ def q_kneser_ney_5gram(spark, sf_dir):
     return kneser_ney_ngram_logprob(_docs(spark, sf_dir), n=5)
 
 
+def q_kneser_ney_maintained(spark, sf_dir):
+    """The CDC-MAINTAINED 5-gram KN LM, driver-checked end-to-end through
+    all three phases: initialize the bucketed per-document gram state from
+    an 80% doc split, apply a changelog batch INSERTING the remaining 20%
+    (``apply_changelog_ngram`` — the turnstile maintenance path), then
+    serve with ``kneser_ney_from_state``. The post-changelog corpus IS the
+    full documents table, so the oracle is byte-identical to
+    llm_kneser_ney_5gram's hierarchy restatement — the value-hash equality
+    is simultaneously the maintained==rebuild claim AND the serve==batch-
+    scorer claim. Update/delete maintenance and crash replay stay
+    pytest-pinned (tests/test_ngram_lm_stream.py)."""
+    import os
+    import re as _re
+
+    from siddhi_io_cdc_spark.streaming.ngram_lm import (
+        apply_changelog_ngram,
+        kneser_ney_from_state,
+        write_ngram_state,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    rest = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        "doc_id",
+        "text",
+        F.lit(None).cast("string").alias("before_text"),
+        F.lit("insert").alias("operation"),
+        F.col("doc_id").alias("ts_ms"),
+    )
+    # per-process path (see q_bm25_probe); write_ngram_state clears old
+    # batch markers, so repeat in-process calls re-apply cleanly
+    path = os.path.join(
+        "/tmp",
+        "kn_lm_state_%s_%d"
+        % (_re.sub(r"\W", "_", sf_dir.rstrip("/")), os.getpid()),
+    )
+    write_ngram_state(spark, base, path, n=5)
+    apply_changelog_ngram(spark, rest, path, batch_id=0)
+    return kneser_ney_from_state(spark, path)
+
+
 def q_modified_kneser_ney(spark, sf_dir):
     """MODIFIED Kneser-Ney n-gram scoring — KenLM's default estimator
     (Chen & Goodman 1998 §3: three per-order discounts D1/D2/D3+ from the
@@ -1922,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_tokenize_pipeline": q_tokenize_pipeline,
         "llm_span_corruption": q_span_corruption,
         # --- round-10 newcomers (insert NEW contract queries HERE) --- 41-
+        "llm_kneser_ney_maintained": q_kneser_ney_maintained,
         # --- re-checks: the 10 OLDEST round-8 rows (fillers to 50) -------
         "llm_bm25_topk": q_bm25_topk,
         "llm_dsir_weights": q_dsir_weights,
@@ -3110,6 +3152,12 @@ def oracle_sql() -> dict[str, str]:
     # EXACT whatever k-means converged to — the brute-force oracle of the
     # bucketed variant applies verbatim.
     d["llm_knn_join_trained"] = d["llm_knn_join_bucketed"]
+    # Maintained 5-gram KN LM: the query splits documents 80/20, initializes
+    # the gram state from the 80%, CDC-inserts the 20%, and serves — the
+    # post-changelog corpus is the FULL table, so the batch 5-gram KN
+    # hierarchy restatement applies verbatim (its hash equality is the
+    # maintained==rebuild AND serve==batch-scorer claim at once).
+    d["llm_kneser_ney_maintained"] = d["llm_kneser_ney_5gram"]
     return d
 
 

@@ -430,16 +430,11 @@ def kneser_ney_logprob(
     return tag_caches(out, [big, vocab])
 
 
-def _kn_hierarchy(df, n, id_col, text_col, persist_lower=False):
-    """Shared front half of both n-gram Kneser-Ney scorers: the exploded
-    n-gram table plus the KenLM adjusted-count hierarchy ``a[1..n]`` (raw
-    counts at the top order, recursive distinct-predecessor continuation
-    counts below — each table keyed by gram POSITIONS n-k+1..n so every
-    later join is a plain column-name equi-join). ``persist_lower``
-    additionally persists a[k<n] — the modified scorer runs one
-    count-of-count collect per order against them before the final plan."""
-    from siddhi_io_cdc_spark.util import scoped_persist
-
+def _gram_rows(df, n, id_col, text_col):
+    """One row per n-gram OCCURRENCE, ``(id_col, __w1..__wn)`` — the
+    shared explode both the batch scorers and the CDC-maintained LM state
+    (``streaming/ngram_lm.py``) are built from, so their counts agree by
+    construction."""
     toks = F.col("__toks")
     length = F.size(toks)
     positions = F.when(
@@ -452,7 +447,7 @@ def _kn_hierarchy(df, n, id_col, text_col, persist_lower=False):
         ),
     )
     wcols = [f"__w{i + 1}" for i in range(n)]
-    grams = scoped_persist(
+    return (
         # min_bytes_per_slot=0: tokenize + per-position struct-gather +
         # explode is heavy per input byte (same call-site measurement as
         # ngram_logprob's)
@@ -466,27 +461,71 @@ def _kn_hierarchy(df, n, id_col, text_col, persist_lower=False):
         .select(F.col(id_col), F.explode(gram).alias("__g"))
         .select(id_col, *[F.col(f"__g.{w}").alias(w) for w in wcols])
     )
-    a: dict[int, DataFrame] = {}
-    a[n] = scoped_persist(
-        grams.groupBy(*wcols).agg(F.count("*").cast("bigint").alias(f"__a{n}"))
-    )
+
+
+def _kn_lower_orders(a_n, wcols, n, persist_lower=False):
+    """The KenLM adjusted-count hierarchy below the top order: recursive
+    distinct-predecessor continuation counts
+    ``a_k(w^k) = |{v : a_{k+1}(v·w^k) > 0}|`` derived from ``a[n]`` alone
+    — each table keyed by gram POSITIONS n-k+1..n so every later join is
+    a plain column-name equi-join."""
+    from siddhi_io_cdc_spark.util import scoped_persist
+
+    a: dict[int, DataFrame] = {n: a_n}
     for k in range(n - 1, 0, -1):
         lower = a[k + 1].groupBy(*wcols[n - k:]).agg(
             F.count("*").cast("bigint").alias(f"__a{k}")
         )
         a[k] = scoped_persist(lower) if persist_lower else lower
-    return grams, a, wcols
+    return a
 
 
-def _kn_score(df, grams, a, ctx, prob, wcols, n, id_col, broadcast_vocab_max,
-              out_name, deps):
-    """Shared back half of both n-gram Kneser-Ney scorers: assemble the
-    per-gram probability by the vocab-to-vocab join chain (a[n] ⋈ ctx[n] ⋈
-    a[n-1] ⋈ ... ⋈ a[1] ⋈ S1), guard the corpus lookup join on the
-    MEASURED vocabulary size, regroup per document, left-join every input
-    id (< n-token documents get NULL)."""
-    from siddhi_io_cdc_spark.util import tag_caches
+def _kn_hierarchy(df, n, id_col, text_col, persist_lower=False):
+    """Shared front half of both n-gram Kneser-Ney scorers: the exploded
+    n-gram table plus the adjusted-count hierarchy ``a[1..n]`` (raw counts
+    at the top order via :func:`_gram_rows`, continuation counts below via
+    :func:`_kn_lower_orders`). ``persist_lower`` additionally persists
+    a[k<n] — the modified scorer runs one count-of-count collect per order
+    against them before the final plan."""
+    from siddhi_io_cdc_spark.util import scoped_persist
 
+    wcols = [f"__w{i + 1}" for i in range(n)]
+    grams = scoped_persist(_gram_rows(df, n, id_col, text_col))
+    a_n = scoped_persist(
+        grams.groupBy(*wcols).agg(F.count("*").cast("bigint").alias(f"__a{n}"))
+    )
+    return grams, _kn_lower_orders(a_n, wcols, n, persist_lower), wcols
+
+
+def _kn_fixed_ctx_prob(a, wcols, n, discount):
+    """Context stats + the fixed-discount interpolated-KN probability tree
+    (Chen & Goodman eq. 4.24), shared by the batch scorer and the
+    maintained-state scorer so their arithmetic is identical."""
+    ctx: dict[int, DataFrame] = {}
+    for k in range(n, 1, -1):
+        ctx[k] = a[k].groupBy(*wcols[n - k:-1]).agg(
+            F.sum(f"__a{k}").cast("bigint").alias(f"__s{k}"),
+            F.count("*").cast("bigint").alias(f"__t{k}"),
+        )
+    d = F.lit(float(discount))
+    # fixed-shape arithmetic tree, innermost (unigram) outwards — the
+    # oracle restates this association order term for term
+    prob = F.col("__a1").cast("double") / F.col("__S1").cast("double")
+    for k in range(2, n + 1):
+        prob = (
+            F.greatest(F.col(f"__a{k}").cast("double") - d, F.lit(0.0))
+            / F.col(f"__s{k}").cast("double")
+        ) + (
+            d * F.col(f"__t{k}").cast("double") / F.col(f"__s{k}").cast("double")
+        ) * prob
+    return ctx, prob
+
+
+def _kn_lm(a, ctx, prob, wcols, n, broadcast_vocab_max):
+    """The per-gram probability table ``(__w1..__wn, __p)`` assembled by
+    the vocab-to-vocab join chain (a[n] ⋈ ctx[n] ⋈ a[n-1] ⋈ ... ⋈ a[1] ⋈
+    S1), plus the MEASURED broadcast-or-shuffle decision for the corpus
+    lookup join."""
     s1 = a[1].agg(F.sum("__a1").cast("bigint").alias("__S1"))
     lm = a[n]
     for k in range(n, 1, -1):
@@ -498,6 +537,18 @@ def _kn_score(df, grams, a, ctx, prob, wcols, n, id_col, broadcast_vocab_max,
     use_broadcast = (
         broadcast_vocab_max is None or a[n].count() <= broadcast_vocab_max
     )
+    return lm, use_broadcast
+
+
+def _kn_score(df, grams, a, ctx, prob, wcols, n, id_col, broadcast_vocab_max,
+              out_name, deps):
+    """Shared back half of both n-gram Kneser-Ney scorers: assemble the
+    per-gram probability table, guard the corpus lookup join on the
+    MEASURED vocabulary size, regroup per document, left-join every input
+    id (< n-token documents get NULL)."""
+    from siddhi_io_cdc_spark.util import tag_caches
+
+    lm, use_broadcast = _kn_lm(a, ctx, prob, wcols, n, broadcast_vocab_max)
     scored = (
         grams.join(F.broadcast(lm) if use_broadcast else lm, wcols)
         .groupBy(id_col)
@@ -571,25 +622,7 @@ def kneser_ney_ngram_logprob(
     grams, a, wcols = _kn_hierarchy(
         df, n, id_col, text_col, persist_lower=persist_lower
     )
-    # context stats per order k >= 2: group a[k] by its key minus the last
-    # word; s_k = total continuation mass, t_k = distinct continuations.
-    ctx: dict[int, DataFrame] = {}
-    for k in range(n, 1, -1):
-        ctx[k] = a[k].groupBy(*wcols[n - k:-1]).agg(
-            F.sum(f"__a{k}").cast("bigint").alias(f"__s{k}"),
-            F.count("*").cast("bigint").alias(f"__t{k}"),
-        )
-    d = F.lit(float(discount))
-    # fixed-shape arithmetic tree, innermost (unigram) outwards — the
-    # oracle restates this association order term for term
-    prob = F.col("__a1").cast("double") / F.col("__S1").cast("double")
-    for k in range(2, n + 1):
-        prob = (
-            F.greatest(F.col(f"__a{k}").cast("double") - d, F.lit(0.0))
-            / F.col(f"__s{k}").cast("double")
-        ) + (
-            d * F.col(f"__t{k}").cast("double") / F.col(f"__s{k}").cast("double")
-        ) * prob
+    ctx, prob = _kn_fixed_ctx_prob(a, wcols, n, discount)
     deps = [grams] + (
         [a[k] for k in range(1, n + 1)] if persist_lower else [a[n]]
     )
