@@ -664,6 +664,37 @@ def q_cms_counts(spark, sf_dir):
     return cms_point_estimates(sk, top, "tok", width=512, depth=4)
 
 
+def q_bloom_screen(spark, sf_dir):
+    """Bloom-filter decontamination screen: the corpus token membership
+    bit set (4096 bits, k=3 — the fixed-size no-false-negative state a
+    contamination check broadcasts ahead of an exact join), probed with
+    the 8 heaviest corpus tokens (must all hit) plus two never-ingested
+    literals (definitely-absent ⇒ false; at 4096 bits vs the fixture's
+    token vocabulary the all-k-collision odds are negligible and the
+    oracle computes the same bits exactly anyway). State AND probe
+    restate in SQL through the house per-``j``-seed md5 family — the same
+    arithmetic the CMS row pins. The CDC-maintained twin
+    (streaming/sketch.write_bloom_state / apply_changelog_bloom /
+    bloom_screen, OR-monotone like HLL) is pytest-pinned."""
+    from siddhi_io_cdc_spark.functions.sketch import bloom_bits, bloom_maybe_contains
+
+    toks = _doc_tokens(spark, sf_dir).select("tok")
+    bits = bloom_bits(toks, "tok", m_bits=4096, k=3)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), "tok")
+        .limit(8)
+        .select("tok")
+    )
+    absent = spark.createDataFrame(
+        [("zz-never-ingested-a",), ("zz-never-ingested-b",)], "tok string"
+    )
+    return bloom_maybe_contains(
+        bits, top.unionByName(absent), "tok", m_bits=4096, k=3
+    )
+
+
 def q_kneser_ney(spark, sf_dir):
     """Interpolated Kneser-Ney bigram scoring (the KenLM/CCNet smoothing):
     every statistic is an exact integer count, the probability a
@@ -1964,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_span_corruption": q_span_corruption,
         # --- round-10 newcomers (insert NEW contract queries HERE) --- 41-
         "llm_kneser_ney_maintained": q_kneser_ney_maintained,
+        "llm_bloom_screen": q_bloom_screen,
         # --- re-checks: the 10 OLDEST round-8 rows (fillers to 50) -------
         "llm_bm25_topk": q_bm25_topk,
         "llm_dsir_weights": q_dsir_weights,
@@ -3772,6 +3804,35 @@ def _oracle_sql_dict() -> dict[str, str]:
         # llm_cms_counts: rebuild the 512x4 count-min sketch (per-row md5
         # seed '0.d', 60-bit prefix mod width) and point-query it for the
         # top-8 exact tokens; min over the 4 rows, absent cells count 0.
+        # llm_bloom_screen: bit set + probe through the same house
+        # per-j-seed md5 family as the CMS oracle; bloom_hit = all k bits set.
+        "llm_bloom_screen": f"""
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+              FROM documents),
+            kk AS (SELECT unnest([0, 1, 2]) AS j),
+            bits AS (
+              SELECT DISTINCT
+                     CAST(('0x' || substr(md5('0.' || CAST(j AS VARCHAR)
+                         || chr(31) || tok), 1, 15)) AS BIGINT) % 4096 AS bit
+              FROM toks CROSS JOIN kk),
+            top AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM toks
+                GROUP BY tok ORDER BY c DESC, tok LIMIT 8)),
+            probes AS (
+              SELECT tok FROM top
+              UNION ALL
+              SELECT unnest(['zz-never-ingested-a', 'zz-never-ingested-b']) AS tok),
+            pb AS (
+              SELECT p.tok, kk.j,
+                     CAST(('0x' || substr(md5('0.' || CAST(kk.j AS VARCHAR)
+                         || chr(31) || p.tok), 1, 15)) AS BIGINT) % 4096 AS bit
+              FROM probes p CROSS JOIN kk)
+            SELECT pb.tok,
+                   (count(CASE WHEN b.bit IS NOT NULL THEN 1 END) = 3) AS bloom_hit
+            FROM pb LEFT JOIN bits b USING (bit)
+            GROUP BY pb.tok""",
         "llm_cms_counts": f"""
             WITH toks AS (
               SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok

@@ -312,11 +312,124 @@ def apply_changelog_hll(
     _commit_state(spark, base, merged, batch_id)
 
 
+def write_bloom_state(
+    spark,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    m_bits: int = 4096,
+    k: int = 3,
+    seed: int = 0,
+) -> None:
+    """Initialize the maintained Bloom bit set over a corpus snapshot —
+    the third maintained monotone/linear trio member next to CMS and HLL
+    (curation use: "was this token/shingle/URL ever ingested" ahead of an
+    expensive exact membership join)."""
+    from siddhi_io_cdc_spark.functions.sketch import bloom_bits
+
+    base = path.rstrip("/")
+    _hadoop_write_text(
+        spark,
+        base + "/" + _META,
+        json.dumps(
+            {"kind": "bloom", "m_bits": m_bits, "k": k, "seed": seed,
+             "text_col": text_col}
+        ),
+    )
+    bits = bloom_bits(_tokens(df, text_col), "tok", m_bits=m_bits, k=k, seed=seed)
+    _commit_state(spark, base, bits, None)
+
+
+def read_bloom_bits(spark, path: str) -> DataFrame:
+    """Current set bits ``(bit)`` — probe-compatible with
+    ``functions.sketch.bloom_maybe_contains`` (pass the stored meta's
+    m_bits/k/seed)."""
+    return _state_df(spark, path.rstrip("/"))
+
+
+def apply_changelog_bloom(
+    spark,
+    batch_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    seq_col: str = "ts_ms",
+    op_col: str = "operation",
+    on_mutate: str = "error",
+    batch_id=None,
+) -> None:
+    """OR one micro-batch's bits into the maintained Bloom set.
+
+    Bloom bits are OR-monotone: there is no bit clearing, so a delete (or
+    the before-side of an update) CANNOT be reflected — same algebra, and
+    same policy surface, as the HLL registers. Default
+    ``on_mutate="error"`` raises when the batch contains update/delete
+    ops; ``on_mutate="union"`` merges every non-delete after image and
+    documents the state as "tokens EVER ingested" — exactly the
+    no-false-negative guarantee a decontamination screen wants (a
+    document that ever entered the corpus keeps tripping the screen even
+    after deletion)."""
+    if on_mutate not in ("error", "union"):
+        raise ValueError(f"on_mutate must be 'error' or 'union' (got {on_mutate!r})")
+    from siddhi_io_cdc_spark.functions.sketch import bloom_bits
+    from siddhi_io_cdc_spark.operators.mutate import rekey_deletes
+
+    base = path.rstrip("/")
+    if _already_applied(spark, base, batch_id):
+        return
+    meta = json.loads(_hadoop_read_text(spark, base + "/" + _META))
+    m_bits, k, seed = meta["m_bits"], meta["k"], meta["seed"]
+    text_col = meta["text_col"]
+
+    batch_df = rekey_deletes(batch_df, [id_col], op_col)
+    if on_mutate == "error":
+        movers = batch_df.where(F.col(op_col).isin("update", "delete"))
+        if movers.limit(1).count():
+            raise ValueError(
+                "batch contains update/delete ops: Bloom bits are "
+                "OR-monotone and cannot forget. Rebuild with "
+                "write_bloom_state, or pass on_mutate='union' to keep an "
+                "ever-ingested membership screen."
+            )
+    new_bits = bloom_bits(
+        _tokens(batch_df.where(F.col(op_col) != "delete"), text_col),
+        "tok",
+        m_bits=m_bits,
+        k=k,
+        seed=seed,
+    )
+    merged = _state_df(spark, base).unionByName(new_bits).distinct()
+    _commit_state(spark, base, merged, batch_id)
+
+
+def bloom_screen(spark, path: str, keys: DataFrame, key_col: str) -> DataFrame:
+    """Probe the MAINTAINED bit set: ``keys``' columns plus ``bloom_hit``
+    (false = definitely never ingested; the decontamination pre-filter
+    shape — the ≤ m_bits state broadcasts, the probe side never
+    shuffles)."""
+    from siddhi_io_cdc_spark.functions.sketch import bloom_maybe_contains
+
+    base = path.rstrip("/")
+    meta = json.loads(_hadoop_read_text(spark, base + "/" + _META))
+    return bloom_maybe_contains(
+        _state_df(spark, base), keys, key_col,
+        m_bits=meta["m_bits"], k=meta["k"], seed=meta["seed"],
+    )
+
+
 def foreach_batch_cms(spark, path: str, **kwargs):
     """``writeStream.foreachBatch`` adapter for :func:`apply_changelog_cms`."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_changelog_cms(spark, batch_df, path, batch_id=batch_id, **kwargs)
+
+    return _apply
+
+
+def foreach_batch_bloom(spark, path: str, **kwargs):
+    """``writeStream.foreachBatch`` adapter for :func:`apply_changelog_bloom`."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_changelog_bloom(spark, batch_df, path, batch_id=batch_id, **kwargs)
 
     return _apply
 

@@ -173,6 +173,60 @@ def test_hll_mutations_raise_by_default_union_opt_in(spark, corpus0, tmp_path):
         apply_changelog_hll(spark, b1, path, on_mutate="bogus")
 
 
+def test_bloom_insert_only_matches_fresh_bits_and_screen(spark, corpus0, tmp_path):
+    from siddhi_io_cdc_spark.functions.sketch import bloom_bits
+    from siddhi_io_cdc_spark.streaming.sketch import (
+        apply_changelog_bloom,
+        bloom_screen,
+        foreach_batch_bloom,
+        read_bloom_bits,
+        write_bloom_state,
+    )
+
+    path = str(tmp_path / "bloom")
+    write_bloom_state(spark, corpus0, path, m_bits=1024, k=3)
+    b = spark.createDataFrame([(4, "zeta alpha", None, "insert", 10)], SCHEMA)
+    foreach_batch_bloom(spark, path)(b, 1)
+    got = sorted(r["bit"] for r in read_bloom_bits(spark, path).collect())
+    union = corpus0.unionByName(
+        spark.createDataFrame([(4, "zeta alpha")], "doc_id bigint, text string")
+    )
+    fresh = bloom_bits(_tokens(union, "text"), "tok", m_bits=1024, k=3)
+    assert got == sorted(r["bit"] for r in fresh.collect())
+    # screen: no false negatives on ingested tokens; the absent probe
+    # misses (1024 bits vs ~7 tokens: collision odds are negligible)
+    keys = spark.createDataFrame(
+        [("zeta",), ("alpha",), ("never-ingested-zzz",)], "tok string"
+    )
+    hits = {
+        r["tok"]: r["bloom_hit"]
+        for r in bloom_screen(spark, path, keys, "tok").collect()
+    }
+    assert hits == {"zeta": True, "alpha": True, "never-ingested-zzz": False}
+
+
+def test_bloom_mutations_raise_by_default_union_opt_in(spark, corpus0, tmp_path):
+    from siddhi_io_cdc_spark.streaming.sketch import (
+        apply_changelog_bloom,
+        read_bloom_bits,
+        write_bloom_state,
+    )
+
+    path = str(tmp_path / "bloom")
+    write_bloom_state(spark, corpus0, path, m_bits=1024, k=3)
+    b1, _ = _batches(spark)
+    with pytest.raises(ValueError, match="OR-monotone"):
+        apply_changelog_bloom(spark, b1, path, batch_id=1)
+    # union mode only ever ADDS bits (ever-ingested screen semantics)
+    before = {r["bit"] for r in read_bloom_bits(spark, path).collect()}
+    apply_changelog_bloom(spark, b1, path, on_mutate="union", batch_id=1)
+    after = {r["bit"] for r in read_bloom_bits(spark, path).collect()}
+    assert before <= after
+    # replay: marker skip leaves the state unchanged
+    apply_changelog_bloom(spark, b1, path, on_mutate="union", batch_id=1)
+    assert {r["bit"] for r in read_bloom_bits(spark, path).collect()} == after
+
+
 def test_versioned_state_single_live_dir(spark, corpus0, tmp_path):
     # after several applies exactly one state-* version remains (GC) and
     # the pointer names it
