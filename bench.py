@@ -118,6 +118,11 @@ BENCH_QUERIES = [
     "llm_kneser_ney_5gram",
     "llm_modified_kneser_ney",
     "llm_quantile_sketch",
+    # Round 10: the Bloom membership screen (the maintained-LM contract row
+    # llm_kneser_ney_maintained is NOT here: its timed region is dominated
+    # by the one-time state build — the split build/apply/serve bench in
+    # BASELINE.md round 10 is its honest cost).
+    "llm_bloom_screen",
 ]
 
 
