@@ -751,7 +751,12 @@ def q_kneser_ney_maintained(spark, sf_dir):
         "kn_lm_state_%s_%d"
         % (_re.sub(r"\W", "_", sf_dir.rstrip("/")), os.getpid()),
     )
-    write_ngram_state(spark, base, path, n=5)
+    # bucket counts sized to the contract fixture (physical layout only —
+    # the oracle is unaffected): 64/16 buckets on a sf0.01 corpus are
+    # nearly-empty partition dirs whose small-file overhead dominated the
+    # row (measured 25.4 s -> 9.4 s at 16/4). Production sizes buckets to
+    # the corpus, exactly like the BM25 index's nbuckets.
+    write_ngram_state(spark, base, path, n=5, nbuckets=16, doc_buckets=4)
     apply_changelog_ngram(spark, rest, path, batch_id=0)
     return kneser_ney_from_state(spark, path)
 
