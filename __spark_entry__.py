@@ -761,6 +761,53 @@ def q_kneser_ney_maintained(spark, sf_dir):
     return kneser_ney_from_state(spark, path)
 
 
+def q_kneser_ney_maintained_mut(spark, sf_dir):
+    """The maintained LM's UPDATE/DELETE path, driver-checked (the insert
+    path is `llm_kneser_ney_maintained`): initialize the state from the
+    FULL corpus, apply one changelog batch that rewrites every doc_id%7==0
+    document (append ' zz qq') and deletes every doc_id%11==0 one (%7!=0,
+    so each key carries exactly one event), then serve. The before-image
+    subtraction — the turnstile half a stored global count could not
+    replay safely — is thereby oracle-checked: the oracle runs the same
+    5-gram KN hierarchy over the post-changelog corpus expressed as a
+    CASE/WHERE CTE."""
+    import os
+    import re as _re
+
+    from siddhi_io_cdc_spark.streaming.ngram_lm import (
+        apply_changelog_ngram,
+        kneser_ney_from_state,
+        write_ngram_state,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = os.path.join(
+        "/tmp",
+        "kn_lm_mut_%s_%d"
+        % (_re.sub(r"\W", "_", sf_dir.rstrip("/")), os.getpid()),
+    )
+    write_ngram_state(spark, docs, path, n=5, nbuckets=16, doc_buckets=4)
+    upd = docs.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+        F.col("text").alias("before_text"),
+        F.lit("update").alias("operation"),
+        F.lit(1).cast("bigint").alias("ts_ms"),
+    )
+    dele = docs.where(
+        (F.pmod(F.col("doc_id"), F.lit(11)) == 0)
+        & (F.pmod(F.col("doc_id"), F.lit(7)) != 0)
+    ).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.col("text").alias("before_text"),
+        F.lit("delete").alias("operation"),
+        F.lit(1).cast("bigint").alias("ts_ms"),
+    )
+    apply_changelog_ngram(spark, upd.unionByName(dele), path, batch_id=0)
+    return kneser_ney_from_state(spark, path)
+
+
 def q_modified_kneser_ney(spark, sf_dir):
     """MODIFIED Kneser-Ney n-gram scoring — KenLM's default estimator
     (Chen & Goodman 1998 §3: three per-order discounts D1/D2/D3+ from the
@@ -2000,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_span_corruption": q_span_corruption,
         # --- round-10 newcomers (insert NEW contract queries HERE) --- 41-
         "llm_kneser_ney_maintained": q_kneser_ney_maintained,
+        "llm_kneser_ney_maintained_mut": q_kneser_ney_maintained_mut,
         "llm_bloom_screen": q_bloom_screen,
         # --- re-checks: the 10 OLDEST round-8 rows (fillers to 50) -------
         "llm_bm25_topk": q_bm25_topk,
@@ -3195,6 +3243,24 @@ def oracle_sql() -> dict[str, str]:
     # hierarchy restatement applies verbatim (its hash equality is the
     # maintained==rebuild AND serve==batch-scorer claim at once).
     d["llm_kneser_ney_maintained"] = d["llm_kneser_ney_5gram"]
+    # Maintained LM, update/delete path: the same hierarchy over the
+    # POST-CHANGELOG corpus (every doc_id%7==0 text appended ' zz qq',
+    # every doc_id%11==0-and-%7!=0 doc deleted) — a CASE/WHERE CTE swapped
+    # in for the documents scan.
+    _eff = (
+        "documents_eff AS MATERIALIZED (\n"
+        "              SELECT doc_id,\n"
+        "                     CASE WHEN doc_id % 7 = 0 THEN text || ' zz qq'\n"
+        "                          ELSE text END AS text\n"
+        "              FROM documents\n"
+        "              WHERE NOT (doc_id % 11 = 0 AND doc_id % 7 <> 0)),\n"
+        "            t AS MATERIALIZED"
+    )
+    d["llm_kneser_ney_maintained_mut"] = (
+        d["llm_kneser_ney_5gram"]
+        .replace("WITH t AS MATERIALIZED", "WITH " + _eff, 1)
+        .replace("FROM documents)", "FROM documents_eff)")
+    )
     return d
 
 
