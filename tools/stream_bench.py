@@ -44,6 +44,63 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     register_cdc_poll(spark)
 
+    # This host's wall-clock has a measured ~2x heavy-tailed noise band
+    # (BASELINE.md round 10): single-shot throughput numbers whipsaw
+    # round-over-round for no code reason. Each phase therefore runs
+    # $STREAM_BENCH_REPEATS times (default 3) in one session and reports
+    # the BEST run per metric (the least-interfered observation of the
+    # same fixed work), with every run recorded for spread.
+    repeats = max(1, int(os.environ.get("STREAM_BENCH_REPEATS", "3")))
+    capture_runs = [_measure_capture(spark, cpus) for _ in range(repeats)]
+    gap_runs = [_measure_gap(spark, cpus) for _ in range(repeats)]
+
+    # catch-up stays the FIRST run (the cold worst case, comparable with
+    # the historical series — it deliberately pays codegen JIT / worker
+    # spawn); later repeats expose the WARM capture rate, which turns out
+    # to be ~6-7x the cold figure (the one-time costs, not the capture
+    # path, dominated the single-shot number every prior round recorded).
+    best_catch = capture_runs[0]
+    warm_catch = (
+        max((r["catchup_rate"] or 0) for r in capture_runs[1:])
+        if len(capture_runs) > 1
+        else None
+    )
+    best_steady = max(capture_runs, key=lambda r: r["steady_rate"] or 0)
+    best_gap = max(gap_runs, key=lambda r: r["release_events_per_sec"])
+    gap_wait = dict(best_gap)
+    gap_wait["hold_correct"] = all(r["hold_correct"] for r in gap_runs)
+    gap_wait["release_complete"] = all(r["release_complete"] for r in gap_runs)
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_poll_catchup_events_per_sec",
+                "value": best_catch["catchup_rate"],
+                "unit": "events/sec",
+                "catchup": best_catch["catchup"],
+                "catchup_warm_events_per_sec": warm_catch,
+                "steady_events_per_sec": best_steady["steady_rate"],
+                "steady": best_steady["steady"],
+                "gap_wait": gap_wait,
+                "repeats": repeats,
+                "runs": {
+                    "catchup_rates": [r["catchup_rate"] for r in capture_runs],
+                    "steady_rates": [r["steady_rate"] for r in capture_runs],
+                    "release_rates": [
+                        r["release_events_per_sec"] for r in gap_runs
+                    ],
+                },
+                "sf_dir": SF_DIR,
+            }
+        )
+    )
+    return 0
+
+
+def _measure_capture(spark, cpus) -> dict:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     # Stream from a scratch COPY so steady-state waves can append to it
     # (the fixture directory is read-only).
     landing = f"/tmp/stream_bench_landing_{time.time_ns()}"
@@ -99,12 +156,33 @@ def main() -> int:
     steady_events = counts["n"] - catchup_events
     steady_ms = sum(p["durationMs"]["triggerExecution"] for p in steady_batches)
     shutil.rmtree(landing, ignore_errors=True)
+    return {
+        "catchup_rate": round(catchup_events / (catchup_ms / 1000.0), 1)
+        if catchup_ms
+        else None,
+        "catchup": {
+            "events": catchup_events,
+            "busy_sec": round(catchup_ms / 1000.0, 3),
+            "n_batches": len(catchup_batches),
+        },
+        "steady_rate": round(steady_events / (steady_ms / 1000.0), 1)
+        if steady_ms
+        else None,
+        "steady": {
+            "events": steady_events,
+            "busy_sec": round(steady_ms / 1000.0, 3),
+            "n_batches": len(steady_batches),
+        },
+    }
 
+
+def _measure_gap(spark, cpus) -> dict:
     # --- gap-wait episode (multi-partition): a wave with a missing id
     # block must HOLD everything past the gap, then release at full rate
     # when the stragglers land. Separate query: gap-wait needs DENSE ids
-    # (the shifted waves above create intentional 100M-id jumps).
+    # (the shifted capture waves create intentional 100M-id jumps).
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
     n_seed = 200_000
     gap_lo, gap_hi = 250_000, 250_512  # 512 missing ids inside wave A
@@ -163,41 +241,13 @@ def main() -> int:
     released = gap_counts["n"] - held_at
     q2.stop()
     shutil.rmtree(landing2, ignore_errors=True)
-    gap_wait = {
+    return {
         "hold_correct": bool(hold_ok),
         "delivered_before_release": held_at,
         "released_events": released,
         "release_complete": gap_counts["n"] == wave_hi,
         "release_events_per_sec": round(released / release_sec, 1),
     }
-
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_poll_catchup_events_per_sec",
-                "value": round(catchup_events / (catchup_ms / 1000.0), 1)
-                if catchup_ms
-                else None,
-                "unit": "events/sec",
-                "catchup": {
-                    "events": catchup_events,
-                    "busy_sec": round(catchup_ms / 1000.0, 3),
-                    "n_batches": len(catchup_batches),
-                },
-                "steady_events_per_sec": round(steady_events / (steady_ms / 1000.0), 1)
-                if steady_ms
-                else None,
-                "steady": {
-                    "events": steady_events,
-                    "busy_sec": round(steady_ms / 1000.0, 3),
-                    "n_batches": len(steady_batches),
-                },
-                "gap_wait": gap_wait,
-                "sf_dir": SF_DIR,
-            }
-        )
-    )
-    return 0
 
 
 if __name__ == "__main__":
