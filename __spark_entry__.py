@@ -695,6 +695,52 @@ def q_bloom_screen(spark, sf_dir):
     )
 
 
+def q_bloom_screen_maintained(spark, sf_dir):
+    """The MAINTAINED Bloom screen, driver-checked end-to-end: initialize
+    the bit-set state from an 80% doc split, apply a changelog batch
+    inserting the remaining 20% (`apply_changelog_bloom` — the OR-merge
+    path), then probe through `bloom_screen`. The post-changelog corpus
+    is the full table, so the llm_bloom_screen oracle applies verbatim —
+    hash equality is maintained==fresh AND probe==batch-probe at once."""
+    import os
+    import re as _re
+
+    from siddhi_io_cdc_spark.streaming.sketch import (
+        apply_changelog_bloom,
+        bloom_screen,
+        write_bloom_state,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    rest = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        "doc_id",
+        "text",
+        F.lit(None).cast("string").alias("before_text"),
+        F.lit("insert").alias("operation"),
+        F.col("doc_id").alias("ts_ms"),
+    )
+    path = os.path.join(
+        "/tmp",
+        "bloom_state_%s_%d"
+        % (_re.sub(r"\W", "_", sf_dir.rstrip("/")), os.getpid()),
+    )
+    write_bloom_state(spark, base, path, m_bits=4096, k=3)
+    apply_changelog_bloom(spark, rest, path, batch_id=0)
+    toks = _doc_tokens(spark, sf_dir).select("tok")
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), "tok")
+        .limit(8)
+        .select("tok")
+    )
+    absent = spark.createDataFrame(
+        [("zz-never-ingested-a",), ("zz-never-ingested-b",)], "tok string"
+    )
+    return bloom_screen(spark, path, top.unionByName(absent), "tok")
+
+
 def q_kneser_ney(spark, sf_dir):
     """Interpolated Kneser-Ney bigram scoring (the KenLM/CCNet smoothing):
     every statistic is an exact integer count, the probability a
@@ -2052,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_kneser_ney_maintained": q_kneser_ney_maintained,
         "llm_kneser_ney_maintained_mut": q_kneser_ney_maintained_mut,
         "llm_bloom_screen": q_bloom_screen,
+        "llm_bloom_screen_maintained": q_bloom_screen_maintained,
         # --- re-checks: the 10 OLDEST round-8 rows (fillers to 50) -------
         "llm_bm25_topk": q_bm25_topk,
         "llm_dsir_weights": q_dsir_weights,
@@ -3246,6 +3293,10 @@ def oracle_sql() -> dict[str, str]:
     # hierarchy restatement applies verbatim (its hash equality is the
     # maintained==rebuild AND serve==batch-scorer claim at once).
     d["llm_kneser_ney_maintained"] = d["llm_kneser_ney_5gram"]
+    # Maintained Bloom screen: init on 80%, CDC-insert the 20%, probe —
+    # the post-changelog corpus is the full table, so the fresh-build
+    # screen oracle applies verbatim.
+    d["llm_bloom_screen_maintained"] = d["llm_bloom_screen"]
     # Maintained LM, update/delete path: the same hierarchy over the
     # POST-CHANGELOG corpus (every doc_id%7==0 text appended ' zz qq',
     # every doc_id%11==0-and-%7!=0 doc deleted) — a CASE/WHERE CTE swapped
