@@ -242,6 +242,24 @@ def q_incremental_scan(spark, sf_dir):
     )
 
 
+def q_gap_wait(spark, sf_dir):
+    """T8 gap-wait admission as a batch contract row
+    (WaitOnMissingRecordPollingStrategy.java:112-152): drop event_id
+    17 mod 509 to simulate missed records, then tag each surviving event
+    with its delivery phase — 1 = inside the contiguous run the offset
+    walks through immediately, 2 = held at the first gap and released
+    only by the missed-record timeout (the :124-126 give-up path)."""
+    from siddhi_io_cdc_spark.sources.polling import gap_admission_phases
+
+    present = (
+        spark.read.schema(_EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_id") % 509 != 17)
+        .select("event_id", "user_id", "value")
+    )
+    return gap_admission_phases(present, "event_id")
+
+
 # -- Mutating query surface (Q1/Q3/Q4 + CDC apply) --------------------------
 
 
@@ -403,6 +421,59 @@ def q_ivf_ann(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     return ivf_ann_cosine(emb, q, k=10, nlist=8, nprobe=8).select("vec_id")
+
+
+#: Fixed 64-dim probe vector for the maintained-IVF mutation row (integer
+#: values — exact in both engines; shared by the Spark probe and oracle).
+_IVF_MUT_QUERY = [float((i * 7 + 3) % 11 + 1) for i in range(64)]
+
+
+def q_ivf_probe_maintained_mut(spark, sf_dir):
+    """The maintained IVF index's UPDATE/DELETE path, driver-checked
+    end-to-end (round-10 verdict ask #4 — the insert-only path was pinned
+    by pytest parity, and llm_ivf_ann only checks the batch probe):
+    build the cell-partitioned index from the full embeddings table, apply
+    ONE changelog batch that negates every vec_id%7==0 vector (negation
+    moves the vector's cell — exercising the before-image cell discovery)
+    and deletes every vec_id%11==0 one (%7!=0, so each key carries exactly
+    one event), then probe nprobe=4 of nlist=8 cells. The oracle restates
+    the probe machinery itself over the post-changelog corpus: centroid
+    literals, argmax-dot cell assignment with lowest-index ties, the
+    SAME stable-sorted 4-cell probe list, cosine top-10."""
+    import os
+    import re as _re
+
+    from siddhi_io_cdc_spark.functions.similarity import (
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from siddhi_io_cdc_spark.streaming.ivf_index import apply_changelog_ivf
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = os.path.join(
+        "/tmp",
+        "ivf_mut_%s_%d"
+        % (_re.sub(r"\W", "_", sf_dir.rstrip("/")), os.getpid()),
+    )
+    write_ivf_index(emb, path, nlist=8, seed=42)
+    upd = emb.where(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+        F.lit("update").alias("operation"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("embedding").alias("before_embedding"),
+    )
+    dele = emb.where(
+        (F.col("vec_id") % 11 == 0) & (F.col("vec_id") % 7 != 0)
+    ).select(
+        "vec_id",
+        F.expr("array_repeat(CAST(0.0 AS FLOAT), 64)").alias("embedding"),
+        F.lit("delete").alias("operation"),
+        F.lit(1).cast("long").alias("ts_ms"),
+        F.col("embedding").alias("before_embedding"),
+    )
+    apply_changelog_ivf(spark, path, upd.unionByName(dele))
+    return probe_ivf_index(spark, path, _IVF_MUT_QUERY, k=10, nprobe=4)
 
 
 def q_near_dedup(spark, sf_dir):
@@ -2053,7 +2124,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays covered by the local typed gate (tools/check_contract.py) and
     # pytest.
     return {
-        # --- re-checks: the 40 keys whose latest driver evidence is r7 - 1-40
+        # --- ROUND-11 WINDOW (driver records the FIRST 50 entries). ---
+        # Positions 1-44: ALL 44 keys whose latest driver-green row is
+        # round 8 (VERDICT r10 ask #3); after this rotation no key's
+        # evidence is older than round 9.
+        "cdc_apply_changelog": q_apply_changelog,
+        "cdc_delete_on": q_delete_on,
+        "cdc_flatten_insert_delete": q_flatten_insert_delete,
+        "cdc_flatten_multi_op": q_flatten_multi_op,
+        "cdc_flatten_snapshot": q_flatten_snapshot,
+        "cdc_insert_into": q_insert_into,
+        "cdc_offset_discovery": q_offset_discovery,
+        "llm_cdc_pipeline": q_cdc_pipeline,
+        "llm_cms_counts": q_cms_counts,
+        "llm_decontaminate_spans": q_decontaminate_spans,
+        "llm_dedup_substrings": q_dedup_substrings,
+        "llm_distinctive_terms": q_distinctive_terms,
+        "llm_duplicate_spans": q_duplicate_spans,
+        "llm_duplicate_spans_maximal": q_duplicate_spans_maximal,
+        "llm_hll_distinct": q_hll_distinct,
+        "llm_ivf_ann": q_ivf_ann,
+        "llm_kneser_ney": q_kneser_ney,
+        "llm_near_dedup": q_near_dedup,
+        "llm_semantic_dedup_numpy": q_semantic_dedup_numpy,
+        "llm_text_stats": q_text_stats,
+        "llm_topk_cosine": q_topk_cosine,
+        "llm_unigram_encode": q_unigram_encode,
+        "llm_unigram_lm": q_unigram_lm,
+        "llm_url_dedup": q_url_dedup,
+        "rel_asof_forward": q_asof_forward,
+        "rel_custdist": R.customer_order_distribution,
+        "rel_pattern_absent": q_pattern_absent,
+        "rel_pattern_match": q_pattern_match,
+        "rel_pattern_or": q_pattern_or,
+        "rel_pattern_runs": q_pattern_runs,
+        "rel_percentiles": q_percentiles,
+        "rel_pricing_summary": R.pricing_summary,
+        "rel_range_join": q_range_join,
+        "rel_salted_join": q_salted_join,
+        "rel_small_qty_revenue": R.small_quantity_revenue,
+        "win_delay": q_delay_window,
+        "win_length": q_length_window,
+        "win_lossy_frequent": q_lossy_frequent,
+        "win_session": q_session_window,
+        "win_sliding": q_sliding_window,
+        "win_sort": q_sort_window,
+        "win_time_length": q_time_length_window,
+        "win_tumbling": q_tumbling_window,
+        "win_unique": q_unique_window,
+        # --- round-11 newcomers (insert NEW contract queries HERE;
+        # STANDING RULE from VERDICT r7 #6: a new key must land ABOVE
+        # position 50 in its own round) --- positions 45-46
+        "cdc_gap_wait": q_gap_wait,
+        "llm_ivf_probe_maintained_mut": q_ivf_probe_maintained_mut,
+        # --- fillers to 50: the 4 OLDEST round-9 rows (r9 window order)
+        "llm_gopher_quality": q_gopher_quality,
+        "llm_knn_join": q_knn_join,
+        "llm_embedding_near_dup": q_embedding_near_dup,
+        "llm_multimodal_decode": q_multimodal_decode,
+        # --- position 51+: driver-r9/r10-green remainder, covered every
+        # session by the local typed gate (tools/check_contract.py) + pytest
         "llm_top_ngrams": q_top_ngrams,
         "llm_label_centroids": q_label_centroids,
         "llm_repetition": q_repetition,
@@ -2094,27 +2224,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_quality_classifier": q_quality_classifier,
         "llm_tokenize_pipeline": q_tokenize_pipeline,
         "llm_span_corruption": q_span_corruption,
-        # --- round-10 newcomers (insert NEW contract queries HERE) --- 41-
         "llm_kneser_ney_maintained": q_kneser_ney_maintained,
         "llm_kneser_ney_maintained_mut": q_kneser_ney_maintained_mut,
         "llm_bloom_screen": q_bloom_screen,
         "llm_bloom_screen_maintained": q_bloom_screen_maintained,
-        # --- re-checks: the 10 OLDEST round-8 rows (fillers to 50) -------
         "llm_bm25_topk": q_bm25_topk,
         "llm_dsir_weights": q_dsir_weights,
         "llm_hybrid_retrieval": q_hybrid_retrieval,
         "llm_semantic_dedup": q_semantic_dedup,
         "llm_ul2_denoisers": q_ul2_denoisers,
         "llm_dsir_select": q_dsir_select,
-        "llm_hll_distinct": q_hll_distinct,
-        "llm_cms_counts": q_cms_counts,
-        "llm_kneser_ney": q_kneser_ney,
-        "llm_unigram_lm": q_unigram_lm,
-        # --- position 51+: driver-r8/r9-green remainder (local gate) ------
-        "llm_gopher_quality": q_gopher_quality,
-        "llm_knn_join": q_knn_join,
-        "llm_embedding_near_dup": q_embedding_near_dup,
-        "llm_multimodal_decode": q_multimodal_decode,
         "cdc_flatten_insert": q_flatten_insert,
         "cdc_flatten_delete": q_flatten_delete,
         "cdc_lowercase_columns": q_lowercase_columns,
@@ -2122,7 +2241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_local_supplier_volume": R.local_supplier_volume,
         "rel_top_orders_per_customer": R.top_orders_per_customer,
         "rel_returnflag_rollup": R.returnflag_rollup,
-        "rel_distinct_parts": lambda s, d: R.distinct_parts_per_flag(s, d).select( "l_returnflag", "n_parts" ),
+        "rel_distinct_parts": lambda s, d: R.distinct_parts_per_flag(s, d).select(
+            "l_returnflag", "n_parts"
+        ),
         "rel_nations_except": R.nations_except,
         "rel_nations_intersect": R.nations_intersect,
         "rel_order_priority": R.order_priority_counts,
@@ -2161,46 +2282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_lang_detect": q_lang_detect,
         "llm_quality_score": q_quality_score,
         "llm_fingerprint": q_fingerprint,
-        "llm_unigram_encode": q_unigram_encode,
-        "cdc_offset_discovery": q_offset_discovery,
-        "cdc_insert_into": q_insert_into,
-        "cdc_delete_on": q_delete_on,
-        "rel_range_join": q_range_join,
-        "rel_salted_join": q_salted_join,
-        "rel_percentiles": q_percentiles,
-        "rel_custdist": R.customer_order_distribution,
-        "rel_small_qty_revenue": R.small_quantity_revenue,
-        "rel_pattern_or": q_pattern_or,
-        "rel_pattern_runs": q_pattern_runs,
-        "win_length": q_length_window,
-        "win_tumbling": q_tumbling_window,
-        "win_sliding": q_sliding_window,
-        "win_unique": q_unique_window,
-        "win_sort": q_sort_window,
-        "win_time_length": q_time_length_window,
-        "win_delay": q_delay_window,
-        "llm_text_stats": q_text_stats,
-        "llm_topk_cosine": q_topk_cosine,
-        "llm_ivf_ann": q_ivf_ann,
-        "llm_distinctive_terms": q_distinctive_terms,
-        "llm_url_dedup": q_url_dedup,
-        "llm_duplicate_spans_maximal": q_duplicate_spans_maximal,
-        "llm_dedup_substrings": q_dedup_substrings,
-        "llm_semantic_dedup_numpy": q_semantic_dedup_numpy,
-        "llm_decontaminate_spans": q_decontaminate_spans,
-        "cdc_flatten_multi_op": q_flatten_multi_op,
-        "cdc_apply_changelog": q_apply_changelog,
-        "cdc_flatten_insert_delete": q_flatten_insert_delete,
-        "cdc_flatten_snapshot": q_flatten_snapshot,
-        "rel_pricing_summary": R.pricing_summary,
-        "rel_asof_forward": q_asof_forward,
-        "rel_pattern_match": q_pattern_match,
-        "rel_pattern_absent": q_pattern_absent,
-        "win_session": q_session_window,
-        "win_lossy_frequent": q_lossy_frequent,
-        "llm_near_dedup": q_near_dedup,
-        "llm_cdc_pipeline": q_cdc_pipeline,
-        "llm_duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -2953,6 +3034,56 @@ def _knn_probed_oracle_sql() -> str:
 _KNN_PROBED_SQL = _knn_probed_oracle_sql()
 
 
+def _ivf_mut_oracle_sql() -> str:
+    """DuckDB restatement of q_ivf_probe_maintained_mut: the post-changelog
+    corpus as a CASE/WHERE CTE (negate vec_id%7==0, drop vec_id%11==0 with
+    %7!=0 — cast-then-negate equals negate-then-cast exactly, so the
+    mutated vectors are bit-identical in both engines), cell assignment by
+    argmax-dot over the SAME 8 centroid literals the index stored, and the
+    probe restricted to the SAME stable-argsort 4-cell list
+    probe_ivf_index derives (computed here with the identical numpy
+    stable sort, inlined as literals — centroids and the query vector are
+    data-independent). The maintained index's apply path is thereby
+    oracle-checked: a stale row surviving in its pre-update cell, a
+    deleted row not excised, or an upsert landing in the wrong cell all
+    change the probed candidate set and break the value hash."""
+    import numpy as np
+
+    from siddhi_io_cdc_spark.functions.similarity import ivf_centroids
+
+    cents = np.asarray(ivf_centroids(64, 8, 42), dtype=float)
+    qv = np.asarray(_IVF_MUT_QUERY, dtype=float)
+    probe = np.argsort(-(cents @ qv), kind="stable")[:4].tolist()
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    qlits = ", ".join(repr(float(x)) for x in qv)
+    probe_in = ", ".join(str(int(c)) for c in probe)
+    return f"""
+        WITH cents(idx, c) AS (VALUES {rows}),
+        post AS (
+          SELECT vec_id,
+                 CASE WHEN vec_id % 7 = 0
+                      THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+                      ELSE CAST(embedding AS DOUBLE[]) END AS v
+          FROM embeddings
+          WHERE NOT (vec_id % 11 = 0 AND vec_id % 7 <> 0)),
+        assign AS (
+          SELECT vec_id, v, idx AS cell FROM (
+            SELECT vec_id, v, idx,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY list_dot_product(v, c) DESC,
+                                               idx) AS rn
+            FROM post CROSS JOIN cents) WHERE rn = 1)
+        SELECT vec_id,
+               round(list_dot_product(v, [{qlits}])
+                     / (sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product([{qlits}], [{qlits}]))), 6) AS score
+        FROM assign WHERE cell IN ({probe_in})
+        ORDER BY score DESC, vec_id LIMIT 10"""
+
+
 def _knn_lsh_oracle_sql() -> str:
     """DuckDB restatement of q_knn_join_lsh (knn_join_lsh, nbits=8,
     probe_hamming=1, seed=42): buckets from the sign of the 8 plane dots
@@ -3384,6 +3515,24 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM events""",
         "cdc_offset_discovery": "SELECT COALESCE(MAX(event_id), -1) AS last_offset FROM events",
         "cdc_incremental_scan": "SELECT event_id, user_id, value FROM events WHERE event_id > 9000",
+        "cdc_gap_wait": """
+            WITH present AS (
+                SELECT event_id, user_id, value FROM events
+                WHERE event_id % 509 <> 17
+            ),
+            gap AS (
+                SELECT MIN(p.event_id + 1) - 1 AS allowed
+                FROM present p
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM present q WHERE q.event_id = p.event_id + 1
+                )
+            )
+            SELECT p.event_id, p.user_id, p.value,
+                   CASE WHEN p.event_id <= g.allowed
+                        THEN CAST(1 AS INTEGER) ELSE CAST(2 AS INTEGER)
+                   END AS phase
+            FROM present p, gap g
+        """,
         "cdc_insert_into": """
             SELECT * FROM customer
             UNION ALL
@@ -4162,6 +4311,11 @@ def _oracle_sql_dict() -> dict[str, str]:
         # against a probe-aware oracle (generated above with centroid
         # literals) rather than brute force.
         "llm_knn_join_probed": _KNN_PROBED_SQL,
+        # llm_ivf_probe_maintained_mut: probe-aware oracle over the
+        # post-changelog corpus (centroid literals + the same stable-sorted
+        # probe-cell list) — checks the maintained index's update/delete
+        # apply path, not just the probe.
+        "llm_ivf_probe_maintained_mut": _ivf_mut_oracle_sql(),
         # llm_knn_join_lsh: the sign-LSH blocking family, probe-aware oracle
         # with hyperplane literals.
         "llm_knn_join_lsh": _KNN_LSH_SQL,

@@ -613,3 +613,43 @@ class CDCPollDataSource(DataSource):
 
 def register_cdc_poll(spark) -> None:
     spark.dataSource.register(CDCPollDataSource)
+
+
+def gap_admission_phases(df, key_col: str):
+    """Batch restatement of the T8 gap-wait admission order
+    (``WaitOnMissingRecordPollingStrategy.java:112-152``): events whose
+    integer key sits in the contiguous run starting at the smallest present
+    key are delivered immediately (``phase = 1`` — the offset walks through
+    them trigger by trigger); everything above the first missing key is held
+    back and only released after the missed-record timeout expires
+    (``phase = 2`` — the ``:124-126`` give-up path, which jumps the offset to
+    the current max and consumes the rest).
+
+    Distributed shape: the first gap is found with a self-anti-join on
+    ``key+1`` (no global sort, no window — a sorted row_number over the key
+    would serialize the whole stream through one partition), the single
+    ``allowed`` scalar rides back on a broadcast 1-row cross join, and the
+    phase tag is a map-side CASE. Works unchanged at any corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    keys = df.select(F.col(key_col).cast("long").alias("__k")).where(
+        F.col("__k").isNotNull()
+    )
+    # first missing successor: min over present k of k+1 where k+1 absent
+    succ = keys.select((F.col("__k") + 1).alias("__k"))
+    first_gap = (
+        succ.join(keys, "__k", "left_anti")
+        .agg(F.min("__k").alias("__gap"))
+        .select(
+            # run extends through gap-1; an empty/max-only stream => gap at
+            # max+1 so every present key is phase 1
+            (F.col("__gap") - 1).alias("__allowed")
+        )
+    )
+    return df.crossJoin(F.broadcast(first_gap)).select(
+        *df.columns,
+        F.when(F.col(key_col) <= F.col("__allowed"), F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("phase"),
+    )

@@ -148,6 +148,33 @@ def test_bloom_no_false_negatives_and_rare_false_positives(spark, stream):
     assert fp.where(F.col("bloom_hit")).count() < 25
 
 
+def test_bloom_duplicated_probe_keys_no_false_negative(spark, stream):
+    """Round-10 verdict finding #1: a present key probed TWICE must still
+    report bloom_hit=true. The old probe compared the set-bit count to the
+    literal ``k`` — a duplicated key's group holds 2k probe rows, 2k != k,
+    so a key that IS in the filter came back false (a false negative from
+    the one structure whose guarantee is no-false-negatives). The probe
+    now compares against the per-group probe count."""
+    from siddhi_io_cdc_spark.functions.sketch import (
+        bloom_bits,
+        bloom_maybe_contains,
+    )
+
+    bits = bloom_bits(stream, "tok", m_bits=65536, k=3)
+    one_present = stream.limit(1)
+    dup_present = one_present.unionAll(one_present).unionAll(one_present)
+    hits = bloom_maybe_contains(bits, dup_present, "tok", m_bits=65536, k=3)
+    rows = hits.collect()
+    # duplicates collapse to one row per distinct key row, and it's a hit
+    assert len(rows) == 1 and rows[0]["bloom_hit"] is True
+    # a duplicated ABSENT key still reports false (no new false positives)
+    absent = spark.createDataFrame(
+        [("definitely_absent_xyz",)] * 4, ["tok"]
+    )
+    fp = bloom_maybe_contains(bits, absent, "tok", m_bits=65536, k=3)
+    assert [r["bloom_hit"] for r in fp.collect()] == [False]
+
+
 def test_bloom_merge_is_bit_union(spark, stream):
     from siddhi_io_cdc_spark.functions.sketch import bloom_bits
 
