@@ -246,9 +246,12 @@ def q_gap_wait(spark, sf_dir):
     """T8 gap-wait admission as a batch contract row
     (WaitOnMissingRecordPollingStrategy.java:112-152): drop event_id
     17 mod 509 to simulate missed records, then tag each surviving event
-    with its delivery phase — 1 = inside the contiguous run the offset
-    walks through immediately, 2 = held at the first gap and released
-    only by the missed-record timeout (the :124-126 give-up path)."""
+    with its wait-cycle index — phase = i means the event sits in the i-th
+    contiguous key run and is released only after i-1 independent
+    missed-record timeouts (each gap resets waitingFor/waitingFrom at
+    :117-121,:140-141 and waits its own full timeout). The %509 drop makes
+    ~N/509 gaps, so this exercises the MULTI-gap cycle accounting, not just
+    the first hold."""
     from siddhi_io_cdc_spark.sources.polling import gap_admission_phases
 
     present = (
@@ -440,8 +443,8 @@ def q_ivf_probe_maintained_mut(spark, sf_dir):
     the probe machinery itself over the post-changelog corpus: centroid
     literals, argmax-dot cell assignment with lowest-index ties, the
     SAME stable-sorted 4-cell probe list, cosine top-10."""
-    import os
-    import re as _re
+    import shutil
+    import tempfile
 
     from siddhi_io_cdc_spark.functions.similarity import (
         probe_ivf_index,
@@ -450,11 +453,10 @@ def q_ivf_probe_maintained_mut(spark, sf_dir):
     from siddhi_io_cdc_spark.streaming.ivf_index import apply_changelog_ivf
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
-    path = os.path.join(
-        "/tmp",
-        "ivf_mut_%s_%d"
-        % (_re.sub(r"\W", "_", sf_dir.rstrip("/")), os.getpid()),
-    )
+    # session tempdir, removed below once the probe result is materialized —
+    # the old pid-keyed /tmp path leaked a corpus-sized parquet tree per
+    # driver process (ADVICE r11)
+    path = tempfile.mkdtemp(prefix="ivf_mut_")
     write_ivf_index(emb, path, nlist=8, seed=42)
     upd = emb.where(F.col("vec_id") % 7 == 0).select(
         "vec_id",
@@ -473,7 +475,12 @@ def q_ivf_probe_maintained_mut(spark, sf_dir):
         F.col("embedding").alias("before_embedding"),
     )
     apply_changelog_ivf(spark, path, upd.unionByName(dele))
-    return probe_ivf_index(spark, path, _IVF_MUT_QUERY, k=10, nprobe=4)
+    probe = probe_ivf_index(spark, path, _IVF_MUT_QUERY, k=10, nprobe=4)
+    # materialize the top-k (bounded: k rows) so the index tree can be
+    # deleted before returning — the caller still gets a DataFrame
+    rows = probe.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, probe.schema)
 
 
 def q_near_dedup(spark, sf_dir):
@@ -3520,18 +3527,16 @@ def _oracle_sql_dict() -> dict[str, str]:
                 SELECT event_id, user_id, value FROM events
                 WHERE event_id % 509 <> 17
             ),
-            gap AS (
-                SELECT MIN(p.event_id + 1) - 1 AS allowed
-                FROM present p
-                WHERE NOT EXISTS (
-                    SELECT 1 FROM present q WHERE q.event_id = p.event_id + 1
-                )
+            islands AS (
+                SELECT event_id, user_id, value,
+                       event_id - ROW_NUMBER() OVER (ORDER BY event_id)
+                           AS island
+                FROM present
             )
-            SELECT p.event_id, p.user_id, p.value,
-                   CASE WHEN p.event_id <= g.allowed
-                        THEN CAST(1 AS INTEGER) ELSE CAST(2 AS INTEGER)
-                   END AS phase
-            FROM present p, gap g
+            SELECT event_id, user_id, value,
+                   CAST(DENSE_RANK() OVER (ORDER BY island) AS INTEGER)
+                       AS phase
+            FROM islands
         """,
         "cdc_insert_into": """
             SELECT * FROM customer

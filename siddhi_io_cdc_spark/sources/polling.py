@@ -370,9 +370,32 @@ class CDCPollStreamReader(DataSourceStreamReader):
         if start.get("gap_next") == waiting_for and start.get("gap_since") is not None:
             since = start["gap_since"]
             if self.missed_timeout >= 0 and now - since >= self.missed_timeout:
-                # Timed out: give up on the missing record and consume the
-                # rest (WaitOnMissingRecordPollingStrategy.java:124-126).
-                return {"last": _jsonable(mx)}
+                # Timed out: give up on THIS missing record only. The
+                # reference consumes the post-gap row and then re-checks
+                # contiguity per row with waitingFor reset to -1
+                # (WaitOnMissingRecordPollingStrategy.java:124-126, reset at
+                # :140-141), so delivery resumes only through the NEXT
+                # contiguous run — the following gap starts a FRESH
+                # wait/timeout cycle. (Before round 12 this branch jumped the
+                # offset to the current max, releasing every later island on
+                # the FIRST timeout — single-gap-correct only.)
+                tail = arr[arr > allowed]
+                if tail.size == 0:
+                    # the whole remaining window is missing keys; skip it and
+                    # let the next trigger scan the following window
+                    return {"last": _jsonable(window_hi)}
+                t_contig = tail == tail[0] + np.arange(tail.size)
+                t_run = (
+                    tail.size if bool(t_contig.all()) else int(np.argmin(t_contig))
+                )
+                new_last = int(tail[t_run - 1])
+                if new_last >= mx or new_last == window_hi:
+                    return {"last": _jsonable(new_last)}
+                return {
+                    "last": _jsonable(new_last),
+                    "gap_next": new_last + 1,
+                    "gap_since": now,
+                }
             return {"last": _jsonable(allowed), "gap_next": waiting_for, "gap_since": since}
         return {"last": _jsonable(allowed), "gap_next": waiting_for, "gap_since": now}
 
@@ -615,41 +638,105 @@ def register_cdc_poll(spark) -> None:
     spark.dataSource.register(CDCPollDataSource)
 
 
-def gap_admission_phases(df, key_col: str):
+def gap_admission_phases(df, key_col: str, nbuckets: int = 4096):
     """Batch restatement of the T8 gap-wait admission order
-    (``WaitOnMissingRecordPollingStrategy.java:112-152``): events whose
-    integer key sits in the contiguous run starting at the smallest present
-    key are delivered immediately (``phase = 1`` — the offset walks through
-    them trigger by trigger); everything above the first missing key is held
-    back and only released after the missed-record timeout expires
-    (``phase = 2`` — the ``:124-126`` give-up path, which jumps the offset to
-    the current max and consumes the rest).
+    (``WaitOnMissingRecordPollingStrategy.java:112-152``): ``phase`` is the
+    WAIT-CYCLE index of each event. In the reference every gap is an
+    independent wait/timeout cycle — on timeout the scanner consumes rows
+    only until the NEXT missing key, where ``waitingFor == -1`` (reset at
+    :140-141) starts a FRESH ``waitingFrom`` clock (:117-121) — so the
+    events of the i-th contiguous key run (island) are delivered after
+    exactly ``i - 1`` timeouts. ``phase = 1`` is the run the offset walks
+    through immediately; ``phase = i`` rows appear only after the (i-1)-th
+    missed-record timeout expires. (Before round 12 this function collapsed
+    every post-gap island into one ``phase = 2`` give-up — correct only for
+    single-gap streams.)
 
-    Distributed shape: the first gap is found with a self-anti-join on
-    ``key+1`` (no global sort, no window — a sorted row_number over the key
-    would serialize the whole stream through one partition), the single
-    ``allowed`` scalar rides back on a broadcast 1-row cross join, and the
-    phase tag is a map-side CASE. Works unchanged at any corpus size.
+    ``phase(k) = #{island heads h : h <= k}`` where an island head is a
+    present key whose predecessor is absent. The smallest present key is
+    always a head, so phases start at 1 with no special case.
+
+    Distributed shape — no global sort (a row_number over the raw key would
+    serialize the whole stream through one partition):
+
+    1. heads via a self-anti-join of the distinct keys on ``key+1``;
+    2. a prefix count of heads per key via ``nbuckets`` range buckets:
+       per-bucket head counts (tiny aggregate, <= nbuckets rows) get a
+       cumulative sum through a window over that SMALL table only, and the
+       within-bucket remainder is an equi-join on the bucket id — fan-out
+       bounded by heads-per-bucket x keys-per-bucket;
+    3. phases ride back to the event rows on a key equi-join.
+
+    The bucket width derives from the observed min/max through a broadcast
+    1-row cross join (no driver collect). NULL keys (and keys that do not
+    cast to long) take no part in gap discovery and get ``phase = NULL`` —
+    the reference's scanner never sees them (``resultSet.getInt`` on the
+    ordered polling column), so they have no admission order. Both the
+    gap-finding and the tag-back join use the SAME ``cast('long')``
+    expression, so a string key column cannot gap-find on one domain and
+    tag on another.
     """
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    keys = df.select(F.col(key_col).cast("long").alias("__k")).where(
-        F.col("__k").isNotNull()
-    )
-    # first missing successor: min over present k of k+1 where k+1 absent
+    k = F.col(key_col).cast("long")
+    keys = df.select(k.alias("__k")).where(F.col("__k").isNotNull()).distinct()
+    # island heads: present keys whose predecessor is absent
     succ = keys.select((F.col("__k") + 1).alias("__k"))
-    first_gap = (
-        succ.join(keys, "__k", "left_anti")
-        .agg(F.min("__k").alias("__gap"))
+    heads = keys.join(succ, "__k", "left_anti")
+    bounds = keys.agg(
+        F.min("__k").alias("__mn"), F.max("__k").alias("__mx")
+    ).select(
+        "__mn",
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.col("__mx") - F.col("__mn") + 1) / F.lit(nbuckets)),
+        )
+        .cast("long")
+        .alias("__w"),
+    )
+
+    def bucketed(kdf):
+        return kdf.crossJoin(F.broadcast(bounds)).select(
+            "__k",
+            F.floor((F.col("__k") - F.col("__mn")) / F.col("__w")).alias("__b"),
+        )
+
+    hb = bucketed(heads)
+    kb = bucketed(keys)
+    # heads strictly BELOW each bucket: the cum table spans every KEY
+    # bucket (a headless bucket still inherits the running total), is
+    # <= nbuckets rows, so the ordered window runs over the aggregate,
+    # never the stream
+    cum_before = (
+        kb.select("__b")
+        .distinct()
+        .join(hb.groupBy("__b").agg(F.count(F.lit(1)).alias("__c")), "__b", "left")
+        .select("__b", F.coalesce("__c", F.lit(0)).alias("__c"))
         .select(
-            # run extends through gap-1; an empty/max-only stream => gap at
-            # max+1 so every present key is phase 1
-            (F.col("__gap") - 1).alias("__allowed")
+            "__b",
+            F.coalesce(
+                F.sum("__c").over(
+                    W.orderBy("__b").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("__cum"),
         )
     )
-    return df.crossJoin(F.broadcast(first_gap)).select(
-        *df.columns,
-        F.when(F.col(key_col) <= F.col("__allowed"), F.lit(1))
-        .otherwise(F.lit(2))
-        .alias("phase"),
+    in_bucket = (
+        kb.join(hb.select(F.col("__k").alias("__h"), "__b"), "__b")
+        .where(F.col("__h") <= F.col("__k"))
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__ib"))
     )
+    phases = (
+        kb.join(F.broadcast(cum_before), "__b", "left")
+        .join(in_bucket, "__k", "left")
+        .select(
+            "__k",
+            (F.coalesce(F.col("__cum"), F.lit(0)) + F.coalesce(F.col("__ib"), F.lit(0)))
+            .cast("int")
+            .alias("phase"),
+        )
+    )
+    return df.join(phases, k == phases["__k"], "left").select(*df.columns, "phase")

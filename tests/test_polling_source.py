@@ -608,3 +608,151 @@ def test_uncastable_offset_raises_instead_of_string_compare(tmp_path):
     reader._prev = {"last": "not-a-timestamp"}
     with pytest.raises(RuntimeError, match="cannot be cast back"):
         reader.latestOffset()
+
+
+def test_gap_wait_timeout_per_gap_cycles(spark, tmp_path):
+    """Reference semantics (WaitOnMissingRecordPollingStrategy.java:117-141):
+    each gap waits its OWN timeout. The first timeout releases only the
+    island after the first gap ({4,5}); the island after the SECOND gap
+    ({7}) starts a fresh waitingFrom clock and waits its own full cycle —
+    the pre-round-12 jump-to-max released everything on the first timeout."""
+    table = tmp_path / "t4b"
+    table.mkdir()
+    _write_rows(str(table), [0], "part-0.parquet")
+    df = _read_stream(
+        spark, str(table), waitOnMissedRecord="true", missedRecordWaitingTimeout=3
+    )
+    q = _memory_query(spark, df, "t4b_sink", str(tmp_path / "ckpt4b"))
+    try:
+        _drain(q)
+        _write_rows(str(table), [1, 2, 4, 5, 7], "part-1.parquet")
+        deadline = time.time() + 40
+        saw_middle = False
+        got = set()
+        while time.time() < deadline:
+            _drain(q)
+            got = {r["id"] for r in spark.sql("SELECT id FROM t4b_sink").collect()}
+            if got == {1, 2, 4, 5}:
+                saw_middle = True  # first timeout released 4,5 but NOT 7
+            if got == {1, 2, 4, 5, 7}:
+                break
+            time.sleep(0.2)
+        assert got == {1, 2, 4, 5, 7}
+        assert saw_middle, (
+            "first timeout must release only the island after the first gap"
+        )
+    finally:
+        q.stop()
+
+
+def test_gap_admission_phases_islands(spark):
+    """phase = island ordinal: 1 + number of gaps at or below the key."""
+    from siddhi_io_cdc_spark.sources.polling import gap_admission_phases
+
+    df = spark.createDataFrame(
+        [(5,), (6,), (7,), (10,), (11,), (13,), (20,)], "k: bigint"
+    )
+    got = {r["k"]: r["phase"] for r in gap_admission_phases(df, "k").collect()}
+    assert got == {5: 1, 6: 1, 7: 1, 10: 2, 11: 2, 13: 3, 20: 4}
+
+
+def test_gap_admission_phases_null_and_dense(spark):
+    """NULL keys take no part in gap discovery and get phase NULL; a dense
+    stream is all phase 1."""
+    from siddhi_io_cdc_spark.sources.polling import gap_admission_phases
+
+    df = spark.createDataFrame([(1,), (2,), (None,), (4,)], "k: bigint")
+    got = {r["k"]: r["phase"] for r in gap_admission_phases(df, "k").collect()}
+    assert got == {1: 1, 2: 1, None: None, 4: 2}
+
+    dense = spark.createDataFrame([(i,) for i in range(100, 140)], "k: bigint")
+    phases = {r["phase"] for r in gap_admission_phases(dense, "k").collect()}
+    assert phases == {1}
+
+
+def test_gap_admission_phases_bucket_boundaries(spark):
+    """Keys spread over a range far wider than one bucket: the cumulative
+    head count must carry across HEADLESS buckets (a key in a bucket with
+    no island head inherits the running total, not zero)."""
+    from siddhi_io_cdc_spark.sources.polling import gap_admission_phases
+
+    keys = [0, 1, 1_000_000, 1_000_001, 9_000_000]
+    df = spark.createDataFrame([(k,) for k in keys], "k: bigint")
+    got = {
+        r["k"]: r["phase"]
+        for r in gap_admission_phases(df, "k", nbuckets=8).collect()
+    }
+    assert got == {0: 1, 1: 1, 1_000_000: 2, 1_000_001: 2, 9_000_000: 3}
+
+
+def test_gap_phase_stream_parity_and_mid_gap_divergence(spark, tmp_path):
+    """VERDICT r11 ask #7. (a) Dense-from-the-minimum fixture: the batch
+    restatement's phases predict the streaming delivery order — a lower
+    phase is always delivered before a higher one. (b) Divergence pin: the
+    STREAM resumes from its checkpointed offset and waits for the
+    checkpoint-successor key even when it is missing, while the batch
+    restatement only sees present keys and calls the first present island
+    phase 1 — the two are NOT interchangeable mid-gap."""
+    from siddhi_io_cdc_spark.sources.polling import gap_admission_phases
+
+    # (a) parity on keys that are dense from their minimum
+    table = tmp_path / "t5p"
+    table.mkdir()
+    _write_rows(str(table), [0], "part-0.parquet")
+    keys = [1, 2, 4, 5, 7]
+    waves = []
+
+    def sink(batch, _bid):
+        ids = sorted(r["id"] for r in batch.select("id").collect())
+        if ids:
+            waves.append(ids)
+
+    df = _read_stream(
+        spark, str(table), waitOnMissedRecord="true", missedRecordWaitingTimeout=2
+    )
+    q = (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt5p"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        _drain(q)
+        _write_rows(str(table), keys, "part-1.parquet")
+        deadline = time.time() + 40
+        while time.time() < deadline and sum(len(w) for w in waves) < len(keys):
+            _drain(q)
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    delivered = [i for w in waves for i in w]
+    assert sorted(delivered) == keys
+    bdf = spark.createDataFrame([(i,) for i in keys], "id: bigint")
+    phases = {r["id"]: r["phase"] for r in gap_admission_phases(bdf, "id").collect()}
+    assert phases == {1: 1, 2: 1, 4: 2, 5: 2, 7: 3}
+    rank = {i: n for n, i in enumerate(delivered)}
+    for a in keys:
+        for b in keys:
+            if phases[a] < phases[b]:
+                assert rank[a] < rank[b], f"{a} (phase {phases[a]}) must precede {b}"
+
+    # (b) mid-gap divergence: checkpoint offset 0, table holds {2,3}
+    table2 = tmp_path / "t5d"
+    table2.mkdir()
+    _write_rows(str(table2), [0], "part-0.parquet")
+    df2 = _read_stream(
+        spark, str(table2), waitOnMissedRecord="true", missedRecordWaitingTimeout=600
+    )
+    q2 = _memory_query(spark, df2, "t5d_sink", str(tmp_path / "ckpt5d"))
+    try:
+        _drain(q2)
+        _write_rows(str(table2), [2, 3], "part-1.parquet")
+        _drain(q2)
+        _drain(q2)
+        held = spark.sql("SELECT count(*) FROM t5d_sink").first()[0]
+        assert held == 0, "stream must wait for missing checkpoint-successor key 1"
+    finally:
+        q2.stop()
+    b2 = spark.createDataFrame([(2,), (3,)], "id: bigint")
+    p2 = {r["id"]: r["phase"] for r in gap_admission_phases(b2, "id").collect()}
+    assert p2 == {2: 1, 3: 1}, "batch restatement has no offset: islands start at min present"

@@ -161,8 +161,11 @@ def test_bloom_duplicated_probe_keys_no_false_negative(spark, stream):
     )
 
     bits = bloom_bits(stream, "tok", m_bits=65536, k=3)
-    one_present = stream.limit(1)
-    dup_present = one_present.unionAll(one_present).unionAll(one_present)
+    # Pin ONE row deterministically: limit(1) without ordering is
+    # nondeterministic and each union branch re-evaluates independently,
+    # so three limit(1) branches are not guaranteed to be the same row.
+    one = stream.select("tok").orderBy("tok").first()
+    dup_present = spark.createDataFrame([one] * 3, ["tok"])
     hits = bloom_maybe_contains(bits, dup_present, "tok", m_bits=65536, k=3)
     rows = hits.collect()
     # duplicates collapse to one row per distinct key row, and it's a hit
