@@ -1,0 +1,324 @@
+"""Merge-on-read (MOR) state layout for the CDC-maintained indexes.
+
+Why this exists — the O(batch) bound the appliers claim. The original
+copy-on-write (COW) layout rewrites every *touched* hash-bucket partition
+per micro-batch. That bound is honest for the IVF index (a batch touches
+at most ``2 * |batch|`` cells), but for token-level state it collapses:
+a ~100-document batch holds thousands of distinct terms / 5-grams, whose
+hashes land in essentially **all** ``nbuckets`` partitions — measured at
+sf0.1 the n-gram applier touches 64/64 buckets for a 100-doc batch, so
+the "touched-bucket" rewrite is a full O(corpus) rewrite and the
+per-batch cost grows linearly with corpus size (see BASELINE.md round 12
+for the measured curve).
+
+MOR makes the apply path O(batch) by construction, the same way Delta
+Lake / Iceberg / Hudi merge-on-read tables do:
+
+- **apply** appends two bounded artifacts and never reads base state:
+  ``_delta/<table>/__seq=<k>/`` (the batch's new rows, partitioned by the
+  table's hash bucket so probes still prune) and
+  ``_tomb/<table>/__seq=<k>/`` (the batch's key ids — every pre-batch row
+  of a batch key is shadowed, covering update-moves, deletes, and
+  intra-batch chains without needing any before-image bucket math).
+- **read** reconstructs the live view: ``base ∪ deltas`` anti-shadowed by
+  tombstones — a row written at sequence ``s`` survives iff no tombstone
+  for its id carries a sequence ``> s``. One narrow join against the
+  (small, AQE-broadcastable) tombstone table.
+- **compact** folds the live view into a fresh versioned base directory
+  and commits by rewriting the single ``_mor.json`` pointer file — the
+  Iceberg-style swap: a crash before the pointer write leaves the old
+  view intact; after it, stale directories are garbage, collected by the
+  next compaction pass. Compaction runs automatically every
+  ``compact_every`` batches (default 16), amortizing the rewrite the COW
+  layout paid on every batch.
+
+Exactly-once: the appliers' ``_batches/<id>`` markers still gate replay;
+additionally each delta/tombstone write is keyed by the batch id and
+written with overwrite, so a crash-and-replay of batch ``k`` lands
+byte-equivalent state.
+
+Before-image note: MOR does not need before images to bound its work
+(tombstones shadow by id), but the appliers still validate them for
+parity with the COW contract — and the BM25 stats delta genuinely needs
+``before_<text>`` to adjust ``total_tokens`` without a corpus scan.
+
+Reference anchor: the changelog event shape this consumes restates the
+reference's update/delete envelope (RdbmsChangeDataCapture.java:86-126);
+the MOR layout itself is the Spark-first answer to keeping derived state
+current at 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.similarity import (
+    _hadoop_read_text,
+    _hadoop_write_text,
+)
+from siddhi_io_cdc_spark.streaming.ivf_index import (
+    _fs,
+    _hadoop_delete,
+    _hadoop_exists,
+    _hadoop_list_dirs,
+)
+
+MOR_META = "_mor.json"
+SEQ_COL = "__seq"
+
+__all__ = [
+    "is_mor",
+    "latest_per_key",
+    "mor_append",
+    "mor_compact",
+    "mor_init",
+    "mor_live",
+    "mor_pending_seqs",
+    "next_seq",
+    "require_before_images",
+]
+
+
+def _read_mor(spark, root: str) -> dict:
+    return json.loads(_hadoop_read_text(spark, root.rstrip("/") + "/" + MOR_META))
+
+
+def _write_mor(spark, root: str, meta: dict) -> None:
+    # single-file rewrite = the commit point for compaction (pointer swap)
+    _hadoop_write_text(spark, root.rstrip("/") + "/" + MOR_META, json.dumps(meta))
+
+
+def is_mor(spark, root: str) -> bool:
+    return _hadoop_exists(spark, root.rstrip("/") + "/" + MOR_META)
+
+
+def _has_parquet(spark, path: str) -> bool:
+    """True if any .parquet leaf exists under ``path`` (an all-empty delta
+    area would otherwise fail schema inference)."""
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
+def mor_init(
+    spark,
+    root: str,
+    tables: dict[str, dict],
+    compact_every: int = 16,
+) -> None:
+    """Stamp ``root`` as a MOR state. ``tables`` maps table name ->
+    ``{"id_col": ..., "part_col": ...}``; the base directory starts as the
+    table name itself and moves to ``<table>__v<k>`` on compaction."""
+    meta = {
+        "tables": {
+            t: {**spec, "base_dir": t} for t, spec in tables.items()
+        },
+        "compacted_through": 0,
+        "base_version": 0,
+        "compact_every": compact_every,
+    }
+    # a re-init starts a new lineage: drop stale deltas/tombstones and any
+    # versioned base dirs a previous lineage's compaction left behind
+    base = root.rstrip("/")
+    _hadoop_delete(spark, base + "/_delta")
+    _hadoop_delete(spark, base + "/_tomb")
+    for d in _hadoop_list_dirs(spark, base):
+        if any(d.startswith(t + "__v") for t in tables):
+            _hadoop_delete(spark, base + "/" + d)
+    _write_mor(spark, root, meta)
+
+
+def mor_pending_seqs(spark, root: str) -> list[int]:
+    """Delta sequences newer than the compaction horizon, ascending."""
+    meta = _read_mor(spark, root)
+    ct = meta["compacted_through"]
+    seqs: set[int] = set()
+    for t in meta["tables"]:
+        for d in _hadoop_list_dirs(spark, root.rstrip("/") + f"/_delta/{t}"):
+            if d.startswith(SEQ_COL + "="):
+                s = int(d.split("=", 1)[1])
+                if s > ct:
+                    seqs.add(s)
+    return sorted(seqs)
+
+
+def next_seq(spark, root: str) -> int:
+    meta = _read_mor(spark, root)
+    pend = mor_pending_seqs(spark, root)
+    return (pend[-1] if pend else meta["compacted_through"]) + 1
+
+
+def mor_append(
+    spark,
+    root: str,
+    table: str,
+    rows: DataFrame,
+    tomb_ids: DataFrame,
+    seq: int,
+    extra_json: dict | None = None,
+) -> None:
+    """Append one batch's rows + tombstones for ``table`` at ``seq``.
+
+    ``rows`` must carry the table's ``part_col``; ``tomb_ids`` is the
+    (deduped) id column only. Both writes overwrite their ``__seq=<k>``
+    directory, so replaying a batch id is byte-idempotent. O(batch) I/O:
+    nothing here reads base state.
+    """
+    meta = _read_mor(spark, root)
+    spec = meta["tables"][table]
+    base = root.rstrip("/")
+    dpath = base + f"/_delta/{table}/{SEQ_COL}={seq}"
+    tpath = base + f"/_tomb/{table}/{SEQ_COL}={seq}"
+    rows.write.mode("overwrite").partitionBy(spec["part_col"]).parquet(dpath)
+    tomb_ids.select(spec["id_col"]).distinct().write.mode("overwrite").parquet(tpath)
+    if extra_json:
+        _hadoop_write_text(spark, dpath + "/_extra.json", json.dumps(extra_json))
+
+
+def mor_extras(spark, root: str, table: str) -> list[dict]:
+    """The ``extra_json`` payloads of every pending delta, ascending by
+    sequence (used for the BM25 incremental corpus-stats deltas)."""
+    base = root.rstrip("/")
+    out = []
+    for s in mor_pending_seqs(spark, root):
+        p = base + f"/_delta/{table}/{SEQ_COL}={s}/_extra.json"
+        if _hadoop_exists(spark, p):
+            out.append(json.loads(_hadoop_read_text(spark, p)))
+    return out
+
+
+def mor_live(spark, root: str, table: str) -> DataFrame:
+    """The live view of ``table``: base ∪ pending deltas, shadowed by
+    tombstones. A row at sequence ``s`` survives iff no tombstone for its
+    id has sequence ``> s``; base rows carry the compaction horizon as
+    their sequence, so later tombstones shadow them and compaction-time
+    rows never re-shadow themselves.
+
+    Predicates on the table's ``part_col`` prune both the base partitions
+    and each delta's partitions (the delta is partitioned by
+    ``__seq/part_col``); the tombstone join is against a table bounded by
+    the ids changed since the last compaction — small, and AQE broadcasts
+    it.
+    """
+    meta = _read_mor(spark, root)
+    spec = meta["tables"][table]
+    base_dir = root.rstrip("/") + "/" + spec["base_dir"]
+    ct = meta["compacted_through"]
+    idc = spec["id_col"]
+
+    rows = spark.read.parquet(base_dir).withColumn(
+        SEQ_COL, F.lit(ct).cast("long")
+    )
+    delta_root = root.rstrip("/") + f"/_delta/{table}"
+    if _has_parquet(spark, delta_root):
+        delta = (
+            spark.read.parquet(delta_root)
+            .where(F.col(SEQ_COL) > ct)
+            .withColumn(SEQ_COL, F.col(SEQ_COL).cast("long"))
+        )
+        # _extra.json sidecars are invisible to the parquet reader; column
+        # order can differ between base and partition-discovered delta
+        rows = rows.unionByName(delta.select(*rows.columns))
+
+    tomb_root = root.rstrip("/") + f"/_tomb/{table}"
+    if _has_parquet(spark, tomb_root):
+        tmax = (
+            spark.read.parquet(tomb_root)
+            .where(F.col(SEQ_COL) > ct)
+            .groupBy(idc)
+            .agg(F.max(SEQ_COL).cast("long").alias("__tmax"))
+        )
+        rows = (
+            rows.join(tmax, idc, "left")
+            .where(F.col("__tmax").isNull() | (F.col("__tmax") <= F.col(SEQ_COL)))
+            .drop("__tmax")
+        )
+    return rows.drop(SEQ_COL)
+
+
+def mor_compact(spark, root: str) -> bool:
+    """Fold pending deltas into fresh versioned base directories and commit
+    via the ``_mor.json`` pointer swap. Returns True if anything was
+    compacted. Crash-safe: before the pointer write the old view is fully
+    intact (new dirs are orphans a later pass deletes); after it, readers
+    ignore the superseded dirs, deleted best-effort below."""
+    meta = _read_mor(spark, root)
+    pend = mor_pending_seqs(spark, root)
+    if not pend:
+        return False
+    base = root.rstrip("/")
+    new_ver = meta["base_version"] + 1
+    old_dirs = []
+    new_meta = json.loads(json.dumps(meta))  # deep copy
+    for t, spec in meta["tables"].items():
+        live = mor_live(spark, root, t)
+        new_dir = f"{t}__v{new_ver}"
+        # GC a stale same-name orphan from a crashed earlier attempt
+        _hadoop_delete(spark, base + "/" + new_dir)
+        live.write.partitionBy(spec["part_col"]).parquet(base + "/" + new_dir)
+        old_dirs.append(spec["base_dir"])
+        new_meta["tables"][t]["base_dir"] = new_dir
+    new_meta["base_version"] = new_ver
+    new_meta["compacted_through"] = pend[-1]
+    _write_mor(spark, root, new_meta)  # commit point
+    # best-effort GC; a crash here leaves garbage, not wrong answers
+    for d in old_dirs:
+        _hadoop_delete(spark, base + "/" + d)
+    for t in meta["tables"]:
+        for s in pend:
+            _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
+            _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
+    return True
+
+
+def maybe_autocompact(spark, root: str) -> bool:
+    meta = _read_mor(spark, root)
+    every = meta.get("compact_every") or 0
+    if every and len(mor_pending_seqs(spark, root)) >= every:
+        return mor_compact(spark, root)
+    return False
+
+
+def latest_per_key(
+    batch_df: DataFrame, id_col: str, seq_col: str
+) -> DataFrame:
+    """Final state per key in a batch: latest event by ``seq_col`` wins
+    (``apply_changelog`` semantics, shared by every applier)."""
+    return (
+        batch_df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def require_before_images(
+    batch_df: DataFrame, op_col: str, before_col: str, why: str
+) -> None:
+    """Fail fast when update/delete rows lack a usable before image —
+    shared validation wording across the appliers."""
+    movers = batch_df.where(F.col(op_col).isin("update", "delete"))
+    if before_col not in batch_df.columns:
+        if movers.limit(1).count():
+            raise ValueError(
+                f"batch contains update/delete ops but no '{before_col}' "
+                f"column: {why}. Flatten the stream with the update "
+                "projection."
+            )
+    elif movers.where(F.col(before_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"batch contains update/delete rows with a NULL '{before_col}' "
+            f"before image: {why}. Emit whole before images."
+        )

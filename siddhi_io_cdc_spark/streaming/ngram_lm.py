@@ -102,10 +102,28 @@ def write_ngram_state(
     id_col: str = "doc_id",
     nbuckets: int = 64,
     doc_buckets: int = 16,
+    layout: str = "cow",
+    compact_every: int = 16,
 ) -> None:
-    """Initialize the maintained LM state from a corpus snapshot."""
+    """Initialize the maintained LM state from a corpus snapshot.
+
+    ``layout`` picks the maintenance strategy:
+
+    - ``"cow"`` (copy-on-write, the original): each batch rewrites the
+      touched gram-bucket partitions. Honest only while the batch's gram
+      hashes MISS most buckets — a ~100-doc batch at n=5 touches all 64,
+      so per-batch cost grows with the corpus (measured, BASELINE.md r12).
+    - ``"mor"`` (merge-on-read, ``streaming/mor.py``): each batch appends
+      O(batch) delta rows + id tombstones; readers reconstruct the live
+      view; compaction folds deltas every ``compact_every`` batches. The
+      apply path is O(batch) regardless of corpus size — the layout to
+      run at 100 TB. Update/delete batches do NOT need before images
+      (tombstones shadow by id).
+    """
     if n < 2:
         raise ValueError(f"n must be >= 2 (got {n})")
+    if layout not in ("cow", "mor"):
+        raise ValueError(f"layout must be 'cow' or 'mor' (got {layout!r})")
     base = path.rstrip("/")
     # Re-initializing over an existing path starts a NEW state lineage:
     # old batch markers belong to the previous lineage and would silently
@@ -117,9 +135,25 @@ def write_ngram_state(
         json.dumps(
             {"kind": "ngram", "n": n, "nbuckets": nbuckets,
              "doc_buckets": doc_buckets, "text_col": text_col,
-             "id_col": id_col}
+             "id_col": id_col, "layout": layout}
         ),
     )
+    if layout == "mor":
+        from siddhi_io_cdc_spark.streaming.mor import mor_init
+
+        mor_init(
+            spark, base,
+            {
+                "grams": {"id_col": id_col, "part_col": GBUCKET_COL},
+                "docs": {"id_col": id_col, "part_col": DBUCKET_COL},
+            },
+            compact_every=compact_every,
+        )
+    else:
+        # a cow re-init over a previous mor lineage must drop its pointer
+        _hadoop_delete(spark, base + "/_mor.json")
+        _hadoop_delete(spark, base + "/_delta")
+        _hadoop_delete(spark, base + "/_tomb")
     tf = _doc_gram_tf(df, n, id_col, text_col)
     (
         tf.withColumn(GBUCKET_COL, _gbucket(n, nbuckets))
@@ -143,6 +177,16 @@ def write_ngram_state(
     roster.write.mode("overwrite").partitionBy(DBUCKET_COL).parquet(base + "/docs")
 
 
+def _state_table(spark, base: str, table: str) -> DataFrame:
+    """Read a maintained-state table under either layout: plain partitioned
+    parquet (cow) or the live merge-on-read view (mor)."""
+    from siddhi_io_cdc_spark.streaming.mor import is_mor, mor_live
+
+    if is_mor(spark, base):
+        return mor_live(spark, base, table)
+    return spark.read.parquet(base + "/" + table)
+
+
 def read_ngram_counts(spark, path: str) -> DataFrame:
     """The maintained LM count table ``(w1..wn, cnt)`` — equal, row for
     row, to the batch top-order aggregate over the changelog's corpus."""
@@ -150,7 +194,7 @@ def read_ngram_counts(spark, path: str) -> DataFrame:
     meta = json.loads(_hadoop_read_text(spark, base + "/" + _META))
     n = meta["n"]
     return (
-        spark.read.parquet(base + "/grams")
+        _state_table(spark, base, "grams")
         .groupBy(*_wcols(n))
         .agg(F.sum("tf").cast("bigint").alias("cnt"))
     )
@@ -184,6 +228,12 @@ def apply_changelog_ngram(
     before = f"before_{text_col}"
 
     batch_df = rekey_deletes(batch_df, [id_col], op_col)
+    if meta.get("layout") == "mor":
+        _apply_ngram_mor(
+            spark, batch_df, base, n, nbuckets, doc_buckets, text_col,
+            id_col, seq_col, op_col, batch_id,
+        )
+        return
     movers = batch_df.where(F.col(op_col).isin("update", "delete"))
     if before not in batch_df.columns:
         if movers.limit(1).count():
@@ -284,6 +334,51 @@ def apply_changelog_ngram(
         _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
 
 
+def _apply_ngram_mor(
+    spark, batch_df, base, n, nbuckets, doc_buckets, text_col, id_col,
+    seq_col, op_col, batch_id,
+) -> None:
+    """Merge-on-read apply: O(batch) writes, no base-state read.
+
+    Tombstoning every batch key's prior rows makes before images
+    UNNECESSARY here — the id shadows the old grams wherever their buckets
+    are, which also covers intra-batch update chains for free (the COW
+    path needs the earliest mover's before image for its bucket math).
+    Sequence = ``batch_id + 1`` (micro-batch ids start at 0 but a pending
+    delta must sort above the compaction horizon, which starts at 0).
+    """
+    from siddhi_io_cdc_spark.streaming.mor import (
+        latest_per_key, maybe_autocompact, mor_append, next_seq,
+    )
+
+    latest = latest_per_key(batch_df, id_col, seq_col)
+    batch_ids = latest.select(id_col).distinct()
+    upserts = latest.where(F.col(op_col) != "delete")
+    new_tf = _doc_gram_tf(upserts, n, id_col, text_col).withColumn(
+        GBUCKET_COL, _gbucket(n, nbuckets)
+    )
+    seq = int(batch_id) + 1 if batch_id is not None else next_seq(spark, base)
+    mor_append(spark, base, "grams", new_tf, batch_ids, seq)
+
+    counted = new_tf.groupBy(id_col).agg(
+        F.sum("tf").cast("bigint").alias("__c")
+    )
+    new_roster = (
+        upserts.select(id_col)
+        .join(counted, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__c"), F.lit(0)).cast("bigint").alias("n_ngrams"),
+        )
+        .withColumn(DBUCKET_COL, _dbucket(id_col, doc_buckets))
+    )
+    mor_append(spark, base, "docs", new_roster, batch_ids, seq)
+
+    if batch_id is not None:
+        _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
+    maybe_autocompact(spark, base)
+
+
 def kneser_ney_from_state(
     spark,
     path: str,
@@ -313,7 +408,7 @@ def kneser_ney_from_state(
     renames = [F.col(f"w{i + 1}").alias(f"__w{i + 1}") for i in range(n)]
 
     state = scoped_persist(
-        spark.read.parquet(base + "/grams").select(
+        _state_table(spark, base, "grams").select(
             F.col(id_col), *renames, F.col("tf")
         )
     )
@@ -333,7 +428,7 @@ def kneser_ney_from_state(
             F.sum("tf").cast("bigint").alias("n_ngrams"),
         )
     )
-    roster = spark.read.parquet(base + "/docs").select(id_col).distinct()
+    roster = _state_table(spark, base, "docs").select(id_col).distinct()
     out = roster.join(scored, id_col, "left")
     return tag_caches(out, [state] + [a[k] for k in range(1, n + 1)])
 
