@@ -483,6 +483,56 @@ def q_ivf_probe_maintained_mut(spark, sf_dir):
     return spark.createDataFrame(rows, probe.schema)
 
 
+def q_ivf_probe_mor(spark, sf_dir):
+    """The maintained IVF index under the MERGE-ON-READ layout (round-12:
+    the apply-curve measurement showed the copy-on-write touched-cell
+    rewrite growing with the corpus — BASELINE.md r12 — so the O(batch)
+    layout is the one that runs at 100 TB, and it needs its own oracle
+    row, not just pytest parity). Same post-changelog corpus as
+    llm_ivf_probe_maintained_mut (negate vec_id%7==0, delete vec_id%11==0
+    with %7!=0), so that row's probe-restatement oracle applies verbatim —
+    but driven through the MOR path end-to-end: the update batch carries
+    NO before images (tombstones shadow by id, the layout's structural
+    advantage), a COMPACTION folds it (pointer-swap commit), and the
+    delete batch stays a pending delta, so the final probe reads
+    compacted-base ∪ delta minus tombstones — every branch of the MOR
+    read path in one driver-checked row."""
+    import shutil
+    import tempfile
+
+    from siddhi_io_cdc_spark.functions.similarity import (
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from siddhi_io_cdc_spark.streaming.ivf_index import apply_changelog_ivf
+    from siddhi_io_cdc_spark.streaming.mor import mor_compact
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="ivf_mor_")
+    write_ivf_index(emb, path, nlist=8, seed=42, layout="mor")
+    upd = emb.where(F.col("vec_id") % 7 == 0).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
+        F.lit("update").alias("operation"),
+        F.lit(1).cast("long").alias("ts_ms"),
+    )
+    apply_changelog_ivf(spark, path, upd, batch_id=0)
+    mor_compact(spark, path)
+    dele = emb.where(
+        (F.col("vec_id") % 11 == 0) & (F.col("vec_id") % 7 != 0)
+    ).select(
+        "vec_id",
+        F.expr("array_repeat(CAST(0.0 AS FLOAT), 64)").alias("embedding"),
+        F.lit("delete").alias("operation"),
+        F.lit(2).cast("long").alias("ts_ms"),
+    )
+    apply_changelog_ivf(spark, path, dele, batch_id=1)
+    probe = probe_ivf_index(spark, path, _IVF_MUT_QUERY, k=10, nprobe=4)
+    rows = probe.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, probe.schema)
+
+
 def q_near_dedup(spark, sf_dir):
     """Rows-only (iterative components): end-to-end near-dedup — plant 5
     clones, LSH-pair them, collapse each cluster to its canonical doc."""
@@ -935,6 +985,58 @@ def q_kneser_ney_maintained_mut(spark, sf_dir):
     return kneser_ney_from_state(spark, path)
 
 
+def q_kneser_ney_mor(spark, sf_dir):
+    """The maintained 5-gram KN LM under the MERGE-ON-READ layout — the
+    O(batch) apply path the round-12 curve measurement motivated (the COW
+    touched-bucket merge touches 64/64 buckets for a 100-doc batch at
+    n=5, i.e. rewrites the corpus; BASELINE.md r12). Same post-changelog
+    corpus as llm_kneser_ney_maintained_mut (append ' zz qq' to every
+    doc_id%7==0 text, delete every %11==0-and-%7!=0 doc), so that row's
+    hierarchy-restatement oracle applies verbatim — but driven through
+    the MOR machinery: the update batch carries NO before images
+    (tombstones shadow by id), a compaction folds it, and the delete
+    batch stays a pending delta, so serving reads compacted-base ∪ delta
+    minus tombstones."""
+    import shutil
+    import tempfile
+
+    from siddhi_io_cdc_spark.streaming.mor import mor_compact
+    from siddhi_io_cdc_spark.streaming.ngram_lm import (
+        apply_changelog_ngram,
+        kneser_ney_from_state,
+        write_ngram_state,
+    )
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="kn_mor_")
+    # fixture-sized buckets, same rationale as the _mut sibling
+    write_ngram_state(
+        spark, docs, path, n=5, nbuckets=4, doc_buckets=2, layout="mor"
+    )
+    upd = docs.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+        F.lit("update").alias("operation"),
+        F.lit(1).cast("bigint").alias("ts_ms"),
+    )
+    apply_changelog_ngram(spark, upd, path, batch_id=0)
+    mor_compact(spark, path)
+    dele = docs.where(
+        (F.pmod(F.col("doc_id"), F.lit(11)) == 0)
+        & (F.pmod(F.col("doc_id"), F.lit(7)) != 0)
+    ).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("delete").alias("operation"),
+        F.lit(2).cast("bigint").alias("ts_ms"),
+    )
+    apply_changelog_ngram(spark, dele, path, batch_id=1)
+    out = kneser_ney_from_state(spark, path)
+    rows = out.collect()  # corpus-doc-count rows (3 narrow cols)
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def q_modified_kneser_ney(spark, sf_dir):
     """MODIFIED Kneser-Ney n-gram scoring — KenLM's default estimator
     (Chen & Goodman 1998 §3: three per-order discounts D1/D2/D3+ from the
@@ -1046,6 +1148,80 @@ def q_bm25_probe(spark, sf_dir):
     )
     write_bm25_index(spark, _docs(spark, sf_dir), idx)
     return bm25_topk_indexed(spark, idx, ["spark", "shuffle", "vector"], k=10)
+
+
+def q_bm25_probe_mor(spark, sf_dir):
+    """The maintained BM25 index under the MERGE-ON-READ layout (round-12:
+    the COW applier touches 64/64 term buckets for a 100-doc batch —
+    an O(corpus) rewrite, measured in BASELINE.md r12; MOR appends
+    O(batch) deltas and keeps the corpus scalars exact via per-batch
+    stats deltas folded behind a through_seq horizon). The index is
+    initialized from a PERTURBED corpus — every doc_id%7==0 text has
+    ' zz qq' appended, every %5==0 doc is held out, and a ghost twin
+    (doc_id+10M) of every %13==0 doc is planted — and the changelog then
+    RESTORES the real corpus: batch 0 updates the perturbed texts back
+    and deletes the ghosts (exercising the stats delta's dtok/dn
+    arithmetic in both directions), a compaction folds it, batch 1
+    inserts the held-out docs as a pending delta. The post-changelog
+    corpus is exactly ``documents``, so llm_bm25_probe's scan-restatement
+    oracle applies verbatim — a stale posting, a wrong stats delta, or a
+    tombstone leak all break the bit-identical score hash."""
+    import shutil
+    import tempfile
+
+    from siddhi_io_cdc_spark.streaming.bm25_index import (
+        apply_changelog_bm25,
+        bm25_topk_indexed,
+        compact_bm25_index,
+        write_bm25_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    perturbed = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) != 0).select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(7)) == 0,
+            F.concat(F.col("text"), F.lit(" zz qq")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    ghosts = docs.where(F.pmod(F.col("doc_id"), F.lit(13)) == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    idx = tempfile.mkdtemp(prefix="bm25_mor_")
+    write_bm25_index(
+        spark, perturbed.unionByName(ghosts), idx, layout="mor"
+    )
+    restore = docs.where(
+        (F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+        & (F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+    ).select(
+        "doc_id",
+        F.col("text"),
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("before_text"),
+        F.lit("update").alias("operation"),
+        F.lit(1).cast("bigint").alias("ts_ms"),
+    )
+    bust = ghosts.select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.col("text").alias("before_text"),
+        F.lit("delete").alias("operation"),
+        F.lit(1).cast("bigint").alias("ts_ms"),
+    )
+    apply_changelog_bm25(spark, idx, restore.unionByName(bust), batch_id=0)
+    compact_bm25_index(spark, idx)
+    ins = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        "doc_id",
+        "text",
+        F.lit(None).cast("string").alias("before_text"),
+        F.lit("insert").alias("operation"),
+        F.lit(2).cast("bigint").alias("ts_ms"),
+    )
+    apply_changelog_bm25(spark, idx, ins, batch_id=1)
+    top = bm25_topk_indexed(spark, idx, ["spark", "shuffle", "vector"], k=10)
+    rows = top.collect()  # bounded: k rows
+    shutil.rmtree(idx, ignore_errors=True)
+    return spark.createDataFrame(rows, top.schema)
 
 
 def q_dsir_weights(spark, sf_dir):
@@ -2131,10 +2307,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays covered by the local typed gate (tools/check_contract.py) and
     # pytest.
     return {
-        # --- ROUND-11 WINDOW (driver records the FIRST 50 entries). ---
-        # Positions 1-44: ALL 44 keys whose latest driver-green row is
-        # round 8 (VERDICT r10 ask #3); after this rotation no key's
-        # evidence is older than round 9.
+        # --- ROUND-12 WINDOW (driver records the FIRST 50 entries). ---
+        # Positions 1-46: ALL 46 keys whose latest driver-green row is
+        # round 9 (VERDICT r11 ask #6); after this rotation no key's
+        # evidence is older than round 10.
+        "cdc_flatten_delete": q_flatten_delete,
+        "cdc_flatten_insert": q_flatten_insert,
+        "cdc_int_widening": q_int_widening,
+        "cdc_lowercase_columns": q_lowercase_columns,
+        "llm_5gram_logprob": q_5gram_logprob,
+        "llm_ann_cosine": q_ann_cosine,
+        "llm_audio_decode": q_audio_decode,
+        "llm_bigram_logprob": q_bigram_logprob,
+        "llm_bm25_probe": q_bm25_probe,
+        "llm_bpe_pairs": q_bpe_pairs,
+        "llm_chunk_documents": q_chunk_documents,
+        "llm_chunk_tokens": q_chunk_documents_tokens,
+        "llm_fingerprint": q_fingerprint,
+        "llm_image_near_dup": q_image_near_dup,
+        "llm_kneser_ney_5gram": q_kneser_ney_5gram,
+        "llm_knn_join_lsh": q_knn_join_lsh,
+        "llm_knn_join_probed": q_knn_join_probed,
+        "llm_knn_join_trained": q_knn_join_trained,
+        "llm_lang_detect": q_lang_detect,
+        "llm_mixture_sample": q_mixture_sample,
+        "llm_modified_kneser_ney": q_modified_kneser_ney,
+        "llm_ngram_pairs": q_ngram_pairs,
+        "llm_pack_sequences": q_pack_sequences,
+        "llm_payload_embedding": q_payload_embedding,
+        "llm_perplexity_buckets": q_perplexity_buckets,
+        "llm_pii_scrub": q_pii_scrub,
+        "llm_quality_score": q_quality_score,
+        "llm_quantile_sketch": q_quantile_sketch,
+        "llm_rag_pipeline": q_rag_pipeline,
+        "llm_shard_for_training": q_shard_for_training,
+        "llm_simhash_pairs": q_simhash_pairs,
+        "llm_temperature_mixture": q_temperature_mixture,
+        "llm_trigram_logprob": q_trigram_logprob,
+        "llm_unigram_logprob": q_unigram_logprob,
+        "llm_video_frames": q_video_frames,
+        "rel_customers_without_orders": R.customers_without_orders,
+        "rel_distinct_parts": lambda s, d: R.distinct_parts_per_flag(s, d).select(
+            "l_returnflag", "n_parts"
+        ),
+        "rel_local_supplier_volume": R.local_supplier_volume,
+        "rel_nations_except": R.nations_except,
+        "rel_nations_intersect": R.nations_intersect,
+        "rel_order_priority": R.order_priority_counts,
+        "rel_returnflag_rollup": R.returnflag_rollup,
+        "rel_scalar_funcs": q_scalar_funcs,
+        "rel_supplier_counts_by_size": R.supplier_counts_by_size,
+        "rel_top_orders_per_customer": R.top_orders_per_customer,
+        "rel_top_revenue_suppliers": R.top_revenue_suppliers,
+        # --- round-12 newcomers (STANDING RULE from VERDICT r7 #6: a new
+        # contract key lands ABOVE position 50 in its own round): the
+        # merge-on-read twins of the three maintained indexes, each
+        # oracle-checked through apply -> compact -> pending-delta reads
+        "llm_kneser_ney_mor": q_kneser_ney_mor,
+        "llm_bm25_probe_mor": q_bm25_probe_mor,
+        "llm_ivf_probe_mor": q_ivf_probe_mor,
+        # --- filler to 50: the oldest round-10 row
+        "cdc_decimal_compat": q_decimal_compat,
+        # --- position 51+: driver-r10/r11-green remainder, covered every
+        # session by the local typed gate (tools/check_contract.py) + pytest
         "cdc_apply_changelog": q_apply_changelog,
         "cdc_delete_on": q_delete_on,
         "cdc_flatten_insert_delete": q_flatten_insert_delete,
@@ -2179,18 +2414,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_time_length": q_time_length_window,
         "win_tumbling": q_tumbling_window,
         "win_unique": q_unique_window,
-        # --- round-11 newcomers (insert NEW contract queries HERE;
-        # STANDING RULE from VERDICT r7 #6: a new key must land ABOVE
-        # position 50 in its own round) --- positions 45-46
         "cdc_gap_wait": q_gap_wait,
         "llm_ivf_probe_maintained_mut": q_ivf_probe_maintained_mut,
-        # --- fillers to 50: the 4 OLDEST round-9 rows (r9 window order)
         "llm_gopher_quality": q_gopher_quality,
         "llm_knn_join": q_knn_join,
         "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_multimodal_decode": q_multimodal_decode,
-        # --- position 51+: driver-r9/r10-green remainder, covered every
-        # session by the local typed gate (tools/check_contract.py) + pytest
         "llm_top_ngrams": q_top_ngrams,
         "llm_label_centroids": q_label_centroids,
         "llm_repetition": q_repetition,
@@ -2204,7 +2433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_first_unique": q_first_unique_window,
         "cdc_flatten_update": q_flatten_update,
         "cdc_keyvalue_mapping": q_keyvalue_mapping,
-        "cdc_decimal_compat": q_decimal_compat,
         "cdc_mongo_flatten": q_mongo_flatten,
         "cdc_incremental_scan": q_incremental_scan,
         "cdc_update_on": q_update_on,
@@ -2241,54 +2469,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_semantic_dedup": q_semantic_dedup,
         "llm_ul2_denoisers": q_ul2_denoisers,
         "llm_dsir_select": q_dsir_select,
-        "cdc_flatten_insert": q_flatten_insert,
-        "cdc_flatten_delete": q_flatten_delete,
-        "cdc_lowercase_columns": q_lowercase_columns,
-        "cdc_int_widening": q_int_widening,
-        "rel_local_supplier_volume": R.local_supplier_volume,
-        "rel_top_orders_per_customer": R.top_orders_per_customer,
-        "rel_returnflag_rollup": R.returnflag_rollup,
-        "rel_distinct_parts": lambda s, d: R.distinct_parts_per_flag(s, d).select(
-            "l_returnflag", "n_parts"
-        ),
-        "rel_nations_except": R.nations_except,
-        "rel_nations_intersect": R.nations_intersect,
-        "rel_order_priority": R.order_priority_counts,
-        "rel_customers_without_orders": R.customers_without_orders,
-        "rel_top_revenue_suppliers": R.top_revenue_suppliers,
-        "rel_supplier_counts_by_size": R.supplier_counts_by_size,
-        "rel_scalar_funcs": q_scalar_funcs,
-        "llm_temperature_mixture": q_temperature_mixture,
-        "llm_trigram_logprob": q_trigram_logprob,
-        "llm_5gram_logprob": q_5gram_logprob,
-        "llm_image_near_dup": q_image_near_dup,
-        "llm_knn_join_trained": q_knn_join_trained,
-        "llm_rag_pipeline": q_rag_pipeline,
-        "llm_shard_for_training": q_shard_for_training,
-        "llm_chunk_documents": q_chunk_documents,
-        "llm_unigram_logprob": q_unigram_logprob,
-        "llm_mixture_sample": q_mixture_sample,
-        "llm_chunk_tokens": q_chunk_documents_tokens,
-        "llm_bigram_logprob": q_bigram_logprob,
-        "llm_perplexity_buckets": q_perplexity_buckets,
-        "llm_knn_join_probed": q_knn_join_probed,
-        "llm_knn_join_lsh": q_knn_join_lsh,
-        "llm_ann_cosine": q_ann_cosine,
-        "llm_audio_decode": q_audio_decode,
-        "llm_kneser_ney_5gram": q_kneser_ney_5gram,
-        "llm_bm25_probe": q_bm25_probe,
-        "llm_modified_kneser_ney": q_modified_kneser_ney,
-        "llm_quantile_sketch": q_quantile_sketch,
-        "llm_pack_sequences": q_pack_sequences,
-        "llm_bpe_pairs": q_bpe_pairs,
-        "llm_simhash_pairs": q_simhash_pairs,
-        "llm_ngram_pairs": q_ngram_pairs,
-        "llm_video_frames": q_video_frames,
-        "llm_payload_embedding": q_payload_embedding,
-        "llm_pii_scrub": q_pii_scrub,
-        "llm_lang_detect": q_lang_detect,
-        "llm_quality_score": q_quality_score,
-        "llm_fingerprint": q_fingerprint,
     }
 
 
@@ -3453,6 +3633,20 @@ def oracle_sql() -> dict[str, str]:
         .replace("WITH t AS MATERIALIZED", "WITH " + _eff, 1)
         .replace("FROM documents)", "FROM documents_eff)")
     )
+    # Merge-on-read twins (round 12): each MOR row engineers the SAME
+    # post-changelog corpus as an existing oracle-checked row, so the
+    # oracle applies verbatim while the Spark side exercises the O(batch)
+    # delta/tombstone/compaction machinery instead of the COW merge.
+    # - llm_kneser_ney_mor: update %7 (+' zz qq'), delete %11&%7!=0 — the
+    #   _mut corpus, reached via no-before-image batches + a compaction.
+    d["llm_kneser_ney_mor"] = d["llm_kneser_ney_maintained_mut"]
+    # - llm_bm25_probe_mor: the changelog RESTORES the real corpus from a
+    #   perturbed init (ghost deletes, text restores, held-out inserts), so
+    #   the post-changelog corpus is exactly `documents`.
+    d["llm_bm25_probe_mor"] = d["llm_bm25_probe"]
+    # - llm_ivf_probe_mor: negate %7, delete %11&%7!=0 — the maintained-mut
+    #   corpus, reached without before images + a compaction mid-stream.
+    d["llm_ivf_probe_mor"] = d["llm_ivf_probe_maintained_mut"]
     return d
 
 

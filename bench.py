@@ -140,6 +140,7 @@ def main() -> int:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in BENCH_QUERIES:
         # Report steady-state: min of 3 post-warmup executions, with a GC
         # between queries. The cold run carries one-time costs that vanish on
@@ -161,15 +162,27 @@ def main() -> int:
         with cache_scope():
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
-        best = cold[name]
+        runs = [cold[name]]
         for _ in range(3):
             t1 = time.time()
             with cache_scope():
                 queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t1)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t1)
+        timings[name] = round(min(runs), 3)
+        # min-of-N with the observed spread pinned next to it (round-11
+        # VERDICT ask #6/#3): the ~2x host-noise band on this box showed up
+        # as phantom regressions in three straight rounds — recording
+        # {min, spread, n} makes the next noise episode a table lookup,
+        # not forensics. min is the honest steady-state statistic here
+        # (noise on a shared box is strictly additive).
+        stats[name] = {
+            "min": timings[name],
+            "spread": round(max(runs) - min(runs), 3),
+            "n": len(runs),
+        }
         print(
-            f"  {name}: cold={cold[name]:.3f}s steady={timings[name]:.3f}s",
+            f"  {name}: cold={cold[name]:.3f}s steady={timings[name]:.3f}s "
+            f"spread={stats[name]['spread']:.3f}s",
             file=sys.stderr,
             flush=True,
         )
@@ -183,6 +196,7 @@ def main() -> int:
                 "queries": timings,
                 "cold_queries": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                "stats": stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -289,6 +289,8 @@ def write_ivf_index(
     seed: int = 42,
     centroids=None,
     mode: str = "overwrite",
+    layout: str = "cow",
+    compact_every: int = 16,
 ):
     """Materialize the 100 TB IVF layout the probe operators assume: vectors
     written cell-PARTITIONED (``.../cell=<i>/``) so a probe is a partition-
@@ -308,14 +310,36 @@ def write_ivf_index(
     """
     import json
 
+    if layout not in ("cow", "mor"):
+        raise ValueError(f"layout must be 'cow' or 'mor' (got {layout!r})")
     if centroids is None:
         dim = len(df.select(vec_col).first()[0])
         centroids = ivf_centroids(dim, nlist, seed)
     assigned = df.withColumn("cell", ivf_assign(F.col(vec_col), centroids))
-    assigned.write.mode(mode).partitionBy("cell").parquet(path)
+    spark = df.sparkSession
+    base = path.rstrip("/")
+    if layout == "mor":
+        # merge-on-read: vectors live under vectors/ (versioned by
+        # compaction); each changelog batch appends O(batch) deltas +
+        # tombstones instead of rewriting touched cells — see
+        # streaming/mor.py for why that matters once touched-cells ~ nlist
+        from siddhi_io_cdc_spark.streaming.ivf_index import _hadoop_delete
+        from siddhi_io_cdc_spark.streaming.mor import mor_init
+
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            base + "/vectors"
+        )
+        mor_init(
+            spark, base,
+            {"vectors": {"id_col": id_col, "part_col": "cell"}},
+            compact_every=compact_every,
+        )
+        _hadoop_delete(spark, base + "/_batches")
+    else:
+        assigned.write.mode(mode).partitionBy("cell").parquet(path)
     _hadoop_write_text(
-        df.sparkSession,
-        path.rstrip("/") + "/_ivf_centroids.json",
+        spark,
+        base + "/_ivf_centroids.json",
         json.dumps([[float(x) for x in c] for c in centroids]),
     )
     return centroids
@@ -381,8 +405,20 @@ def probe_ivf_index(
     # plain argsort(-dots) is introsort and can probe a different cell set
     # on ties.
     probe_lists = np.argsort(-(centroids @ qv), kind="stable")[:nprobe].tolist()
-    candidates = spark.read.parquet(path).where(F.col("cell").isin(probe_lists))
+    candidates = _ivf_cells(spark, path).where(F.col("cell").isin(probe_lists))
     return topk_cosine(candidates, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def _ivf_cells(spark, path: str) -> DataFrame:
+    """The IVF vector table under either layout: the cell-partitioned
+    parquet root (cow) or the merge-on-read live view (mor — base ∪ deltas
+    minus tombstoned ids; the ``cell`` predicate still prunes partitions
+    on both the base and each delta)."""
+    from siddhi_io_cdc_spark.streaming.mor import is_mor, mor_live
+
+    if is_mor(spark, path):
+        return mor_live(spark, path, "vectors")
+    return spark.read.parquet(path)
 
 
 def embedding_near_dup_pairs(
@@ -1170,7 +1206,7 @@ def probe_ivfpq_index(
     probe_lists = np.argsort(-(centroids @ qv), kind="stable")[:nprobe].tolist()
     m, _kc, d_sub = codebooks.shape
 
-    cells = spark.read.parquet(path).where(F.col("cell").isin(probe_lists))
+    cells = _ivf_cells(spark, path).where(F.col("cell").isin(probe_lists))
     lut = [
         [
             float(

@@ -77,9 +77,23 @@ def write_bm25_index(
     id_col: str = "doc_id",
     nbuckets: int = 64,
     doc_buckets: int = 16,
+    layout: str = "cow",
+    compact_every: int = 16,
 ) -> None:
     """Materialize the inverted layout from a document corpus: postings
-    partitioned by term bucket, doc lengths partitioned by doc bucket."""
+    partitioned by term bucket, doc lengths partitioned by doc bucket.
+
+    ``layout="mor"`` switches maintenance to the merge-on-read strategy
+    (``streaming/mor.py``): a ~100-doc batch's terms hash into ALL 64
+    postings buckets, so the copy-on-write touched-bucket merge degrades
+    to an O(corpus) rewrite per batch (measured, BASELINE.md round 12);
+    MOR appends O(batch) deltas instead and compacts every
+    ``compact_every`` batches. Corpus stats (N docs / total tokens) are
+    maintained as per-batch deltas stamped into the delta dirs and folded
+    into ``_stats.json`` behind a ``through_seq`` horizon, so the probe's
+    scalars stay exact without any corpus scan on the apply path."""
+    if layout not in ("cow", "mor"):
+        raise ValueError(f"layout must be 'cow' or 'mor' (got {layout!r})")
     base = index_path.rstrip("/")
     toks = _doc_terms(df, text_col, id_col)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -107,25 +121,85 @@ def write_bm25_index(
         .parquet(base + "/docs")
     )
     _hadoop_write_text(
-        spark, base + "/_meta.json", f'{{"nbuckets": {nbuckets}, "doc_buckets": {doc_buckets}}}'
+        spark, base + "/_meta.json",
+        f'{{"nbuckets": {nbuckets}, "doc_buckets": {doc_buckets}, '
+        f'"layout": "{layout}"}}',
     )
+    if layout == "mor":
+        from siddhi_io_cdc_spark.streaming.mor import mor_init
+
+        mor_init(
+            spark, base,
+            {
+                "postings": {"id_col": "doc_id", "part_col": TBUCKET_COL},
+                "docs": {"id_col": "doc_id", "part_col": DBUCKET_COL},
+            },
+            compact_every=compact_every,
+        )
+        _hadoop_delete(spark, base + "/_batches")
+    else:
+        _hadoop_delete(spark, base + "/_mor.json")
+        _hadoop_delete(spark, base + "/_delta")
+        _hadoop_delete(spark, base + "/_tomb")
     _write_stats(spark, base)
 
 
-def _write_stats(spark, base: str) -> None:
+def _state_table(spark, base: str, table: str) -> DataFrame:
+    """Read an index table under either layout: plain partitioned parquet
+    (cow) or the live merge-on-read view (mor)."""
+    from siddhi_io_cdc_spark.streaming.mor import is_mor, mor_live
+
+    if is_mor(spark, base):
+        return mor_live(spark, base, table)
+    return spark.read.parquet(base + "/" + table)
+
+
+def _write_stats(spark, base: str, through_seq: int = 0) -> None:
     """Persist the corpus scalars (N, total tokens) as DERIVED state — a
     1-row aggregate over the narrow docs table, rewritten after every
-    batch, so crash-replay regenerates it and the probe never scans even
-    the doc-length table for its two scalars."""
+    cow batch, so crash-replay regenerates it and the probe never scans
+    even the doc-length table for its two scalars. Under mor the cache is
+    stamped with ``through_seq``: readers add exactly the pending stats
+    deltas above that horizon, so any crash interleaving of the stats
+    write, the batch append, and compaction still reads exact scalars."""
     r = (
-        spark.read.parquet(base + "/docs")
+        _state_table(spark, base, "docs")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
         .first()
     )
     _hadoop_write_text(
         spark, base + "/_stats.json",
-        f'{{"n_docs": {int(r["n"])}, "total_tokens": {int(r["t"] or 0)}}}',
+        f'{{"n_docs": {int(r["n"])}, "total_tokens": {int(r["t"] or 0)}, '
+        f'"through_seq": {int(through_seq)}}}',
     )
+
+
+def read_bm25_stats(spark, index_path: str) -> tuple[int, int]:
+    """The exact corpus scalars ``(n_docs, total_tokens)``: the cached
+    aggregate plus (mor only) any per-batch stats deltas the cache has not
+    absorbed yet."""
+    import json as _json
+
+    from siddhi_io_cdc_spark.streaming.mor import is_mor, mor_extras
+
+    base = index_path.rstrip("/")
+    stats_path = base + "/_stats.json"
+    if not _hadoop_exists(spark, stats_path):
+        r = (
+            _state_table(spark, base, "docs")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+            .first()
+        )
+        return int(r["n"]), int(r["t"] or 0)
+    cached = _json.loads(_hadoop_read_text(spark, stats_path))
+    n, t = int(cached["n_docs"]), int(cached["total_tokens"])
+    if is_mor(spark, base):
+        through = int(cached.get("through_seq", 0))
+        for seq, extra in mor_extras(spark, base, "docs"):
+            if seq > through:
+                n += int(extra.get("dn", 0))
+                t += int(extra.get("dtok", 0))
+    return n, t
 
 
 def _merge_partitioned(
@@ -193,6 +267,13 @@ def apply_changelog_bm25(
     # DEFAULTS (doc_id would read 0, deleting the wrong document) — re-key
     # deletes from the before image first, same as every other applier.
     batch_df = rekey_deletes(batch_df, [id_col], op_col)
+
+    if meta.get("layout") == "mor":
+        _apply_bm25_mor(
+            spark, batch_df, base, nbuckets, doc_buckets, text_col, id_col,
+            seq_col, op_col, batch_id,
+        )
+        return
 
     before_text = f"before_{text_col}"
     moving_ops = ("update", "delete")
@@ -309,6 +390,125 @@ def apply_changelog_bm25(
         _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
 
 
+def _apply_bm25_mor(
+    spark, batch_df, base, nbuckets, doc_buckets, text_col, id_col,
+    seq_col, op_col, batch_id,
+) -> None:
+    """Merge-on-read apply: O(batch) writes, no index read.
+
+    Tombstones shadow by doc id, so the postings merge needs NO
+    before-image bucket math — but before images are still REQUIRED here:
+    the corpus-stats delta (``dn``/``dtok``) adjusts ``total_tokens`` by
+    the replaced documents' lengths, which only the old text yields
+    without a corpus scan. The delta trusts changelog op semantics
+    (insert = row created, delete = row existed; 'read' snapshot rows
+    count as inserts); compaction recomputes the scalars exactly from the
+    live view, so any drift from a lying changelog heals at the next
+    compaction.
+    """
+    from siddhi_io_cdc_spark.streaming.mor import (
+        latest_per_key, maybe_autocompact, mor_append, next_seq,
+        require_before_images,
+    )
+
+    before_text = f"before_{text_col}"
+    require_before_images(
+        batch_df, op_col, before_text,
+        "the corpus-stats delta needs the replaced document's old length",
+    )
+    latest = latest_per_key(batch_df, id_col, seq_col)
+    batch_ids = latest.select(F.col(id_col).alias("doc_id")).distinct()
+    upserts = latest.where(F.col(op_col) != "delete")
+
+    after_terms = _doc_terms(upserts, text_col, id_col)
+    new_tf = (
+        after_terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(TBUCKET_COL, _tbucket(F.col("term"), nbuckets))
+    )
+    counted = after_terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    new_dl = (
+        upserts.select(F.col(id_col).alias("doc_id"))
+        .join(counted, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__c"), F.lit(0)).cast("bigint").alias("dl"),
+        )
+        .withColumn(
+            DBUCKET_COL,
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(doc_buckets)).cast("int"),
+        )
+    )
+
+    # Batch-local stats delta — per key, the EARLIEST event decides
+    # pre-batch existence and length (first op update/delete => the doc
+    # pre-existed with the first before image's length; insert/read => it
+    # did not), the LATEST decides the final state. This keeps intra-batch
+    # chains exact: insert-then-delete nets 0 docs and 0 tokens, an
+    # update chain A->B->C subtracts dl(A), not dl(B).
+    earliest = (
+        batch_df.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col(seq_col).asc())
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    pre_existing = earliest.where(F.col(op_col).isin("update", "delete"))
+    counts = (
+        latest.agg(
+            F.sum(F.when(F.col(op_col) != "delete", 1).otherwise(0)).alias("alive")
+        ).first(),
+        earliest.agg(
+            F.sum(
+                F.when(F.col(op_col).isin("update", "delete"), 1).otherwise(0)
+            ).alias("pre")
+        ).first(),
+    )
+    tok_after = int(after_terms.count())
+    tok_before = int(_doc_terms(pre_existing, before_text, id_col).count())
+    extra = {
+        "dn": int(counts[0]["alive"] or 0) - int(counts[1]["pre"] or 0),
+        "dtok": tok_after - tok_before,
+    }
+
+    seq = int(batch_id) + 1 if batch_id is not None else next_seq(spark, base)
+    mor_append(spark, base, "postings", new_tf, batch_ids, seq)
+    mor_append(spark, base, "docs", new_dl, batch_ids, seq, extra_json=extra)
+    if batch_id is not None:
+        _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
+    if maybe_autocompact(spark, base):
+        _sync_stats_after_compact(spark, base)
+
+
+def _sync_stats_after_compact(spark, base: str) -> None:
+    """Fold the compacted deltas' stats into the cache: exact recompute
+    over the (now fully compacted) docs table, stamped with the new
+    horizon so readers stop re-adding absorbed extras."""
+    from siddhi_io_cdc_spark.streaming.mor import _read_mor
+
+    _write_stats(
+        spark, base,
+        through_seq=int(_read_mor(spark, base)["compacted_through"]),
+    )
+
+
+def compact_bm25_index(spark, index_path: str) -> bool:
+    """Explicit compaction for a mor-layout BM25 index (the applier also
+    auto-compacts every ``compact_every`` batches)."""
+    from siddhi_io_cdc_spark.streaming.mor import mor_compact
+
+    base = index_path.rstrip("/")
+    if mor_compact(spark, base):
+        _sync_stats_after_compact(spark, base)
+        return True
+    return False
+
+
 def foreach_batch_bm25_index(
     spark,
     index_path: str,
@@ -369,7 +569,7 @@ def bm25_topk_indexed(
         for r in tdf.select(_tbucket(F.col("term"), nbuckets).alias("b")).collect()
     })
     postings = (
-        spark.read.parquet(base + "/postings")
+        _state_table(spark, base, "postings")
         .where(F.col(TBUCKET_COL).isin(buckets))  # partition-pruned
         .where(F.col("term").isin(list(query_terms)))
     )
@@ -379,20 +579,15 @@ def bm25_topk_indexed(
         r["term"]: r["df"]
         for r in postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
     }
-    docs = spark.read.parquet(base + "/docs").select("doc_id", "dl")
-    stats_path = base + "/_stats.json"
-    if _hadoop_exists(spark, stats_path):
-        # derived-state cache maintained by the applier: same two BIGINTs
-        # the aggregate would produce, so scores stay bit-identical
-        cached = _json.loads(_hadoop_read_text(spark, stats_path))
-        stats = spark.createDataFrame(
-            [(int(cached["n_docs"]), int(cached["total_tokens"]))],
-            "n_docs BIGINT, total_tokens BIGINT",
-        )
-    else:
-        stats = docs.agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
-        )
+    docs = _state_table(spark, base, "docs").select("doc_id", "dl")
+    # derived-state cache maintained by the applier (plus, under mor, the
+    # pending per-batch deltas): same two BIGINTs the aggregate would
+    # produce, so scores stay bit-identical
+    n_docs, total_tokens = read_bm25_stats(spark, base)
+    stats = spark.createDataFrame(
+        [(int(n_docs), int(total_tokens))],
+        "n_docs BIGINT, total_tokens BIGINT",
+    )
     # one row per doc holding its query-term tfs (bounded pivot on the
     # literal term list; docs with no query term never appear — the same
     # "matched" semantics as bm25_score)

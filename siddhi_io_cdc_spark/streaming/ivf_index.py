@@ -129,6 +129,13 @@ def apply_changelog_ivf(
                 F.col(op_col) != "delete", pq_assign(F.col(vec_col), codebooks)
             ),
         )
+    if _hadoop_exists(spark, index_path.rstrip("/") + "/_mor.json"):
+        _apply_ivf_mor(
+            spark, index_path.rstrip("/"), batch_df, centroids, vec_col,
+            id_col, seq_col, op_col, batch_id,
+        )
+        return
+
     before_vec = f"before_{vec_col}"
     has_old_image = before_vec in batch_df.columns
     moving_ops = ("update", "delete")
@@ -212,6 +219,34 @@ def apply_changelog_ivf(
         _hadoop_delete(spark, staging)
     if batch_id is not None:
         _hadoop_write_text(spark, _marker_path(index_path, batch_id), "done")
+
+
+def _apply_ivf_mor(
+    spark, base, batch_df, centroids, vec_col, id_col, seq_col, op_col,
+    batch_id,
+) -> None:
+    """Merge-on-read apply: append the batch's final vectors (cell-
+    partitioned) plus id tombstones — O(batch) writes, no cell read, and
+    NO before image needed (the tombstone shadows the old row in whatever
+    cell it lives, which is exactly the information the COW path had to
+    reconstruct from ``before_<vec>``)."""
+    from siddhi_io_cdc_spark.streaming.mor import (
+        latest_per_key, maybe_autocompact, mor_append, mor_live, next_seq,
+    )
+
+    latest = latest_per_key(batch_df, id_col, seq_col)
+    batch_ids = latest.select(id_col).distinct()
+    upserts = latest.where(F.col(op_col) != "delete").withColumn(
+        CELL_COL, ivf_assign(F.col(vec_col), centroids)
+    )
+    # delta schema must match the base table exactly (schema-only peek)
+    base_cols = mor_live(spark, base, "vectors").columns
+    rows = upserts.select(*base_cols)
+    seq = int(batch_id) + 1 if batch_id is not None else next_seq(spark, base)
+    mor_append(spark, base, "vectors", rows, batch_ids, seq)
+    if batch_id is not None:
+        _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
+    maybe_autocompact(spark, base)
 
 
 def foreach_batch_ivf_index(

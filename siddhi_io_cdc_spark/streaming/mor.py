@@ -183,15 +183,17 @@ def mor_append(
         _hadoop_write_text(spark, dpath + "/_extra.json", json.dumps(extra_json))
 
 
-def mor_extras(spark, root: str, table: str) -> list[dict]:
-    """The ``extra_json`` payloads of every pending delta, ascending by
-    sequence (used for the BM25 incremental corpus-stats deltas)."""
+def mor_extras(spark, root: str, table: str) -> list[tuple[int, dict]]:
+    """``(seq, extra_json)`` for every pending delta, ascending by sequence
+    (used for the BM25 incremental corpus-stats deltas — the stats cache is
+    stamped with a ``through_seq`` horizon so a reader can add exactly the
+    extras it hasn't absorbed, in any crash interleaving)."""
     base = root.rstrip("/")
     out = []
     for s in mor_pending_seqs(spark, root):
         p = base + f"/_delta/{table}/{SEQ_COL}={s}/_extra.json"
         if _hadoop_exists(spark, p):
-            out.append(json.loads(_hadoop_read_text(spark, p)))
+            out.append((s, json.loads(_hadoop_read_text(spark, p))))
     return out
 
 

@@ -1,0 +1,315 @@
+"""Merge-on-read state layout (streaming/mor.py): the O(batch) apply path
+for the three CDC-maintained indexes.
+
+Each applier's MOR mode must agree exactly with a fresh rebuild over the
+post-changelog corpus — through update chains, transient insert-then-
+delete keys, missing before images (legal under mor except bm25), the
+compaction pointer swap, and crash-replay. The COW twins of these
+equivalences live in test_bm25_index.py / test_ngram_lm_stream.py /
+test_ivf_maintenance.py; this file pins that the layouts are
+interchangeable to every reader.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.retrieval import bm25_topk
+from siddhi_io_cdc_spark.functions.similarity import (
+    probe_ivf_index,
+    write_ivf_index,
+)
+from siddhi_io_cdc_spark.streaming.bm25_index import (
+    apply_changelog_bm25,
+    bm25_topk_indexed,
+    compact_bm25_index,
+    read_bm25_stats,
+    write_bm25_index,
+)
+from siddhi_io_cdc_spark.streaming.ivf_index import apply_changelog_ivf
+from siddhi_io_cdc_spark.streaming.mor import (
+    mor_compact,
+    mor_live,
+    mor_pending_seqs,
+)
+from siddhi_io_cdc_spark.streaming.ngram_lm import (
+    apply_changelog_ngram,
+    kneser_ney_from_state,
+    read_ngram_counts,
+    write_ngram_state,
+)
+
+DOCS = [
+    (i, " ".join(f"tok{(i * 7 + j) % 13}" for j in range(8))) for i in range(20)
+]
+
+CHANGELOG = [
+    # (doc_id, text, before_text, operation, ts_ms)
+    (5, "aa bb cc dd ee", DOCS[5][1], "update", 10),
+    (6, None, DOCS[6][1], "delete", 11),
+    (30, "xx yy zz ww vv", None, "insert", 12),
+    (31, "pp qq rr", None, "insert", 13),
+    (31, None, "pp qq rr", "delete", 14),  # transient key nets to nothing
+    (7, "chain one two", DOCS[7][1], "update", 15),
+    (7, "chained final text here", "chain one two", "update", 16),
+]
+
+FINAL = [(i, t) for i, t in DOCS if i not in (5, 6, 7)] + [
+    (5, "aa bb cc dd ee"),
+    (30, "xx yy zz ww vv"),
+    (7, "chained final text here"),
+]
+
+SCHEMA = "doc_id LONG, text STRING, before_text STRING, operation STRING, ts_ms LONG"
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+# ---------------------------------------------------------------- ngram
+
+
+def test_ngram_mor_apply_equals_rebuild(spark, tmp_path):
+    state, fresh = str(tmp_path / "mor"), str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    apply_changelog_ngram(
+        spark, spark.createDataFrame(CHANGELOG, SCHEMA), state, batch_id=0
+    )
+    write_ngram_state(
+        spark, _corpus(spark, FINAL), fresh, n=3, nbuckets=8, doc_buckets=4
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want
+    got_kn = {tuple(r) for r in kneser_ney_from_state(spark, state).collect()}
+    want_kn = {tuple(r) for r in kneser_ney_from_state(spark, fresh).collect()}
+    assert got_kn == want_kn
+
+
+def test_ngram_mor_accepts_batches_without_before_images(spark, tmp_path):
+    """Tombstones shadow by id, so MOR (unlike COW) needs no before image —
+    an update/delete-only stream from a source that cannot emit old rows
+    still maintains exact state."""
+    state, fresh = str(tmp_path / "mor"), str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    batch = spark.createDataFrame(
+        [(3, "brand new text row", "update", 10), (4, None, "delete", 11)],
+        "doc_id LONG, text STRING, operation STRING, ts_ms LONG",
+    )
+    apply_changelog_ngram(spark, batch, state, batch_id=0)
+    final = [(i, t) for i, t in DOCS if i not in (3, 4)] + [
+        (3, "brand new text row")
+    ]
+    write_ngram_state(
+        spark, _corpus(spark, final), fresh, n=3, nbuckets=8, doc_buckets=4
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want
+
+
+def test_ngram_mor_compaction_and_replay(spark, tmp_path):
+    state = str(tmp_path / "mor")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    batch = spark.createDataFrame(CHANGELOG, SCHEMA)
+    apply_changelog_ngram(spark, batch, state, batch_id=0)
+    before = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    assert mor_pending_seqs(spark, state) == [1]
+
+    assert mor_compact(spark, state)
+    assert mor_pending_seqs(spark, state) == []
+    assert {tuple(r) for r in read_ngram_counts(spark, state).collect()} == before
+
+    # replay of an already-applied batch id is a no-op (marker), even after
+    # the deltas it produced were folded away
+    apply_changelog_ngram(spark, batch, state, batch_id=0)
+    assert {tuple(r) for r in read_ngram_counts(spark, state).collect()} == before
+
+
+def test_ngram_mor_autocompacts_at_threshold(spark, tmp_path):
+    state = str(tmp_path / "mor")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=2,
+    )
+    b1 = spark.createDataFrame(
+        [(41, "one new doc", None, "insert", 1)], SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(42, "two new doc", None, "insert", 2)], SCHEMA
+    )
+    apply_changelog_ngram(spark, b1, state, batch_id=0)
+    assert mor_pending_seqs(spark, state) == [1]
+    apply_changelog_ngram(spark, b2, state, batch_id=1)  # hits threshold 2
+    assert mor_pending_seqs(spark, state) == []
+    final = DOCS + [(41, "one new doc"), (42, "two new doc")]
+    fresh = str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, _corpus(spark, final), fresh, n=3, nbuckets=8, doc_buckets=4
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def test_bm25_mor_probe_and_stats_match_rebuild(spark, tmp_path):
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(
+        spark, _corpus(spark, DOCS), idx, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    apply_changelog_bm25(
+        spark, idx, spark.createDataFrame(CHANGELOG, SCHEMA), batch_id=0
+    )
+    terms = ["tok3", "aa", "xx"]
+    want = [tuple(r) for r in bm25_topk(_corpus(spark, FINAL), terms, k=8).collect()]
+    got = [tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=8).collect()]
+    assert got == want  # bit-identical scores => stats scalars are exact
+
+    n, t = read_bm25_stats(spark, idx)
+    assert n == len(FINAL)
+    assert t == sum(len(x.split()) for _, x in FINAL)
+
+
+def test_bm25_mor_stats_survive_chains_and_transients(spark, tmp_path):
+    """dn/dtok use the EARLIEST event for pre-batch existence/length and
+    the LATEST for the final state: insert-then-delete nets 0, an update
+    chain subtracts the pre-batch length, not an intermediate one."""
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(
+        spark, _corpus(spark, DOCS), idx, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    batch = spark.createDataFrame(
+        [
+            (50, "a b c d e f", None, "insert", 1),
+            (50, None, "a b c d e f", "delete", 2),
+            (0, "short", DOCS[0][1], "update", 3),
+            (0, "somewhat longer replacement", "short", "update", 4),
+        ],
+        SCHEMA,
+    )
+    apply_changelog_bm25(spark, idx, batch, batch_id=0)
+    n, t = read_bm25_stats(spark, idx)
+    final = [(i, x) for i, x in DOCS if i != 0] + [
+        (0, "somewhat longer replacement")
+    ]
+    assert n == len(final)
+    assert t == sum(len(x.split()) for _, x in final)
+
+
+def test_bm25_mor_compaction_folds_stats(spark, tmp_path):
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(
+        spark, _corpus(spark, DOCS), idx, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    apply_changelog_bm25(
+        spark, idx, spark.createDataFrame(CHANGELOG, SCHEMA), batch_id=0
+    )
+    before = read_bm25_stats(spark, idx)
+    assert compact_bm25_index(spark, idx)
+    assert mor_pending_seqs(spark, idx) == []
+    assert read_bm25_stats(spark, idx) == before
+    terms = ["tok3", "aa", "xx"]
+    want = [tuple(r) for r in bm25_topk(_corpus(spark, FINAL), terms, k=8).collect()]
+    got = [tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=8).collect()]
+    assert got == want
+
+
+def test_bm25_mor_still_requires_before_images(spark, tmp_path):
+    """Unlike the other two MOR appliers, bm25 keeps the requirement: the
+    stats delta needs the replaced document's old length."""
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(
+        spark, _corpus(spark, DOCS), idx, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    batch = spark.createDataFrame(
+        [(3, "new text", "update", 10)],
+        "doc_id LONG, text STRING, operation STRING, ts_ms LONG",
+    )
+    with pytest.raises(ValueError, match="before_text"):
+        apply_changelog_bm25(spark, idx, batch, batch_id=0)
+
+
+# ---------------------------------------------------------------- ivf
+
+
+@pytest.fixture()
+def vecs():
+    rng = random.Random(7)
+    return [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)
+    ]
+
+
+def test_ivf_mor_probe_matches_rebuild(spark, tmp_path, vecs):
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    idx, fresh = str(tmp_path / "ivf"), str(tmp_path / "fresh")
+    write_ivf_index(emb, idx, nlist=6, seed=42, layout="mor")
+
+    rows = (
+        [(i, [-x for x in vecs[i][1]], "update", 10 + i) for i in range(10)]
+        + [(i, None, "delete", 30 + i) for i in range(10, 15)]
+        + [(200 + j, [x * 0.5 for x in vecs[j][1]], "insert", 50 + j) for j in range(5)]
+    )
+    # NO before_embedding column: legal under mor (tombstones shadow by id)
+    batch = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, operation STRING, ts_ms LONG"
+    )
+    apply_changelog_ivf(spark, idx, batch, batch_id=0)
+
+    final = [
+        (i, [-x for x in v]) if i < 10 else (i, v)
+        for i, v in vecs
+        if i not in range(10, 15)
+    ] + [(200 + j, [x * 0.5 for x in vecs[j][1]]) for j in range(5)]
+    write_ivf_index(
+        spark.createDataFrame(final, "vec_id LONG, embedding ARRAY<FLOAT>"),
+        fresh, nlist=6, seed=42,
+    )
+    q = vecs[3][1]
+    want = [tuple(r) for r in probe_ivf_index(spark, fresh, q, k=10, nprobe=3).collect()]
+    got = [tuple(r) for r in probe_ivf_index(spark, idx, q, k=10, nprobe=3).collect()]
+    assert got == want
+
+    assert mor_compact(spark, idx)
+    got2 = [tuple(r) for r in probe_ivf_index(spark, idx, q, k=10, nprobe=3).collect()]
+    assert got2 == want
+
+    apply_changelog_ivf(spark, idx, batch, batch_id=0)  # replay: marker no-op
+    got3 = [tuple(r) for r in probe_ivf_index(spark, idx, q, k=10, nprobe=3).collect()]
+    assert got3 == want
+
+
+def test_ivf_mor_delta_probe_is_partition_pruned(spark, tmp_path, vecs):
+    """The live view keeps the cell predicate prunable: both the base and
+    the delta scans must show partition filters on `cell`."""
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, nlist=6, seed=42, layout="mor")
+    batch = spark.createDataFrame(
+        [(300, vecs[0][1], "insert", 1)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, operation STRING, ts_ms LONG",
+    )
+    apply_changelog_ivf(spark, idx, batch, batch_id=0)
+    view = mor_live(spark, idx, "vectors").where(F.col("cell").isin([0, 1]))
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scans, plan
+    assert all("cell" in ln for ln in scans), plan

@@ -70,9 +70,21 @@ def main() -> None:
     out = {"sf_dir": args.sf, "queries": {}}
     for name in args.queries.split(","):
         cold = run(name)
-        steady = min(run(name), run(name))
-        out["queries"][name] = {"cold": round(cold, 3), "steady": round(steady, 3)}
-        print(f"{name}: cold={cold:.2f}s steady={steady:.2f}s", file=sys.stderr)
+        posts = [run(name), run(name)]
+        steady = min(posts)
+        out["queries"][name] = {
+            "cold": round(cold, 3),
+            "steady": round(steady, 3),
+            # min-of-N protocol pinned (round-11 ask): spread over the
+            # post-warm runs exposes host noise next to every value
+            "spread": round(max(posts) - steady, 3),
+            "n": 1 + len(posts),
+        }
+        print(
+            f"{name}: cold={cold:.2f}s steady={steady:.2f}s "
+            f"spread={max(posts) - steady:.2f}s",
+            file=sys.stderr,
+        )
     print(json.dumps(out))
     spark.stop()
 
