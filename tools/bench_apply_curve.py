@@ -119,7 +119,12 @@ def _vec_batch(spark, sf_dir: str, b: int):
             (F.lit(ts + 400) + F.col("vec_id") % 100).alias("ts_ms"),
         )
     )
-    return upd.unionByName(dele).unionByName(ins)
+    lazy = upd.unionByName(dele).unionByName(ins)
+    # MATERIALIZE: the batch plan sorts the whole corpus (orderBy windows);
+    # left lazy it would execute inside the timed apply and pollute the
+    # curve with an O(N log N) term that belongs to batch construction
+    rows = lazy.collect()
+    return spark.createDataFrame(rows, lazy.schema)
 
 
 def run_ngram(spark, sf_dir: str, batches: int, mode: str) -> dict:
