@@ -17,12 +17,20 @@ changelog, composing the house patterns:
   deployment can additionally cache the 1-row result, which replays
   cleanly because it is derived state).
 
-Maintenance per micro-batch touches O(batch's distinct term buckets +
-doc buckets), never O(index). Like the IVF applier, update/delete ops
-MUST carry the BEFORE image (``before_<text_col>``): an updated document
+Copy-on-write maintenance per micro-batch touches O(batch's distinct
+term buckets + doc buckets) — which round 12 MEASURED to be O(index) in
+practice: a 100-document batch's ~1,000 distinct terms hash into all 64
+buckets, so the "touched-bucket" merge rewrites the postings table
+every batch (BASELINE.md round 12, constant-batch curve growing ~2.4×
+at 20× data). ``write_bm25_index(layout="mor")`` is the production
+answer: merge-on-read deltas + tombstones (``streaming/mor.py``),
+measured flat across 20× data, with the corpus scalars maintained as
+exact per-batch deltas. Under copy-on-write, update/delete ops MUST
+carry the BEFORE image (``before_<text_col>``): an updated document
 may drop terms, and without the old text those postings' buckets are
 unknowable short of an O(index) scan — the flatten operator's update
-projection provides exactly that column. Replay-idempotent: per-bucket
+projection provides exactly that column. (mor also requires it, but
+only for the stats delta's replaced-length term.) Replay-idempotent: per-bucket
 content is a pure function of {old rows not in batch} ∪ {batch's final
 state}, plus a per-``batch_id`` marker to skip clean re-runs. Filesystem
 metadata ops go through the Hadoop FS API (s3a/hdfs-capable).
