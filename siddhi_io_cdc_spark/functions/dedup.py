@@ -1072,6 +1072,14 @@ def semantic_dedup_pairs(
     total pair work ≈ N^1.5 instead of N²); the join is a single equi-join
     on the cell id, so each cell's pairs compute co-partitioned, and skewed
     cells can reuse the measured per-cell salting of the kNN family.
+    MEASURED caveat (round 12, 100k vectors): the √N knob pays only when
+    PER-PAIR cost dominates. Cell assignment is O(N·nlist·d) — itself
+    N^1.5 at nlist=√N — and with ``engine="numpy"`` (BLAS pairs at ~tens
+    of ns each) assignment dominates: nlist=316 measured 20.8 s vs
+    nlist=16 at 7.7 s on the same corpus. Grow nlist with N for the SQL
+    HOF engine (~9 µs/pair floor, where cutting pair volume 20× wins);
+    for the numpy engine keep nlist small until pair volume, not
+    assignment, is the measured bottleneck (BASELINE.md round 12).
 
     Two measured costs shape the body (sf1, 20k vectors, 1.44M pairs):
     the input is ``fan_out`` BEFORE the self-join — the probe side of the
