@@ -230,10 +230,16 @@ def _apply_ivf_mor(
     NO before image needed (the tombstone shadows the old row in whatever
     cell it lives, which is exactly the information the COW path had to
     reconstruct from ``before_<vec>``)."""
+    from siddhi_io_cdc_spark.operators.mutate import rekey_deletes
     from siddhi_io_cdc_spark.streaming.mor import (
         latest_per_key, maybe_autocompact, mor_append, mor_live, next_seq,
     )
 
+    # Multi-op flatten fills a delete's missing after image with TYPE
+    # DEFAULTS (vec_id would read 0, tombstoning the wrong vector) — the
+    # cow path inherits this re-keying from apply_changelog; here it must
+    # happen before the tombstone ids are taken.
+    batch_df = rekey_deletes(batch_df, [id_col], op_col)
     latest = latest_per_key(batch_df, id_col, seq_col)
     batch_ids = latest.select(id_col).distinct()
     upserts = latest.where(F.col(op_col) != "delete").withColumn(

@@ -313,3 +313,22 @@ def test_ivf_mor_delta_probe_is_partition_pruned(spark, tmp_path, vecs):
     scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert scans, plan
     assert all("cell" in ln for ln in scans), plan
+
+
+def test_ivf_mor_rekeys_multiop_flatten_deletes(spark, tmp_path, vecs):
+    """Multi-op flatten fills a delete's after image with type defaults
+    (vec_id=0): the mor applier must tombstone the BEFORE-image key, not
+    key 0 — the cow path inherits this from apply_changelog's internal
+    re-keying, the mor path re-keys explicitly."""
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(emb, idx, nlist=6, seed=42, layout="mor")
+    batch = spark.createDataFrame(
+        [(0, None, 7, vecs[7][1], "delete", 1)],  # after-image key = default 0
+        "vec_id LONG, embedding ARRAY<FLOAT>, before_vec_id LONG, "
+        "before_embedding ARRAY<FLOAT>, operation STRING, ts_ms LONG",
+    )
+    apply_changelog_ivf(spark, idx, batch, batch_id=0)
+    live = {r.vec_id for r in mor_live(spark, idx, "vectors").select("vec_id").collect()}
+    assert 7 not in live, "before-image key must be tombstoned"
+    assert 0 in live, "the type-default key must NOT be tombstoned"
