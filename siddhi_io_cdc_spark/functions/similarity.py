@@ -1129,6 +1129,8 @@ def write_ivfpq_index(
     centroids=None,
     codebooks=None,
     mode: str = "overwrite",
+    layout: str = "cow",
+    compact_every: int = 16,
 ):
     """Materialize the IVFADC layout (Jégou et al. 2011 §IV) — the standard
     billion-scale vector index: rows cell-PARTITIONED by coarse centroid
@@ -1137,9 +1139,13 @@ def write_ivfpq_index(
     ``pq_code`` bytes only, 32x less than the float vectors). Both
     codebooks are stored alongside the data through the Hadoop FS API, so
     the layout works on any Spark-readable path. Returns
-    ``(centroids, codebooks)``."""
+    ``(centroids, codebooks)``. ``layout="mor"`` selects the merge-on-read
+    maintenance strategy (see :func:`write_ivf_index`); the changelog
+    applier stamps upserted rows' PQ codes either way."""
     import json
 
+    if layout not in ("cow", "mor"):
+        raise ValueError(f"layout must be 'cow' or 'mor' (got {layout!r})")
     if centroids is None or codebooks is None:
         dim = len(df.select(vec_col).first()[0])
         if centroids is None:
@@ -1149,8 +1155,22 @@ def write_ivfpq_index(
     assigned = df.withColumn("cell", ivf_assign(F.col(vec_col), centroids)).withColumn(
         "pq_code", pq_assign(F.col(vec_col), codebooks)
     )
-    assigned.write.mode(mode).partitionBy("cell").parquet(path)
     spark = df.sparkSession
+    if layout == "mor":
+        from siddhi_io_cdc_spark.streaming.ivf_index import _hadoop_delete
+        from siddhi_io_cdc_spark.streaming.mor import mor_init
+
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            path.rstrip("/") + "/vectors"
+        )
+        mor_init(
+            spark, path.rstrip("/"),
+            {"vectors": {"id_col": id_col, "part_col": "cell"}},
+            compact_every=compact_every,
+        )
+        _hadoop_delete(spark, path.rstrip("/") + "/_batches")
+    else:
+        assigned.write.mode(mode).partitionBy("cell").parquet(path)
     _hadoop_write_text(
         spark,
         path.rstrip("/") + "/_ivf_centroids.json",

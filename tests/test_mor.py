@@ -338,3 +338,153 @@ def test_ivf_mor_rekeys_multiop_flatten_deletes(spark, tmp_path, vecs):
     live = {r.vec_id for r in mor_live(spark, idx, "vectors").select("vec_id").collect()}
     assert 7 not in live, "before-image key must be tombstoned"
     assert 0 in live, "the type-default key must NOT be tombstoned"
+
+
+# ---------------------------------------------------- crash interleavings
+
+
+def test_mor_compact_survives_orphan_from_crashed_attempt(spark, tmp_path):
+    """Crash BEFORE the pointer write leaves a half-written versioned dir;
+    the next compaction must clobber the orphan, not absorb it."""
+    state = str(tmp_path / "mor")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    apply_changelog_ngram(
+        spark, spark.createDataFrame(CHANGELOG, SCHEMA), state, batch_id=0
+    )
+    want = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    # plant the orphan a crashed earlier attempt would leave (v1 is the
+    # name the next compaction will pick: base_version 0 + 1)
+    spark.createDataFrame(
+        [(999, "zz", "zz", "zz", 1, 0)],
+        "doc_id LONG, w1 STRING, w2 STRING, w3 STRING, tf LONG, gbucket INT",
+    ).write.partitionBy("gbucket").parquet(state + "/grams__v1")
+    assert mor_compact(spark, state)
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    assert got == want  # the orphan's garbage row must not survive
+
+
+def test_mor_reader_ignores_stale_dirs_after_pointer_swap(spark, tmp_path):
+    """Crash AFTER the pointer write but before GC leaves superseded delta
+    and tombstone dirs; readers must ignore anything at or below the
+    compaction horizon."""
+    state = str(tmp_path / "mor")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    apply_changelog_ngram(
+        spark, spark.createDataFrame(CHANGELOG, SCHEMA), state, batch_id=0
+    )
+    assert mor_compact(spark, state)  # horizon = 1, dirs GC'd
+    want = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    # re-plant stale seq-1 artifacts (what a crash between pointer write
+    # and GC leaves behind): bogus rows AND a tombstone for a live doc
+    spark.createDataFrame(
+        [(998, "yy", "yy", "yy", 7, 0)],
+        "doc_id LONG, w1 STRING, w2 STRING, w3 STRING, tf LONG, gbucket INT",
+    ).write.partitionBy("gbucket").parquet(state + "/_delta/grams/__seq=1")
+    spark.createDataFrame([(0,)], "doc_id LONG").write.parquet(
+        state + "/_tomb/grams/__seq=1"
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    assert got == want  # stale delta invisible, live doc 0 not tombstoned
+
+
+# ------------------------------------------------------- streaming e2e
+
+
+def test_foreach_batch_ngram_mor_stream(spark, tmp_path):
+    """Live stream into a mor state: engine-assigned batch ids map to
+    delta sequences; checkpoint restart + markers keep replay a no-op;
+    the served counts equal a fresh rebuild."""
+    from siddhi_io_cdc_spark.streaming.ngram_lm import foreach_batch_ngram_lm
+
+    import os
+
+    state = str(tmp_path / "mor")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(SCHEMA.replace(", ", ",")).parquet(src)
+            .writeStream.foreachBatch(foreach_batch_ngram_lm(spark, state))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(CHANGELOG, SCHEMA).write.mode("append").parquet(src)
+    run_stream()
+    fresh = str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, _corpus(spark, FINAL), fresh, n=3, nbuckets=8, doc_buckets=4
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    assert got == {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+
+    # second micro-batch (engine batch_id advances via the checkpoint)
+    spark.createDataFrame(
+        [(60, "late arrival doc", None, "insert", 99)], SCHEMA
+    ).write.mode("append").parquet(src)
+    run_stream()
+    fresh2 = str(tmp_path / "fresh2")
+    write_ngram_state(
+        spark, _corpus(spark, FINAL + [(60, "late arrival doc")]), fresh2,
+        n=3, nbuckets=8, doc_buckets=4,
+    )
+    got2 = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want2 = {tuple(r) for r in read_ngram_counts(spark, fresh2).collect()}
+    assert got2 == want2
+
+    run_stream()  # restart, no new data: checkpoint + markers => no-op
+    assert {tuple(r) for r in read_ngram_counts(spark, state).collect()} == want2
+
+
+# ----------------------------------------------------------- ivfadc mor
+
+
+def test_ivfpq_mor_probe_matches_rebuild(spark, tmp_path, vecs):
+    """IVFADC under mor: upserted rows get PQ codes stamped by the applier,
+    deletes tombstone, and the ADC shortlist + exact re-rank probe equals
+    a fresh IVFADC rebuild over the post-changelog corpus."""
+    from siddhi_io_cdc_spark.functions.similarity import (
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    idx, fresh = str(tmp_path / "pq"), str(tmp_path / "pqf")
+    write_ivfpq_index(emb, idx, nlist=6, pq_m=4, pq_k=8, seed=42, layout="mor")
+    rows = (
+        [(i, [-x for x in vecs[i][1]], "update", 10 + i) for i in range(8)]
+        + [(i, None, "delete", 30 + i) for i in range(8, 12)]
+        + [(300 + j, [x * 0.5 for x in vecs[j][1]], "insert", 50 + j) for j in range(4)]
+    )
+    batch = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, operation STRING, ts_ms LONG"
+    )
+    apply_changelog_ivf(spark, idx, batch, batch_id=0)
+
+    final = [
+        (i, [-x for x in v]) if i < 8 else (i, v)
+        for i, v in vecs
+        if i not in range(8, 12)
+    ] + [(300 + j, [x * 0.5 for x in vecs[j][1]]) for j in range(4)]
+    write_ivfpq_index(
+        spark.createDataFrame(final, "vec_id LONG, embedding ARRAY<FLOAT>"),
+        fresh, nlist=6, pq_m=4, pq_k=8, seed=42,
+    )
+    q = vecs[3][1]
+    want = [tuple(r) for r in probe_ivfpq_index(spark, fresh, q, k=8, nprobe=3).collect()]
+    got = [tuple(r) for r in probe_ivfpq_index(spark, idx, q, k=8, nprobe=3).collect()]
+    assert got == want
