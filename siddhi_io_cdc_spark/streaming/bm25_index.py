@@ -415,8 +415,7 @@ def _apply_bm25_mor(
     compaction.
     """
     from siddhi_io_cdc_spark.streaming.mor import (
-        latest_per_key, maybe_autocompact, mor_append, next_seq,
-        require_before_images,
+        latest_per_key, mor_append, next_seq, require_before_images,
     )
 
     before_text = f"before_{text_col}"
@@ -489,32 +488,43 @@ def _apply_bm25_mor(
     mor_append(spark, base, "docs", new_dl, batch_ids, seq, extra_json=extra)
     if batch_id is not None:
         _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
-    if maybe_autocompact(spark, base):
-        _sync_stats_after_compact(spark, base)
+    from siddhi_io_cdc_spark.streaming.mor import _read_mor, mor_pending_seqs
 
-
-def _sync_stats_after_compact(spark, base: str) -> None:
-    """Fold the compacted deltas' stats into the cache: exact recompute
-    over the (now fully compacted) docs table, stamped with the new
-    horizon so readers stop re-adding absorbed extras."""
-    from siddhi_io_cdc_spark.streaming.mor import _read_mor
-
-    _write_stats(
-        spark, base,
-        through_seq=int(_read_mor(spark, base)["compacted_through"]),
-    )
+    every = _read_mor(spark, base).get("compact_every") or 0
+    if every and len(mor_pending_seqs(spark, base)) >= every:
+        compact_bm25_index(spark, base)
 
 
 def compact_bm25_index(spark, index_path: str) -> bool:
-    """Explicit compaction for a mor-layout BM25 index (the applier also
-    auto-compacts every ``compact_every`` batches)."""
-    from siddhi_io_cdc_spark.streaming.mor import mor_compact
+    """Compaction for a mor-layout BM25 index (the applier auto-compacts
+    every ``compact_every`` batches through this path too).
+
+    Ordering is the crash-safety point: the pending stats deltas are
+    folded into ``_stats.json`` (stamped ``through_seq`` = the pending
+    horizon) BEFORE ``mor_compact`` deletes the delta dirs that carry
+    them. A crash after the fold but before the pointer swap double-adds
+    nothing — readers skip extras at or below the recorded horizon; a
+    crash after the swap reads the folded cache. (Folding after the
+    compaction would open a window where the deltas are gone and the
+    cache never absorbed them — stale scalars forever.) After a
+    successful compaction the scalars are recomputed EXACTLY from the
+    compacted docs table at the same horizon, healing any drift a lying
+    changelog introduced into the batch-local deltas."""
+    from siddhi_io_cdc_spark.streaming.mor import mor_compact, mor_pending_seqs
 
     base = index_path.rstrip("/")
-    if mor_compact(spark, base):
-        _sync_stats_after_compact(spark, base)
-        return True
-    return False
+    pend = mor_pending_seqs(spark, base)
+    if not pend:
+        return False
+    n, t = read_bm25_stats(spark, base)  # base cache + pending extras
+    _hadoop_write_text(
+        spark, base + "/_stats.json",
+        f'{{"n_docs": {int(n)}, "total_tokens": {int(t)}, '
+        f'"through_seq": {int(pend[-1])}}}',
+    )
+    mor_compact(spark, base)
+    _write_stats(spark, base, through_seq=int(pend[-1]))  # exact recompute
+    return True
 
 
 def foreach_batch_bm25_index(

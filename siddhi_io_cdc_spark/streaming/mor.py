@@ -266,6 +266,15 @@ def mor_compact(spark, root: str) -> bool:
         # GC a stale same-name orphan from a crashed earlier attempt
         _hadoop_delete(spark, base + "/" + new_dir)
         live.write.partitionBy(spec["part_col"]).parquet(base + "/" + new_dir)
+        if not _has_parquet(spark, base + "/" + new_dir):
+            # the table emptied out entirely: a partitioned write of an
+            # empty frame leaves no data files, and a later read would
+            # fail schema inference — write one schema-bearing empty file
+            # (part_col rides along as a regular column; readers only
+            # filter on it)
+            live.limit(0).coalesce(1).write.mode("overwrite").parquet(
+                base + "/" + new_dir
+            )
         old_dirs.append(spec["base_dir"])
         new_meta["tables"][t]["base_dir"] = new_dir
     new_meta["base_version"] = new_ver

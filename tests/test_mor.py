@@ -488,3 +488,91 @@ def test_ivfpq_mor_probe_matches_rebuild(spark, tmp_path, vecs):
     want = [tuple(r) for r in probe_ivfpq_index(spark, fresh, q, k=8, nprobe=3).collect()]
     got = [tuple(r) for r in probe_ivfpq_index(spark, idx, q, k=8, nprobe=3).collect()]
     assert got == want
+
+
+def test_mor_compaction_of_fully_emptied_table(spark, tmp_path):
+    """Deleting every document then compacting must leave a readable
+    (schema-bearing) empty base — and the state must accept new inserts
+    afterwards. A partitioned write of an empty live view produces no
+    data files, which would otherwise break schema inference on read."""
+    state = str(tmp_path / "mor")
+    seed = DOCS[:4]
+    write_ngram_state(
+        spark, _corpus(spark, seed), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    wipe = spark.createDataFrame(
+        [(i, None, t, "delete", 10 + i) for i, t in seed], SCHEMA
+    )
+    apply_changelog_ngram(spark, wipe, state, batch_id=0)
+    assert mor_compact(spark, state)
+    assert read_ngram_counts(spark, state).count() == 0
+    assert mor_live(spark, state, "docs").count() == 0
+
+    refill = spark.createDataFrame(
+        [(100, "fresh after wipe text", None, "insert", 50)], SCHEMA
+    )
+    apply_changelog_ngram(spark, refill, state, batch_id=1)
+    fresh = str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, _corpus(spark, [(100, "fresh after wipe text")]), fresh,
+        n=3, nbuckets=8, doc_buckets=4,
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want
+
+
+def test_bm25_mor_stats_fold_crash_window(spark, tmp_path):
+    """compact_bm25_index folds pending stats deltas into the cache BEFORE
+    the pointer swap deletes the delta dirs. Simulate a crash between the
+    two steps: the folded cache (through_seq = pending horizon) with the
+    extras still on disk must read exactly right (no double-add), and a
+    later retry of the compaction must leave the same scalars."""
+    import json as _json
+
+    from siddhi_io_cdc_spark.functions.similarity import (
+        _hadoop_read_text,
+        _hadoop_write_text,
+    )
+
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(
+        spark, _corpus(spark, DOCS), idx, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    apply_changelog_bm25(
+        spark, idx, spark.createDataFrame(CHANGELOG, SCHEMA), batch_id=0
+    )
+    true_stats = read_bm25_stats(spark, idx)
+
+    # the fold step alone (what a crash right after it leaves behind)
+    n, t = read_bm25_stats(spark, idx)
+    _hadoop_write_text(
+        spark, idx + "/_stats.json",
+        f'{{"n_docs": {n}, "total_tokens": {t}, "through_seq": 1}}',
+    )
+    assert read_bm25_stats(spark, idx) == true_stats  # extras not re-added
+
+    # retrying the compaction converges to the same scalars
+    assert compact_bm25_index(spark, idx)
+    assert read_bm25_stats(spark, idx) == true_stats
+    cached = _json.loads(_hadoop_read_text(spark, idx + "/_stats.json"))
+    assert cached["through_seq"] == 1
+
+
+def test_bm25_mor_autocompact_keeps_stats_exact(spark, tmp_path):
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(
+        spark, _corpus(spark, DOCS), idx, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=2,
+    )
+    b1 = spark.createDataFrame([(70, "first new doc here", None, "insert", 1)], SCHEMA)
+    b2 = spark.createDataFrame([(71, "second new doc", None, "insert", 2)], SCHEMA)
+    apply_changelog_bm25(spark, idx, b1, batch_id=0)
+    apply_changelog_bm25(spark, idx, b2, batch_id=1)  # triggers autocompact
+    assert mor_pending_seqs(spark, idx) == []
+    final = DOCS + [(70, "first new doc here"), (71, "second new doc")]
+    n, t = read_bm25_stats(spark, idx)
+    assert n == len(final)
+    assert t == sum(len(x.split()) for _, x in final)
