@@ -37,6 +37,15 @@ additionally each delta/tombstone write is keyed by the batch id and
 written with overwrite, so a crash-and-replay of batch ``k`` lands
 byte-equivalent state.
 
+Single-writer assumption (the Structured Streaming model — one
+maintainer query per state path): a batch that crashed mid-append leaves
+partial delta dirs, which its engine-ordered REPLAY overwrites before
+any later batch applies — and since compaction only runs from the
+maintainer after a successful apply, every seq a compaction folds is
+marker-complete. Run explicit ``mor_compact`` only from the maintainer;
+an out-of-band compaction racing a crashed-but-unreplayed batch could
+fold its partial delta into the base.
+
 Before-image note: MOR does not need before images to bound its work
 (tombstones shadow by id), but the appliers still validate them for
 parity with the COW contract — and the BM25 stats delta genuinely needs
