@@ -1,0 +1,105 @@
+"""Property test for the merge-on-read state: ANY multi-batch changelog
+(random inserts / updates / deletes, latest-wins within a batch, no
+before images, compactions interleaved at random points) must leave the
+maintained n-gram counts equal to a fresh build over the model corpus.
+
+The model is a plain Python dict folded with the same semantics the
+appliers document: per batch, the latest event per key wins; insert/
+update set the text, delete removes the key. Each drawn program is
+applied through ``apply_changelog_ngram`` against a ``layout="mor"``
+state (optionally compacting between batches) and compared to
+``write_ngram_state`` over the final dict — the incremental==rebuild
+equivalence as a law, not an example.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from siddhi_io_cdc_spark.streaming.mor import mor_compact
+from siddhi_io_cdc_spark.streaming.ngram_lm import (
+    apply_changelog_ngram,
+    read_ngram_counts,
+    write_ngram_state,
+)
+
+WORDS = ["ab", "cd", "ef", "gh", "ij", "kl"]
+
+
+def _text(seed: int, length: int) -> str:
+    return " ".join(WORDS[(seed * 7 + i) % len(WORDS)] for i in range(length))
+
+
+#: one event: (kind 0=insert/upsert, 1=update, 2=delete, key, text seed, len)
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 9),
+        st.integers(0, 50),
+        st.integers(1, 6),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+#: a program: 1-3 batches, each with events + compact-after flag
+_programs = st.lists(
+    st.tuples(_events, st.booleans()), min_size=1, max_size=3
+)
+
+
+@given(program=_programs)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mor_random_programs_match_rebuild(spark, program, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("morprop")
+    state, fresh = str(tmp / "mor"), str(tmp / "fresh")
+
+    model = {i: _text(i, 4) for i in range(5)}
+    corpus = spark.createDataFrame(
+        list(model.items()), "doc_id LONG, text STRING"
+    )
+    write_ngram_state(
+        spark, corpus, state, n=2, nbuckets=4, doc_buckets=2, layout="mor"
+    )
+
+    for batch_no, (events, do_compact) in enumerate(program):
+        rows, ts = [], 0
+        staged = dict(model)
+        for kind, key, seed, length in events:
+            ts += 1
+            if kind == 2:
+                if key not in staged:
+                    continue  # deletes of absent keys are upstream noise
+                rows.append((key, None, "delete", ts))
+                staged.pop(key)
+            else:
+                op = "update" if (kind == 1 and key in staged) else "insert"
+                txt = _text(seed, length)
+                rows.append((key, txt, op, ts))
+                staged[key] = txt
+        if not rows:
+            continue
+        batch = spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, operation STRING, ts_ms LONG"
+        )
+        apply_changelog_ngram(spark, batch, state, batch_id=batch_no)
+        model = staged
+        if do_compact:
+            mor_compact(spark, state)
+
+    if not model:
+        # fully-emptied corpus: a COW rebuild over zero docs writes no
+        # parquet (pre-existing empty-corpus edge), so assert directly
+        assert read_ngram_counts(spark, state).count() == 0
+        return
+    write_ngram_state(
+        spark,
+        spark.createDataFrame(list(model.items()), "doc_id LONG, text STRING"),
+        fresh, n=2, nbuckets=4, doc_buckets=2,
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want, (sorted(got - want)[:3], sorted(want - got)[:3])
