@@ -156,8 +156,25 @@ def run_ngram(spark, sf_dir: str, batches: int, mode: str) -> dict:
         apply_changelog_ngram(spark, batch, path, batch_id=b + 1)
         out["apply_sec"].append(round(time.monotonic() - t0, 3))
         out["touched_buckets"].append(int(tb))
+    _maybe_compact_end(spark, path, mode, out)
     shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+def _maybe_compact_end(spark, path: str, mode: str, out: dict) -> None:
+    """With --compact-end, time the compaction fold after the batches —
+    the amortized rewrite a mor state pays every compact_every batches
+    (expected to scale with the corpus; that is the point: it is paid
+    once per 16 batches instead of on every one)."""
+    if mode == "mor" and COMPACT_END:
+        from siddhi_io_cdc_spark.streaming.mor import mor_compact
+
+        t0 = time.monotonic()
+        mor_compact(spark, path)
+        out["compact_sec"] = round(time.monotonic() - t0, 3)
+
+
+COMPACT_END = False
 
 
 def run_bm25(spark, sf_dir: str, batches: int, mode: str) -> dict:
@@ -179,6 +196,12 @@ def run_bm25(spark, sf_dir: str, batches: int, mode: str) -> dict:
         apply_changelog_bm25(spark, path, batch, batch_id=b + 1)
         out["apply_sec"].append(round(time.monotonic() - t0, 3))
         out["touched_buckets"].append(64)
+    if mode == "mor" and COMPACT_END:
+        from siddhi_io_cdc_spark.streaming.bm25_index import compact_bm25_index
+
+        t0 = time.monotonic()
+        compact_bm25_index(spark, path)
+        out["compact_sec"] = round(time.monotonic() - t0, 3)
     shutil.rmtree(path, ignore_errors=True)
     return out
 
@@ -222,6 +245,7 @@ def run_ivf(spark, sf_dir: str, batches: int, mode: str) -> dict:
         apply_changelog_ivf(spark, path, batch, batch_id=b + 1)
         out["apply_sec"].append(round(time.monotonic() - t0, 3))
         out["touched_buckets"].append(int(tb))
+    _maybe_compact_end(spark, path, mode, out)
     shutil.rmtree(path, ignore_errors=True)
     return out
 
@@ -232,8 +256,12 @@ def main() -> None:
     ap.add_argument("--appliers", default="ngram,bm25,ivf")
     ap.add_argument("--batches", type=int, default=3)
     ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    ap.add_argument("--compact-end", action="store_true",
+                    help="after the batches, time a mor compaction fold")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     args = ap.parse_args()
+    global COMPACT_END
+    COMPACT_END = bool(args.compact_end)
 
     from pyspark.sql import SparkSession
 
