@@ -202,6 +202,45 @@ def ivf_assign(vec_col: Column, centroids) -> Column:
     return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
+def ivf_assign_numpy(
+    df: DataFrame, centroids, vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Vectorized IVF assignment: one BLAS ``V @ C.T`` argmax per Arrow
+    batch via ``mapInPandas`` — the build-time engine for large nlist.
+
+    :func:`ivf_assign` is an interpreted HOF whose cost is O(N·nlist·d)
+    with an expression-interpreter constant; at the SemDeDup-prescribed
+    nlist≈√N that term is N^1.5 and dominates builds (measured round 12:
+    224 s for a 100k×64 corpus at nlist=316; this engine does the same
+    assignment as one matmul per batch). Ties resolve to the lowest index
+    (numpy argmax takes the first maximum), matching the HOF's tiebreak —
+    but float summation ORDER differs (pairwise BLAS vs sequential HOF),
+    so a dot within 1 ulp of a tie can land one cell over. That never
+    changes probe RECALL materially (the vector sits on a cell boundary);
+    it does mean oracle-hash-checked contract rows keep the HOF engine.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    C = np.asarray(centroids, dtype=np.float64)
+    fields = df.schema.simpleString()[7:-1]  # struct<...> -> ...
+    schema = f"{fields},{out_col}:int"
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            pdf[out_col] = (
+                np.argmax(V @ C.T, axis=1).astype("int32")
+                if len(pdf) else np.array([], dtype="int32")
+            )
+            yield pdf
+
+    return df.mapInPandas(assign, schema=schema)
+
+
 def ivf_centroids(dim: int, nlist: int = 16, seed: int = 42):
     """Deterministic pseudo-centroids (unit-normalized random directions).
 
@@ -291,6 +330,7 @@ def write_ivf_index(
     mode: str = "overwrite",
     layout: str = "cow",
     compact_every: int = 16,
+    assign_engine: str = "sql",
 ):
     """Materialize the 100 TB IVF layout the probe operators assume: vectors
     written cell-PARTITIONED (``.../cell=<i>/``) so a probe is a partition-
@@ -312,10 +352,21 @@ def write_ivf_index(
 
     if layout not in ("cow", "mor"):
         raise ValueError(f"layout must be 'cow' or 'mor' (got {layout!r})")
+    if assign_engine not in ("sql", "numpy"):
+        raise ValueError(
+            f"assign_engine must be 'sql' or 'numpy' (got {assign_engine!r})"
+        )
     if centroids is None:
         dim = len(df.select(vec_col).first()[0])
         centroids = ivf_centroids(dim, nlist, seed)
-    assigned = df.withColumn("cell", ivf_assign(F.col(vec_col), centroids))
+    # assign_engine="numpy": BLAS argmax per Arrow batch — the build-time
+    # path for nlist≈√N, where the HOF's O(N·nlist·d) interpreter term
+    # dominates (see ivf_assign_numpy; oracle-checked rows keep "sql")
+    assigned = (
+        ivf_assign_numpy(df, centroids, vec_col)
+        if assign_engine == "numpy"
+        else df.withColumn("cell", ivf_assign(F.col(vec_col), centroids))
+    )
     spark = df.sparkSession
     base = path.rstrip("/")
     if layout == "mor":

@@ -576,3 +576,33 @@ def test_bm25_mor_autocompact_keeps_stats_exact(spark, tmp_path):
     n, t = read_bm25_stats(spark, idx)
     assert n == len(final)
     assert t == sum(len(x.split()) for _, x in final)
+
+
+def test_ivf_assign_numpy_matches_hof_and_probe(spark, tmp_path, vecs):
+    """The BLAS build-time assignment engine must agree with the HOF
+    (same argmax, lowest-index ties) and a numpy-built index must probe
+    identically to an sql-built one."""
+    from siddhi_io_cdc_spark.functions.similarity import (
+        ivf_assign,
+        ivf_assign_numpy,
+        ivf_centroids,
+    )
+
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    cents = ivf_centroids(8, nlist=7, seed=42)
+    hof = {
+        r.vec_id: r.cell
+        for r in emb.withColumn(
+            "cell", ivf_assign(F.col("embedding"), cents)
+        ).collect()
+    }
+    blas = {r.vec_id: r.cell for r in ivf_assign_numpy(emb, cents).collect()}
+    assert hof == blas
+
+    a, b = str(tmp_path / "np"), str(tmp_path / "sql")
+    write_ivf_index(emb, a, nlist=7, seed=42, assign_engine="numpy")
+    write_ivf_index(emb, b, nlist=7, seed=42)
+    q = vecs[5][1]
+    got = [tuple(r) for r in probe_ivf_index(spark, a, q, k=10, nprobe=3).collect()]
+    want = [tuple(r) for r in probe_ivf_index(spark, b, q, k=10, nprobe=3).collect()]
+    assert got == want
