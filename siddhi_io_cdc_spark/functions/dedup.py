@@ -1059,6 +1059,7 @@ def semantic_dedup_pairs(
     pq_codebooks=None,
     prefilter_margin: float | None = None,
     engine: str = "sql",
+    assign_engine: str = "sql",
 ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023): within-cluster pairs
     with cosine similarity >= ``tau``, where clusters are k-means cells
@@ -1149,11 +1150,22 @@ def semantic_dedup_pairs(
 
     if engine not in ("sql", "numpy"):
         raise ValueError(f"engine must be 'sql' or 'numpy' (got {engine!r})")
+    if assign_engine not in ("sql", "numpy"):
+        raise ValueError(
+            f"assign_engine must be 'sql' or 'numpy' (got {assign_engine!r})"
+        )
     if engine == "numpy":
         if pq_codebooks is not None:
             raise ValueError("engine='numpy' computes exact cosines; the PQ "
                              "prefilter applies only to engine='sql'")
-        return _semantic_pairs_numpy(df, centroids, tau, vec_col, id_col)
+        return _semantic_pairs_numpy(
+            df, centroids, tau, vec_col, id_col, assign_engine=assign_engine
+        )
+    if assign_engine == "numpy":
+        raise ValueError(
+            "assign_engine='numpy' is supported with engine='numpy' (the "
+            "sql pair engine's cost is per-pair, not assignment)"
+        )
 
     # min_bytes_per_slot=0: the probe side of the cell self-join inherits
     # this partitioning — pair volume, not input bytes, is the cost
@@ -1247,6 +1259,7 @@ def _semantic_pairs_numpy(
     vec_col: str,
     id_col: str,
     salt: int | str = "auto",
+    assign_engine: str = "sql",
 ) -> DataFrame:
     """Vectorized exact within-cell pair engine: group rows by IVF cell and
     compute each cell's cosine matrix with BLAS inside one Arrow batch —
@@ -1283,14 +1296,27 @@ def _semantic_pairs_numpy(
             f"{id_col!r} is {id_sql} — use engine='sql'"
         )
 
-    cells = _fan_out(
+    staged = _fan_out(
         df.select(F.col(id_col), F.col(vec_col).alias("__v")),
         min_bytes_per_slot=0,
-    ).select(
-        F.col(id_col).alias("vec_id"),
-        F.col("__v"),
-        ivf_assign(F.col("__v"), centroids).alias("__cell"),
     )
+    if assign_engine == "numpy":
+        # BLAS argmax assignment (ivf_assign_numpy): at the paper's
+        # nlist≈√N the HOF's O(N·nlist·d) interpreter term dominates the
+        # whole dedup (measured round 12 — see BASELINE); opt-in because a
+        # dot within 1 ulp of a tie can land one cell over vs the SQL
+        # restatement oracle-checked rows use
+        from siddhi_io_cdc_spark.functions.similarity import ivf_assign_numpy
+
+        cells = ivf_assign_numpy(staged, centroids, "__v", "__cell").select(
+            F.col(id_col).alias("vec_id"), F.col("__v"), F.col("__cell")
+        )
+    else:
+        cells = staged.select(
+            F.col(id_col).alias("vec_id"),
+            F.col("__v"),
+            ivf_assign(F.col("__v"), centroids).alias("__cell"),
+        )
     spark = df.sparkSession
     deps = []
     if salt == "auto":
@@ -1425,6 +1451,7 @@ def semantic_dedup(
     pq_codebooks=None,
     prefilter_margin: float | None = None,
     engine: str = "sql",
+    assign_engine: str = "sql",
 ) -> DataFrame:
     """SemDeDup keep-one semantic dedup: drop all but one member of every
     within-cell cosine-``tau`` component. The survivor is the SMALLEST id
@@ -1438,7 +1465,7 @@ def semantic_dedup(
     pairs = semantic_dedup_pairs(
         df, centroids, tau=tau, vec_col=vec_col, id_col=id_col,
         pq_codebooks=pq_codebooks, prefilter_margin=prefilter_margin,
-        engine=engine,
+        engine=engine, assign_engine=assign_engine,
     )
     # pairs may carry persisted deps (the numpy engine's cell assignment
     # under salt='auto') — re-tag them so release_caches(result) frees them

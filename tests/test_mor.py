@@ -606,3 +606,28 @@ def test_ivf_assign_numpy_matches_hof_and_probe(spark, tmp_path, vecs):
     got = [tuple(r) for r in probe_ivf_index(spark, a, q, k=10, nprobe=3).collect()]
     want = [tuple(r) for r in probe_ivf_index(spark, b, q, k=10, nprobe=3).collect()]
     assert got == want
+
+
+def test_semantic_dedup_blas_assignment_same_keepset(spark, vecs):
+    """assign_engine='numpy' must not change the SemDeDup result — same
+    cells (modulo 1-ulp ties absent on real data), same pairs, same
+    survivors."""
+    from siddhi_io_cdc_spark.functions.dedup import semantic_dedup
+    from siddhi_io_cdc_spark.functions.similarity import ivf_centroids
+
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in vecs], "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    clone = emb.where(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(clone)
+    cents = ivf_centroids(8, nlist=5, seed=42)
+    a = {r.vec_id for r in semantic_dedup(
+        corpus, cents, tau=0.99, engine="numpy", assign_engine="numpy"
+    ).select("vec_id").collect()}
+    b = {r.vec_id for r in semantic_dedup(
+        corpus, cents, tau=0.99, engine="numpy"
+    ).select("vec_id").collect()}
+    assert a == b
+    assert len(a) == emb.count()  # one survivor per clone pair
