@@ -631,3 +631,32 @@ def test_semantic_dedup_blas_assignment_same_keepset(spark, vecs):
     ).select("vec_id").collect()}
     assert a == b
     assert len(a) == emb.count()  # one survivor per clone pair
+
+
+def test_ngram_mor_string_doc_ids(spark, tmp_path):
+    """MOR keys are engine-agnostic: string doc ids tombstone and upsert
+    exactly like longs (xxhash64 bucketing and the tombstone join both
+    take the column as-is)."""
+    docs = [(f"doc-{i}", t) for i, t in DOCS[:8]]
+    corpus = spark.createDataFrame(docs, "doc_id STRING, text STRING")
+    state, fresh = str(tmp_path / "mor"), str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, corpus, state, n=3, nbuckets=8, doc_buckets=4, layout="mor"
+    )
+    batch = spark.createDataFrame(
+        [("doc-2", "replacement text row", "update", 1),
+         ("doc-3", None, "delete", 2),
+         ("doc-99", "a brand new doc", "insert", 3)],
+        "doc_id STRING, text STRING, operation STRING, ts_ms LONG",
+    )
+    apply_changelog_ngram(spark, batch, state, batch_id=0)
+    final = [(k, t) for k, t in docs if k not in ("doc-2", "doc-3")] + [
+        ("doc-2", "replacement text row"), ("doc-99", "a brand new doc")
+    ]
+    write_ngram_state(
+        spark, spark.createDataFrame(final, "doc_id STRING, text STRING"),
+        fresh, n=3, nbuckets=8, doc_buckets=4,
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want
