@@ -1039,6 +1039,58 @@ def pq_assign(vec_col: Column, codebooks) -> Column:
     return F.array(*codes)
 
 
+def ivfpq_assign_numpy(
+    df: DataFrame,
+    centroids,
+    codebooks,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Vectorized IVFADC build assignment: coarse cell (BLAS ``V @ C.T``
+    argmax) AND the PQ code array (per-subspace ``||s - c||²`` argmin) in
+    ONE ``mapInPandas`` pass — the build-time twin of
+    :func:`ivf_assign` + :func:`pq_assign`, whose interpreted trees cost
+    O(N·(nlist + m·k)·d) and dominate builds at production list/code
+    sizes. Tie semantics match (numpy arg{max,min} take the first
+    extremum = lowest index); the usual BLAS-summation-order caveat on
+    1-ulp near-ties applies, so oracle-hash-checked rows keep the sql
+    engines."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+
+    C = np.asarray(centroids, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, k, d_sub)
+    m, _k, d_sub = B.shape
+    fields = df.schema.simpleString()[7:-1]
+    schema = f"{fields},{cell_col}:int,{code_col}:array<bigint>"
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                pdf[cell_col] = np.array([], dtype="int32")
+                pdf[code_col] = []
+                yield pdf
+                continue
+            V = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            pdf[cell_col] = np.argmax(V @ C.T, axis=1).astype("int32")
+            codes = np.empty((len(pdf), m), dtype="int64")
+            for j in range(m):
+                S = V[:, j * d_sub:(j + 1) * d_sub]
+                # ||s-c||^2 argmin == (-2 s.c + ||c||^2) argmin, per row
+                d2 = (
+                    -2.0 * (S @ B[j].T)
+                    + (B[j] * B[j]).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+            pdf[code_col] = list(codes)
+            yield pdf
+
+    return df.mapInPandas(assign, schema=schema)
+
+
 def pq_row_stats(vec_col: Column, codebooks) -> tuple[Column, Column, Column]:
     """Per-row PQ statistics for pair-stage bounds: ``(codes, q_norm,
     resid_norm)`` where ``codes`` is the :func:`pq_assign` code array,
@@ -1182,6 +1234,7 @@ def write_ivfpq_index(
     mode: str = "overwrite",
     layout: str = "cow",
     compact_every: int = 16,
+    assign_engine: str = "sql",
 ):
     """Materialize the IVFADC layout (Jégou et al. 2011 §IV) — the standard
     billion-scale vector index: rows cell-PARTITIONED by coarse centroid
@@ -1197,14 +1250,22 @@ def write_ivfpq_index(
 
     if layout not in ("cow", "mor"):
         raise ValueError(f"layout must be 'cow' or 'mor' (got {layout!r})")
+    if assign_engine not in ("sql", "numpy"):
+        raise ValueError(
+            f"assign_engine must be 'sql' or 'numpy' (got {assign_engine!r})"
+        )
     if centroids is None or codebooks is None:
         dim = len(df.select(vec_col).first()[0])
         if centroids is None:
             centroids = ivf_centroids(dim, nlist, seed)
         if codebooks is None:
             codebooks = pq_codebooks(dim, m=pq_m, k=pq_k, seed=seed)
-    assigned = df.withColumn("cell", ivf_assign(F.col(vec_col), centroids)).withColumn(
-        "pq_code", pq_assign(F.col(vec_col), codebooks)
+    assigned = (
+        ivfpq_assign_numpy(df, centroids, codebooks, vec_col)
+        if assign_engine == "numpy"
+        else df.withColumn(
+            "cell", ivf_assign(F.col(vec_col), centroids)
+        ).withColumn("pq_code", pq_assign(F.col(vec_col), codebooks))
     )
     spark = df.sparkSession
     if layout == "mor":

@@ -660,3 +660,42 @@ def test_ngram_mor_string_doc_ids(spark, tmp_path):
     got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
     want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
     assert got == want
+
+
+def test_ivfpq_assign_numpy_matches_sql(spark, tmp_path, vecs):
+    """The one-pass BLAS IVFADC assignment (coarse cell + PQ codes) must
+    agree with the interpreted ivf_assign/pq_assign pair, and a
+    numpy-built IVFADC index must probe identically."""
+    from siddhi_io_cdc_spark.functions.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivfpq_assign_numpy,
+        pq_assign,
+        pq_codebooks,
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<FLOAT>")
+    cents = ivf_centroids(8, nlist=5, seed=42)
+    books = pq_codebooks(8, m=4, k=8, seed=42)
+    hof = {
+        r.vec_id: (r.cell, tuple(r.pq_code))
+        for r in emb.withColumn("cell", ivf_assign(F.col("embedding"), cents))
+        .withColumn("pq_code", pq_assign(F.col("embedding"), books))
+        .collect()
+    }
+    blas = {
+        r.vec_id: (r.cell, tuple(r.pq_code))
+        for r in ivfpq_assign_numpy(emb, cents, books).collect()
+    }
+    assert hof == blas
+
+    a, b = str(tmp_path / "np"), str(tmp_path / "sql")
+    write_ivfpq_index(emb, a, nlist=5, pq_m=4, pq_k=8, seed=42,
+                      assign_engine="numpy")
+    write_ivfpq_index(emb, b, nlist=5, pq_m=4, pq_k=8, seed=42)
+    q = vecs[5][1]
+    got = [tuple(r) for r in probe_ivfpq_index(spark, a, q, k=8, nprobe=3).collect()]
+    want = [tuple(r) for r in probe_ivfpq_index(spark, b, q, k=8, nprobe=3).collect()]
+    assert got == want
