@@ -699,3 +699,28 @@ def test_ivfpq_assign_numpy_matches_sql(spark, tmp_path, vecs):
     got = [tuple(r) for r in probe_ivfpq_index(spark, a, q, k=8, nprobe=3).collect()]
     want = [tuple(r) for r in probe_ivfpq_index(spark, b, q, k=8, nprobe=3).collect()]
     assert got == want
+
+
+def test_ngram_mor_without_batch_id_allocates_next_seq(spark, tmp_path):
+    """batch_id=None (ad-hoc batch application, no marker): sequences come
+    from next_seq and consecutive applies still stack correctly."""
+    state, fresh = str(tmp_path / "mor"), str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS[:6]), state, n=3, nbuckets=8,
+        doc_buckets=4, layout="mor",
+    )
+    b1 = spark.createDataFrame(
+        [(50, "first ad hoc doc", None, "insert", 1)], SCHEMA
+    )
+    b2 = spark.createDataFrame(
+        [(50, "rewritten ad hoc doc", None, "update", 2)], SCHEMA
+    )
+    apply_changelog_ngram(spark, b1, state)   # no batch_id
+    apply_changelog_ngram(spark, b2, state)   # must land at a later seq
+    final = DOCS[:6] + [(50, "rewritten ad hoc doc")]
+    write_ngram_state(
+        spark, _corpus(spark, final), fresh, n=3, nbuckets=8, doc_buckets=4
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want
