@@ -222,10 +222,14 @@ def ivf_assign_numpy(
     """
     import numpy as np
     import pandas as pd  # noqa: F401  (mapInPandas contract)
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     C = np.asarray(centroids, dtype=np.float64)
-    fields = df.schema.simpleString()[7:-1]  # struct<...> -> ...
-    schema = f"{fields},{out_col}:int"
+    # build the output schema structurally (a simpleString round-trip
+    # breaks on column names that need backquoting)
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    )
 
     def assign(batches):
         for pdf in batches:
@@ -1058,12 +1062,25 @@ def ivfpq_assign_numpy(
     engines."""
     import numpy as np
     import pandas as pd  # noqa: F401  (mapInPandas contract)
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     C = np.asarray(centroids, dtype=np.float64)
     B = np.asarray(codebooks, dtype=np.float64)  # (m, k, d_sub)
     m, _k, d_sub = B.shape
-    fields = df.schema.simpleString()[7:-1]
-    schema = f"{fields},{cell_col}:int,{code_col}:array<bigint>"
+    # structural schema — see ivf_assign_numpy
+    schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(cell_col, IntegerType()),
+            StructField(code_col, ArrayType(LongType())),
+        ]
+    )
 
     def assign(batches):
         for pdf in batches:

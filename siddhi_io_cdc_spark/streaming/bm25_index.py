@@ -415,7 +415,7 @@ def _apply_bm25_mor(
     compaction.
     """
     from siddhi_io_cdc_spark.streaming.mor import (
-        latest_per_key, mor_append, next_seq, require_before_images,
+        latest_per_key, mor_append, mor_begin_apply, require_before_images,
     )
 
     before_text = f"before_{text_col}"
@@ -477,25 +477,36 @@ def _apply_bm25_mor(
         ).first(),
     )
     tok_after = int(after_terms.count())
-    tok_before = int(_doc_terms(pre_existing, before_text, id_col).count())
+    # require_before_images allows a batch with NO before_<text> column
+    # when it carries no update/delete rows (insert-only changelogs
+    # without the update projection) — pre_existing is empty then, but
+    # selecting the missing column would still fail at analysis time.
+    tok_before = (
+        int(_doc_terms(pre_existing, before_text, id_col).count())
+        if before_text in batch_df.columns
+        else 0
+    )
     extra = {
         "dn": int(counts[0]["alive"] or 0) - int(counts[1]["pre"] or 0),
         "dtok": tok_after - tok_before,
     }
 
-    seq = int(batch_id) + 1 if batch_id is not None else next_seq(spark, base)
-    mor_append(spark, base, "postings", new_tf, batch_ids, seq)
-    mor_append(spark, base, "docs", new_dl, batch_ids, seq, extra_json=extra)
+    seq, epoch = mor_begin_apply(spark, base, batch_id)
+    mor_append(spark, base, "postings", new_tf, batch_ids, seq, epoch=epoch)
+    mor_append(
+        spark, base, "docs", new_dl, batch_ids, seq, extra_json=extra,
+        epoch=epoch,
+    )
     if batch_id is not None:
         _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
     from siddhi_io_cdc_spark.streaming.mor import _read_mor, mor_pending_seqs
 
     every = _read_mor(spark, base).get("compact_every") or 0
     if every and len(mor_pending_seqs(spark, base)) >= every:
-        compact_bm25_index(spark, base)
+        compact_bm25_index(spark, base, epoch=epoch)
 
 
-def compact_bm25_index(spark, index_path: str) -> bool:
+def compact_bm25_index(spark, index_path: str, epoch: int | None = None) -> bool:
     """Compaction for a mor-layout BM25 index (the applier auto-compacts
     every ``compact_every`` batches through this path too).
 
@@ -509,10 +520,19 @@ def compact_bm25_index(spark, index_path: str) -> bool:
     cache never absorbed them — stale scalars forever.) After a
     successful compaction the scalars are recomputed EXACTLY from the
     compacted docs table at the same horizon, healing any drift a lying
-    changelog introduced into the batch-local deltas."""
-    from siddhi_io_cdc_spark.streaming.mor import mor_compact, mor_pending_seqs
+    changelog introduced into the batch-local deltas.
+
+    Fencing: the ops path (no ``epoch``) claims writership BEFORE the
+    stats fold so a concurrently running maintainer fails loudly at its
+    next append instead of appending a delta between the fold and the
+    swap (which the fold would have missed)."""
+    from siddhi_io_cdc_spark.streaming.mor import (
+        mor_compact, mor_pending_seqs, mor_take_writer,
+    )
 
     base = index_path.rstrip("/")
+    if epoch is None:
+        epoch = mor_take_writer(spark, base)
     pend = mor_pending_seqs(spark, base)
     if not pend:
         return False
@@ -522,7 +542,7 @@ def compact_bm25_index(spark, index_path: str) -> bool:
         f'{{"n_docs": {int(n)}, "total_tokens": {int(t)}, '
         f'"through_seq": {int(pend[-1])}}}',
     )
-    mor_compact(spark, base)
+    mor_compact(spark, base, epoch=epoch)
     _write_stats(spark, base, through_seq=int(pend[-1]))  # exact recompute
     return True
 

@@ -232,7 +232,8 @@ def _apply_ivf_mor(
     reconstruct from ``before_<vec>``)."""
     from siddhi_io_cdc_spark.operators.mutate import rekey_deletes
     from siddhi_io_cdc_spark.streaming.mor import (
-        latest_per_key, maybe_autocompact, mor_append, mor_live, next_seq,
+        latest_per_key, maybe_autocompact, mor_append, mor_begin_apply,
+        mor_live,
     )
 
     # Multi-op flatten fills a delete's missing after image with TYPE
@@ -248,11 +249,11 @@ def _apply_ivf_mor(
     # delta schema must match the base table exactly (schema-only peek)
     base_cols = mor_live(spark, base, "vectors").columns
     rows = upserts.select(*base_cols)
-    seq = int(batch_id) + 1 if batch_id is not None else next_seq(spark, base)
-    mor_append(spark, base, "vectors", rows, batch_ids, seq)
+    seq, epoch = mor_begin_apply(spark, base, batch_id)
+    mor_append(spark, base, "vectors", rows, batch_ids, seq, epoch=epoch)
     if batch_id is not None:
         _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
-    maybe_autocompact(spark, base)
+    maybe_autocompact(spark, base, epoch=epoch)
 
 
 def foreach_batch_ivf_index(

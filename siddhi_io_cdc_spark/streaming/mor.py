@@ -37,14 +37,29 @@ additionally each delta/tombstone write is keyed by the batch id and
 written with overwrite, so a crash-and-replay of batch ``k`` lands
 byte-equivalent state.
 
-Single-writer assumption (the Structured Streaming model — one
-maintainer query per state path): a batch that crashed mid-append leaves
-partial delta dirs, which its engine-ordered REPLAY overwrites before
-any later batch applies — and since compaction only runs from the
-maintainer after a successful apply, every seq a compaction folds is
-marker-complete. Run explicit ``mor_compact`` only from the maintainer;
-an out-of-band compaction racing a crashed-but-unreplayed batch could
-fold its partial delta into the base.
+Single-writer model — ENFORCED by writer-epoch fencing (not assumed):
+``_mor.json`` carries a ``writer_epoch`` counter. Every apply begins by
+claiming writership (:func:`mor_begin_apply` bumps the epoch) and every
+mutation (:func:`mor_append`, :func:`mor_allocate_seq`,
+:func:`mor_compact`'s pointer swap) re-reads the pointer file and raises
+:class:`MorWriterFenced` if the epoch moved — so a second maintainer, or
+an out-of-band ``mor_compact`` racing a crashed-but-unreplayed batch,
+fails LOUDLY instead of silently folding partial state. Takeover
+procedure: stop the old maintainer, run any wanted ``mor_compact``
+(which claims writership itself), then start the new maintainer — its
+first batch's claim permanently fences the old one. The check is
+read-validate-write on a single small file (no CAS primitive exists on
+generic Hadoop filesystems), the same best-effort class as Hadoop's
+rename-based commit: it catches every writer that overlaps by more than
+one pointer-file round-trip, which is the operational race that matters.
+
+Sequence allocation is collision-free across mixed apply styles:
+``_mor.json`` records a ``high_water`` sequence plus a ``batch_seqs``
+map (batch id -> its allocated seq, pruned at compaction). A streamed
+batch reuses its recorded seq on crash-and-replay (byte-idempotent
+overwrite); an ad-hoc apply (no batch id) allocates above the high
+water; a streamed batch arriving AFTER an ad-hoc apply allocates above
+both instead of silently overwriting the ad-hoc delta.
 
 Before-image note: MOR does not need before images to bound its work
 (tombstones shadow by id), but the appliers still validate them for
@@ -79,16 +94,30 @@ MOR_META = "_mor.json"
 SEQ_COL = "__seq"
 
 __all__ = [
+    "MorWriterFenced",
     "is_mor",
     "latest_per_key",
+    "mor_allocate_seq",
     "mor_append",
+    "mor_begin_apply",
     "mor_compact",
     "mor_init",
     "mor_live",
     "mor_pending_seqs",
+    "mor_take_writer",
     "next_seq",
     "require_before_images",
 ]
+
+
+class MorWriterFenced(RuntimeError):
+    """Another writer claimed the MOR state since this writer's claim.
+
+    Raised by the epoch check in :func:`mor_append` /
+    :func:`mor_allocate_seq` / :func:`mor_compact` — the loud failure
+    that replaces silent state corruption under concurrent writers. The
+    fenced writer must stop; see the module docstring's takeover
+    procedure."""
 
 
 def _read_mor(spark, root: str) -> dict:
@@ -133,6 +162,9 @@ def mor_init(
         "compacted_through": 0,
         "base_version": 0,
         "compact_every": compact_every,
+        "writer_epoch": 0,
+        "high_water": 0,
+        "batch_seqs": {},
     }
     # a re-init starts a new lineage: drop stale deltas/tombstones and any
     # versioned base dirs a previous lineage's compaction left behind
@@ -159,10 +191,102 @@ def mor_pending_seqs(spark, root: str) -> list[int]:
     return sorted(seqs)
 
 
+def _seq_floor(meta: dict, pend: list[int]) -> int:
+    """Highest sequence any prior apply could have used: the recorded
+    high water, the compaction horizon, and (for states written before
+    the high-water field existed) the directory-derived pending tail."""
+    return max(
+        int(meta.get("high_water", 0)),
+        int(meta["compacted_through"]),
+        pend[-1] if pend else 0,
+    )
+
+
 def next_seq(spark, root: str) -> int:
+    """Read-only preview of the next ad-hoc sequence (no allocation —
+    appliers go through :func:`mor_allocate_seq` / :func:`mor_begin_apply`,
+    which PERSIST the allocation so concurrent styles cannot collide)."""
     meta = _read_mor(spark, root)
-    pend = mor_pending_seqs(spark, root)
-    return (pend[-1] if pend else meta["compacted_through"]) + 1
+    return _seq_floor(meta, mor_pending_seqs(spark, root)) + 1
+
+
+def _check_epoch(meta: dict, epoch: int | None, what: str) -> None:
+    if epoch is not None and int(meta.get("writer_epoch", 0)) != int(epoch):
+        raise MorWriterFenced(
+            f"{what}: writer epoch moved {epoch} -> "
+            f"{meta.get('writer_epoch', 0)} — another maintainer or an "
+            "out-of-band compaction claimed this MOR state. This writer "
+            "must stop (see streaming/mor.py takeover procedure)."
+        )
+
+
+def mor_take_writer(spark, root: str) -> int:
+    """Claim writership: bump ``writer_epoch`` and return the new token.
+    Every later mutation passes the token back and fails loudly if any
+    other claim happened in between."""
+    meta = _read_mor(spark, root)
+    epoch = int(meta.get("writer_epoch", 0)) + 1
+    meta["writer_epoch"] = epoch
+    _write_mor(spark, root, meta)
+    return epoch
+
+
+def mor_allocate_seq(
+    spark, root: str, batch_id: int | None = None, epoch: int | None = None
+) -> int:
+    """Allocate (and PERSIST) the sequence for one apply.
+
+    - streamed apply (``batch_id`` given): crash-and-replay of the same
+      batch id returns its recorded seq, so the ``__seq`` overwrite stays
+      byte-idempotent; a FIRST apply allocates ``max(batch_id, floor)+1``
+      — equal to ``batch_id + 1`` when no ad-hoc apply interleaved, and
+      above any interleaved ad-hoc seq otherwise (the silent-overwrite
+      collision the r12 review found).
+    - ad-hoc apply: ``floor + 1`` where floor covers the recorded high
+      water, so it never lands on a seq a streamed batch already used.
+    """
+    meta = _read_mor(spark, root)
+    _check_epoch(meta, epoch, "mor_allocate_seq")
+    floor = _seq_floor(meta, mor_pending_seqs(spark, root))
+    if batch_id is not None:
+        seqs = meta.setdefault("batch_seqs", {})
+        key = str(int(batch_id))
+        if key in seqs:
+            return int(seqs[key])
+        seq = max(int(batch_id), floor) + 1
+        seqs[key] = seq
+    else:
+        seq = floor + 1
+    meta["high_water"] = seq
+    _write_mor(spark, root, meta)
+    return seq
+
+
+def mor_begin_apply(
+    spark, root: str, batch_id: int | None = None
+) -> tuple[int, int]:
+    """One pointer-file round-trip that starts an apply: claim writership
+    (epoch bump) AND allocate the batch's sequence. Returns
+    ``(seq, epoch)``; thread ``epoch`` through every append/compact of
+    the apply."""
+    meta = _read_mor(spark, root)
+    epoch = int(meta.get("writer_epoch", 0)) + 1
+    meta["writer_epoch"] = epoch
+    floor = _seq_floor(meta, mor_pending_seqs(spark, root))
+    if batch_id is not None:
+        seqs = meta.setdefault("batch_seqs", {})
+        key = str(int(batch_id))
+        if key in seqs:
+            seq = int(seqs[key])
+            _write_mor(spark, root, meta)  # epoch bump still commits
+            return seq, epoch
+        seq = max(int(batch_id), floor) + 1
+        seqs[key] = seq
+    else:
+        seq = floor + 1
+    meta["high_water"] = seq
+    _write_mor(spark, root, meta)
+    return seq, epoch
 
 
 def mor_append(
@@ -173,15 +297,20 @@ def mor_append(
     tomb_ids: DataFrame,
     seq: int,
     extra_json: dict | None = None,
+    epoch: int | None = None,
 ) -> None:
     """Append one batch's rows + tombstones for ``table`` at ``seq``.
 
     ``rows`` must carry the table's ``part_col``; ``tomb_ids`` is the
     (deduped) id column only. Both writes overwrite their ``__seq=<k>``
     directory, so replaying a batch id is byte-idempotent. O(batch) I/O:
-    nothing here reads base state.
+    nothing here reads base state. With ``epoch`` (from
+    :func:`mor_begin_apply`) the append re-validates writership first
+    and raises :class:`MorWriterFenced` if another writer claimed the
+    state since.
     """
     meta = _read_mor(spark, root)
+    _check_epoch(meta, epoch, f"mor_append({table}, seq={seq})")
     spec = meta["tables"][table]
     base = root.rstrip("/")
     dpath = base + f"/_delta/{table}/{SEQ_COL}={seq}"
@@ -236,7 +365,22 @@ def mor_live(spark, root: str, table: str) -> DataFrame:
             .withColumn(SEQ_COL, F.col(SEQ_COL).cast("long"))
         )
         # _extra.json sidecars are invisible to the parquet reader; column
-        # order can differ between base and partition-discovered delta
+        # order can differ between base and partition-discovered delta.
+        # MOR tables are FIXED-SCHEMA: a delta whose column set drifted
+        # from the base (e.g. an applier evolved its projection) must fail
+        # loudly, not silently truncate the new column. Additive evolution,
+        # if ever needed, belongs at compaction: fold to the new schema in
+        # a fresh base version, then re-init deltas — not in the live view.
+        if set(delta.columns) != set(rows.columns):
+            extra = sorted(set(delta.columns) - set(rows.columns))
+            missing = sorted(set(rows.columns) - set(delta.columns))
+            raise ValueError(
+                f"MOR table '{table}': delta schema drifted from base "
+                f"(delta-only columns {extra}, base-only columns "
+                f"{missing}). MOR state is fixed-schema; evolve by "
+                "compacting to a new base version, not by appending "
+                "mismatched deltas."
+            )
         rows = rows.unionByName(delta.select(*rows.columns))
 
     tomb_root = root.rstrip("/") + f"/_tomb/{table}"
@@ -255,13 +399,23 @@ def mor_live(spark, root: str, table: str) -> DataFrame:
     return rows.drop(SEQ_COL)
 
 
-def mor_compact(spark, root: str) -> bool:
+def mor_compact(spark, root: str, epoch: int | None = None) -> bool:
     """Fold pending deltas into fresh versioned base directories and commit
     via the ``_mor.json`` pointer swap. Returns True if anything was
     compacted. Crash-safe: before the pointer write the old view is fully
     intact (new dirs are orphans a later pass deletes); after it, readers
-    ignore the superseded dirs, deleted best-effort below."""
+    ignore the superseded dirs, deleted best-effort below.
+
+    Fencing: called without ``epoch`` (the out-of-band ops path) it
+    CLAIMS writership first — a concurrently running maintainer's next
+    mutation then fails loudly instead of racing the fold. With
+    ``epoch`` (the maintainer's own auto-compaction) it validates the
+    token, and re-validates right before the pointer swap so a takeover
+    mid-fold aborts before committing."""
+    if epoch is None:
+        epoch = mor_take_writer(spark, root)
     meta = _read_mor(spark, root)
+    _check_epoch(meta, epoch, "mor_compact")
     pend = mor_pending_seqs(spark, root)
     if not pend:
         return False
@@ -288,22 +442,37 @@ def mor_compact(spark, root: str) -> bool:
         new_meta["tables"][t]["base_dir"] = new_dir
     new_meta["base_version"] = new_ver
     new_meta["compacted_through"] = pend[-1]
+    # batch_seqs entries at or below the new horizon can never be
+    # replayed into the live view again — prune so the map stays bounded
+    # by compact_every
+    new_meta["batch_seqs"] = {
+        k: s
+        for k, s in new_meta.get("batch_seqs", {}).items()
+        if int(s) > pend[-1]
+    }
+    _check_epoch(_read_mor(spark, root), epoch, "mor_compact pointer swap")
     _write_mor(spark, root, new_meta)  # commit point
-    # best-effort GC; a crash here leaves garbage, not wrong answers
+    # best-effort GC; a crash here leaves garbage, not wrong answers.
+    # Sweep EVERY seq dir at or below the new horizon — not just the seqs
+    # pending at this pass — so directories orphaned by a crash-after-swap
+    # of an earlier compaction are collected too (they sort <= the old
+    # horizon and the old code never revisited them).
     for d in old_dirs:
         _hadoop_delete(spark, base + "/" + d)
     for t in meta["tables"]:
-        for s in pend:
-            _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
-            _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
+        for area in ("_delta", "_tomb"):
+            for d in _hadoop_list_dirs(spark, base + f"/{area}/{t}"):
+                if d.startswith(SEQ_COL + "="):
+                    if int(d.split("=", 1)[1]) <= pend[-1]:
+                        _hadoop_delete(spark, base + f"/{area}/{t}/{d}")
     return True
 
 
-def maybe_autocompact(spark, root: str) -> bool:
+def maybe_autocompact(spark, root: str, epoch: int | None = None) -> bool:
     meta = _read_mor(spark, root)
     every = meta.get("compact_every") or 0
     if every and len(mor_pending_seqs(spark, root)) >= every:
-        return mor_compact(spark, root)
+        return mor_compact(spark, root, epoch=epoch)
     return False
 
 

@@ -351,11 +351,13 @@ def _apply_ngram_mor(
     UNNECESSARY here — the id shadows the old grams wherever their buckets
     are, which also covers intra-batch update chains for free (the COW
     path needs the earliest mover's before image for its bucket math).
-    Sequence = ``batch_id + 1`` (micro-batch ids start at 0 but a pending
-    delta must sort above the compaction horizon, which starts at 0).
+    Sequences come from ``mor_begin_apply``: a streamed batch reuses its
+    recorded seq on replay (byte-idempotent), an ad-hoc apply allocates
+    above the persisted high water, and the returned writer epoch fences
+    every append/compact against a concurrent maintainer.
     """
     from siddhi_io_cdc_spark.streaming.mor import (
-        latest_per_key, maybe_autocompact, mor_append, next_seq,
+        latest_per_key, maybe_autocompact, mor_append, mor_begin_apply,
     )
 
     latest = latest_per_key(batch_df, id_col, seq_col)
@@ -364,8 +366,8 @@ def _apply_ngram_mor(
     new_tf = _doc_gram_tf(upserts, n, id_col, text_col).withColumn(
         GBUCKET_COL, _gbucket(n, nbuckets)
     )
-    seq = int(batch_id) + 1 if batch_id is not None else next_seq(spark, base)
-    mor_append(spark, base, "grams", new_tf, batch_ids, seq)
+    seq, epoch = mor_begin_apply(spark, base, batch_id)
+    mor_append(spark, base, "grams", new_tf, batch_ids, seq, epoch=epoch)
 
     counted = new_tf.groupBy(id_col).agg(
         F.sum("tf").cast("bigint").alias("__c")
@@ -379,11 +381,11 @@ def _apply_ngram_mor(
         )
         .withColumn(DBUCKET_COL, _dbucket(id_col, doc_buckets))
     )
-    mor_append(spark, base, "docs", new_roster, batch_ids, seq)
+    mor_append(spark, base, "docs", new_roster, batch_ids, seq, epoch=epoch)
 
     if batch_id is not None:
         _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
-    maybe_autocompact(spark, base)
+    maybe_autocompact(spark, base, epoch=epoch)
 
 
 def kneser_ney_from_state(

@@ -1,0 +1,285 @@
+"""Round-13 MOR hardening: writer fencing, collision-free sequence
+allocation across mixed apply styles, the mor_live schema-drift guard,
+the full GC sweep, and the BM25 insert-only/no-before-column path.
+
+These pin the operational story the r12 review flagged: every failure
+mode that previously corrupted state SILENTLY (second writer, ad-hoc +
+streamed seq collision, drifted delta schema, orphaned seq dirs) now
+either converges or fails LOUDLY.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from siddhi_io_cdc_spark.functions.retrieval import bm25_topk
+from siddhi_io_cdc_spark.streaming.bm25_index import (
+    apply_changelog_bm25,
+    bm25_topk_indexed,
+    read_bm25_stats,
+    write_bm25_index,
+)
+from siddhi_io_cdc_spark.streaming.mor import (
+    MorWriterFenced,
+    mor_append,
+    mor_begin_apply,
+    mor_compact,
+    mor_init,
+    mor_live,
+    mor_pending_seqs,
+    mor_take_writer,
+    next_seq,
+)
+from siddhi_io_cdc_spark.streaming.ngram_lm import (
+    apply_changelog_ngram,
+    read_ngram_counts,
+    write_ngram_state,
+)
+
+DOCS = [
+    (i, " ".join(f"tok{(i * 7 + j) % 13}" for j in range(8))) for i in range(20)
+]
+SCHEMA = "doc_id LONG, text STRING, before_text STRING, operation STRING, ts_ms LONG"
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def _plain_state(spark, tmp_path):
+    """A bare one-table MOR state (id, part bucket b, value v)."""
+    root = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(8)], "id LONG, b INT, v STRING"
+    ).write.partitionBy("b").parquet(root + "/t")
+    mor_init(spark, root, {"t": {"id_col": "id", "part_col": "b"}})
+    return root
+
+
+def _rows(spark, items):
+    return spark.createDataFrame(items, "id LONG, b INT, v STRING")
+
+
+def _ids(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id LONG")
+
+
+# ------------------------------------------------------- seq allocation
+
+
+def test_adhoc_then_streamed_apply_do_not_collide(spark, tmp_path):
+    """The r12 finding: after streamed batches 0..k, an ad-hoc apply used
+    to land at seq k+2 and streamed batch k+1 then OVERWROTE it silently.
+    Allocation is now persisted (high_water + batch_seqs), so the late
+    streamed batch slides past the ad-hoc seq and every row survives."""
+    state, fresh = str(tmp_path / "mor"), str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=0,
+    )
+    b0 = spark.createDataFrame([(30, "aa bb cc dd", None, "insert", 1)], SCHEMA)
+    adhoc = spark.createDataFrame([(31, "ee ff gg hh", None, "insert", 2)], SCHEMA)
+    b1 = spark.createDataFrame([(32, "ii jj kk ll", None, "insert", 3)], SCHEMA)
+    apply_changelog_ngram(spark, b0, state, batch_id=0)  # seq 1
+    apply_changelog_ngram(spark, adhoc, state, batch_id=None)  # seq 2
+    apply_changelog_ngram(spark, b1, state, batch_id=1)  # must NOT reuse 2
+    assert mor_pending_seqs(spark, state) == [1, 2, 3]
+    final = DOCS + [(30, "aa bb cc dd"), (31, "ee ff gg hh"), (32, "ii jj kk ll")]
+    write_ngram_state(
+        spark, _corpus(spark, final), fresh, n=3, nbuckets=8, doc_buckets=4
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want
+
+
+def test_streamed_replay_reuses_recorded_seq(spark, tmp_path):
+    """Crash-and-replay of batch id k (marker lost) must overwrite the SAME
+    __seq dir even after an ad-hoc apply bumped the high water — the
+    batch_seqs map, not arrival order, owns the mapping."""
+    state = str(tmp_path / "mor")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=0,
+    )
+    b0 = spark.createDataFrame([(30, "aa bb cc dd", None, "insert", 1)], SCHEMA)
+    apply_changelog_ngram(spark, b0, state, batch_id=0)
+    adhoc = spark.createDataFrame([(31, "ee ff gg hh", None, "insert", 2)], SCHEMA)
+    apply_changelog_ngram(spark, adhoc, state, batch_id=None)
+    before = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    # simulate a crash that lost the commit marker, then engine replay
+    os.remove(os.path.join(state, "_batches", "0"))
+    apply_changelog_ngram(spark, b0, state, batch_id=0)
+    assert mor_pending_seqs(spark, state) == [1, 2]  # no third dir
+    after = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    assert after == before  # byte-idempotent replay
+
+
+def test_next_seq_is_a_pure_preview(spark, tmp_path):
+    root = _plain_state(spark, tmp_path)
+    assert next_seq(spark, root) == 1
+    assert next_seq(spark, root) == 1  # no allocation side effect
+    seq, epoch = mor_begin_apply(spark, root, batch_id=None)
+    assert seq == 1
+    mor_append(spark, root, "t", _rows(spark, [(100, 0, "x")]),
+               _ids(spark, [100]), seq, epoch=epoch)
+    assert next_seq(spark, root) == 2  # above the persisted high water
+
+
+# ------------------------------------------------------- writer fencing
+
+
+def test_append_fenced_by_second_writer(spark, tmp_path):
+    root = _plain_state(spark, tmp_path)
+    seq, epoch = mor_begin_apply(spark, root, batch_id=0)
+    mor_take_writer(spark, root)  # a second maintainer claims the state
+    with pytest.raises(MorWriterFenced, match="writer epoch moved"):
+        mor_append(spark, root, "t", _rows(spark, [(100, 0, "x")]),
+                   _ids(spark, [100]), seq, epoch=epoch)
+
+
+def test_compact_fenced_by_second_writer(spark, tmp_path):
+    root = _plain_state(spark, tmp_path)
+    seq, epoch = mor_begin_apply(spark, root, batch_id=0)
+    mor_append(spark, root, "t", _rows(spark, [(100, 0, "x")]),
+               _ids(spark, [100]), seq, epoch=epoch)
+    mor_take_writer(spark, root)
+    with pytest.raises(MorWriterFenced):
+        mor_compact(spark, root, epoch=epoch)
+    # the state is still intact and compactable by the NEW writer
+    assert mor_compact(spark, root)
+    live = {r.id for r in mor_live(spark, root, "t").select("id").collect()}
+    assert 100 in live and len(live) == 9
+
+
+def test_out_of_band_compact_fences_running_maintainer(spark, tmp_path):
+    """The exact r12 scenario: an ops-run mor_compact racing a maintainer.
+    The compaction claims writership, so the maintainer's in-flight batch
+    fails loudly at its next append instead of its delta being silently
+    folded/stranded."""
+    root = _plain_state(spark, tmp_path)
+    seq, epoch = mor_begin_apply(spark, root, batch_id=0)
+    mor_append(spark, root, "t", _rows(spark, [(100, 0, "x")]),
+               _ids(spark, [100]), seq, epoch=epoch)
+    mor_compact(spark, root)  # out-of-band: claims writership itself
+    with pytest.raises(MorWriterFenced):
+        mor_append(spark, root, "t", _rows(spark, [(101, 1, "y")]),
+                   _ids(spark, [101]), seq + 1, epoch=epoch)
+
+
+def test_allocation_after_compaction_stays_above_horizon(spark, tmp_path):
+    root = _plain_state(spark, tmp_path)
+    for i in range(3):
+        seq, epoch = mor_begin_apply(spark, root, batch_id=i)
+        assert seq == i + 1
+        mor_append(spark, root, "t", _rows(spark, [(100 + i, 0, "x")]),
+                   _ids(spark, [100 + i]), seq, epoch=epoch)
+    mor_compact(spark, root)  # horizon = 3, batch_seqs pruned
+    seq, epoch = mor_begin_apply(spark, root, batch_id=3)
+    assert seq == 4
+    seq2, epoch2 = mor_begin_apply(spark, root, batch_id=None)
+    assert seq2 == 5
+
+
+# ------------------------------------------------------- schema guard
+
+
+def test_mor_live_raises_on_delta_schema_drift(spark, tmp_path):
+    root = _plain_state(spark, tmp_path)
+    drifted = spark.createDataFrame(
+        [(200, 0, "x", 1.5)], "id LONG, b INT, v STRING, extra DOUBLE"
+    )
+    seq, epoch = mor_begin_apply(spark, root, batch_id=None)
+    mor_append(spark, root, "t", drifted, _ids(spark, [200]), seq, epoch=epoch)
+    with pytest.raises(ValueError, match="drifted from base"):
+        mor_live(spark, root, "t").collect()
+
+
+# ------------------------------------------------------- GC sweep
+
+
+def test_compact_sweeps_orphans_below_horizon(spark, tmp_path):
+    """A crash after the pointer swap but before GC leaves __seq dirs at or
+    below the new horizon; the next compaction must collect them (the
+    module used to only delete the seqs pending at ITS pass)."""
+    root = _plain_state(spark, tmp_path)
+    seq, epoch = mor_begin_apply(spark, root, batch_id=0)
+    mor_append(spark, root, "t", _rows(spark, [(100, 0, "x")]),
+               _ids(spark, [100]), seq, epoch=epoch)
+    assert mor_compact(spark, root)  # horizon = 1
+    # simulate the crashed-GC orphan: a stale committed seq dir <= horizon
+    orphan = os.path.join(root, "_delta", "t", "__seq=1")
+    _rows(spark, [(999, 0, "stale")]).write.partitionBy("b").parquet(orphan)
+    assert mor_pending_seqs(spark, root) == []  # ignored by readers
+    seq, epoch = mor_begin_apply(spark, root, batch_id=1)
+    mor_append(spark, root, "t", _rows(spark, [(101, 1, "y")]),
+               _ids(spark, [101]), seq, epoch=epoch)
+    assert mor_compact(spark, root)
+    assert not os.path.exists(orphan)  # swept, not re-listed forever
+    live = {r.id for r in mor_live(spark, root, "t").select("id").collect()}
+    assert 999 not in live and {100, 101} <= live
+
+
+# ------------------------------------------------------- bm25 insert-only
+
+
+def test_bm25_mor_insert_only_batch_without_before_column(spark, tmp_path):
+    """require_before_images allows a missing before_<text> column when the
+    batch carries no movers; the stats delta must then treat tok_before as
+    0 instead of selecting the absent column (r12 ADVICE medium #1)."""
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(
+        spark, _corpus(spark, DOCS), idx, nbuckets=8, doc_buckets=4,
+        layout="mor",
+    )
+    batch = spark.createDataFrame(
+        [
+            (40, "fresh document forty", "insert", 1),
+            (41, "another fresh one here", "insert", 2),
+        ],
+        "doc_id LONG, text STRING, operation STRING, ts_ms LONG",
+    )
+    apply_changelog_bm25(spark, idx, batch, batch_id=0)
+    final = DOCS + [(40, "fresh document forty"), (41, "another fresh one here")]
+    n, t = read_bm25_stats(spark, idx)
+    assert n == len(final)
+    assert t == sum(len(x.split()) for _, x in final)
+    terms = ["tok3", "fresh"]
+    want = [tuple(r) for r in bm25_topk(_corpus(spark, final), terms, k=8).collect()]
+    got = [tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=8).collect()]
+    assert got == want
+
+
+# ------------------------------------------------------- numpy schema
+
+
+def test_assign_numpy_handles_awkward_column_names(spark):
+    """The mapInPandas output schema is built structurally — a column name
+    needing backquoting (spaces, colons, commas) used to break the
+    simpleString round-trip (r12 ADVICE low #2)."""
+    from siddhi_io_cdc_spark.functions.similarity import (
+        ivf_assign,
+        ivf_assign_numpy,
+        ivf_centroids,
+        ivfpq_assign_numpy,
+        pq_codebooks,
+    )
+
+    rows = [(i, f"m{i}", [float((i * 3 + j) % 5) - 2.0 for j in range(8)])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id LONG, meta STRING, embedding ARRAY<DOUBLE>") \
+        .withColumnRenamed("meta", "doc source, kind:meta")
+    cents = ivf_centroids(8, nlist=4)
+    got = ivf_assign_numpy(df, cents)
+    assert "doc source, kind:meta" in got.columns
+    blas = {r.vec_id: r.cell for r in got.collect()}
+    hof = {
+        r.vec_id: r.cell
+        for r in df.withColumn("cell", ivf_assign(F.col("embedding"), cents)).collect()
+    }
+    assert blas == hof
+    books = pq_codebooks(dim=8, m=2, k=4)
+    pq = ivfpq_assign_numpy(df, cents, books)
+    assert {"cell", "pq_code", "doc source, kind:meta"} <= set(pq.columns)
+    assert pq.count() == 20
