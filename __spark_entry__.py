@@ -8,8 +8,8 @@ approximate paths, whose oracles restate the probe machinery itself
 (hyperplane/centroid literals, closed-form planted-clone constructions) and
 the multimodal decodes (closed-form P5/WAV fixtures). The first 50 keys —
 the driver's recorded window — span all four families (8 cdc, 11 rel,
-3 win, 28 llm this round; after the round-10 rotation no key's latest
-driver-green row is older than round 8).
+3 win, 28 llm this round; after the round-13 rotation no key's latest
+driver-green row is older than round 11).
 
 Determinism rules used throughout (so value-hashes match the oracle):
 - money aggregates run over ``decimal(18,2)`` casts (exact, associative,
@@ -1030,11 +1030,24 @@ def q_kneser_ney_mor(spark, sf_dir):
         F.lit("delete").alias("operation"),
         F.lit(2).cast("bigint").alias("ts_ms"),
     )
-    apply_changelog_ngram(spark, dele, path, batch_id=1)
-    out = kneser_ney_from_state(spark, path)
-    rows = out.collect()  # corpus-doc-count rows (3 narrow cols)
+    # the deletes arrive in TWO applies — an ad-hoc one (no batch id)
+    # sandwiched before a streamed one — exercising the r13 persisted
+    # sequence allocation through the driver gate: before the fix the
+    # streamed batch silently overwrote the ad-hoc delta (same seq) and
+    # half the deletes would resurface in the serve, failing this oracle
+    apply_changelog_ngram(
+        spark, dele.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0), path,
+        batch_id=None,
+    )
+    apply_changelog_ngram(
+        spark, dele.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1), path,
+        batch_id=1,
+    )
+    # materialize executor-side so the temp state can be deleted without
+    # pulling a corpus-sized result through the driver (r12 review #3)
+    out = kneser_ney_from_state(spark, path).localCheckpoint(eager=True)
     shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return out
 
 
 def q_modified_kneser_ney(spark, sf_dir):
@@ -2307,10 +2320,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays covered by the local typed gate (tools/check_contract.py) and
     # pytest.
     return {
-        # --- ROUND-12 WINDOW (driver records the FIRST 50 entries). ---
-        # Positions 1-46: ALL 46 keys whose latest driver-green row is
-        # round 9 (VERDICT r11 ask #6); after this rotation no key's
-        # evidence is older than round 10.
+        # --- ROUND-13 WINDOW (driver records the FIRST 50 entries). ---
+        # Positions 1-49: ALL 49 keys whose latest driver-green row is
+        # round 10 (VERDICT r12 ask #4); slot 50 re-checks a round-11 row.
+        # After this rotation no key's evidence is older than round 11.
+        "cdc_flatten_update": q_flatten_update,
+        "cdc_history_scd2": q_history_scd2,
+        "cdc_incremental_scan": q_incremental_scan,
+        "cdc_keyvalue_mapping": q_keyvalue_mapping,
+        "cdc_mongo_flatten": q_mongo_flatten,
+        "cdc_temporal_lookup": q_temporal_lookup,
+        "cdc_update_on": q_update_on,
+        "llm_bloom_screen": q_bloom_screen,
+        "llm_bloom_screen_maintained": q_bloom_screen_maintained,
+        "llm_bm25_topk": q_bm25_topk,
+        "llm_bpe_encode": q_bpe_encode,
+        "llm_bpe_train": q_bpe_train,
+        "llm_c4_filters": q_c4_filters,
+        "llm_curate": q_curate,
+        "llm_decontaminate": q_decontaminate,
+        "llm_dedup_exact": q_dedup_exact,
+        "llm_dsir_select": q_dsir_select,
+        "llm_dsir_weights": q_dsir_weights,
+        "llm_hybrid_retrieval": q_hybrid_retrieval,
+        "llm_kneser_ney_maintained": q_kneser_ney_maintained,
+        "llm_kneser_ney_maintained_mut": q_kneser_ney_maintained_mut,
+        "llm_knn_join_bucketed": q_knn_join_bucketed,
+        "llm_label_centroids": q_label_centroids,
+        "llm_minhash_pairs": q_minhash_pairs,
+        "llm_paragraph_dedup": q_paragraph_dedup,
+        "llm_pq_encode": q_pq_encode,
+        "llm_pq_topk": q_pq_topk,
+        "llm_quality_classifier": q_quality_classifier,
+        "llm_repetition": q_repetition,
+        "llm_semantic_dedup": q_semantic_dedup,
+        "llm_span_corruption": q_span_corruption,
+        "llm_stratified_sample": q_stratified_sample,
+        "llm_tokenize_pipeline": q_tokenize_pipeline,
+        "llm_top_ngrams": q_top_ngrams,
+        "llm_ul2_denoisers": q_ul2_denoisers,
+        "rel_asof_join": q_asof_join,
+        "rel_cube": q_cube_orders,
+        "rel_json_props": q_json_props,
+        "rel_output_every_nth": q_output_every_nth,
+        "rel_output_snapshot": q_output_snapshot,
+        "rel_pattern_both": q_pattern_both,
+        "rel_pattern_immediate": q_pattern_immediate,
+        "rel_pattern_sequence": q_pattern_sequence,
+        "rel_rollup_multi": q_rollup_multi,
+        "rel_salted_agg": q_salted_agg,
+        "rel_shipping_priority": R.shipping_priority,
+        "win_first_unique": q_first_unique_window,
+        "win_frequent": q_frequent,
+        "win_length_batch": q_length_batch,
+        # --- slot 50: oldest round-11 row, plus this round it re-drives the
+        # MOR external-table merge path after the r13 fencing rework
+        "cdc_apply_changelog": q_apply_changelog,
+        # --- position 51+: driver-r11/r12-green remainder, covered every
+        # session by the local typed gate (tools/check_contract.py) + pytest
         "cdc_flatten_delete": q_flatten_delete,
         "cdc_flatten_insert": q_flatten_insert,
         "cdc_int_widening": q_int_widening,
@@ -2326,6 +2393,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_fingerprint": q_fingerprint,
         "llm_image_near_dup": q_image_near_dup,
         "llm_kneser_ney_5gram": q_kneser_ney_5gram,
+        "llm_kneser_ney_mor": q_kneser_ney_mor,
+        "llm_bm25_probe_mor": q_bm25_probe_mor,
+        "llm_ivf_probe_mor": q_ivf_probe_mor,
+        "cdc_decimal_compat": q_decimal_compat,
         "llm_knn_join_lsh": q_knn_join_lsh,
         "llm_knn_join_probed": q_knn_join_probed,
         "llm_knn_join_trained": q_knn_join_trained,
@@ -2359,18 +2430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_supplier_counts_by_size": R.supplier_counts_by_size,
         "rel_top_orders_per_customer": R.top_orders_per_customer,
         "rel_top_revenue_suppliers": R.top_revenue_suppliers,
-        # --- round-12 newcomers (STANDING RULE from VERDICT r7 #6: a new
-        # contract key lands ABOVE position 50 in its own round): the
-        # merge-on-read twins of the three maintained indexes, each
-        # oracle-checked through apply -> compact -> pending-delta reads
-        "llm_kneser_ney_mor": q_kneser_ney_mor,
-        "llm_bm25_probe_mor": q_bm25_probe_mor,
-        "llm_ivf_probe_mor": q_ivf_probe_mor,
-        # --- filler to 50: the oldest round-10 row
-        "cdc_decimal_compat": q_decimal_compat,
-        # --- position 51+: driver-r10/r11-green remainder, covered every
-        # session by the local typed gate (tools/check_contract.py) + pytest
-        "cdc_apply_changelog": q_apply_changelog,
         "cdc_delete_on": q_delete_on,
         "cdc_flatten_insert_delete": q_flatten_insert_delete,
         "cdc_flatten_multi_op": q_flatten_multi_op,
@@ -2420,55 +2479,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm_knn_join": q_knn_join,
         "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_multimodal_decode": q_multimodal_decode,
-        "llm_top_ngrams": q_top_ngrams,
-        "llm_label_centroids": q_label_centroids,
-        "llm_repetition": q_repetition,
-        "llm_stratified_sample": q_stratified_sample,
-        "llm_c4_filters": q_c4_filters,
-        "rel_pattern_both": q_pattern_both,
-        "rel_pattern_immediate": q_pattern_immediate,
-        "rel_output_every_nth": q_output_every_nth,
-        "rel_output_snapshot": q_output_snapshot,
-        "rel_cube": q_cube_orders,
-        "win_first_unique": q_first_unique_window,
-        "cdc_flatten_update": q_flatten_update,
-        "cdc_keyvalue_mapping": q_keyvalue_mapping,
-        "cdc_mongo_flatten": q_mongo_flatten,
-        "cdc_incremental_scan": q_incremental_scan,
-        "cdc_update_on": q_update_on,
-        "cdc_history_scd2": q_history_scd2,
-        "cdc_temporal_lookup": q_temporal_lookup,
-        "rel_shipping_priority": R.shipping_priority,
-        "rel_salted_agg": q_salted_agg,
-        "rel_json_props": q_json_props,
-        "rel_asof_join": q_asof_join,
-        "rel_pattern_sequence": q_pattern_sequence,
-        "rel_rollup_multi": q_rollup_multi,
-        "win_frequent": q_frequent,
-        "win_length_batch": q_length_batch,
-        "llm_dedup_exact": q_dedup_exact,
-        "llm_paragraph_dedup": q_paragraph_dedup,
-        "llm_minhash_pairs": q_minhash_pairs,
-        "llm_decontaminate": q_decontaminate,
-        "llm_curate": q_curate,
-        "llm_knn_join_bucketed": q_knn_join_bucketed,
-        "llm_bpe_train": q_bpe_train,
-        "llm_bpe_encode": q_bpe_encode,
-        "llm_pq_encode": q_pq_encode,
-        "llm_pq_topk": q_pq_topk,
-        "llm_quality_classifier": q_quality_classifier,
-        "llm_tokenize_pipeline": q_tokenize_pipeline,
-        "llm_span_corruption": q_span_corruption,
-        "llm_kneser_ney_maintained": q_kneser_ney_maintained,
-        "llm_kneser_ney_maintained_mut": q_kneser_ney_maintained_mut,
-        "llm_bloom_screen": q_bloom_screen,
-        "llm_bloom_screen_maintained": q_bloom_screen_maintained,
-        "llm_bm25_topk": q_bm25_topk,
-        "llm_dsir_weights": q_dsir_weights,
-        "llm_hybrid_retrieval": q_hybrid_retrieval,
-        "llm_semantic_dedup": q_semantic_dedup,
-        "llm_ul2_denoisers": q_ul2_denoisers,
-        "llm_dsir_select": q_dsir_select,
     }
 
 
