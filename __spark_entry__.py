@@ -457,7 +457,7 @@ def q_ivf_probe_maintained_mut(spark, sf_dir):
     # the old pid-keyed /tmp path leaked a corpus-sized parquet tree per
     # driver process (ADVICE r11)
     path = tempfile.mkdtemp(prefix="ivf_mut_")
-    write_ivf_index(emb, path, nlist=8, seed=42)
+    write_ivf_index(emb, path, nlist=8, seed=42, assign_engine="sql")
     upd = emb.where(F.col("vec_id") % 7 == 0).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
@@ -509,7 +509,9 @@ def q_ivf_probe_mor(spark, sf_dir):
 
     emb = _emb(spark, sf_dir).select("vec_id", "embedding")
     path = tempfile.mkdtemp(prefix="ivf_mor_")
-    write_ivf_index(emb, path, nlist=8, seed=42, layout="mor")
+    write_ivf_index(
+        emb, path, nlist=8, seed=42, layout="mor", assign_engine="sql"
+    )
     upd = emb.where(F.col("vec_id") % 7 == 0).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: -x).alias("embedding"),
