@@ -547,6 +547,38 @@ def compact_bm25_index(spark, index_path: str, epoch: int | None = None) -> bool
     return True
 
 
+def minor_compact_bm25_index(spark, index_path: str, epoch: int | None = None) -> bool:
+    """Size-tiered MINOR compaction for a mor-layout BM25 index: fold the
+    pending deltas into one delta without rewriting the base (see
+    ``mor.mor_minor_compact`` and the BASELINE.md round-13 curve — the
+    base rewrite dominates the major fold's wall, so ingest-dominant
+    states run a large ``compact_every`` and call this to bound the read
+    tax in between).
+
+    Stats ordering mirrors :func:`compact_bm25_index`: the pending
+    ``dn``/``dtok`` extras are folded into ``_stats.json`` (stamped with
+    the pending horizon) BEFORE the fold drops their sidecar files, so
+    readers never lose or double-count a stats delta in any crash
+    interleaving."""
+    from siddhi_io_cdc_spark.streaming.mor import (
+        mor_minor_compact, mor_pending_seqs, mor_take_writer,
+    )
+
+    base = index_path.rstrip("/")
+    if epoch is None:
+        epoch = mor_take_writer(spark, base)
+    pend = mor_pending_seqs(spark, base)
+    if len(pend) < 2:
+        return False
+    n, t = read_bm25_stats(spark, base)  # base cache + pending extras
+    _hadoop_write_text(
+        spark, base + "/_stats.json",
+        f'{{"n_docs": {int(n)}, "total_tokens": {int(t)}, '
+        f'"through_seq": {int(pend[-1])}}}',
+    )
+    return mor_minor_compact(spark, base, epoch=epoch, allow_drop_extras=True)
+
+
 def foreach_batch_bm25_index(
     spark,
     index_path: str,

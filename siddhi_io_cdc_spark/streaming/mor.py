@@ -31,6 +31,15 @@ Lake / Iceberg / Hudi merge-on-read tables do:
   next compaction pass. Compaction runs automatically every
   ``compact_every`` batches (default 16), amortizing the rewrite the COW
   layout paid on every batch.
+- **minor compact** (:func:`mor_minor_compact`, size-tiered): folds the
+  pending deltas into ONE delta without rewriting the base — the fold
+  wall of a major compaction is dominated by the corpus-sized base
+  rewrite (measured flat in pending count, BASELINE.md r13), so
+  ingest-dominant states run a large ``compact_every`` and bound the
+  reader's delta-union width with minor folds in between. Committed via
+  a ``fold`` record in ``_mor.json`` (declare-uncommitted → write →
+  commit); readers ignore an uncommitted fold's dir and a committed
+  fold's superseded source dirs.
 
 Exactly-once: the appliers' ``_batches/<id>`` markers still gate replay;
 additionally each delta/tombstone write is keyed by the batch id and
@@ -103,6 +112,7 @@ __all__ = [
     "mor_compact",
     "mor_init",
     "mor_live",
+    "mor_minor_compact",
     "mor_pending_seqs",
     "mor_take_writer",
     "next_seq",
@@ -177,16 +187,31 @@ def mor_init(
     _write_mor(spark, root, meta)
 
 
+def _fold_drop_seqs(meta: dict) -> set[int]:
+    """Sequences every reader must ignore because of the (single) minor-
+    compaction fold record: an UNCOMMITTED fold's own seq (its dirs may be
+    partial), a COMMITTED fold's covered seqs (their rows now live in the
+    fold's dir — reading both would double-count)."""
+    fold = meta.get("fold")
+    if not fold:
+        return set()
+    if fold.get("committed"):
+        return {int(s) for s in fold["covers"]}
+    return {int(fold["seq"])}
+
+
 def mor_pending_seqs(spark, root: str) -> list[int]:
-    """Delta sequences newer than the compaction horizon, ascending."""
+    """Delta sequences newer than the compaction horizon, ascending —
+    minus the sequences the minor-compaction fold record supersedes."""
     meta = _read_mor(spark, root)
     ct = meta["compacted_through"]
+    drop = _fold_drop_seqs(meta)
     seqs: set[int] = set()
     for t in meta["tables"]:
         for d in _hadoop_list_dirs(spark, root.rstrip("/") + f"/_delta/{t}"):
             if d.startswith(SEQ_COL + "="):
                 s = int(d.split("=", 1)[1])
-                if s > ct:
+                if s > ct and s not in drop:
                     seqs.add(s)
     return sorted(seqs)
 
@@ -352,6 +377,7 @@ def mor_live(spark, root: str, table: str) -> DataFrame:
     spec = meta["tables"][table]
     base_dir = root.rstrip("/") + "/" + spec["base_dir"]
     ct = meta["compacted_through"]
+    drop = sorted(_fold_drop_seqs(meta))
     idc = spec["id_col"]
 
     rows = spark.read.parquet(base_dir).withColumn(
@@ -364,6 +390,10 @@ def mor_live(spark, root: str, table: str) -> DataFrame:
             .where(F.col(SEQ_COL) > ct)
             .withColumn(SEQ_COL, F.col(SEQ_COL).cast("long"))
         )
+        if drop:
+            # minor-compaction fold record: skip an uncommitted fold's own
+            # dir / a committed fold's superseded source dirs
+            delta = delta.where(~F.col(SEQ_COL).isin(drop))
         # _extra.json sidecars are invisible to the parquet reader; column
         # order can differ between base and partition-discovered delta.
         # MOR tables are FIXED-SCHEMA: a delta whose column set drifted
@@ -385,11 +415,11 @@ def mor_live(spark, root: str, table: str) -> DataFrame:
 
     tomb_root = root.rstrip("/") + f"/_tomb/{table}"
     if _has_parquet(spark, tomb_root):
-        tmax = (
-            spark.read.parquet(tomb_root)
-            .where(F.col(SEQ_COL) > ct)
-            .groupBy(idc)
-            .agg(F.max(SEQ_COL).cast("long").alias("__tmax"))
+        tomb = spark.read.parquet(tomb_root).where(F.col(SEQ_COL) > ct)
+        if drop:
+            tomb = tomb.where(~F.col(SEQ_COL).isin(drop))
+        tmax = tomb.groupBy(idc).agg(
+            F.max(SEQ_COL).cast("long").alias("__tmax")
         )
         rows = (
             rows.join(tmax, idc, "left")
@@ -450,6 +480,18 @@ def mor_compact(spark, root: str, epoch: int | None = None) -> bool:
         for k, s in new_meta.get("batch_seqs", {}).items()
         if int(s) > pend[-1]
     }
+    # a COMMITTED fold is fully absorbed by the major compaction (its dir
+    # is in pend, its covered dirs sort <= the new horizon for the sweep);
+    # a crashed UNCOMMITTED fold's orphan dir can sort ABOVE the new
+    # horizon (its seq was allocated past the pending tail), so dropping
+    # the record without deleting the dir would resurface it as pending —
+    # delete it explicitly before the record goes away
+    stale_fold = new_meta.pop("fold", None)
+    if stale_fold and not stale_fold.get("committed"):
+        for t in meta["tables"]:
+            s = int(stale_fold["seq"])
+            _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
+            _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
     _check_epoch(_read_mor(spark, root), epoch, "mor_compact pointer swap")
     _write_mor(spark, root, new_meta)  # commit point
     # best-effort GC; a crash here leaves garbage, not wrong answers.
@@ -465,6 +507,132 @@ def mor_compact(spark, root: str, epoch: int | None = None) -> bool:
                 if d.startswith(SEQ_COL + "="):
                     if int(d.split("=", 1)[1]) <= pend[-1]:
                         _hadoop_delete(spark, base + f"/{area}/{t}/{d}")
+    return True
+
+
+def mor_minor_compact(
+    spark, root: str, epoch: int | None = None, allow_drop_extras: bool = False
+) -> bool:
+    """Size-tiered MINOR compaction: fold every pending delta (and its
+    tombstones) into ONE delta at a freshly allocated sequence — bounding
+    the reader's delta-union width WITHOUT the corpus-sized base rewrite
+    a major :func:`mor_compact` pays. The measured trade (BASELINE.md
+    round 13): the major fold's wall is flat in pending count because it
+    is dominated by the base rewrite, so ingest-dominant states want a
+    large ``compact_every``; this keeps their read tax bounded in between.
+
+    Shadow-correct by construction: within the folded range the live-view
+    rule (a row at ``s`` survives unless a tombstone for its id carries a
+    sequence ``> s``) is resolved eagerly, survivors land at the fold
+    sequence ``f`` (> every folded seq), and the union of the range's
+    tombstone ids lands at ``f`` too — it still shadows base rows
+    (``ct < f``) and later deltas are untouched (their seqs are > ``f``
+    only after this fold, since ``f`` is allocated above the high water
+    under the writer epoch).
+
+    Commit protocol (no pointer-file swap needed for the base): the fold
+    is DECLARED uncommitted in ``_mor.json`` before any data write
+    (readers ignore the fold seq), data is written, then one meta write
+    flips ``committed`` (readers switch to the fold and ignore the
+    covered seqs). A crash in between leaves the old view intact plus an
+    ignored orphan dir that the next fold or major compaction sweeps.
+
+    ``_extra.json`` sidecars (the BM25 stats deltas) are NOT merged by
+    this generic fold — callers must absorb them into their derived cache
+    first (``minor_compact_bm25_index`` does) and pass
+    ``allow_drop_extras=True``; otherwise a fold over deltas carrying
+    extras raises instead of silently dropping corpus-stats adjustments.
+    """
+    if epoch is None:
+        epoch = mor_take_writer(spark, root)
+    meta = _read_mor(spark, root)
+    _check_epoch(meta, epoch, "mor_minor_compact")
+    pend = mor_pending_seqs(spark, root)
+    if len(pend) < 2:
+        return False
+    base = root.rstrip("/")
+    if not allow_drop_extras:
+        for t in meta["tables"]:
+            for s in pend:
+                if _hadoop_exists(
+                    spark, base + f"/_delta/{t}/{SEQ_COL}={s}/_extra.json"
+                ):
+                    raise ValueError(
+                        f"pending delta {t}/{SEQ_COL}={s} carries an "
+                        "_extra.json sidecar; fold the derived cache first "
+                        "(e.g. minor_compact_bm25_index) or pass "
+                        "allow_drop_extras=True."
+                    )
+    old_fold = meta.get("fold")
+    f = _seq_floor(meta, pend) + 1
+    meta["high_water"] = f
+    meta["fold"] = {"seq": f, "covers": pend, "committed": False}
+    _write_mor(spark, root, meta)  # declare: readers ignore seq f
+    if old_fold:
+        # the old record is replaced, so anything it made readers ignore
+        # must be deleted NOW or it would resurface as pending: a committed
+        # fold's superseded source dirs, or a crashed fold's orphan dir
+        gc_seqs = (
+            [int(s) for s in old_fold["covers"]]
+            if old_fold.get("committed")
+            else [int(old_fold["seq"])]
+        )
+        for t in meta["tables"]:
+            for s in gc_seqs:
+                _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
+                _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
+    for t, spec in meta["tables"].items():
+        idc = spec["id_col"]
+        delta_root = base + f"/_delta/{t}"
+        tomb_root = base + f"/_tomb/{t}"
+        surv = None
+        if _has_parquet(spark, delta_root):
+            rows = (
+                spark.read.parquet(delta_root)
+                .where(F.col(SEQ_COL).isin(pend))
+                .withColumn(SEQ_COL, F.col(SEQ_COL).cast("long"))
+            )
+            surv = rows
+            if _has_parquet(spark, tomb_root):
+                tmax = (
+                    spark.read.parquet(tomb_root)
+                    .where(F.col(SEQ_COL).isin(pend))
+                    .groupBy(idc)
+                    .agg(F.max(SEQ_COL).cast("long").alias("__tmax"))
+                )
+                surv = (
+                    rows.join(tmax, idc, "left")
+                    .where(
+                        F.col("__tmax").isNull()
+                        | (F.col("__tmax") <= F.col(SEQ_COL))
+                    )
+                    .drop("__tmax")
+                )
+            out_cols = [c for c in rows.columns if c != SEQ_COL]
+            # fold dir was GC'd above if it's a crashed attempt's name; an
+            # overwrite keeps this idempotent either way
+            surv.select(*out_cols).write.mode("overwrite").partitionBy(
+                spec["part_col"]
+            ).parquet(delta_root + f"/{SEQ_COL}={f}")
+        if _has_parquet(spark, tomb_root):
+            (
+                spark.read.parquet(tomb_root)
+                .where(F.col(SEQ_COL).isin(pend))
+                .select(idc)
+                .distinct()
+                .write.mode("overwrite")
+                .parquet(tomb_root + f"/{SEQ_COL}={f}")
+            )
+    cur = _read_mor(spark, root)
+    _check_epoch(cur, epoch, "mor_minor_compact commit")
+    cur["fold"] = {"seq": f, "covers": pend, "committed": True}
+    _write_mor(spark, root, cur)  # commit point
+    # best-effort GC of the folded source dirs; a crash here leaves
+    # ignored garbage the next fold/compaction collects
+    for t in meta["tables"]:
+        for s in pend:
+            _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
+            _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
     return True
 
 

@@ -283,3 +283,196 @@ def test_assign_numpy_handles_awkward_column_names(spark):
     pq = ivfpq_assign_numpy(df, cents, books)
     assert {"cell", "pq_code", "doc source, kind:meta"} <= set(pq.columns)
     assert pq.count() == 20
+
+
+# ------------------------------------------------------- minor compaction
+
+
+def _apply_plain(spark, root, items, tomb, batch_id=None):
+    seq, epoch = mor_begin_apply(spark, root, batch_id)
+    mor_append(spark, root, "t", _rows(spark, items), _ids(spark, tomb),
+               seq, epoch=epoch)
+    return seq
+
+
+def _live_set(spark, root):
+    return {tuple(r) for r in mor_live(spark, root, "t").collect()}
+
+
+def test_minor_compact_preserves_live_view(spark, tmp_path):
+    """Fold-to-one-delta must be invisible to readers: same live view,
+    same base version (no corpus rewrite), pending collapsed to the fold
+    seq."""
+    from siddhi_io_cdc_spark.streaming.mor import (
+        _read_mor,
+        mor_minor_compact,
+    )
+
+    root = _plain_state(spark, tmp_path)
+    # update id 0 twice (intra-range chain), delete id 1, insert 100/101
+    _apply_plain(spark, root, [(0, 0, "v0a")], [0], batch_id=0)
+    _apply_plain(spark, root, [(100, 2, "new")], [100, 1], batch_id=1)
+    _apply_plain(spark, root, [(0, 0, "v0b"), (101, 3, "n2")], [0, 101],
+                 batch_id=2)
+    before = _live_set(spark, root)
+    ver0 = _read_mor(spark, root)["base_version"]
+    assert mor_minor_compact(spark, root)
+    assert _live_set(spark, root) == before
+    meta = _read_mor(spark, root)
+    assert meta["base_version"] == ver0  # no base rewrite
+    pend = mor_pending_seqs(spark, root)
+    assert len(pend) == 1 and pend[0] == meta["fold"]["seq"]
+    # the folded view must carry the CHAIN-FINAL value for id 0 and no
+    # resurrected id 1
+    vals = {
+        r["id"]: r["v"] for r in mor_live(spark, root, "t").collect()
+    }
+    assert vals[0] == "v0b" and 1 not in vals
+
+
+def test_minor_then_major_equals_rebuild(spark, tmp_path):
+    from siddhi_io_cdc_spark.streaming.mor import mor_minor_compact
+
+    state, fresh = str(tmp_path / "mor"), str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=0,
+    )
+    b0 = spark.createDataFrame(
+        [(5, "aa bb cc dd ee", DOCS[5][1], "update", 10)], SCHEMA
+    )
+    b1 = spark.createDataFrame([(6, None, DOCS[6][1], "delete", 11)], SCHEMA)
+    apply_changelog_ngram(spark, b0, state, batch_id=0)
+    apply_changelog_ngram(spark, b1, state, batch_id=1)
+    assert mor_minor_compact(spark, state)
+    # post-fold applies land above the fold seq and still serve correctly
+    b2 = spark.createDataFrame([(30, "xx yy zz ww", None, "insert", 12)], SCHEMA)
+    apply_changelog_ngram(spark, b2, state, batch_id=2)
+    final = [(i, t) for i, t in DOCS if i not in (5, 6)] + [
+        (5, "aa bb cc dd ee"), (30, "xx yy zz ww"),
+    ]
+    write_ngram_state(
+        spark, _corpus(spark, final), fresh, n=3, nbuckets=8, doc_buckets=4
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want
+    # and a major compaction absorbs the fold cleanly
+    assert mor_compact(spark, state)
+    from siddhi_io_cdc_spark.streaming.mor import _read_mor
+
+    assert "fold" not in _read_mor(spark, state)
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    assert got == want
+
+
+def test_minor_compact_refuses_unabsorbed_extras(spark, tmp_path):
+    from siddhi_io_cdc_spark.streaming.mor import mor_minor_compact
+
+    root = _plain_state(spark, tmp_path)
+    seq, epoch = mor_begin_apply(spark, root, batch_id=0)
+    mor_append(spark, root, "t", _rows(spark, [(100, 0, "x")]),
+               _ids(spark, [100]), seq, extra_json={"dn": 1}, epoch=epoch)
+    _apply_plain(spark, root, [(101, 1, "y")], [101], batch_id=1)
+    with pytest.raises(ValueError, match="_extra.json"):
+        mor_minor_compact(spark, root)
+    # the derived-cache-aware caller passes allow_drop_extras
+    assert mor_minor_compact(spark, root, allow_drop_extras=True)
+
+
+def test_bm25_minor_compact_stats_and_probe(spark, tmp_path):
+    from siddhi_io_cdc_spark.streaming.bm25_index import (
+        minor_compact_bm25_index,
+    )
+
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(
+        spark, _corpus(spark, DOCS), idx, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=0,
+    )
+    ch1 = spark.createDataFrame(
+        [(5, "aa bb cc dd ee", DOCS[5][1], "update", 10)], SCHEMA
+    )
+    ch2 = spark.createDataFrame([(6, None, DOCS[6][1], "delete", 11)], SCHEMA)
+    apply_changelog_bm25(spark, idx, ch1, batch_id=0)
+    apply_changelog_bm25(spark, idx, ch2, batch_id=1)
+    before_stats = read_bm25_stats(spark, idx)
+    assert minor_compact_bm25_index(spark, idx)
+    assert read_bm25_stats(spark, idx) == before_stats  # folded, not lost
+    final = [(i, t) for i, t in DOCS if i not in (5, 6)] + [
+        (5, "aa bb cc dd ee")
+    ]
+    terms = ["tok3", "aa"]
+    want = [tuple(r) for r in bm25_topk(_corpus(spark, final), terms, k=8).collect()]
+    got = [tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=8).collect()]
+    assert got == want
+    # another apply + the MAJOR fold still land exactly
+    ch3 = spark.createDataFrame([(31, "pp qq rr", None, "insert", 12)], SCHEMA)
+    apply_changelog_bm25(spark, idx, ch3, batch_id=2)
+    from siddhi_io_cdc_spark.streaming.bm25_index import compact_bm25_index
+
+    assert compact_bm25_index(spark, idx)
+    final = final + [(31, "pp qq rr")]
+    want = [tuple(r) for r in bm25_topk(_corpus(spark, final), terms, k=8).collect()]
+    got = [tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=8).collect()]
+    assert got == want
+    n, t = read_bm25_stats(spark, idx)
+    assert n == len(final)
+    assert t == sum(len(x.split()) for _, x in final)
+
+
+def test_crashed_fold_is_invisible_and_collected(spark, tmp_path):
+    """A fold that crashed between declare and commit leaves an ignored
+    orphan dir; readers must not see it, and both the next minor fold and
+    a major compaction must delete it rather than let the record's removal
+    resurface it as pending."""
+    import json
+
+    from siddhi_io_cdc_spark.streaming.mor import (
+        _read_mor,
+        _write_mor,
+        mor_minor_compact,
+    )
+
+    root = _plain_state(spark, tmp_path)
+    _apply_plain(spark, root, [(100, 0, "x")], [100], batch_id=0)
+    _apply_plain(spark, root, [(101, 1, "y")], [101], batch_id=1)
+    before = _live_set(spark, root)
+    # simulate the crash: declared-uncommitted fold + partial orphan dir
+    meta = _read_mor(spark, root)
+    orphan_seq = meta["high_water"] + 1
+    meta["high_water"] = orphan_seq
+    meta["fold"] = {"seq": orphan_seq, "covers": [1, 2], "committed": False}
+    _write_mor(spark, root, meta)
+    _rows(spark, [(999, 0, "partial")]).write.partitionBy("b").parquet(
+        os.path.join(root, "_delta", "t", f"__seq={orphan_seq}")
+    )
+    assert mor_pending_seqs(spark, root) == [1, 2]  # orphan ignored
+    assert _live_set(spark, root) == before
+    # retry of the fold replaces the record AND deletes the orphan
+    assert mor_minor_compact(spark, root)
+    assert not os.path.exists(
+        os.path.join(root, "_delta", "t", f"__seq={orphan_seq}")
+    )
+    assert _live_set(spark, root) == before
+    assert mor_compact(spark, root)
+    assert _live_set(spark, root) == before
+
+
+def test_minor_compact_fenced_and_claims_writership(spark, tmp_path):
+    from siddhi_io_cdc_spark.streaming.mor import mor_minor_compact
+
+    root = _plain_state(spark, tmp_path)
+    _apply_plain(spark, root, [(100, 0, "x")], [100], batch_id=0)
+    _apply_plain(spark, root, [(101, 1, "y")], [101], batch_id=1)
+    seq, epoch = mor_begin_apply(spark, root, batch_id=2)
+    mor_take_writer(spark, root)
+    with pytest.raises(MorWriterFenced):
+        mor_minor_compact(spark, root, epoch=epoch)
+    # ops path (no epoch) claims writership itself and fences the old one
+    before = _live_set(spark, root)
+    assert mor_minor_compact(spark, root)
+    assert _live_set(spark, root) == before
+    with pytest.raises(MorWriterFenced):
+        mor_append(spark, root, "t", _rows(spark, [(102, 2, "z")]),
+                   _ids(spark, [102]), seq, epoch=epoch)

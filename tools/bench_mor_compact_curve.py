@@ -33,6 +33,11 @@ def main() -> None:
     ap.add_argument("--sf", default="/tmp/sf1")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--points", default="8,16,64")
+    ap.add_argument(
+        "--minor", action="store_true",
+        help="also time the size-tiered MINOR fold (delta->delta, no base "
+        "rewrite) at each point, before the major fold",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -40,6 +45,7 @@ def main() -> None:
     from siddhi_io_cdc_spark.streaming.bm25_index import (
         apply_changelog_bm25,
         compact_bm25_index,
+        minor_compact_bm25_index,
         write_bm25_index,
     )
 
@@ -79,12 +85,18 @@ def main() -> None:
             apply_changelog_bm25(spark, idx, ins_batch(1000 * k), batch_id=bid)
             bid += 1
         apply_sec = time.monotonic() - t_apply
+        minor_sec = None
+        if args.minor:
+            t0 = time.monotonic()
+            assert minor_compact_bm25_index(spark, idx)
+            minor_sec = round(time.monotonic() - t0, 3)
         t0 = time.monotonic()
         assert compact_bm25_index(spark, idx)
         compact_sec = time.monotonic() - t0
         point = {
             "compact_every": every,
             "pending_folded": every,
+            "minor_fold_sec": minor_sec,
             "compact_sec": round(compact_sec, 3),
             "amortized_rewrite_sec_per_batch": round(compact_sec / every, 3),
             "apply_sec_total": round(apply_sec, 3),
