@@ -1,21 +1,24 @@
 """Property test for the merge-on-read state: ANY multi-batch changelog
 (random inserts / updates / deletes, latest-wins within a batch, no
-before images, compactions interleaved at random points) must leave the
-maintained n-gram counts equal to a fresh build over the model corpus.
+before images, MAJOR and MINOR compactions interleaved at random points,
+ad-hoc and streamed applies mixed at random) must leave the maintained
+n-gram counts equal to a fresh build over the model corpus.
 
 The model is a plain Python dict folded with the same semantics the
 appliers document: per batch, the latest event per key wins; insert/
 update set the text, delete removes the key. Each drawn program is
 applied through ``apply_changelog_ngram`` against a ``layout="mor"``
-state (optionally compacting between batches) and compared to
-``write_ngram_state`` over the final dict — the incremental==rebuild
-equivalence as a law, not an example.
+state and compared to ``write_ngram_state`` over the final dict — the
+incremental==rebuild equivalence as a law, not an example. Round 13
+widened the program space with the two features that round added:
+size-tiered minor folds (``mor_minor_compact``) and the persisted
+sequence allocation that makes ad-hoc/streamed mixing safe.
 """
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from siddhi_io_cdc_spark.streaming.mor import mor_compact
+from siddhi_io_cdc_spark.streaming.mor import mor_compact, mor_minor_compact
 from siddhi_io_cdc_spark.streaming.ngram_lm import (
     apply_changelog_ngram,
     read_ngram_counts,
@@ -41,9 +44,12 @@ _events = st.lists(
     max_size=8,
 )
 
-#: a program: 1-3 batches, each with events + compact-after flag
+#: a program: 1-3 batches, each with events + after-step (0=nothing,
+#: 1=major compact, 2=minor fold) + ad-hoc flag (apply without batch id)
 _programs = st.lists(
-    st.tuples(_events, st.booleans()), min_size=1, max_size=3
+    st.tuples(_events, st.integers(0, 2), st.booleans()),
+    min_size=1,
+    max_size=3,
 )
 
 
@@ -65,7 +71,7 @@ def test_mor_random_programs_match_rebuild(spark, program, tmp_path_factory):
         spark, corpus, state, n=2, nbuckets=4, doc_buckets=2, layout="mor"
     )
 
-    for batch_no, (events, do_compact) in enumerate(program):
+    for batch_no, (events, after_step, adhoc) in enumerate(program):
         rows, ts = [], 0
         staged = dict(model)
         for kind, key, seed, length in events:
@@ -85,10 +91,14 @@ def test_mor_random_programs_match_rebuild(spark, program, tmp_path_factory):
         batch = spark.createDataFrame(
             rows, "doc_id LONG, text STRING, operation STRING, ts_ms LONG"
         )
-        apply_changelog_ngram(spark, batch, state, batch_id=batch_no)
+        apply_changelog_ngram(
+            spark, batch, state, batch_id=None if adhoc else batch_no
+        )
         model = staged
-        if do_compact:
+        if after_step == 1:
             mor_compact(spark, state)
+        elif after_step == 2:
+            mor_minor_compact(spark, state)
 
     if not model:
         # fully-emptied corpus: a COW rebuild over zero docs writes no

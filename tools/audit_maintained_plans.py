@@ -110,6 +110,27 @@ def main() -> int:
         bm25_topk_indexed(spark, mor_bm25, ["spark", "shuffle", "vector"], k=10),
     )
 
+    # round 13: the probe THROUGH a size-tiered minor fold must keep the
+    # same pruning story — the fold's delta is partitioned by
+    # __seq/part_col like any other delta, and the fold-record exclusion
+    # (`NOT __seq IN (...)`) is itself a partition filter
+    from siddhi_io_cdc_spark.streaming.bm25_index import (
+        minor_compact_bm25_index,
+    )
+
+    ins2 = docs.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"), "text",
+        F.lit(None).cast("string").alias("before_text"),
+        F.lit("insert").alias("operation"),
+        F.lit(2).cast("bigint").alias("ts_ms"),
+    )
+    apply_changelog_bm25(spark, mor_bm25, ins2, batch_id=1)
+    minor_compact_bm25_index(spark, mor_bm25)
+    _audit(
+        "bm25_topk_indexed (mor, after minor fold)",
+        bm25_topk_indexed(spark, mor_bm25, ["spark", "shuffle", "vector"], k=10),
+    )
+
     mor_kn = tempfile.mkdtemp(prefix="audit_kn_mor_")
     write_ngram_state(
         spark, docs.where(F.col("doc_id") % 5 != 0), mor_kn,
