@@ -334,6 +334,7 @@ def write_ivf_index(
     mode: str = "overwrite",
     layout: str = "cow",
     compact_every: int = 16,
+    minor_every: int = 0,
     assign_engine: str = "numpy",
 ):
     """Materialize the 100 TB IVF layout the probe operators assume: vectors
@@ -392,6 +393,7 @@ def write_ivf_index(
             spark, base,
             {"vectors": {"id_col": id_col, "part_col": "cell"}},
             compact_every=compact_every,
+            minor_every=minor_every,
         )
         _hadoop_delete(spark, base + "/_batches")
     else:
@@ -1255,6 +1257,7 @@ def write_ivfpq_index(
     mode: str = "overwrite",
     layout: str = "cow",
     compact_every: int = 16,
+    minor_every: int = 0,
     assign_engine: str = "numpy",
 ):
     """Materialize the IVFADC layout (Jégou et al. 2011 §IV) — the standard
@@ -1305,6 +1308,7 @@ def write_ivfpq_index(
             spark, path.rstrip("/"),
             {"vectors": {"id_col": id_col, "part_col": "cell"}},
             compact_every=compact_every,
+            minor_every=minor_every,
         )
         _hadoop_delete(spark, path.rstrip("/") + "/_batches")
     else:

@@ -87,6 +87,7 @@ def write_bm25_index(
     doc_buckets: int = 16,
     layout: str = "cow",
     compact_every: int = 16,
+    minor_every: int = 0,
 ) -> None:
     """Materialize the inverted layout from a document corpus: postings
     partitioned by term bucket, doc lengths partitioned by doc bucket.
@@ -143,6 +144,7 @@ def write_bm25_index(
                 "docs": {"id_col": "doc_id", "part_col": DBUCKET_COL},
             },
             compact_every=compact_every,
+            minor_every=minor_every,
         )
         _hadoop_delete(spark, base + "/_batches")
     else:
@@ -499,11 +501,21 @@ def _apply_bm25_mor(
     )
     if batch_id is not None:
         _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
+    # same cadence as mor.maybe_autocompact, but through the bm25 wrappers
+    # so the stats cache folds in the right order relative to the fold
     from siddhi_io_cdc_spark.streaming.mor import _read_mor, mor_pending_seqs
 
-    every = _read_mor(spark, base).get("compact_every") or 0
-    if every and len(mor_pending_seqs(spark, base)) >= every:
+    meta_mor = _read_mor(spark, base)
+    every = meta_mor.get("compact_every") or 0
+    pend_n = len(mor_pending_seqs(spark, base))
+    since = meta_mor.get("batches_since_compact")
+    majored = since if since is not None else pend_n
+    if every and majored >= every:
         compact_bm25_index(spark, base, epoch=epoch)
+    else:
+        minor = meta_mor.get("minor_every") or 0
+        if minor and pend_n >= minor:
+            minor_compact_bm25_index(spark, base, epoch=epoch)
 
 
 def compact_bm25_index(spark, index_path: str, epoch: int | None = None) -> bool:

@@ -161,10 +161,19 @@ def mor_init(
     root: str,
     tables: dict[str, dict],
     compact_every: int = 16,
+    minor_every: int = 0,
 ) -> None:
     """Stamp ``root`` as a MOR state. ``tables`` maps table name ->
     ``{"id_col": ..., "part_col": ...}``; the base directory starts as the
-    table name itself and moves to ``<table>__v<k>`` on compaction."""
+    table name itself and moves to ``<table>__v<k>`` on compaction.
+
+    ``compact_every`` triggers a MAJOR compaction every that many applied
+    batches (counted by ``batches_since_compact``, reset at each major).
+    ``minor_every`` (0 = off) additionally folds the pending deltas into
+    one (:func:`mor_minor_compact`) whenever that many accumulate — the
+    ingest-dominant wiring the round-13 curve recommends: a large
+    ``compact_every`` (the major fold is corpus-bound) with cheap minor
+    folds bounding the reader's delta union in between."""
     meta = {
         "tables": {
             t: {**spec, "base_dir": t} for t, spec in tables.items()
@@ -172,6 +181,8 @@ def mor_init(
         "compacted_through": 0,
         "base_version": 0,
         "compact_every": compact_every,
+        "minor_every": minor_every,
+        "batches_since_compact": 0,
         "writer_epoch": 0,
         "high_water": 0,
         "batch_seqs": {},
@@ -283,6 +294,7 @@ def mor_allocate_seq(
     else:
         seq = floor + 1
     meta["high_water"] = seq
+    meta["batches_since_compact"] = int(meta.get("batches_since_compact", 0)) + 1
     _write_mor(spark, root, meta)
     return seq
 
@@ -302,6 +314,8 @@ def mor_begin_apply(
         seqs = meta.setdefault("batch_seqs", {})
         key = str(int(batch_id))
         if key in seqs:
+            # crash-replay of a recorded batch: same seq, and NOT a new
+            # batch for the compaction cadence
             seq = int(seqs[key])
             _write_mor(spark, root, meta)  # epoch bump still commits
             return seq, epoch
@@ -310,6 +324,7 @@ def mor_begin_apply(
     else:
         seq = floor + 1
     meta["high_water"] = seq
+    meta["batches_since_compact"] = int(meta.get("batches_since_compact", 0)) + 1
     _write_mor(spark, root, meta)
     return seq, epoch
 
@@ -492,6 +507,7 @@ def mor_compact(spark, root: str, epoch: int | None = None) -> bool:
             s = int(stale_fold["seq"])
             _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
             _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
+    new_meta["batches_since_compact"] = 0  # the major-compaction cadence
     _check_epoch(_read_mor(spark, root), epoch, "mor_compact pointer swap")
     _write_mor(spark, root, new_meta)  # commit point
     # best-effort GC; a crash here leaves garbage, not wrong answers.
@@ -637,10 +653,22 @@ def mor_minor_compact(
 
 
 def maybe_autocompact(spark, root: str, epoch: int | None = None) -> bool:
+    """The appliers' end-of-batch compaction hook: MAJOR every
+    ``compact_every`` applied batches (counted, reset at each major —
+    pending COUNT can no longer drive it because minor folds collapse
+    pending to one), MINOR whenever ``minor_every`` (if set) deltas
+    accumulate in between. Pre-r13 states without the counter fall back
+    to the pending-count trigger they were written under."""
     meta = _read_mor(spark, root)
     every = meta.get("compact_every") or 0
-    if every and len(mor_pending_seqs(spark, root)) >= every:
+    pend_n = len(mor_pending_seqs(spark, root))
+    since = meta.get("batches_since_compact")
+    majored = since if since is not None else pend_n
+    if every and majored >= every:
         return mor_compact(spark, root, epoch=epoch)
+    minor = meta.get("minor_every") or 0
+    if minor and pend_n >= minor:
+        return mor_minor_compact(spark, root, epoch=epoch)
     return False
 
 

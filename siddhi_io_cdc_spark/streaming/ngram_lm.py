@@ -111,6 +111,7 @@ def write_ngram_state(
     doc_buckets: int = 16,
     layout: str = "cow",
     compact_every: int = 16,
+    minor_every: int = 0,
 ) -> None:
     """Initialize the maintained LM state from a corpus snapshot.
 
@@ -155,6 +156,7 @@ def write_ngram_state(
                 "docs": {"id_col": id_col, "part_col": DBUCKET_COL},
             },
             compact_every=compact_every,
+            minor_every=minor_every,
         )
     else:
         # a cow re-init over a previous mor lineage must drop its pointer

@@ -476,3 +476,67 @@ def test_minor_compact_fenced_and_claims_writership(spark, tmp_path):
     with pytest.raises(MorWriterFenced):
         mor_append(spark, root, "t", _rows(spark, [(102, 2, "z")]),
                    _ids(spark, [102]), seq, epoch=epoch)
+
+
+# ------------------------------------------------------- auto minor cadence
+
+
+def test_autocompact_minor_between_majors_ngram(spark, tmp_path):
+    """minor_every folds pending deltas automatically between the (counted,
+    not pending-derived) major compactions — the ingest-dominant wiring
+    the round-13 compaction curve recommends."""
+    from siddhi_io_cdc_spark.streaming.mor import _read_mor
+
+    state, fresh = str(tmp_path / "mor"), str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=4, minor_every=2,
+    )
+    final = list(DOCS)
+    for i in range(4):
+        doc = (40 + i, f"body text number {i} alpha beta")
+        batch = spark.createDataFrame(
+            [(doc[0], doc[1], None, "insert", i)], SCHEMA
+        )
+        apply_changelog_ngram(spark, batch, state, batch_id=i)
+        final.append(doc)
+        meta = _read_mor(spark, state)
+        if i < 3:
+            assert meta["base_version"] == 0  # only minor folds so far
+            assert len(mor_pending_seqs(spark, state)) <= 2
+        else:
+            # 4th apply hits compact_every: major fold, counter reset
+            assert meta["base_version"] == 1
+            assert meta["batches_since_compact"] == 0
+            assert mor_pending_seqs(spark, state) == []
+    write_ngram_state(
+        spark, _corpus(spark, final), fresh, n=3, nbuckets=8, doc_buckets=4
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want
+
+
+def test_autocompact_minor_bm25_keeps_stats_exact(spark, tmp_path):
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(
+        spark, _corpus(spark, DOCS), idx, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=0, minor_every=2,
+    )
+    final = list(DOCS)
+    for i in range(4):
+        doc = (50 + i, f"fresh document {i} gamma delta")
+        batch = spark.createDataFrame(
+            [(doc[0], doc[1], None, "insert", i)], SCHEMA
+        )
+        apply_changelog_bm25(spark, idx, batch, batch_id=i)
+        final.append(doc)
+    # minor folds fired (pending never exceeds minor_every), stats exact
+    assert len(mor_pending_seqs(spark, idx)) <= 2
+    n, t = read_bm25_stats(spark, idx)
+    assert n == len(final)
+    assert t == sum(len(x.split()) for _, x in final)
+    terms = ["tok3", "fresh"]
+    want = [tuple(r) for r in bm25_topk(_corpus(spark, final), terms, k=8).collect()]
+    got = [tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=8).collect()]
+    assert got == want
