@@ -540,3 +540,56 @@ def test_autocompact_minor_bm25_keeps_stats_exact(spark, tmp_path):
     want = [tuple(r) for r in bm25_topk(_corpus(spark, final), terms, k=8).collect()]
     got = [tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=8).collect()]
     assert got == want
+
+
+def test_foreach_batch_stream_with_auto_minor_folds(spark, tmp_path):
+    """Live stream into a mor state with minor_every set: engine batch ids
+    advance through checkpointed micro-batches, minor folds fire in
+    between, a restart replays nothing, and the served counts equal a
+    fresh rebuild — the full recommended ingest wiring under real
+    Structured Streaming."""
+    from siddhi_io_cdc_spark.streaming.mor import _read_mor
+    from siddhi_io_cdc_spark.streaming.ngram_lm import foreach_batch_ngram_lm
+
+    state = str(tmp_path / "mor")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=64, minor_every=2,
+    )
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(SCHEMA.replace(", ", ","))
+            .option("maxFilesPerTrigger", 1)  # several engine batch ids
+            .parquet(src)
+            .writeStream.foreachBatch(foreach_batch_ngram_lm(spark, state))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    final = list(DOCS)
+    for i in range(4):
+        doc = (70 + i, f"streamed doc {i} epsilon zeta")
+        spark.createDataFrame(
+            [(doc[0], doc[1], None, "insert", i)], SCHEMA
+        ).write.mode("append").parquet(src)
+        final.append(doc)
+    run_stream()
+    meta = _read_mor(spark, state)
+    assert meta["base_version"] == 0  # no major fold in 4 batches
+    assert len(mor_pending_seqs(spark, state)) <= 2  # minor folds fired
+    fresh = str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, _corpus(spark, final), fresh, n=3, nbuckets=8, doc_buckets=4
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want
+    run_stream()  # restart with no new data: markers + checkpoint => no-op
+    got2 = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    assert got2 == want
