@@ -593,3 +593,41 @@ def test_foreach_batch_stream_with_auto_minor_folds(spark, tmp_path):
     run_stream()  # restart with no new data: markers + checkpoint => no-op
     got2 = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
     assert got2 == want
+
+
+def test_autocompact_minor_ivf_probe_exact(spark, tmp_path):
+    import random
+
+    from siddhi_io_cdc_spark.functions.similarity import (
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from siddhi_io_cdc_spark.streaming.ivf_index import apply_changelog_ivf
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    idx = str(tmp_path / "ivf")
+    cents = write_ivf_index(
+        emb, idx, nlist=6, seed=42, layout="mor",
+        compact_every=0, minor_every=2, assign_engine="sql",
+    )
+    final = dict(vecs)
+    for b in range(4):
+        vid, v = 100 + b, [rng.uniform(-1, 1) for _ in range(8)]
+        batch = spark.createDataFrame(
+            [(vid, v, "insert", b)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>, operation STRING, ts_ms LONG",
+        )
+        apply_changelog_ivf(spark, idx, batch, batch_id=b)
+        final[vid] = v
+    assert len(mor_pending_seqs(spark, idx)) <= 2  # minor folds fired
+    q = [0.3] * 8
+    got = [tuple(r) for r in probe_ivf_index(spark, idx, q, k=5, nprobe=6).collect()]
+    fresh = str(tmp_path / "fresh")
+    write_ivf_index(
+        spark.createDataFrame(list(final.items()), "vec_id LONG, embedding ARRAY<DOUBLE>"),
+        fresh, nlist=6, seed=42, centroids=cents, assign_engine="sql",
+    )
+    want = [tuple(r) for r in probe_ivf_index(spark, fresh, q, k=5, nprobe=6).collect()]
+    assert got == want
