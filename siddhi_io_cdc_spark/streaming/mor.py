@@ -44,7 +44,12 @@ Lake / Iceberg / Hudi merge-on-read tables do:
 Exactly-once: the appliers' ``_batches/<id>`` markers still gate replay;
 additionally each delta/tombstone write is keyed by the batch id and
 written with overwrite, so a crash-and-replay of batch ``k`` lands
-byte-equivalent state.
+byte-equivalent state. AD-HOC applies (no batch id) have no engine
+replay: one that crashes between its per-table appends leaves
+table-inconsistent deltas at its seq — the recovery procedure is simply
+to RE-RUN the apply, whose fresh-seq tombstones shadow every partial row
+by id (pinned by test); an abandoned partial ad-hoc apply, by contrast,
+stays inconsistent until the next successful apply of those keys.
 
 Single-writer model — ENFORCED by writer-epoch fencing (not assumed):
 ``_mor.json`` carries a ``writer_epoch`` counter. Every apply begins by

@@ -631,3 +631,58 @@ def test_autocompact_minor_ivf_probe_exact(spark, tmp_path):
     )
     want = [tuple(r) for r in probe_ivf_index(spark, fresh, q, k=5, nprobe=6).collect()]
     assert got == want
+
+
+def test_adhoc_apply_crash_between_tables_heals_on_rerun(spark, tmp_path):
+    """An ad-hoc apply (no batch id => no engine replay) that crashes
+    between its per-table appends leaves table-inconsistent deltas at its
+    seq. RE-RUNNING the apply allocates a fresh seq whose tombstones
+    shadow every partial row by id, so the retry converges to the same
+    state as a clean apply — the documented recovery procedure."""
+    from siddhi_io_cdc_spark.streaming.mor import mor_allocate_seq
+
+    state, fresh = str(tmp_path / "mor"), str(tmp_path / "fresh")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=0,
+    )
+    # simulate the crashed first attempt: ONLY the grams table got its
+    # delta (the applier writes grams, then docs) — build the same rows
+    # the applier would have written
+    from siddhi_io_cdc_spark.streaming.ngram_lm import (
+        GBUCKET_COL,
+        _doc_gram_tf,
+        _gbucket,
+    )
+
+    batch = spark.createDataFrame(
+        [(5, "replacement text body five", DOCS[5][1], "update", 1),
+         (6, None, DOCS[6][1], "delete", 2)],
+        SCHEMA,
+    )
+    upserts = batch.where(F.col("operation") != "delete")
+    partial_tf = _doc_gram_tf(upserts, 3, "doc_id", "text").withColumn(
+        GBUCKET_COL, _gbucket(3, 8)
+    )
+    seq, epoch = mor_begin_apply(spark, state, batch_id=None)
+    mor_append(
+        spark, state, "grams", partial_tf,
+        batch.select("doc_id").distinct(), seq, epoch=epoch,
+    )
+    # (crash here: docs table never got its delta/tombstones)
+
+    # recovery: re-run the SAME ad-hoc apply through the applier
+    apply_changelog_ngram(spark, batch, state, batch_id=None)
+    final = [(i, t) for i, t in DOCS if i not in (5, 6)] + [
+        (5, "replacement text body five")
+    ]
+    write_ngram_state(
+        spark, _corpus(spark, final), fresh, n=3, nbuckets=8, doc_buckets=4
+    )
+    got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    want = {tuple(r) for r in read_ngram_counts(spark, fresh).collect()}
+    assert got == want
+    # and a compaction folds the healed view cleanly
+    assert mor_compact(spark, state)
+    got2 = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
+    assert got2 == want
