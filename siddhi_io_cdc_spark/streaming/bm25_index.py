@@ -571,7 +571,18 @@ def minor_compact_bm25_index(spark, index_path: str, epoch: int | None = None) -
     ``dn``/``dtok`` extras are folded into ``_stats.json`` (stamped with
     the pending horizon) BEFORE the fold drops their sidecar files, so
     readers never lose or double-count a stats delta in any crash
-    interleaving."""
+    interleaving.
+
+    One residual, documented drift window: a streamed batch that wrote
+    its delta AND its extra but crashed before its ``_batches`` marker,
+    then had its seq covered by this fold, will REPLAY with a fresh seq
+    (the fold prunes its ``batch_seqs`` entry — without that the replay
+    would be silently lost, the worse failure) and re-add its ``dn``/
+    ``dtok`` once more. Document content stays exact (tombstone
+    shadowing); the two scalars drift by that one batch's delta until
+    the next MAJOR compaction, whose exact recompute from the compacted
+    docs table heals them — the same healing already documented for
+    lying changelogs."""
     from siddhi_io_cdc_spark.streaming.mor import (
         mor_minor_compact, mor_pending_seqs, mor_take_writer,
     )

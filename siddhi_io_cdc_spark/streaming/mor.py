@@ -27,8 +27,13 @@ Lake / Iceberg / Hudi merge-on-read tables do:
 - **compact** folds the live view into a fresh versioned base directory
   and commits by rewriting the single ``_mor.json`` pointer file — the
   Iceberg-style swap: a crash before the pointer write leaves the old
-  view intact; after it, stale directories are garbage, collected by the
-  next compaction pass. Compaction runs automatically every
+  view intact; after it, the superseded directories are garbage whose
+  deletion is DEFERRED one full compaction cycle (recorded in the
+  pointer's ``gc_deferred`` list, deleted at the start of the next
+  compaction). That deferral is reader snapshot isolation: an in-flight
+  probe whose plan was built just before the swap still references the
+  old base and the swept delta dirs — Iceberg keeps them via snapshot
+  retention; we keep them one cycle. Compaction runs automatically every
   ``compact_every`` batches (default 16), amortizing the rewrite the COW
   layout paid on every batch.
 - **minor compact** (:func:`mor_minor_compact`, size-tiered): folds the
@@ -39,7 +44,20 @@ Lake / Iceberg / Hudi merge-on-read tables do:
   reader's delta-union width with minor folds in between. Committed via
   a ``fold`` record in ``_mor.json`` (declare-uncommitted → write →
   commit); readers ignore an uncommitted fold's dir and a committed
-  fold's superseded source dirs.
+  fold's superseded source dirs. GC ordering is the correctness point:
+  the ONLY site that deletes a fold's leftovers is the NEXT fold (or a
+  major compaction), and it does so BEFORE its declare replaces the old
+  record — deleting dirs the current record already makes readers ignore
+  is safe in every interleaving, whereas the old declare-then-GC order
+  let a double crash (fold A commits, crashes pre-GC; fold B declares,
+  crashes pre-GC) resurface A's absorbed source dirs as pending and
+  silently double-count. The deferral doubles as one fold cycle of
+  reader snapshot isolation, mirroring the major path. At commit the
+  fold also prunes ``batch_seqs`` entries its range covers: a covered
+  streamed batch that still replays (marker never landed) re-allocates
+  ABOVE the fold seq and its tombstones shadow the folded partial rows —
+  without the prune the replay would write into a reader-ignored dir and
+  be silently lost.
 
 Exactly-once: the appliers' ``_batches/<id>`` markers still gate replay;
 additionally each delta/tombstone write is keyed by the batch id and
@@ -66,6 +84,17 @@ read-validate-write on a single small file (no CAS primitive exists on
 generic Hadoop filesystems), the same best-effort class as Hadoop's
 rename-based commit: it catches every writer that overlaps by more than
 one pointer-file round-trip, which is the operational race that matters.
+It does NOT fence two maintainers whose applies interleave at whole-batch
+granularity (each re-claims the epoch per batch and never observes the
+other mid-batch) — running two maintainers against one state remains an
+operational error; :func:`mor_fsck` surfaces the damage it leaves.
+
+The pointer file itself commits ATOMICALLY: ``_write_mor`` writes the
+full content to ``_mor.json.tmp`` and renames it over ``_mor.json``
+(never truncate-in-place, which a crash mid-write would turn into a
+destroyed pointer). A crash between the delete and the rename leaves the
+complete new content in the tmp; the next ``_read_mor`` finishes the
+rename — equivalent to "the write succeeded, then the process crashed".
 
 Sequence allocation is collision-free across mixed apply styles:
 ``_mor.json`` records a ``high_water`` sequence plus a ``batch_seqs``
@@ -115,6 +144,7 @@ __all__ = [
     "mor_append",
     "mor_begin_apply",
     "mor_compact",
+    "mor_fsck",
     "mor_init",
     "mor_live",
     "mor_minor_compact",
@@ -136,16 +166,55 @@ class MorWriterFenced(RuntimeError):
 
 
 def _read_mor(spark, root: str) -> dict:
-    return json.loads(_hadoop_read_text(spark, root.rstrip("/") + "/" + MOR_META))
+    final = root.rstrip("/") + "/" + MOR_META
+    if not _hadoop_exists(spark, final):
+        # a writer crashed between deleting the pointer and renaming its
+        # fully-written replacement over it (see _write_mor): the .tmp IS
+        # the committed content — finish the rename, then read. Every
+        # mutation path reads the pointer first, so recovery happens
+        # before any further write.
+        tmp = final + ".tmp"
+        if _hadoop_exists(spark, tmp):
+            fs, fpath, jvm = _fs(spark, final)
+            fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), fpath)
+    return json.loads(_hadoop_read_text(spark, final))
 
 
 def _write_mor(spark, root: str, meta: dict) -> None:
-    # single-file rewrite = the commit point for compaction (pointer swap)
-    _hadoop_write_text(spark, root.rstrip("/") + "/" + MOR_META, json.dumps(meta))
+    """Atomically replace the ``_mor.json`` pointer (the commit point for
+    every MOR protocol step). A bare ``fs.create(overwrite=True)`` is a
+    truncate-then-write — a crash mid-write would destroy the WHOLE
+    pointer, not just the in-flight commit (r13 ADVICE). Instead: write
+    the full content to ``_mor.json.tmp``, delete the old pointer, rename
+    the tmp over it. Crash windows: before the delete the old pointer is
+    intact (the commit simply didn't happen); between delete and rename
+    the tmp holds the complete new content and :func:`_read_mor` finishes
+    the rename on the next read — equivalent to "the write succeeded,
+    then the process crashed", an interleaving every protocol step
+    already handles."""
+    final = root.rstrip("/") + "/" + MOR_META
+    tmp = final + ".tmp"
+    text = json.dumps(meta)
+    _hadoop_write_text(spark, tmp, text)
+    fs, fpath, jvm = _fs(spark, final)
+    tpath = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs.delete(fpath, False)
+    if not fs.rename(tpath, fpath):
+        # single-writer fencing means no second writer races this; a
+        # concurrent READER may have finished the rename for us (its
+        # recovery path) — accept iff the pointer now holds our content
+        if (
+            not _hadoop_exists(spark, final)
+            or _hadoop_read_text(spark, final) != text
+        ):
+            raise IOError(f"failed to commit {final}")
 
 
 def is_mor(spark, root: str) -> bool:
-    return _hadoop_exists(spark, root.rstrip("/") + "/" + MOR_META)
+    base = root.rstrip("/") + "/" + MOR_META
+    # a state whose pointer write crashed mid-commit is still a MOR state
+    # (_read_mor finishes the rename)
+    return _hadoop_exists(spark, base) or _hadoop_exists(spark, base + ".tmp")
 
 
 def _has_parquet(spark, path: str) -> bool:
@@ -453,8 +522,10 @@ def mor_compact(spark, root: str, epoch: int | None = None) -> bool:
     """Fold pending deltas into fresh versioned base directories and commit
     via the ``_mor.json`` pointer swap. Returns True if anything was
     compacted. Crash-safe: before the pointer write the old view is fully
-    intact (new dirs are orphans a later pass deletes); after it, readers
-    ignore the superseded dirs, deleted best-effort below.
+    intact (new dirs are orphans a later pass deletes); after it, new
+    readers ignore the superseded dirs, whose deletion is deferred one
+    compaction cycle (``gc_deferred``) so in-flight readers holding the
+    pre-swap plan finish cleanly — reader snapshot isolation.
 
     Fencing: called without ``epoch`` (the out-of-band ops path) it
     CLAIMS writership first — a concurrently running maintainer's next
@@ -470,6 +541,13 @@ def mor_compact(spark, root: str, epoch: int | None = None) -> bool:
     if not pend:
         return False
     base = root.rstrip("/")
+    # delete what the PREVIOUS compaction deferred (see the gc_deferred
+    # comment below) — its readers have had a full compaction cycle to
+    # finish. Done BEFORE this pass writes anything: a crash mid-delete
+    # leaves the list in the pointer and the retry re-deletes, so no
+    # garbage is ever orphaned untracked.
+    for rel in meta.get("gc_deferred", []):
+        _hadoop_delete(spark, base + "/" + rel)
     new_ver = meta["base_version"] + 1
     old_dirs = []
     new_meta = json.loads(json.dumps(meta))  # deep copy
@@ -513,21 +591,26 @@ def mor_compact(spark, root: str, epoch: int | None = None) -> bool:
             _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
             _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
     new_meta["batches_since_compact"] = 0  # the major-compaction cadence
-    _check_epoch(_read_mor(spark, root), epoch, "mor_compact pointer swap")
-    _write_mor(spark, root, new_meta)  # commit point
-    # best-effort GC; a crash here leaves garbage, not wrong answers.
-    # Sweep EVERY seq dir at or below the new horizon — not just the seqs
-    # pending at this pass — so directories orphaned by a crash-after-swap
-    # of an earlier compaction are collected too (they sort <= the old
-    # horizon and the old code never revisited them).
-    for d in old_dirs:
-        _hadoop_delete(spark, base + "/" + d)
+    # DEFERRED GC (r13 review: reader snapshot isolation). This pass's
+    # garbage — the superseded base dirs plus EVERY seq dir at or below
+    # the new horizon (not just the seqs pending at this pass, so dirs
+    # orphaned by a crash of an earlier cycle are collected too) — is
+    # recorded in the pointer and deleted by the NEXT compaction, one full
+    # cycle later. An in-flight probe whose plan was built just before
+    # this swap still references the old base and the swept delta dirs;
+    # retaining them one cycle lets it finish instead of hitting
+    # FileNotFound mid-job. New readers never see them: the old base is
+    # unreferenced and the seq dirs sort <= the new horizon.
+    deferred = list(old_dirs)
     for t in meta["tables"]:
         for area in ("_delta", "_tomb"):
             for d in _hadoop_list_dirs(spark, base + f"/{area}/{t}"):
                 if d.startswith(SEQ_COL + "="):
                     if int(d.split("=", 1)[1]) <= pend[-1]:
-                        _hadoop_delete(spark, base + f"/{area}/{t}/{d}")
+                        deferred.append(f"{area}/{t}/{d}")
+    new_meta["gc_deferred"] = sorted(set(deferred))
+    _check_epoch(_read_mor(spark, root), epoch, "mor_compact pointer swap")
+    _write_mor(spark, root, new_meta)  # commit point
     return True
 
 
@@ -585,14 +668,21 @@ def mor_minor_compact(
                         "allow_drop_extras=True."
                     )
     old_fold = meta.get("fold")
-    f = _seq_floor(meta, pend) + 1
-    meta["high_water"] = f
-    meta["fold"] = {"seq": f, "covers": pend, "committed": False}
-    _write_mor(spark, root, meta)  # declare: readers ignore seq f
     if old_fold:
-        # the old record is replaced, so anything it made readers ignore
-        # must be deleted NOW or it would resurface as pending: a committed
-        # fold's superseded source dirs, or a crashed fold's orphan dir
+        # GC the old fold record's ignored dirs BEFORE the declare replaces
+        # it (r13 review: the old order — declare first, GC after — opened
+        # a double-crash window: fold A commits and crashes before its GC,
+        # fold B's declare then erases the record telling readers to drop
+        # A's covered dirs, and a crash before B's GC loop resurfaces them
+        # as pending, silently double-counting with A's fold dir that
+        # already absorbed them). Deleting dirs the CURRENT record already
+        # makes readers ignore — a committed fold's superseded source
+        # dirs, or a crashed fold's orphan dir — is safe in every
+        # interleaving: a crash mid-loop leaves the record intact and the
+        # survivors still ignored. This is also where the previous fold's
+        # source dirs are collected at all (the fold itself no longer GCs
+        # at commit, giving in-flight readers one fold cycle of snapshot
+        # isolation — see the commit point below).
         gc_seqs = (
             [int(s) for s in old_fold["covers"]]
             if old_fold.get("committed")
@@ -602,6 +692,10 @@ def mor_minor_compact(
             for s in gc_seqs:
                 _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
                 _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
+    f = _seq_floor(meta, pend) + 1
+    meta["high_water"] = f
+    meta["fold"] = {"seq": f, "covers": pend, "committed": False}
+    _write_mor(spark, root, meta)  # declare: readers ignore seq f
     for t, spec in meta["tables"].items():
         idc = spec["id_col"]
         delta_root = base + f"/_delta/{t}"
@@ -647,14 +741,119 @@ def mor_minor_compact(
     cur = _read_mor(spark, root)
     _check_epoch(cur, epoch, "mor_minor_compact commit")
     cur["fold"] = {"seq": f, "covers": pend, "committed": True}
+    # r13 ADVICE: a streamed batch whose seq this fold covers may still
+    # REPLAY (its applier crashed before writing the _batches marker) —
+    # its recorded seq now points into a reader-ignored, next-fold-swept
+    # dir, so honoring the recording would silently lose the batch. Prune
+    # the covered entries: the replay re-allocates ABOVE the fold seq and
+    # its tombstones shadow the folded partial rows by id — the same
+    # rerun-heals recovery as ad-hoc applies, and the same pruning
+    # mor_compact does at the major horizon.
+    covered = {int(s) for s in pend}
+    cur["batch_seqs"] = {
+        k: s
+        for k, s in cur.get("batch_seqs", {}).items()
+        if int(s) not in covered
+    }
     _write_mor(spark, root, cur)  # commit point
-    # best-effort GC of the folded source dirs; a crash here leaves
-    # ignored garbage the next fold/compaction collects
-    for t in meta["tables"]:
-        for s in pend:
-            _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
-            _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
+    # NO source-dir GC here: the covered dirs stay on disk (readers ignore
+    # them via the committed record) until the NEXT fold or major
+    # compaction deletes them — one fold cycle of reader snapshot
+    # isolation, and the reason the pre-declare GC above is the only
+    # deletion site (no double-crash interleaving can resurface a dir a
+    # committed fold absorbed).
     return True
+
+
+def mor_fsck(spark, root: str) -> dict:
+    """Offline consistency check for a MOR state root (the ops runbook's
+    "did that crash leave anything behind?" tool). READ-ONLY — reports,
+    never repairs. Returns ``{"errors": [...], "warnings": [...],
+    "info": [...]}``; empty ``errors`` means every reader-visible
+    invariant holds.
+
+    - **errors** — reader-visible inconsistencies needing action:
+      * a pending seq present for SOME tables but not others — the
+        signature of an ABANDONED partial ad-hoc apply (the module
+        docstring's recovery: re-run the apply; its fresh-seq tombstones
+        shadow every partial row by id);
+      * a ``batch_seqs`` entry pointing at or below the compaction
+        horizon or into a committed fold's covered range (the replay
+        would write into a reader-ignored dir — both sites prune these,
+        so a surviving entry means a pre-fix state or manual edit);
+      * ``high_water`` below the compaction horizon.
+    - **warnings** — crash leftovers the next fold/compaction heals:
+      an uncommitted fold's orphan dirs, a ``_mor.json.tmp`` orphan.
+    - **info** — expected deferred-GC garbage: a committed fold's
+      still-on-disk covered dirs, ``gc_deferred`` entries, ignored seq
+      dirs at or below the horizon.
+    """
+    base = root.rstrip("/")
+    out: dict[str, list[str]] = {"errors": [], "warnings": [], "info": []}
+    if _hadoop_exists(spark, base + "/" + MOR_META + ".tmp"):
+        out["warnings"].append(
+            "_mor.json.tmp present (a pointer write crashed mid-commit; "
+            "the next read finishes or discards it)"
+        )
+    meta = _read_mor(spark, root)
+    ct = int(meta["compacted_through"])
+    hw = int(meta.get("high_water", 0))
+    if hw < ct:
+        out["errors"].append(
+            f"high_water {hw} below compaction horizon {ct} — sequence "
+            "allocation could collide with compacted state"
+        )
+    fold = meta.get("fold")
+    fold_covers = (
+        {int(s) for s in fold["covers"]}
+        if fold and fold.get("committed")
+        else set()
+    )
+    # per-table seq-dir census over the delta area
+    seqs_by_table: dict[str, set[int]] = {}
+    for t in meta["tables"]:
+        seqs_by_table[t] = {
+            int(d.split("=", 1)[1])
+            for d in _hadoop_list_dirs(spark, base + f"/_delta/{t}")
+            if d.startswith(SEQ_COL + "=")
+        }
+    all_seqs = set().union(*seqs_by_table.values()) if seqs_by_table else set()
+    drop = _fold_drop_seqs(meta)
+    for s in sorted(all_seqs):
+        holders = sorted(t for t, ss in seqs_by_table.items() if s in ss)
+        if s <= ct or s in fold_covers:
+            out["info"].append(
+                f"seq {s} ({','.join(holders)}): ignored garbage "
+                f"({'<= horizon' if s <= ct else 'covered by committed fold'}), "
+                "swept by the next fold/compaction"
+            )
+        elif fold and not fold.get("committed") and s == int(fold["seq"]):
+            out["warnings"].append(
+                f"seq {s}: uncommitted fold orphan (a fold crashed between "
+                "declare and commit; the next fold/compaction collects it)"
+            )
+        elif len(holders) < len(seqs_by_table):
+            missing = sorted(set(seqs_by_table) - set(holders))
+            out["errors"].append(
+                f"seq {s} present for table(s) {holders} but missing for "
+                f"{missing} — abandoned partial ad-hoc apply; re-run the "
+                "apply to heal (fresh-seq tombstones shadow the partial rows)"
+            )
+    for k, s in sorted(meta.get("batch_seqs", {}).items()):
+        s = int(s)
+        if s <= ct or s in fold_covers:
+            out["errors"].append(
+                f"batch_seqs[{k}]={s} points {'at/below the horizon' if s <= ct else 'into a committed fold'} "
+                "— a replay of that batch would be silently lost; prune the "
+                "entry (mor_compact/mor_minor_compact do this on commit)"
+            )
+    for rel in meta.get("gc_deferred", []):
+        if _hadoop_exists(spark, base + "/" + rel):
+            out["info"].append(
+                f"gc_deferred: {rel} retained for in-flight readers; the "
+                "next major compaction deletes it"
+            )
+    return out
 
 
 def maybe_autocompact(spark, root: str, epoch: int | None = None) -> bool:

@@ -378,15 +378,18 @@ def test_mor_reader_ignores_stale_dirs_after_pointer_swap(spark, tmp_path):
     apply_changelog_ngram(
         spark, spark.createDataFrame(CHANGELOG, SCHEMA), state, batch_id=0
     )
-    assert mor_compact(spark, state)  # horizon = 1, dirs GC'd
+    assert mor_compact(spark, state)  # horizon = 1, dirs retained 1 cycle
     want = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
-    # re-plant stale seq-1 artifacts (what a crash between pointer write
-    # and GC leaves behind): bogus rows AND a tombstone for a live doc
+    # overwrite the (deferred-GC-retained) seq-1 artifacts with bogus rows
+    # AND a tombstone for a live doc — readers must ignore anything at or
+    # below the horizon regardless of content
     spark.createDataFrame(
         [(998, "yy", "yy", "yy", 7, 0)],
         "doc_id LONG, w1 STRING, w2 STRING, w3 STRING, tf LONG, gbucket INT",
-    ).write.partitionBy("gbucket").parquet(state + "/_delta/grams/__seq=1")
-    spark.createDataFrame([(0,)], "doc_id LONG").write.parquet(
+    ).write.mode("overwrite").partitionBy("gbucket").parquet(
+        state + "/_delta/grams/__seq=1"
+    )
+    spark.createDataFrame([(0,)], "doc_id LONG").write.mode("overwrite").parquet(
         state + "/_tomb/grams/__seq=1"
     )
     got = {tuple(r) for r in read_ngram_counts(spark, state).collect()}

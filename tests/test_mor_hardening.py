@@ -199,26 +199,65 @@ def test_mor_live_raises_on_delta_schema_drift(spark, tmp_path):
 # ------------------------------------------------------- GC sweep
 
 
-def test_compact_sweeps_orphans_below_horizon(spark, tmp_path):
-    """A crash after the pointer swap but before GC leaves __seq dirs at or
-    below the new horizon; the next compaction must collect them (the
-    module used to only delete the seqs pending at ITS pass)."""
+def _apply_one(spark, root, batch_id, row):
+    seq, epoch = mor_begin_apply(spark, root, batch_id=batch_id)
+    mor_append(spark, root, "t", _rows(spark, [row]),
+               _ids(spark, [row[0]]), seq, epoch=epoch)
+
+
+def test_compact_gc_deferred_one_cycle_then_swept(spark, tmp_path):
+    """Major-compaction GC is DEFERRED one cycle (reader snapshot
+    isolation): the superseded base and seq dirs stay on disk, invisible
+    to new readers, and the NEXT compaction deletes them. A stray seq dir
+    at or below the horizon that the deferred list does not track (a
+    pre-deferral state, or a failed delete) is re-enumerated by the sweep
+    and collected one cycle after that — nothing is re-listed forever."""
     root = _plain_state(spark, tmp_path)
-    seq, epoch = mor_begin_apply(spark, root, batch_id=0)
-    mor_append(spark, root, "t", _rows(spark, [(100, 0, "x")]),
-               _ids(spark, [100]), seq, epoch=epoch)
+    _apply_one(spark, root, 0, (100, 0, "x"))
     assert mor_compact(spark, root)  # horizon = 1
-    # simulate the crashed-GC orphan: a stale committed seq dir <= horizon
-    orphan = os.path.join(root, "_delta", "t", "__seq=1")
-    _rows(spark, [(999, 0, "stale")]).write.partitionBy("b").parquet(orphan)
+    old_base = os.path.join(root, "t")
+    old_delta = os.path.join(root, "_delta", "t", "__seq=1")
+    assert os.path.exists(old_base) and os.path.exists(old_delta)  # retained
+    assert mor_pending_seqs(spark, root) == []  # but invisible to readers
+    _apply_one(spark, root, 1, (101, 1, "y"))
+    assert mor_compact(spark, root)  # deletes the previous cycle's garbage
+    assert not os.path.exists(old_base) and not os.path.exists(old_delta)
+    # stray committed dir <= horizon, unknown to gc_deferred
+    stray = os.path.join(root, "_delta", "t", "__seq=1")
+    _rows(spark, [(999, 0, "stale")]).write.partitionBy("b").parquet(stray)
     assert mor_pending_seqs(spark, root) == []  # ignored by readers
-    seq, epoch = mor_begin_apply(spark, root, batch_id=1)
-    mor_append(spark, root, "t", _rows(spark, [(101, 1, "y")]),
-               _ids(spark, [101]), seq, epoch=epoch)
+    _apply_one(spark, root, 2, (102, 2, "z"))
+    assert mor_compact(spark, root)  # the sweep re-enumerates + defers it
+    assert os.path.exists(stray)
+    _apply_one(spark, root, 3, (103, 3, "w"))
     assert mor_compact(spark, root)
-    assert not os.path.exists(orphan)  # swept, not re-listed forever
+    assert not os.path.exists(stray)  # swept, not re-listed forever
     live = {r.id for r in mor_live(spark, root, "t").select("id").collect()}
-    assert 999 not in live and {100, 101} <= live
+    assert 999 not in live and {100, 101, 102, 103} <= live
+
+
+def test_reader_snapshot_isolation_across_major_compaction(spark, tmp_path):
+    """The r13 review's standing gap: a probe plan built just before a
+    major compaction references the old base + delta dirs; the swap must
+    not yank them mid-job. With one-cycle deferred GC the old plan both
+    executes cleanly and returns the pre-compaction-correct view."""
+    root = _plain_state(spark, tmp_path)
+    _apply_one(spark, root, 0, (100, 0, "x"))
+    before = mor_live(spark, root, "t")  # plan bound to pre-swap dirs
+    expect = {(r.id, r.v) for r in before.collect()}
+    assert mor_compact(spark, root)
+    # the OLD plan still executes after the swap (dirs retained one cycle)
+    assert {(r.id, r.v) for r in before.collect()} == expect
+    # and across a MINOR fold: plan bound to the pre-fold source dirs
+    _apply_one(spark, root, 1, (101, 1, "y"))
+    _apply_one(spark, root, 2, (102, 2, "z"))
+    from siddhi_io_cdc_spark.streaming.mor import mor_minor_compact
+
+    pre_fold = mor_live(spark, root, "t")
+    expect = {(r.id, r.v) for r in pre_fold.collect()}
+    assert mor_minor_compact(spark, root)
+    assert {(r.id, r.v) for r in pre_fold.collect()} == expect
+    assert {(r.id, r.v) for r in mor_live(spark, root, "t").collect()} == expect
 
 
 # ------------------------------------------------------- bm25 insert-only
@@ -686,3 +725,238 @@ def test_adhoc_apply_crash_between_tables_heals_on_rerun(spark, tmp_path):
     assert mor_compact(spark, state)
     got2 = {tuple(r) for r in read_ngram_counts(spark, state).collect()}
     assert got2 == want
+
+
+# ------------------------------------------- r14: fold GC ordering
+
+
+def test_double_crash_fold_cannot_resurface_partial_rows(spark, tmp_path):
+    """The r13 review's double-crash window. Fold A crashes mid-data
+    (uncommitted record + a partial fold dir holding rows with NO
+    tombstones yet); fold B then crashes right after its DECLARE replaced
+    A's record. Under the old declare-then-GC order nothing any longer
+    told readers to ignore A's partial dir, so its untombstoned rows
+    resurfaced as live — silent duplicates a later major compaction would
+    bake into the base. The GC-before-declare order deletes A's orphan
+    BEFORE the record that ignores it goes away, so every interleaving
+    stays exact. (Committed folds' source dirs are additionally protected
+    by the fold's own tombstone union; the uncommitted partial dir is the
+    provable corruption.)"""
+    import json as _json
+
+    import siddhi_io_cdc_spark.streaming.mor as mor_mod
+    from siddhi_io_cdc_spark.streaming.mor import _read_mor, _write_mor
+
+    root = _plain_state(spark, tmp_path)
+    _apply_plain(spark, root, [(100, 0, "x")], [100], batch_id=0)
+    _apply_plain(spark, root, [(101, 1, "y")], [101], batch_id=1)
+    before = _live_set(spark, root)
+    # fold A: declared, wrote a PARTIAL delta dir (no tombstones), crashed
+    meta = _read_mor(spark, root)
+    a_seq = meta["high_water"] + 1
+    meta["high_water"] = a_seq
+    meta["fold"] = {"seq": a_seq, "covers": [1, 2], "committed": False}
+    _write_mor(spark, root, meta)
+    _rows(spark, [(999, 0, "partial")]).write.partitionBy("b").parquet(
+        os.path.join(root, "_delta", "t", f"__seq={a_seq}")
+    )
+    assert _live_set(spark, root) == before  # record A hides the orphan
+    # fold B: crashes immediately after its declare replaces record A
+    real = mor_mod._write_mor
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_after_declare(spark_, root_, m):
+        real(spark_, root_, m)
+        if not m.get("fold", {}).get("committed", True):
+            raise Boom()
+
+    epoch = mor_mod.mor_take_writer(spark, root)
+    mor_mod._write_mor = crash_after_declare
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Boom):
+            mor_mod.mor_minor_compact(spark, root, epoch=epoch)
+    finally:
+        mor_mod._write_mor = real
+    # the partial dir must be GONE (deleted before the declare), not
+    # resurfaced as pending by the record replacement
+    assert not os.path.exists(os.path.join(root, "_delta", "t", f"__seq={a_seq}"))
+    assert _live_set(spark, root) == before
+    assert 999 not in {r[0] for r in _live_set(spark, root)}
+    # a retry fold and a major compaction both converge on the same view
+    assert mor_mod.mor_minor_compact(spark, root)
+    assert _live_set(spark, root) == before
+    _apply_plain(spark, root, [(102, 2, "z")], [102], batch_id=2)
+    assert mor_compact(spark, root)
+    # parquet partition columns read back last: rows are (id, v, b)
+    assert _live_set(spark, root) == before | {(102, "z", 2)}
+
+
+def test_fold_covered_streamed_batch_replays_above_fold(spark, tmp_path):
+    """r13 ADVICE: a streamed batch that crashed before its marker, whose
+    seq an out-of-band minor fold then covered, must NOT get its recorded
+    (now reader-ignored) seq back on replay. The fold prunes the covered
+    batch_seqs entries, so the replay re-allocates above the fold seq and
+    its tombstones shadow the folded partial rows — no silent data loss."""
+    from siddhi_io_cdc_spark.streaming.mor import _read_mor, mor_minor_compact
+
+    root = _plain_state(spark, tmp_path)
+    _apply_plain(spark, root, [(100, 0, "x1")], [100], batch_id=0)  # seq 1
+    _apply_plain(spark, root, [(101, 1, "y")], [101], batch_id=1)   # seq 2
+    # (batch 0's applier-level marker never landed — engine will replay it)
+    assert mor_minor_compact(spark, root)  # folds seqs 1,2 -> fold seq 3
+    meta = _read_mor(spark, root)
+    assert meta["fold"]["committed"] and meta["batch_seqs"] == {}
+    # engine replay of batch 0 — possibly with a LATER view of the row
+    seq, epoch = mor_begin_apply(spark, root, batch_id=0)
+    assert seq > meta["fold"]["seq"]  # re-allocated, not the covered seq 1
+    mor_append(spark, root, "t", _rows(spark, [(100, 0, "x1")]),
+               _ids(spark, [100]), seq, epoch=epoch)
+    live = {r["id"]: r["v"] for r in mor_live(spark, root, "t").collect()}
+    assert live[100] == "x1" and live[101] == "y"  # nothing lost
+    assert mor_compact(spark, root)
+    live = {r["id"]: r["v"] for r in mor_live(spark, root, "t").collect()}
+    assert live[100] == "x1" and live[101] == "y"
+
+
+# ------------------------------------------- r14: atomic pointer commit
+
+
+def test_pointer_write_crash_between_delete_and_rename_recovers(spark, tmp_path):
+    """_write_mor commits via tmp-write + delete + rename. Simulate the
+    worst window — pointer deleted, fully-written tmp not yet renamed —
+    and verify the next read finishes the commit instead of failing (the
+    r13 ADVICE truncate-then-write exposure)."""
+    import json as _json
+
+    from siddhi_io_cdc_spark.streaming.mor import _read_mor, is_mor
+
+    root = _plain_state(spark, tmp_path)
+    _apply_plain(spark, root, [(100, 0, "x")], [100], batch_id=0)
+    meta = _read_mor(spark, root)
+    # simulate: the NEXT commit got as far as delete-old + tmp written
+    meta["high_water"] = 42
+    with open(os.path.join(root, "_mor.json.tmp"), "w") as f:
+        f.write(_json.dumps(meta))
+    os.remove(os.path.join(root, "_mor.json"))
+    assert is_mor(spark, root)  # still recognizably a MOR state
+    recovered = _read_mor(spark, root)
+    assert recovered["high_water"] == 42  # the commit was finished
+    assert os.path.exists(os.path.join(root, "_mor.json"))
+    assert not os.path.exists(os.path.join(root, "_mor.json.tmp"))
+    assert {r[0] for r in _live_set(spark, root)} >= {100}
+
+
+def test_pointer_write_stale_tmp_is_ignored_then_overwritten(spark, tmp_path):
+    """A crash BEFORE the delete leaves the old pointer intact plus a
+    newer-content tmp: the commit did NOT happen, the old view must win,
+    and the next successful commit must not be confused by the orphan."""
+    import json as _json
+
+    from siddhi_io_cdc_spark.streaming.mor import _read_mor
+
+    root = _plain_state(spark, tmp_path)
+    _apply_plain(spark, root, [(100, 0, "x")], [100], batch_id=0)
+    meta = _read_mor(spark, root)
+    stale = dict(meta, high_water=99)
+    with open(os.path.join(root, "_mor.json.tmp"), "w") as f:
+        f.write(_json.dumps(stale))
+    assert _read_mor(spark, root)["high_water"] == meta["high_water"]
+    # the next real commit overwrites the orphan and lands cleanly
+    _apply_plain(spark, root, [(101, 1, "y")], [101], batch_id=1)
+    assert _read_mor(spark, root)["high_water"] == meta["high_water"] + 1
+    assert not os.path.exists(os.path.join(root, "_mor.json.tmp"))
+
+
+# ------------------------------------------- r14: mor_fsck
+
+
+def test_fsck_clean_state_and_expected_garbage(spark, tmp_path):
+    from siddhi_io_cdc_spark.streaming.mor import mor_fsck, mor_minor_compact
+
+    root = _plain_state(spark, tmp_path)
+    _apply_plain(spark, root, [(100, 0, "x")], [100], batch_id=0)
+    _apply_plain(spark, root, [(101, 1, "y")], [101], batch_id=1)
+    rep = mor_fsck(spark, root)
+    assert rep["errors"] == [] and rep["warnings"] == []
+    # a committed fold's retained source dirs are INFO, not errors
+    assert mor_minor_compact(spark, root)
+    rep = mor_fsck(spark, root)
+    assert rep["errors"] == [] and rep["warnings"] == []
+    assert any("covered by committed fold" in i for i in rep["info"])
+    # deferred major-compaction garbage is INFO too
+    _apply_plain(spark, root, [(102, 2, "z")], [102], batch_id=2)
+    assert mor_compact(spark, root)
+    rep = mor_fsck(spark, root)
+    assert rep["errors"] == [] and rep["warnings"] == []
+    assert any("gc_deferred" in i for i in rep["info"])
+
+
+def test_fsck_flags_abandoned_partial_adhoc_apply(spark, tmp_path):
+    """The runbook gap the r13 review named: nothing DETECTED an ad-hoc
+    apply that crashed between its per-table appends. fsck reports the
+    seq present for some tables but not others, with the re-run recovery
+    hint."""
+    from siddhi_io_cdc_spark.streaming.mor import mor_fsck
+
+    root = str(tmp_path / "two")
+    spark.createDataFrame([(1, 0, "a")], "id LONG, b INT, v STRING") \
+        .write.partitionBy("b").parquet(root + "/t1")
+    spark.createDataFrame([(1, 0, "a")], "id LONG, b INT, v STRING") \
+        .write.partitionBy("b").parquet(root + "/t2")
+    mor_init(spark, root, {
+        "t1": {"id_col": "id", "part_col": "b"},
+        "t2": {"id_col": "id", "part_col": "b"},
+    })
+    seq, epoch = mor_begin_apply(spark, root, batch_id=None)
+    mor_append(spark, root, "t1", _rows(spark, [(2, 1, "b")]),
+               _ids(spark, [2]), seq, epoch=epoch)
+    # crash before t2's append
+    rep = mor_fsck(spark, root)
+    assert len(rep["errors"]) == 1
+    assert "abandoned partial ad-hoc apply" in rep["errors"][0]
+    assert "t2" in rep["errors"][0]
+    # re-run heals (per the documented recovery) and fsck goes clean
+    seq2, epoch2 = mor_begin_apply(spark, root, batch_id=None)
+    mor_append(spark, root, "t1", _rows(spark, [(2, 1, "b")]),
+               _ids(spark, [2]), seq2, epoch=epoch2)
+    mor_append(spark, root, "t2", _rows(spark, [(2, 1, "b2")]),
+               _ids(spark, [2]), seq2, epoch=epoch2)
+    rep = mor_fsck(spark, root)
+    # the old partial seq is still one-table-only but now shadowed; it
+    # remains reported until a fold/compaction sweeps it
+    assert all("abandoned" in e for e in rep["errors"])
+    assert mor_compact(spark, root)
+    rep = mor_fsck(spark, root)
+    assert rep["errors"] == []
+
+
+def test_fsck_flags_crash_leftovers_and_bad_batch_seqs(spark, tmp_path):
+    from siddhi_io_cdc_spark.streaming.mor import (
+        _read_mor, _write_mor, mor_fsck,
+    )
+
+    root = _plain_state(spark, tmp_path)
+    _apply_plain(spark, root, [(100, 0, "x")], [100], batch_id=0)
+    # uncommitted fold orphan -> warning
+    meta = _read_mor(spark, root)
+    a_seq = meta["high_water"] + 1
+    meta["high_water"] = a_seq
+    meta["fold"] = {"seq": a_seq, "covers": [1], "committed": False}
+    # a batch_seqs entry pointing below the horizon -> error
+    meta["batch_seqs"]["77"] = 0
+    meta["compacted_through"] = 0
+    _write_mor(spark, root, meta)
+    _rows(spark, [(999, 0, "partial")]).write.partitionBy("b").parquet(
+        os.path.join(root, "_delta", "t", f"__seq={a_seq}")
+    )
+    # orphan tmp -> warning
+    with open(os.path.join(root, "_mor.json.tmp"), "w") as f:
+        f.write("{}")
+    rep = mor_fsck(spark, root)
+    assert any("uncommitted fold orphan" in w for w in rep["warnings"])
+    assert any("_mor.json.tmp" in w for w in rep["warnings"])
+    assert any("batch_seqs[77]" in e for e in rep["errors"])
