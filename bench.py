@@ -22,6 +22,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Per-query EXTRA warm reps on top of the default 1 cold + 3 warm (n=4).
+#: The r13 idle-box artifact showed these rows with spread > min even on a
+#: quiet host (GC/JIT-sensitive plans); n=8 firms exactly the rows a
+#: cross-round comparison hinges on without inflating the whole run
+#: (VERDICT r13 ask #7).
+EXTRA_RUNS = {
+    "cdc_flatten_multi_op": 4,
+    "llm_image_near_dup": 4,
+    "llm_knn_join_trained": 4,
+    "llm_bpe_train": 4,
+}
+
+
+def _loadavg() -> list[float] | None:
+    """Ambient host load, recorded so a contended session is visible IN the
+    artifact instead of needing forensics (VERDICT r13 asks #3/#4)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return None
+
 #: Headline subset of __spark_entry__.queries(): the CDC core, the heavy
 #: relational plans, and the LLM-pipeline operators.
 BENCH_QUERIES = [
@@ -138,6 +160,7 @@ def main() -> int:
 
     queries = entrymod.queries()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    load_before = _loadavg()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     stats: dict[str, dict] = {}
@@ -163,7 +186,7 @@ def main() -> int:
             queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
         runs = [cold[name]]
-        for _ in range(3):
+        for _ in range(3 + EXTRA_RUNS.get(name, 0)):
             t1 = time.time()
             with cache_scope():
                 queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -197,6 +220,8 @@ def main() -> int:
                 "cold_queries": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "stats": stats,
+                "loadavg_before": load_before,
+                "loadavg_after": _loadavg(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -255,13 +255,18 @@ def apply_changelog_bm25(
     seq_col: str = "ts_ms",
     op_col: str = "operation",
     batch_id=None,
-) -> None:
+    expect_epoch: int | None = None,
+) -> int | None:
     """Apply one micro-batch of flattened CDC events to the inverted index.
 
     Per key, only the latest event by ``seq_col`` decides the final state
     (``apply_changelog`` semantics). Update/delete rows must carry
     ``before_<text_col>`` (non-NULL): dropped terms' postings live in
     buckets derivable only from the OLD text.
+
+    MOR layout: returns the claimed writer epoch (thread back as
+    ``expect_epoch`` next batch to fence alternating writers); COW and
+    marker-skipped replays return None.
     """
     import json as _json
 
@@ -269,7 +274,7 @@ def apply_changelog_bm25(
 
     base = index_path.rstrip("/")
     if batch_id is not None and _hadoop_exists(spark, _marker_path(base, batch_id)):
-        return
+        return None
     meta = _json.loads(_hadoop_read_text(spark, base + "/_meta.json"))
     nbuckets, doc_buckets = meta["nbuckets"], meta["doc_buckets"]
 
@@ -279,11 +284,10 @@ def apply_changelog_bm25(
     batch_df = rekey_deletes(batch_df, [id_col], op_col)
 
     if meta.get("layout") == "mor":
-        _apply_bm25_mor(
+        return _apply_bm25_mor(
             spark, batch_df, base, nbuckets, doc_buckets, text_col, id_col,
-            seq_col, op_col, batch_id,
+            seq_col, op_col, batch_id, expect_epoch,
         )
-        return
 
     before_text = f"before_{text_col}"
     moving_ops = ("update", "delete")
@@ -402,8 +406,8 @@ def apply_changelog_bm25(
 
 def _apply_bm25_mor(
     spark, batch_df, base, nbuckets, doc_buckets, text_col, id_col,
-    seq_col, op_col, batch_id,
-) -> None:
+    seq_col, op_col, batch_id, expect_epoch=None,
+) -> int:
     """Merge-on-read apply: O(batch) writes, no index read.
 
     Tombstones shadow by doc id, so the postings merge needs NO
@@ -493,7 +497,7 @@ def _apply_bm25_mor(
         "dtok": tok_after - tok_before,
     }
 
-    seq, epoch = mor_begin_apply(spark, base, batch_id)
+    seq, epoch = mor_begin_apply(spark, base, batch_id, expect_epoch=expect_epoch)
     mor_append(spark, base, "postings", new_tf, batch_ids, seq, epoch=epoch)
     mor_append(
         spark, base, "docs", new_dl, batch_ids, seq, extra_json=extra,
@@ -516,6 +520,7 @@ def _apply_bm25_mor(
         minor = meta_mor.get("minor_every") or 0
         if minor and pend_n >= minor:
             minor_compact_bm25_index(spark, base, epoch=epoch)
+    return epoch
 
 
 def compact_bm25_index(spark, index_path: str, epoch: int | None = None) -> bool:
@@ -612,10 +617,15 @@ def foreach_batch_bm25_index(
 ):
     """``foreachBatch`` adapter: wire a flattened CDC stream into
     :func:`apply_changelog_bm25`. Exactly-once per ``batch_id`` via the
-    marker file; crash-and-replay converges (per-bucket state is pure)."""
+    marker file; crash-and-replay converges (per-bucket state is pure).
+    MOR layout: remembers each batch's claimed epoch and passes it back,
+    fencing a foreign writer that alternates between this maintainer's
+    batches."""
+
+    state = {"epoch": None}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_changelog_bm25(
+        state["epoch"] = apply_changelog_bm25(
             spark,
             index_path,
             batch_df,
@@ -624,6 +634,7 @@ def foreach_batch_bm25_index(
             seq_col=seq_col,
             op_col=op_col,
             batch_id=batch_id,
+            expect_epoch=state["epoch"],
         )
 
     return _apply

@@ -97,7 +97,8 @@ def apply_changelog_ivf(
     seq_col: str = "ts_ms",
     op_col: str = "operation",
     batch_id=None,
-) -> None:
+    expect_epoch: int | None = None,
+) -> int | None:
     """Apply one micro-batch of flattened CDC events to an IVF index.
 
     ``batch_df`` is multi-op flatten output: row image (including
@@ -109,9 +110,13 @@ def apply_changelog_ivf(
     NOT retrained — cells keep their meaning, which is what makes the
     touched-cell bound sound; retrain + ``write_ivf_index`` rebuild when
     drift warrants it.
+
+    MOR layout: returns the claimed writer epoch (thread back as
+    ``expect_epoch`` next batch to fence alternating writers); COW and
+    marker-skipped replays return None.
     """
     if batch_id is not None and _hadoop_exists(spark, _marker_path(index_path, batch_id)):
-        return
+        return None
     centroids = load_codebook(spark, index_path)
     # IVFADC layouts (write_ivfpq_index) carry a pq_code column; stamp the
     # batch's after images with their codes BEFORE the merge so upserted
@@ -130,11 +135,10 @@ def apply_changelog_ivf(
             ),
         )
     if _hadoop_exists(spark, index_path.rstrip("/") + "/_mor.json"):
-        _apply_ivf_mor(
+        return _apply_ivf_mor(
             spark, index_path.rstrip("/"), batch_df, centroids, vec_col,
-            id_col, seq_col, op_col, batch_id,
+            id_col, seq_col, op_col, batch_id, expect_epoch,
         )
-        return
 
     before_vec = f"before_{vec_col}"
     has_old_image = before_vec in batch_df.columns
@@ -223,8 +227,8 @@ def apply_changelog_ivf(
 
 def _apply_ivf_mor(
     spark, base, batch_df, centroids, vec_col, id_col, seq_col, op_col,
-    batch_id,
-) -> None:
+    batch_id, expect_epoch=None,
+) -> int:
     """Merge-on-read apply: append the batch's final vectors (cell-
     partitioned) plus id tombstones — O(batch) writes, no cell read, and
     NO before image needed (the tombstone shadows the old row in whatever
@@ -249,11 +253,12 @@ def _apply_ivf_mor(
     # delta schema must match the base table exactly (schema-only peek)
     base_cols = mor_live(spark, base, "vectors").columns
     rows = upserts.select(*base_cols)
-    seq, epoch = mor_begin_apply(spark, base, batch_id)
+    seq, epoch = mor_begin_apply(spark, base, batch_id, expect_epoch=expect_epoch)
     mor_append(spark, base, "vectors", rows, batch_ids, seq, epoch=epoch)
     if batch_id is not None:
         _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
     maybe_autocompact(spark, base, epoch=epoch)
+    return epoch
 
 
 def foreach_batch_ivf_index(
@@ -272,10 +277,14 @@ def foreach_batch_ivf_index(
         ).option("checkpointLocation", ...).start()
 
     Exactly-once per ``batch_id`` via the marker file; crash-and-replay of
-    a half-committed batch converges (see module docstring)."""
+    a half-committed batch converges (see module docstring). MOR layout:
+    remembers each batch's claimed epoch and passes it back, fencing a
+    foreign writer that alternates between this maintainer's batches."""
+
+    state = {"epoch": None}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_changelog_ivf(
+        state["epoch"] = apply_changelog_ivf(
             spark,
             index_path,
             batch_df,
@@ -284,6 +293,7 @@ def foreach_batch_ivf_index(
             seq_col=seq_col,
             op_col=op_col,
             batch_id=batch_id,
+            expect_epoch=state["epoch"],
         )
 
     return _apply

@@ -374,13 +374,37 @@ def mor_allocate_seq(
 
 
 def mor_begin_apply(
-    spark, root: str, batch_id: int | None = None
+    spark, root: str, batch_id: int | None = None,
+    expect_epoch: int | None = None,
 ) -> tuple[int, int]:
     """One pointer-file round-trip that starts an apply: claim writership
     (epoch bump) AND allocate the batch's sequence. Returns
     ``(seq, epoch)``; thread ``epoch`` through every append/compact of
-    the apply."""
+    the apply.
+
+    ``expect_epoch`` closes the fencing gap the per-batch epoch re-claim
+    leaves open (two maintainers ALTERNATING at whole-batch granularity
+    never overlap mid-batch, so per-mutation checks cannot see each
+    other): a long-lived maintainer passes the epoch its PREVIOUS apply
+    returned, and if any other writer claimed the state in between —
+    an alternating second maintainer, an out-of-band compaction — this
+    raises :class:`MorWriterFenced` before touching anything. Nothing in
+    a single maintainer's own loop moves the epoch between its batches
+    (auto-compactions run under the batch's token), so a mismatch always
+    means a foreign writer. Pass ``None`` on the first batch after a
+    (re)start, where no expectation exists. The ``foreach_batch_*``
+    adapters wire this automatically."""
     meta = _read_mor(spark, root)
+    if expect_epoch is not None and int(
+        meta.get("writer_epoch", 0)
+    ) != int(expect_epoch):
+        raise MorWriterFenced(
+            f"mor_begin_apply: writer epoch moved {expect_epoch} -> "
+            f"{meta.get('writer_epoch', 0)} between this maintainer's "
+            "batches — another maintainer or an out-of-band operation "
+            "claimed this MOR state. This writer must stop (see "
+            "streaming/mor.py takeover procedure)."
+        )
     epoch = int(meta.get("writer_epoch", 0)) + 1
     meta["writer_epoch"] = epoch
     floor = _seq_floor(meta, mor_pending_seqs(spark, root))

@@ -216,7 +216,8 @@ def apply_changelog_ngram(
     seq_col: str = "ts_ms",
     op_col: str = "operation",
     batch_id=None,
-) -> None:
+    expect_epoch: int | None = None,
+) -> int | None:
     """Apply one flattened-changelog micro-batch to the maintained LM.
 
     Per key, only the latest event by ``seq_col`` decides the final state
@@ -224,12 +225,17 @@ def apply_changelog_ngram(
     inserts. Update/delete rows must carry a non-NULL
     ``before_<text_col>``: the dropped grams' buckets are derivable only
     from the OLD text.
+
+    MOR layout: returns the writer epoch this apply claimed (thread it
+    back as ``expect_epoch`` on the next batch to fence alternating
+    writers — see :func:`mor.mor_begin_apply`); COW layout and
+    marker-skipped replays return None.
     """
     from siddhi_io_cdc_spark.operators.mutate import rekey_deletes
 
     base = path.rstrip("/")
     if batch_id is not None and _hadoop_exists(spark, _marker_path(base, batch_id)):
-        return
+        return None
     meta = json.loads(_hadoop_read_text(spark, base + "/" + _META))
     n, nbuckets = meta["n"], meta["nbuckets"]
     doc_buckets = meta["doc_buckets"]
@@ -238,11 +244,10 @@ def apply_changelog_ngram(
 
     batch_df = rekey_deletes(batch_df, [id_col], op_col)
     if meta.get("layout") == "mor":
-        _apply_ngram_mor(
+        return _apply_ngram_mor(
             spark, batch_df, base, n, nbuckets, doc_buckets, text_col,
-            id_col, seq_col, op_col, batch_id,
+            id_col, seq_col, op_col, batch_id, expect_epoch,
         )
-        return
     movers = batch_df.where(F.col(op_col).isin("update", "delete"))
     if before not in batch_df.columns:
         if movers.limit(1).count():
@@ -345,8 +350,8 @@ def apply_changelog_ngram(
 
 def _apply_ngram_mor(
     spark, batch_df, base, n, nbuckets, doc_buckets, text_col, id_col,
-    seq_col, op_col, batch_id,
-) -> None:
+    seq_col, op_col, batch_id, expect_epoch=None,
+) -> int:
     """Merge-on-read apply: O(batch) writes, no base-state read.
 
     Tombstoning every batch key's prior rows makes before images
@@ -368,7 +373,7 @@ def _apply_ngram_mor(
     new_tf = _doc_gram_tf(upserts, n, id_col, text_col).withColumn(
         GBUCKET_COL, _gbucket(n, nbuckets)
     )
-    seq, epoch = mor_begin_apply(spark, base, batch_id)
+    seq, epoch = mor_begin_apply(spark, base, batch_id, expect_epoch=expect_epoch)
     mor_append(spark, base, "grams", new_tf, batch_ids, seq, epoch=epoch)
 
     counted = new_tf.groupBy(id_col).agg(
@@ -388,6 +393,7 @@ def _apply_ngram_mor(
     if batch_id is not None:
         _hadoop_write_text(spark, _marker_path(base, batch_id), "done")
     maybe_autocompact(spark, base, epoch=epoch)
+    return epoch
 
 
 def kneser_ney_from_state(
@@ -452,12 +458,19 @@ def foreach_batch_ngram_lm(
 ):
     """``foreachBatch`` adapter: wire a flattened CDC stream into
     :func:`apply_changelog_ngram`. Exactly-once per ``batch_id`` via the
-    marker file; crash-and-replay converges (per-bucket state is pure)."""
+    marker file; crash-and-replay converges (per-bucket state is pure).
+    MOR layout: the adapter remembers the epoch each batch claimed and
+    passes it back, so a foreign writer that claimed the state BETWEEN
+    this maintainer's batches (the alternating-writer gap per-mutation
+    fencing cannot see) fails the next batch loudly."""
+
+    state = {"epoch": None}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_changelog_ngram(
+        state["epoch"] = apply_changelog_ngram(
             spark, batch_df, path,
             seq_col=seq_col, op_col=op_col, batch_id=batch_id,
+            expect_epoch=state["epoch"],
         )
 
     return _apply

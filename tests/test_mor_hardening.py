@@ -960,3 +960,48 @@ def test_fsck_flags_crash_leftovers_and_bad_batch_seqs(spark, tmp_path):
     assert any("uncommitted fold orphan" in w for w in rep["warnings"])
     assert any("_mor.json.tmp" in w for w in rep["warnings"])
     assert any("batch_seqs[77]" in e for e in rep["errors"])
+
+
+# ------------------------------------- r14: alternating-writer fencing
+
+
+def test_alternating_second_maintainer_is_fenced(spark, tmp_path):
+    """Per-mutation epoch checks cannot see two maintainers that ALTERNATE
+    at whole-batch granularity (each re-claims the epoch per batch, never
+    observing the other mid-batch) — the r13 ADVICE gap. The foreach
+    adapters now thread each batch's claimed epoch back as expect_epoch,
+    so the moment ANY foreign writer claims the state between this
+    maintainer's batches, its next batch fails loudly."""
+    from siddhi_io_cdc_spark.streaming.ngram_lm import foreach_batch_ngram_lm
+
+    state = str(tmp_path / "mor")
+    write_ngram_state(
+        spark, _corpus(spark, DOCS), state, n=3, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=0,
+    )
+    apply_a = foreach_batch_ngram_lm(spark, state)
+    apply_a(spark.createDataFrame(
+        [(30, "aa bb cc dd", None, "insert", 1)], SCHEMA), 0)
+    # the same maintainer's own loop never false-positives (auto-compaction
+    # included: it runs under the batch's token and moves no epoch)
+    apply_a(spark.createDataFrame(
+        [(31, "ee ff gg hh", None, "insert", 2)], SCHEMA), 1)
+    # a SECOND maintainer (fresh adapter, fresh closure) applies a batch —
+    # neither writer overlaps mid-batch, so per-mutation checks see nothing
+    apply_b = foreach_batch_ngram_lm(spark, state)
+    apply_b(spark.createDataFrame(
+        [(40, "ii jj kk ll", None, "insert", 3)], SCHEMA), 100)
+    # ...but maintainer A's next batch now fails loudly
+    with pytest.raises(MorWriterFenced, match="between this maintainer's"):
+        apply_a(spark.createDataFrame(
+            [(32, "mm nn oo pp", None, "insert", 4)], SCHEMA), 2)
+    # same for an out-of-band claim (ops compaction) against maintainer B
+    mor_take_writer(spark, state)
+    with pytest.raises(MorWriterFenced, match="between this maintainer's"):
+        apply_b(spark.createDataFrame(
+            [(41, "qq rr ss tt", None, "insert", 5)], SCHEMA), 101)
+    # a restarted maintainer (fresh closure, no expectation) takes over
+    # cleanly per the documented procedure
+    apply_c = foreach_batch_ngram_lm(spark, state)
+    apply_c(spark.createDataFrame(
+        [(50, "uu vv ww xx", None, "insert", 6)], SCHEMA), 200)

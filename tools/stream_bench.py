@@ -27,9 +27,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+LOAD_BEFORE = None
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
     "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
 )
+
+
+def _loadavg() -> list[float] | None:
+    """Ambient host load recorded IN the artifact (r13 VERDICT ask #4):
+    the low tail of the throughput band tracks ambient load; pinning
+    loadavg next to each sample makes that claim checkable."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return None
 
 
 def main() -> int:
@@ -38,6 +50,9 @@ def main() -> int:
 
     from siddhi_io_cdc_spark.session import get_spark
     from siddhi_io_cdc_spark.sources.polling import register_cdc_poll
+
+    global LOAD_BEFORE
+    LOAD_BEFORE = _loadavg()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
     spark = get_spark("cdc-stream-bench", shuffle_partitions=cpus)
@@ -90,6 +105,8 @@ def main() -> int:
                         r["release_events_per_sec"] for r in gap_runs
                     ],
                 },
+                "loadavg_before": LOAD_BEFORE,
+                "loadavg_after": _loadavg(),
                 "sf_dir": SF_DIR,
             }
         )
