@@ -564,7 +564,9 @@ def compact_bm25_index(spark, index_path: str, epoch: int | None = None) -> bool
     return True
 
 
-def minor_compact_bm25_index(spark, index_path: str, epoch: int | None = None) -> bool:
+def minor_compact_bm25_index(
+    spark, index_path: str, epoch: int | None = None, force: bool = False
+) -> bool:
     """Size-tiered MINOR compaction for a mor-layout BM25 index: fold the
     pending deltas into one delta without rewriting the base (see
     ``mor.mor_minor_compact`` and the BASELINE.md round-13 curve — the
@@ -578,19 +580,26 @@ def minor_compact_bm25_index(spark, index_path: str, epoch: int | None = None) -
     readers never lose or double-count a stats delta in any crash
     interleaving.
 
-    One residual, documented drift window: a streamed batch that wrote
-    its delta AND its extra but crashed before its ``_batches`` marker,
-    then had its seq covered by this fold, will REPLAY with a fresh seq
-    (the fold prunes its ``batch_seqs`` entry — without that the replay
-    would be silently lost, the worse failure) and re-add its ``dn``/
-    ``dtok`` once more. Document content stays exact (tombstone
-    shadowing); the two scalars drift by that one batch's delta until
-    the next MAJOR compaction, whose exact recompute from the compacted
-    docs table heals them — the same healing already documented for
-    lying changelogs."""
+    In-flight guard: this fold REFUSES (raises) while a streamed batch is
+    recorded but unmarked — i.e. crashed and awaiting engine replay. A
+    fold covering such a batch would force its replay to a fresh seq
+    (the ``batch_seqs`` prune — without which the replay would be
+    silently lost, the worse failure), and the replayed extra would then
+    re-add ``dn``/``dtok`` the fold's stats horizon already absorbed:
+    document content stays exact (tombstone shadowing) but the two
+    scalars would drift until the next MAJOR compaction's exact
+    recompute. Refusing keeps the minor path drift-free: let the replay
+    land (it reuses its recorded seq byte-idempotently), or — if the
+    stream is being abandoned, e.g. mid-takeover — run the documented
+    takeover ``compact_bm25_index`` (whose exact recompute absorbs the
+    partial batch) or pass ``force=True`` to accept the bounded drift.
+    The in-batch auto-fold can never hit the guard: the engine replays a
+    crashed batch before running any later one."""
     from siddhi_io_cdc_spark.streaming.mor import (
         mor_minor_compact, mor_pending_seqs, mor_take_writer,
     )
+
+    from siddhi_io_cdc_spark.streaming.mor import _read_mor
 
     base = index_path.rstrip("/")
     if epoch is None:
@@ -598,6 +607,22 @@ def minor_compact_bm25_index(spark, index_path: str, epoch: int | None = None) -
     pend = mor_pending_seqs(spark, base)
     if len(pend) < 2:
         return False
+    if not force:
+        recorded = _read_mor(spark, base).get("batch_seqs", {})
+        in_flight = sorted(
+            bid for bid, s in recorded.items()
+            if int(s) in set(pend)
+            and not _hadoop_exists(spark, _marker_path(base, bid))
+        )
+        if in_flight:
+            raise ValueError(
+                f"minor_compact_bm25_index: streamed batch(es) {in_flight} "
+                "are recorded but unmarked (crashed, awaiting engine "
+                "replay); folding over them would make the replayed stats "
+                "delta double-count. Let the replay land first, run "
+                "compact_bm25_index (exact recompute), or pass force=True "
+                "to accept scalar drift until the next major compaction."
+            )
     n, t = read_bm25_stats(spark, base)  # base cache + pending extras
     _hadoop_write_text(
         spark, base + "/_stats.json",

@@ -1005,3 +1005,47 @@ def test_alternating_second_maintainer_is_fenced(spark, tmp_path):
     apply_c = foreach_batch_ngram_lm(spark, state)
     apply_c(spark.createDataFrame(
         [(50, "uu vv ww xx", None, "insert", 6)], SCHEMA), 200)
+
+
+def test_bm25_minor_fold_refuses_over_in_flight_batch(spark, tmp_path):
+    """An out-of-band minor fold racing a crashed-but-unreplayed streamed
+    batch must refuse instead of folding it: the fold's stats horizon
+    would absorb the batch's dn/dtok and the replay would re-add them
+    (r13 ADVICE scenario, closed beyond the batch_seqs prune). After the
+    replay lands, the fold proceeds and everything is exact."""
+    from siddhi_io_cdc_spark.streaming.bm25_index import (
+        minor_compact_bm25_index,
+    )
+
+    idx = str(tmp_path / "bm25")
+    write_bm25_index(
+        spark, _corpus(spark, DOCS), idx, nbuckets=8, doc_buckets=4,
+        layout="mor", compact_every=0,
+    )
+    b0 = spark.createDataFrame(
+        [(30, "aa bb cc dd", None, "insert", 1)], SCHEMA)
+    b1 = spark.createDataFrame(
+        [(31, "ee ff gg", None, "insert", 2)], SCHEMA)
+    apply_changelog_bm25(spark, idx, b0, batch_id=0)
+    apply_changelog_bm25(spark, idx, b1, batch_id=1)
+    os.remove(os.path.join(idx, "_batches", "1"))  # crash before marker
+    with pytest.raises(ValueError, match="recorded but unmarked"):
+        minor_compact_bm25_index(spark, idx)
+    # replay lands byte-idempotently; the fold then proceeds
+    apply_changelog_bm25(spark, idx, b1, batch_id=1)
+    assert minor_compact_bm25_index(spark, idx)
+    final = DOCS + [(30, "aa bb cc dd"), (31, "ee ff gg")]
+    n, t = read_bm25_stats(spark, idx)
+    assert n == len(final)
+    assert t == sum(len(x.split()) for _, x in final)
+    terms = ["tok3", "aa"]
+    want = [tuple(r) for r in bm25_topk(_corpus(spark, final), terms, k=8).collect()]
+    got = [tuple(r) for r in bm25_topk_indexed(spark, idx, terms, k=8).collect()]
+    assert got == want
+    # force=True folds anyway (documented drift acceptance path)
+    b2 = spark.createDataFrame([(32, "hh ii", None, "insert", 3)], SCHEMA)
+    b3 = spark.createDataFrame([(33, "jj kk", None, "insert", 4)], SCHEMA)
+    apply_changelog_bm25(spark, idx, b2, batch_id=2)
+    apply_changelog_bm25(spark, idx, b3, batch_id=3)
+    os.remove(os.path.join(idx, "_batches", "3"))
+    assert minor_compact_bm25_index(spark, idx, force=True)
