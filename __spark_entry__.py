@@ -7,9 +7,10 @@ EXACT DuckDB restatement for every one of them — including the LSH/ANN/IVF
 approximate paths, whose oracles restate the probe machinery itself
 (hyperplane/centroid literals, closed-form planted-clone constructions) and
 the multimodal decodes (closed-form P5/WAV fixtures). The first 50 keys —
-the driver's recorded window — span all four families (8 cdc, 11 rel,
-3 win, 28 llm this round; after the round-13 rotation no key's latest
-driver-green row is older than round 11).
+the driver's recorded window — rotate oldest-evidence-first (6 cdc,
+11 rel, 33 llm this round — the win_* family's evidence is all r13/r14;
+after the round-15 rotation no key's latest driver-green row is older
+than round 13).
 
 Determinism rules used throughout (so value-hashes match the oracle):
 - money aggregates run over ``decimal(18,2)`` casts (exact, associative,
@@ -2328,57 +2329,163 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering matters: the driver's correctness gate records only the FIRST
-    # 50 entries. Round-14 rotation below (VERDICT r13 ask #5): positions
-    # 1-49 are the 49 keys whose latest driver evidence is round 11; slot 50
-    # re-checks a round-12 MOR-serve row through the r14 rework. Everything
-    # below 50 stays covered by the local typed gate + pytest.
+    # 50 entries. Round-15 rotation (VERDICT r14 ask #3): positions 1-49 are
+    # the 49 keys whose latest driver evidence is round 12 (in sorted order);
+    # slot 50 re-drives cdc_apply_changelog (round-13 evidence) through this
+    # round's generational-GC / retention rework of the MOR commit path.
+    # After this rotation no key's driver evidence is older than round 13.
     return {
-        # --- ROUND-14 WINDOW (driver records the FIRST 50 entries). ---
-        # Positions 1-49: ALL 49 keys whose latest driver-green row is
-        # round 11 (VERDICT r13 ask #5, in sorted order). After this
-        # rotation no key's evidence is older than round 12.
+        # --- ROUND-15 WINDOW (driver records the FIRST 50 entries). ---
+        "cdc_decimal_compat": q_decimal_compat,
+        "cdc_flatten_delete": q_flatten_delete,
+        "cdc_flatten_insert": q_flatten_insert,
+        "cdc_int_widening": q_int_widening,
+        "cdc_lowercase_columns": q_lowercase_columns,
+        "llm_5gram_logprob": q_5gram_logprob,
+        "llm_ann_cosine": q_ann_cosine,
+        "llm_audio_decode": q_audio_decode,
+        "llm_bigram_logprob": q_bigram_logprob,
+        "llm_bm25_probe": q_bm25_probe,
+        "llm_bm25_probe_mor": q_bm25_probe_mor,
+        "llm_bpe_pairs": q_bpe_pairs,
+        "llm_chunk_documents": q_chunk_documents,
+        "llm_chunk_tokens": q_chunk_documents_tokens,
+        "llm_fingerprint": q_fingerprint,
+        "llm_image_near_dup": q_image_near_dup,
+        "llm_kneser_ney_5gram": q_kneser_ney_5gram,
+        "llm_kneser_ney_mor": q_kneser_ney_mor,
+        "llm_knn_join_lsh": q_knn_join_lsh,
+        "llm_knn_join_probed": q_knn_join_probed,
+        "llm_knn_join_trained": q_knn_join_trained,
+        "llm_lang_detect": q_lang_detect,
+        "llm_mixture_sample": q_mixture_sample,
+        "llm_modified_kneser_ney": q_modified_kneser_ney,
+        "llm_ngram_pairs": q_ngram_pairs,
+        "llm_pack_sequences": q_pack_sequences,
+        "llm_payload_embedding": q_payload_embedding,
+        "llm_perplexity_buckets": q_perplexity_buckets,
+        "llm_pii_scrub": q_pii_scrub,
+        "llm_quality_score": q_quality_score,
+        "llm_quantile_sketch": q_quantile_sketch,
+        "llm_rag_pipeline": q_rag_pipeline,
+        "llm_shard_for_training": q_shard_for_training,
+        "llm_simhash_pairs": q_simhash_pairs,
+        "llm_temperature_mixture": q_temperature_mixture,
+        "llm_trigram_logprob": q_trigram_logprob,
+        "llm_unigram_logprob": q_unigram_logprob,
+        "llm_video_frames": q_video_frames,
+        "rel_customers_without_orders": R.customers_without_orders,
+        "rel_distinct_parts": lambda s, d: R.distinct_parts_per_flag(s, d).select(
+            "l_returnflag", "n_parts"
+        ),
+        "rel_local_supplier_volume": R.local_supplier_volume,
+        "rel_nations_except": R.nations_except,
+        "rel_nations_intersect": R.nations_intersect,
+        "rel_order_priority": R.order_priority_counts,
+        "rel_returnflag_rollup": R.returnflag_rollup,
+        "rel_scalar_funcs": q_scalar_funcs,
+        "rel_supplier_counts_by_size": R.supplier_counts_by_size,
+        "rel_top_orders_per_customer": R.top_orders_per_customer,
+        "rel_top_revenue_suppliers": R.top_revenue_suppliers,
+        # --- slot 50: r13-evidence key that runs the full MOR apply+serve
+        # path reworked this round (retain_cycles generations, gc sweep)
+        "cdc_apply_changelog": q_apply_changelog,
+        # --- position 51+: driver-r13/r14-green remainder, covered every
+        # session by the local typed gate (tools/check_contract.py) +
+        # pytest. STANDING RULE (VERDICT r7 #6): a NEW contract query
+        # enters ABOVE position 50 in the round it lands.
         "cdc_delete_on": q_delete_on,
         "cdc_flatten_insert_delete": q_flatten_insert_delete,
         "cdc_flatten_multi_op": q_flatten_multi_op,
         "cdc_flatten_snapshot": q_flatten_snapshot,
+        "cdc_flatten_update": q_flatten_update,
         "cdc_gap_wait": q_gap_wait,
+        "cdc_history_scd2": q_history_scd2,
+        "cdc_incremental_scan": q_incremental_scan,
         "cdc_insert_into": q_insert_into,
+        "cdc_keyvalue_mapping": q_keyvalue_mapping,
+        "cdc_mongo_flatten": q_mongo_flatten,
         "cdc_offset_discovery": q_offset_discovery,
+        "cdc_temporal_lookup": q_temporal_lookup,
+        "cdc_update_on": q_update_on,
+        "llm_bloom_screen": q_bloom_screen,
+        "llm_bloom_screen_maintained": q_bloom_screen_maintained,
+        "llm_bm25_topk": q_bm25_topk,
+        "llm_bpe_encode": q_bpe_encode,
+        "llm_bpe_train": q_bpe_train,
+        "llm_c4_filters": q_c4_filters,
         "llm_cdc_pipeline": q_cdc_pipeline,
         "llm_cms_counts": q_cms_counts,
+        "llm_curate": q_curate,
+        "llm_decontaminate": q_decontaminate,
         "llm_decontaminate_spans": q_decontaminate_spans,
+        "llm_dedup_exact": q_dedup_exact,
         "llm_dedup_substrings": q_dedup_substrings,
         "llm_distinctive_terms": q_distinctive_terms,
+        "llm_dsir_select": q_dsir_select,
+        "llm_dsir_weights": q_dsir_weights,
         "llm_duplicate_spans": q_duplicate_spans,
         "llm_duplicate_spans_maximal": q_duplicate_spans_maximal,
         "llm_embedding_near_dup": q_embedding_near_dup,
         "llm_gopher_quality": q_gopher_quality,
         "llm_hll_distinct": q_hll_distinct,
+        "llm_hybrid_retrieval": q_hybrid_retrieval,
         "llm_ivf_ann": q_ivf_ann,
         "llm_ivf_probe_maintained_mut": q_ivf_probe_maintained_mut,
+        "llm_ivf_probe_mor": q_ivf_probe_mor,
         "llm_kneser_ney": q_kneser_ney,
+        "llm_kneser_ney_maintained": q_kneser_ney_maintained,
+        "llm_kneser_ney_maintained_mut": q_kneser_ney_maintained_mut,
         "llm_knn_join": q_knn_join,
+        "llm_knn_join_bucketed": q_knn_join_bucketed,
+        "llm_label_centroids": q_label_centroids,
+        "llm_minhash_pairs": q_minhash_pairs,
         "llm_multimodal_decode": q_multimodal_decode,
         "llm_near_dedup": q_near_dedup,
+        "llm_paragraph_dedup": q_paragraph_dedup,
+        "llm_pq_encode": q_pq_encode,
+        "llm_pq_topk": q_pq_topk,
+        "llm_quality_classifier": q_quality_classifier,
+        "llm_repetition": q_repetition,
+        "llm_semantic_dedup": q_semantic_dedup,
         "llm_semantic_dedup_numpy": q_semantic_dedup_numpy,
+        "llm_span_corruption": q_span_corruption,
+        "llm_stratified_sample": q_stratified_sample,
         "llm_text_stats": q_text_stats,
+        "llm_tokenize_pipeline": q_tokenize_pipeline,
+        "llm_top_ngrams": q_top_ngrams,
         "llm_topk_cosine": q_topk_cosine,
+        "llm_ul2_denoisers": q_ul2_denoisers,
         "llm_unigram_encode": q_unigram_encode,
         "llm_unigram_lm": q_unigram_lm,
         "llm_url_dedup": q_url_dedup,
         "rel_asof_forward": q_asof_forward,
+        "rel_asof_join": q_asof_join,
+        "rel_cube": q_cube_orders,
         "rel_custdist": R.customer_order_distribution,
+        "rel_json_props": q_json_props,
+        "rel_output_every_nth": q_output_every_nth,
+        "rel_output_snapshot": q_output_snapshot,
         "rel_pattern_absent": q_pattern_absent,
+        "rel_pattern_both": q_pattern_both,
+        "rel_pattern_immediate": q_pattern_immediate,
         "rel_pattern_match": q_pattern_match,
         "rel_pattern_or": q_pattern_or,
         "rel_pattern_runs": q_pattern_runs,
+        "rel_pattern_sequence": q_pattern_sequence,
         "rel_percentiles": q_percentiles,
         "rel_pricing_summary": R.pricing_summary,
         "rel_range_join": q_range_join,
+        "rel_rollup_multi": q_rollup_multi,
+        "rel_salted_agg": q_salted_agg,
         "rel_salted_join": q_salted_join,
+        "rel_shipping_priority": R.shipping_priority,
         "rel_small_qty_revenue": R.small_quantity_revenue,
         "win_delay": q_delay_window,
+        "win_first_unique": q_first_unique_window,
+        "win_frequent": q_frequent,
         "win_length": q_length_window,
+        "win_length_batch": q_length_batch,
         "win_lossy_frequent": q_lossy_frequent,
         "win_session": q_session_window,
         "win_sliding": q_sliding_window,
@@ -2386,114 +2493,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_time_length": q_time_length_window,
         "win_tumbling": q_tumbling_window,
         "win_unique": q_unique_window,
-        # --- slot 50: a round-12 row that re-drives the MOR serve path
-        # through this round's deferred-GC / fold-ordering rework
-        "llm_ivf_probe_mor": q_ivf_probe_mor,
-        # --- position 51+: driver-r12/r13-green remainder, covered every
-        # session by the local typed gate (tools/check_contract.py) +
-        # pytest. STANDING RULE (VERDICT r7 #6): a NEW contract query
-        # enters ABOVE position 50 in the round it lands.
-        "cdc_apply_changelog": q_apply_changelog,
-        "cdc_decimal_compat": q_decimal_compat,
-        "cdc_flatten_delete": q_flatten_delete,
-        "cdc_flatten_insert": q_flatten_insert,
-        "cdc_flatten_update": q_flatten_update,
-        "cdc_history_scd2": q_history_scd2,
-        "cdc_incremental_scan": q_incremental_scan,
-        "cdc_int_widening": q_int_widening,
-        "cdc_keyvalue_mapping": q_keyvalue_mapping,
-        "cdc_lowercase_columns": q_lowercase_columns,
-        "cdc_mongo_flatten": q_mongo_flatten,
-        "cdc_temporal_lookup": q_temporal_lookup,
-        "cdc_update_on": q_update_on,
-        "llm_5gram_logprob": q_5gram_logprob,
-        "llm_ann_cosine": q_ann_cosine,
-        "llm_audio_decode": q_audio_decode,
-        "llm_bigram_logprob": q_bigram_logprob,
-        "llm_bloom_screen": q_bloom_screen,
-        "llm_bloom_screen_maintained": q_bloom_screen_maintained,
-        "llm_bm25_probe": q_bm25_probe,
-        "llm_bm25_probe_mor": q_bm25_probe_mor,
-        "llm_bm25_topk": q_bm25_topk,
-        "llm_bpe_encode": q_bpe_encode,
-        "llm_bpe_pairs": q_bpe_pairs,
-        "llm_bpe_train": q_bpe_train,
-        "llm_c4_filters": q_c4_filters,
-        "llm_chunk_documents": q_chunk_documents,
-        "llm_chunk_tokens": q_chunk_documents_tokens,
-        "llm_curate": q_curate,
-        "llm_decontaminate": q_decontaminate,
-        "llm_dedup_exact": q_dedup_exact,
-        "llm_dsir_select": q_dsir_select,
-        "llm_dsir_weights": q_dsir_weights,
-        "llm_fingerprint": q_fingerprint,
-        "llm_hybrid_retrieval": q_hybrid_retrieval,
-        "llm_image_near_dup": q_image_near_dup,
-        "llm_kneser_ney_5gram": q_kneser_ney_5gram,
-        "llm_kneser_ney_maintained": q_kneser_ney_maintained,
-        "llm_kneser_ney_maintained_mut": q_kneser_ney_maintained_mut,
-        "llm_kneser_ney_mor": q_kneser_ney_mor,
-        "llm_knn_join_bucketed": q_knn_join_bucketed,
-        "llm_knn_join_lsh": q_knn_join_lsh,
-        "llm_knn_join_probed": q_knn_join_probed,
-        "llm_knn_join_trained": q_knn_join_trained,
-        "llm_label_centroids": q_label_centroids,
-        "llm_lang_detect": q_lang_detect,
-        "llm_minhash_pairs": q_minhash_pairs,
-        "llm_mixture_sample": q_mixture_sample,
-        "llm_modified_kneser_ney": q_modified_kneser_ney,
-        "llm_ngram_pairs": q_ngram_pairs,
-        "llm_pack_sequences": q_pack_sequences,
-        "llm_paragraph_dedup": q_paragraph_dedup,
-        "llm_payload_embedding": q_payload_embedding,
-        "llm_perplexity_buckets": q_perplexity_buckets,
-        "llm_pii_scrub": q_pii_scrub,
-        "llm_pq_encode": q_pq_encode,
-        "llm_pq_topk": q_pq_topk,
-        "llm_quality_classifier": q_quality_classifier,
-        "llm_quality_score": q_quality_score,
-        "llm_quantile_sketch": q_quantile_sketch,
-        "llm_rag_pipeline": q_rag_pipeline,
-        "llm_repetition": q_repetition,
-        "llm_semantic_dedup": q_semantic_dedup,
-        "llm_shard_for_training": q_shard_for_training,
-        "llm_simhash_pairs": q_simhash_pairs,
-        "llm_span_corruption": q_span_corruption,
-        "llm_stratified_sample": q_stratified_sample,
-        "llm_temperature_mixture": q_temperature_mixture,
-        "llm_tokenize_pipeline": q_tokenize_pipeline,
-        "llm_top_ngrams": q_top_ngrams,
-        "llm_trigram_logprob": q_trigram_logprob,
-        "llm_ul2_denoisers": q_ul2_denoisers,
-        "llm_unigram_logprob": q_unigram_logprob,
-        "llm_video_frames": q_video_frames,
-        "rel_asof_join": q_asof_join,
-        "rel_cube": q_cube_orders,
-        "rel_customers_without_orders": R.customers_without_orders,
-        "rel_distinct_parts": lambda s, d: R.distinct_parts_per_flag(s, d).select(
-            "l_returnflag", "n_parts"
-        ),
-        "rel_json_props": q_json_props,
-        "rel_local_supplier_volume": R.local_supplier_volume,
-        "rel_nations_except": R.nations_except,
-        "rel_nations_intersect": R.nations_intersect,
-        "rel_order_priority": R.order_priority_counts,
-        "rel_output_every_nth": q_output_every_nth,
-        "rel_output_snapshot": q_output_snapshot,
-        "rel_pattern_both": q_pattern_both,
-        "rel_pattern_immediate": q_pattern_immediate,
-        "rel_pattern_sequence": q_pattern_sequence,
-        "rel_returnflag_rollup": R.returnflag_rollup,
-        "rel_rollup_multi": q_rollup_multi,
-        "rel_salted_agg": q_salted_agg,
-        "rel_scalar_funcs": q_scalar_funcs,
-        "rel_shipping_priority": R.shipping_priority,
-        "rel_supplier_counts_by_size": R.supplier_counts_by_size,
-        "rel_top_orders_per_customer": R.top_orders_per_customer,
-        "rel_top_revenue_suppliers": R.top_revenue_suppliers,
-        "win_first_unique": q_first_unique_window,
-        "win_frequent": q_frequent,
-        "win_length_batch": q_length_batch,
     }
 
 

@@ -32,6 +32,9 @@ EXTRA_RUNS = {
     "llm_image_near_dup": 4,
     "llm_knn_join_trained": 4,
     "llm_bpe_train": 4,
+    # r14's one beyond-band riser (merged +22.6% vs r13); carried at n=8
+    # per tools/bench_compare.py's classification rule (r14 VERDICT #1)
+    "llm_payload_embedding": 4,
 }
 
 

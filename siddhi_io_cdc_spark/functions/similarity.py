@@ -335,6 +335,7 @@ def write_ivf_index(
     layout: str = "cow",
     compact_every: int = 16,
     minor_every: int = 0,
+    retain_cycles: int = 1,
     assign_engine: str = "numpy",
 ):
     """Materialize the 100 TB IVF layout the probe operators assume: vectors
@@ -394,6 +395,7 @@ def write_ivf_index(
             {"vectors": {"id_col": id_col, "part_col": "cell"}},
             compact_every=compact_every,
             minor_every=minor_every,
+            retain_cycles=retain_cycles,
         )
         _hadoop_delete(spark, base + "/_batches")
     else:
@@ -1258,6 +1260,7 @@ def write_ivfpq_index(
     layout: str = "cow",
     compact_every: int = 16,
     minor_every: int = 0,
+    retain_cycles: int = 1,
     assign_engine: str = "numpy",
 ):
     """Materialize the IVFADC layout (Jégou et al. 2011 §IV) — the standard
@@ -1309,6 +1312,7 @@ def write_ivfpq_index(
             {"vectors": {"id_col": id_col, "part_col": "cell"}},
             compact_every=compact_every,
             minor_every=minor_every,
+            retain_cycles=retain_cycles,
         )
         _hadoop_delete(spark, path.rstrip("/") + "/_batches")
     else:

@@ -88,6 +88,7 @@ def write_bm25_index(
     layout: str = "cow",
     compact_every: int = 16,
     minor_every: int = 0,
+    retain_cycles: int = 1,
 ) -> None:
     """Materialize the inverted layout from a document corpus: postings
     partitioned by term bucket, doc lengths partitioned by doc bucket.
@@ -145,6 +146,7 @@ def write_bm25_index(
             },
             compact_every=compact_every,
             minor_every=minor_every,
+            retain_cycles=retain_cycles,
         )
         _hadoop_delete(spark, base + "/_batches")
     else:
@@ -650,7 +652,7 @@ def foreach_batch_bm25_index(
     state = {"epoch": None}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        state["epoch"] = apply_changelog_bm25(
+        e = apply_changelog_bm25(
             spark,
             index_path,
             batch_df,
@@ -661,6 +663,10 @@ def foreach_batch_bm25_index(
             batch_id=batch_id,
             expect_epoch=state["epoch"],
         )
+        # a marker-skipped replay returns None WITHOUT claiming an epoch;
+        # keep the remembered token so the next live batch stays fenced
+        # (r14 ADVICE: overwriting with None silently degraded the fence)
+        state["epoch"] = e if e is not None else state["epoch"]
 
     return _apply
 

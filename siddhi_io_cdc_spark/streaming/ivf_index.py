@@ -284,7 +284,7 @@ def foreach_batch_ivf_index(
     state = {"epoch": None}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        state["epoch"] = apply_changelog_ivf(
+        e = apply_changelog_ivf(
             spark,
             index_path,
             batch_df,
@@ -295,6 +295,10 @@ def foreach_batch_ivf_index(
             batch_id=batch_id,
             expect_epoch=state["epoch"],
         )
+        # a marker-skipped replay returns None WITHOUT claiming an epoch;
+        # keep the remembered token so the next live batch stays fenced
+        # (r14 ADVICE: overwriting with None silently degraded the fence)
+        state["epoch"] = e if e is not None else state["epoch"]
 
     return _apply
 

@@ -28,14 +28,22 @@ Lake / Iceberg / Hudi merge-on-read tables do:
   and commits by rewriting the single ``_mor.json`` pointer file — the
   Iceberg-style swap: a crash before the pointer write leaves the old
   view intact; after it, the superseded directories are garbage whose
-  deletion is DEFERRED one full compaction cycle (recorded in the
-  pointer's ``gc_deferred`` list, deleted at the start of the next
-  compaction). That deferral is reader snapshot isolation: an in-flight
-  probe whose plan was built just before the swap still references the
-  old base and the swept delta dirs — Iceberg keeps them via snapshot
-  retention; we keep them one cycle. Compaction runs automatically every
-  ``compact_every`` batches (default 16), amortizing the rewrite the COW
-  layout paid on every batch.
+  deletion is DEFERRED ``retain_cycles`` compaction/fold cycles
+  (default 1): each commit pushes its garbage as one GENERATION onto the
+  pointer's ``gc`` list, and the start of every later compaction or
+  minor fold sweeps generations beyond the retention depth. That
+  deferral is reader snapshot isolation: an in-flight probe whose plan
+  was built just before the swap still references the old base and the
+  swept delta dirs — Iceberg keeps them via snapshot retention; we keep
+  them ``retain_cycles`` cycles (raise it for serving fleets whose
+  probes can outlive a cycle). A generation only leaves the pointer
+  AFTER its dirs are deleted, so a crash mid-sweep just re-deletes
+  (idempotent) on the next pass; retained delta/tomb generations stay
+  reader-ignored because the pending/live scans parse their seqs out of
+  the ``gc`` list. Idle states (no new commits to age generations out)
+  can reclaim space with the explicit :func:`mor_gc` pass. Compaction
+  runs automatically every ``compact_every`` batches (default 16),
+  amortizing the rewrite the COW layout paid on every batch.
 - **minor compact** (:func:`mor_minor_compact`, size-tiered): folds the
   pending deltas into ONE delta without rewriting the base — the fold
   wall of a major compaction is dominated by the corpus-sized base
@@ -45,14 +53,22 @@ Lake / Iceberg / Hudi merge-on-read tables do:
   a ``fold`` record in ``_mor.json`` (declare-uncommitted → write →
   commit); readers ignore an uncommitted fold's dir and a committed
   fold's superseded source dirs. GC ordering is the correctness point:
-  the ONLY site that deletes a fold's leftovers is the NEXT fold (or a
-  major compaction), and it does so BEFORE its declare replaces the old
-  record — deleting dirs the current record already makes readers ignore
-  is safe in every interleaving, whereas the old declare-then-GC order
-  let a double crash (fold A commits, crashes pre-GC; fold B declares,
-  crashes pre-GC) resurface A's absorbed source dirs as pending and
-  silently double-count. The deferral doubles as one fold cycle of
-  reader snapshot isolation, mirroring the major path. At commit the
+  a committed fold's source dirs are pushed onto the ``gc`` generation
+  list AT ITS COMMIT (the same write that makes readers ignore them)
+  and deleted only when the generation ages past ``retain_cycles`` at
+  the start of a LATER fold/major — so there is no interleaving in
+  which a dir exists on disk without the pointer telling readers to
+  ignore it (either the fold record's ``covers`` or the ``gc`` list
+  names it), whereas the old declare-then-GC order let a double crash
+  (fold A commits, crashes pre-GC; fold B declares, crashes pre-GC)
+  resurface A's absorbed source dirs as pending and silently
+  double-count. A CRASHED fold's orphan dir (declared, never committed)
+  is deleted immediately at the next fold's start — no reader ever saw
+  it, so no retention is owed. The deferral doubles as ``retain_cycles``
+  fold cycles of reader snapshot isolation, mirroring the major path —
+  and because minor folds age the SAME generation list, a major-starved
+  cadence (folds only) still reclaims a prior major's garbage instead
+  of accumulating it indefinitely. At commit the
   fold also prunes ``batch_seqs`` entries its range covers: a covered
   streamed batch that still replays (marker never landed) re-allocates
   ABOVE the fold seq and its tombstones shadow the folded partial rows —
@@ -145,6 +161,7 @@ __all__ = [
     "mor_begin_apply",
     "mor_compact",
     "mor_fsck",
+    "mor_gc",
     "mor_init",
     "mor_live",
     "mor_minor_compact",
@@ -236,6 +253,7 @@ def mor_init(
     tables: dict[str, dict],
     compact_every: int = 16,
     minor_every: int = 0,
+    retain_cycles: int = 1,
 ) -> None:
     """Stamp ``root`` as a MOR state. ``tables`` maps table name ->
     ``{"id_col": ..., "part_col": ...}``; the base directory starts as the
@@ -247,7 +265,16 @@ def mor_init(
     one (:func:`mor_minor_compact`) whenever that many accumulate — the
     ingest-dominant wiring the round-13 curve recommends: a large
     ``compact_every`` (the major fold is corpus-bound) with cheap minor
-    folds bounding the reader's delta union in between."""
+    folds bounding the reader's delta union in between.
+
+    ``retain_cycles`` is the reader snapshot-retention depth: superseded
+    dirs survive that many later compaction/fold cycles before the GC
+    sweep deletes them (Iceberg's snapshot retention, counted in cycles
+    instead of wall-clock). The default 1 protects any probe that
+    finishes within one maintenance cycle; serving fleets with probes
+    that can straddle more raise it and pay the extra disk."""
+    if retain_cycles < 1:
+        raise ValueError(f"retain_cycles must be >= 1, got {retain_cycles}")
     meta = {
         "tables": {
             t: {**spec, "base_dir": t} for t, spec in tables.items()
@@ -256,10 +283,12 @@ def mor_init(
         "base_version": 0,
         "compact_every": compact_every,
         "minor_every": minor_every,
+        "retain_cycles": retain_cycles,
         "batches_since_compact": 0,
         "writer_epoch": 0,
         "high_water": 0,
         "batch_seqs": {},
+        "gc": [],
     }
     # a re-init starts a new lineage: drop stale deltas/tombstones and any
     # versioned base dirs a previous lineage's compaction left behind
@@ -285,12 +314,62 @@ def _fold_drop_seqs(meta: dict) -> set[int]:
     return {int(fold["seq"])}
 
 
+def _gc_gens(meta: dict) -> list[list[str]]:
+    """The pointer's retained-garbage GENERATIONS, oldest first — each one
+    commit's superseded dirs (relative paths), kept ``retain_cycles``
+    cycles for reader snapshot isolation. Normalizes the pre-r15 flat
+    ``gc_deferred`` list (exactly one generation's worth) so old states
+    upgrade in place."""
+    gens = meta.get("gc")
+    if gens is None:
+        legacy = meta.get("gc_deferred")
+        gens = [list(legacy)] if legacy else []
+    return [list(g) for g in gens]
+
+
+def _gc_drop_seqs(meta: dict) -> set[int]:
+    """Sequences whose delta/tomb dirs are RETAINED garbage (listed in a
+    ``gc`` generation): still on disk for in-flight readers, ignored by
+    every new scan. Major-path entries all sort at/below the horizon
+    (belt and braces); minor-path entries (a committed fold's covered
+    dirs under ``retain_cycles`` > 1) sort above it and NEED this."""
+    out: set[int] = set()
+    marker = SEQ_COL + "="
+    for gen in _gc_gens(meta):
+        for rel in gen:
+            if rel.startswith(("_delta/", "_tomb/")) and marker in rel:
+                out.add(int(rel.rsplit("=", 1)[1]))
+    return out
+
+
+def _drop_seqs(meta: dict) -> set[int]:
+    """Every sequence a reader must ignore: the fold record's drops plus
+    the retained GC generations' seqs."""
+    return _fold_drop_seqs(meta) | _gc_drop_seqs(meta)
+
+
+def _sweep_gc_generations(spark, base: str, meta: dict) -> list[list[str]]:
+    """Age the GC generation list at the start of a compaction/fold:
+    delete every generation beyond ``retain_cycles`` (oldest first) and
+    return the survivors. The caller persists the pruned list in its own
+    commit write — a crash mid-sweep leaves the generation in the pointer
+    and the retry re-deletes (``_hadoop_delete`` is idempotent), so no
+    garbage is ever orphaned untracked."""
+    retain = int(meta.get("retain_cycles", 1))
+    gens = _gc_gens(meta)
+    while len(gens) >= retain:
+        for rel in gens.pop(0):
+            _hadoop_delete(spark, base + "/" + rel)
+    return gens
+
+
 def mor_pending_seqs(spark, root: str) -> list[int]:
     """Delta sequences newer than the compaction horizon, ascending —
-    minus the sequences the minor-compaction fold record supersedes."""
+    minus the sequences the minor-compaction fold record supersedes and
+    the retained-GC generations' reader-ignored dirs."""
     meta = _read_mor(spark, root)
     ct = meta["compacted_through"]
-    drop = _fold_drop_seqs(meta)
+    drop = _drop_seqs(meta)
     seqs: set[int] = set()
     for t in meta["tables"]:
         for d in _hadoop_list_dirs(spark, root.rstrip("/") + f"/_delta/{t}"):
@@ -490,7 +569,7 @@ def mor_live(spark, root: str, table: str) -> DataFrame:
     spec = meta["tables"][table]
     base_dir = root.rstrip("/") + "/" + spec["base_dir"]
     ct = meta["compacted_through"]
-    drop = sorted(_fold_drop_seqs(meta))
+    drop = sorted(_drop_seqs(meta))
     idc = spec["id_col"]
 
     rows = spark.read.parquet(base_dir).withColumn(
@@ -547,9 +626,10 @@ def mor_compact(spark, root: str, epoch: int | None = None) -> bool:
     via the ``_mor.json`` pointer swap. Returns True if anything was
     compacted. Crash-safe: before the pointer write the old view is fully
     intact (new dirs are orphans a later pass deletes); after it, new
-    readers ignore the superseded dirs, whose deletion is deferred one
-    compaction cycle (``gc_deferred``) so in-flight readers holding the
-    pre-swap plan finish cleanly — reader snapshot isolation.
+    readers ignore the superseded dirs, whose deletion is deferred
+    ``retain_cycles`` compaction/fold cycles (one ``gc`` generation per
+    commit) so in-flight readers holding the pre-swap plan finish
+    cleanly — reader snapshot isolation.
 
     Fencing: called without ``epoch`` (the out-of-band ops path) it
     CLAIMS writership first — a concurrently running maintainer's next
@@ -565,13 +645,12 @@ def mor_compact(spark, root: str, epoch: int | None = None) -> bool:
     if not pend:
         return False
     base = root.rstrip("/")
-    # delete what the PREVIOUS compaction deferred (see the gc_deferred
-    # comment below) — its readers have had a full compaction cycle to
-    # finish. Done BEFORE this pass writes anything: a crash mid-delete
+    # age the retained-GC generations: delete every generation past the
+    # retention depth (its readers have had retain_cycles full cycles to
+    # finish). Done BEFORE this pass writes anything: a crash mid-sweep
     # leaves the list in the pointer and the retry re-deletes, so no
     # garbage is ever orphaned untracked.
-    for rel in meta.get("gc_deferred", []):
-        _hadoop_delete(spark, base + "/" + rel)
+    gens = _sweep_gc_generations(spark, base, meta)
     new_ver = meta["base_version"] + 1
     old_dirs = []
     new_meta = json.loads(json.dumps(meta))  # deep copy
@@ -615,16 +694,21 @@ def mor_compact(spark, root: str, epoch: int | None = None) -> bool:
             _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
             _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
     new_meta["batches_since_compact"] = 0  # the major-compaction cadence
-    # DEFERRED GC (r13 review: reader snapshot isolation). This pass's
-    # garbage — the superseded base dirs plus EVERY seq dir at or below
-    # the new horizon (not just the seqs pending at this pass, so dirs
-    # orphaned by a crash of an earlier cycle are collected too) — is
-    # recorded in the pointer and deleted by the NEXT compaction, one full
-    # cycle later. An in-flight probe whose plan was built just before
-    # this swap still references the old base and the swept delta dirs;
-    # retaining them one cycle lets it finish instead of hitting
+    # DEFERRED GC (r13 review: reader snapshot isolation; generational
+    # since r15). This pass's garbage — the superseded base dirs plus
+    # EVERY seq dir at or below the new horizon (not just the seqs
+    # pending at this pass, so dirs orphaned by a crash of an earlier
+    # cycle are collected too) — is pushed as ONE generation on the
+    # pointer's ``gc`` list and deleted when it ages past retain_cycles
+    # later compactions/folds. An in-flight probe whose plan was built
+    # just before this swap still references the old base and the swept
+    # delta dirs; retaining them lets it finish instead of hitting
     # FileNotFound mid-job. New readers never see them: the old base is
-    # unreferenced and the seq dirs sort <= the new horizon.
+    # unreferenced and the seq dirs sort <= the new horizon. A dir
+    # already listed in a RETAINED older generation may be re-listed
+    # here (the sweep enumerates the disk, not the bookkeeping) — the
+    # older generation deletes it first and the re-list's delete is a
+    # no-op, which is exactly the "nothing is re-listed forever" law.
     deferred = list(old_dirs)
     for t in meta["tables"]:
         for area in ("_delta", "_tomb"):
@@ -632,7 +716,8 @@ def mor_compact(spark, root: str, epoch: int | None = None) -> bool:
                 if d.startswith(SEQ_COL + "="):
                     if int(d.split("=", 1)[1]) <= pend[-1]:
                         deferred.append(f"{area}/{t}/{d}")
-    new_meta["gc_deferred"] = sorted(set(deferred))
+    new_meta["gc"] = gens + [sorted(set(deferred))]
+    new_meta.pop("gc_deferred", None)  # upgraded to the generation list
     _check_epoch(_read_mor(spark, root), epoch, "mor_compact pointer swap")
     _write_mor(spark, root, new_meta)  # commit point
     return True
@@ -691,34 +776,31 @@ def mor_minor_compact(
                         "(e.g. minor_compact_bm25_index) or pass "
                         "allow_drop_extras=True."
                     )
+    # age the retained-GC generations (same sweep as the major path, so a
+    # major-starved cadence of minor folds still reclaims a prior major's
+    # garbage instead of accumulating it indefinitely). A COMMITTED old
+    # fold's source dirs are already in the generation list (pushed at
+    # its commit — the same write that makes readers ignore them), so no
+    # interleaving can leave a dir on disk without the pointer naming it
+    # as ignored: the r13 double-crash resurfacing is impossible by
+    # construction. A crash mid-sweep leaves the generation in the
+    # pointer; the retry re-deletes (idempotent).
+    gens = _sweep_gc_generations(spark, base, meta)
     old_fold = meta.get("fold")
-    if old_fold:
-        # GC the old fold record's ignored dirs BEFORE the declare replaces
-        # it (r13 review: the old order — declare first, GC after — opened
-        # a double-crash window: fold A commits and crashes before its GC,
-        # fold B's declare then erases the record telling readers to drop
-        # A's covered dirs, and a crash before B's GC loop resurfaces them
-        # as pending, silently double-counting with A's fold dir that
-        # already absorbed them). Deleting dirs the CURRENT record already
-        # makes readers ignore — a committed fold's superseded source
-        # dirs, or a crashed fold's orphan dir — is safe in every
-        # interleaving: a crash mid-loop leaves the record intact and the
-        # survivors still ignored. This is also where the previous fold's
-        # source dirs are collected at all (the fold itself no longer GCs
-        # at commit, giving in-flight readers one fold cycle of snapshot
-        # isolation — see the commit point below).
-        gc_seqs = (
-            [int(s) for s in old_fold["covers"]]
-            if old_fold.get("committed")
-            else [int(old_fold["seq"])]
-        )
+    if old_fold and not old_fold.get("committed"):
+        # a CRASHED fold's orphan dir: declared but never committed, so no
+        # reader ever saw it (uncommitted fold seqs are always ignored) —
+        # delete immediately BEFORE the declare replaces the record that
+        # ignores it; no retention is owed to a dir nobody could read.
+        s = int(old_fold["seq"])
         for t in meta["tables"]:
-            for s in gc_seqs:
-                _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
-                _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
+            _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
+            _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
     f = _seq_floor(meta, pend) + 1
     meta["high_water"] = f
     meta["fold"] = {"seq": f, "covers": pend, "committed": False}
+    meta["gc"] = gens
+    meta.pop("gc_deferred", None)  # upgraded to the generation list
     _write_mor(spark, root, meta)  # declare: readers ignore seq f
     for t, spec in meta["tables"].items():
         idc = spec["id_col"]
@@ -779,46 +861,81 @@ def mor_minor_compact(
         for k, s in cur.get("batch_seqs", {}).items()
         if int(s) not in covered
     }
+    # push the covered source dirs as ONE GC generation in the SAME write
+    # that commits the fold (readers start ignoring them via the record
+    # and keep ignoring them via the generation list after a later fold
+    # replaces the record) — deleted only when the generation ages past
+    # retain_cycles, giving in-flight readers that many fold cycles of
+    # snapshot isolation. No deletion happens here at all, so no
+    # double-crash interleaving can resurface a dir a committed fold
+    # absorbed: the pointer never stops naming it as ignored while it is
+    # on disk.
+    gen = sorted(
+        f"{area}/{t}/{SEQ_COL}={s}"
+        for t in cur["tables"]
+        for s in covered
+        for area in ("_delta", "_tomb")
+    )
+    cur["gc"] = _gc_gens(cur) + [gen]
+    cur.pop("gc_deferred", None)
     _write_mor(spark, root, cur)  # commit point
-    # NO source-dir GC here: the covered dirs stay on disk (readers ignore
-    # them via the committed record) until the NEXT fold or major
-    # compaction deletes them — one fold cycle of reader snapshot
-    # isolation, and the reason the pre-declare GC above is the only
-    # deletion site (no double-crash interleaving can resurface a dir a
-    # committed fold absorbed).
     return True
 
 
-def mor_fsck(spark, root: str) -> dict:
-    """Offline consistency check for a MOR state root (the ops runbook's
-    "did that crash leave anything behind?" tool). READ-ONLY — reports,
-    never repairs. Returns ``{"errors": [...], "warnings": [...],
-    "info": [...]}``; empty ``errors`` means every reader-visible
-    invariant holds.
+def mor_gc(spark, root: str, epoch: int | None = None) -> int:
+    """Explicit GC-only pass: delete EVERY retained generation's dirs now
+    and clear the list, returning the number of paths deleted. The normal
+    sweep runs at the start of each compaction/fold, so a state that goes
+    IDLE after its last maintenance keeps its final generation's
+    superseded full-corpus base + seq dirs on disk indefinitely (r14
+    ADVICE) — this is the reclaim for that case. Caveat: it forfeits the
+    snapshot-isolation window, so only run it when no reader holds a plan
+    built before this call (the same contract Iceberg's
+    ``expire_snapshots`` carries). Fencing: without ``epoch`` it claims
+    writership first, so a concurrently running maintainer fails loudly
+    instead of racing the sweep."""
+    if epoch is None:
+        epoch = mor_take_writer(spark, root)
+    meta = _read_mor(spark, root)
+    _check_epoch(meta, epoch, "mor_gc")
+    base = root.rstrip("/")
+    n = 0
+    for gen in _gc_gens(meta):
+        for rel in gen:
+            _hadoop_delete(spark, base + "/" + rel)
+            n += 1
+    meta["gc"] = []
+    meta.pop("gc_deferred", None)
+    _check_epoch(_read_mor(spark, root), epoch, "mor_gc commit")
+    _write_mor(spark, root, meta)
+    return n
 
-    - **errors** — reader-visible inconsistencies needing action:
-      * a pending seq present for SOME tables but not others — the
-        signature of an ABANDONED partial ad-hoc apply (the module
-        docstring's recovery: re-run the apply; its fresh-seq tombstones
-        shadow every partial row by id);
-      * a ``batch_seqs`` entry pointing at or below the compaction
-        horizon or into a committed fold's covered range (the replay
-        would write into a reader-ignored dir — both sites prune these,
-        so a surviving entry means a pre-fix state or manual edit);
-      * ``high_water`` below the compaction horizon.
-    - **warnings** — crash leftovers the next fold/compaction heals:
-      an uncommitted fold's orphan dirs, a ``_mor.json.tmp`` orphan.
-    - **info** — expected deferred-GC garbage: a committed fold's
-      still-on-disk covered dirs, ``gc_deferred`` entries, ignored seq
-      dirs at or below the horizon.
-    """
+
+def _fsck_census(spark, root: str) -> tuple[dict, dict]:
+    """One read-only pass over a MOR root: the fsck report plus the
+    machine-readable findings :func:`mor_fsck`'s repair mode acts on."""
     base = root.rstrip("/")
     out: dict[str, list[str]] = {"errors": [], "warnings": [], "info": []}
-    if _hadoop_exists(spark, base + "/" + MOR_META + ".tmp"):
+    acts: dict = {
+        "stale_tmp": False,
+        "garbage_seqs": set(),  # reader-ignored seq dirs, safe to sweep
+        "orphan_fold_seq": None,  # uncommitted fold's dir, safe to delete
+        "bad_batch_keys": [],  # batch_seqs entries both commit sites prune
+        "raise_high_water": False,
+        "gc_paths": [],  # retained generations' still-on-disk entries
+    }
+    # a tmp NEXT TO a live pointer is a stale leftover (a crash between
+    # the tmp write and the delete of the old pointer); when the pointer
+    # itself is missing, _read_mor's recovery FINISHES the rename instead
+    # — that one is a committed write, not garbage.
+    if _hadoop_exists(spark, base + "/" + MOR_META + ".tmp") and _hadoop_exists(
+        spark, base + "/" + MOR_META
+    ):
         out["warnings"].append(
             "_mor.json.tmp present (a pointer write crashed mid-commit; "
-            "the next read finishes or discards it)"
+            "the next pointer write overwrites it)"
         )
+        acts["stale_tmp"] = True
     meta = _read_mor(spark, root)
     ct = int(meta["compacted_through"])
     hw = int(meta.get("high_water", 0))
@@ -827,42 +944,86 @@ def mor_fsck(spark, root: str) -> dict:
             f"high_water {hw} below compaction horizon {ct} — sequence "
             "allocation could collide with compacted state"
         )
+        acts["raise_high_water"] = True
     fold = meta.get("fold")
     fold_covers = (
         {int(s) for s in fold["covers"]}
         if fold and fold.get("committed")
         else set()
     )
-    # per-table seq-dir census over the delta area
-    seqs_by_table: dict[str, set[int]] = {}
+    fold_seq = int(fold["seq"]) if fold else None
+    gc_drop = _gc_drop_seqs(meta)
+    # per-table seq-dir census over BOTH areas (r14 ADVICE: a crash inside
+    # mor_append between the rows write and the tombstone write leaves a
+    # delta dir with no matching tomb dir — delta-only census missed it)
+    delta_seqs: dict[str, set[int]] = {}
+    tomb_seqs: dict[str, set[int]] = {}
     for t in meta["tables"]:
-        seqs_by_table[t] = {
-            int(d.split("=", 1)[1])
-            for d in _hadoop_list_dirs(spark, base + f"/_delta/{t}")
-            if d.startswith(SEQ_COL + "=")
-        }
-    all_seqs = set().union(*seqs_by_table.values()) if seqs_by_table else set()
-    drop = _fold_drop_seqs(meta)
+        for area, dst in (("_delta", delta_seqs), ("_tomb", tomb_seqs)):
+            dst[t] = {
+                int(d.split("=", 1)[1])
+                for d in _hadoop_list_dirs(spark, base + f"/{area}/{t}")
+                if d.startswith(SEQ_COL + "=")
+            }
+    tables = sorted(meta["tables"])
+    all_seqs = set()
+    for t in tables:
+        all_seqs |= delta_seqs[t] | tomb_seqs[t]
     for s in sorted(all_seqs):
-        holders = sorted(t for t, ss in seqs_by_table.items() if s in ss)
-        if s <= ct or s in fold_covers:
-            out["info"].append(
-                f"seq {s} ({','.join(holders)}): ignored garbage "
-                f"({'<= horizon' if s <= ct else 'covered by committed fold'}), "
-                "swept by the next fold/compaction"
+        holders = sorted(t for t in tables if s in delta_seqs[t] or s in tomb_seqs[t])
+        if s <= ct or s in fold_covers or s in gc_drop:
+            why = (
+                "<= horizon"
+                if s <= ct
+                else (
+                    "covered by committed fold"
+                    if s in fold_covers
+                    else "retained GC generation"
+                )
             )
-        elif fold and not fold.get("committed") and s == int(fold["seq"]):
+            out["info"].append(
+                f"seq {s} ({','.join(holders)}): ignored garbage ({why}), "
+                "swept when its generation ages past retain_cycles"
+            )
+            acts["garbage_seqs"].add(s)
+        elif fold and not fold.get("committed") and s == fold_seq:
             out["warnings"].append(
                 f"seq {s}: uncommitted fold orphan (a fold crashed between "
                 "declare and commit; the next fold/compaction collects it)"
             )
-        elif len(holders) < len(seqs_by_table):
-            missing = sorted(set(seqs_by_table) - set(holders))
-            out["errors"].append(
-                f"seq {s} present for table(s) {holders} but missing for "
-                f"{missing} — abandoned partial ad-hoc apply; re-run the "
-                "apply to heal (fresh-seq tombstones shadow the partial rows)"
-            )
+            acts["orphan_fold_seq"] = s
+        else:
+            if len(holders) < len(tables):
+                missing = sorted(set(tables) - set(holders))
+                out["errors"].append(
+                    f"seq {s} present for table(s) {holders} but missing "
+                    f"for {missing} — abandoned partial ad-hoc apply; "
+                    "re-run the apply to heal (fresh-seq tombstones shadow "
+                    "the partial rows)"
+                )
+            if s != fold_seq:
+                # every mor_append writes rows THEN tombstones for one
+                # table; a live seq holding one without the other is a
+                # mid-append crash whose untombstoned (or tombstone-only)
+                # half the live view serves — duplicate rows per id. The
+                # fold seq is exempt: a fold legitimately writes only the
+                # areas that hold data (e.g. tomb-only under pure-delete
+                # batches). (r14 ADVICE)
+                for t in tables:
+                    d_has, t_has = s in delta_seqs[t], s in tomb_seqs[t]
+                    if d_has != t_has:
+                        have, lack = (
+                            ("_delta", "_tomb") if d_has else ("_tomb", "_delta")
+                        )
+                        out["errors"].append(
+                            f"seq {s} table {t}: {have} dir present but "
+                            f"{lack} dir missing — a crash inside "
+                            "mor_append left half an append; the live "
+                            "view can serve duplicate (or over-shadowed) "
+                            "rows for its ids. Re-run the apply to heal "
+                            "(fresh-seq tombstones shadow the partial "
+                            "rows by id)."
+                        )
     for k, s in sorted(meta.get("batch_seqs", {}).items()):
         s = int(s)
         if s <= ct or s in fold_covers:
@@ -871,12 +1032,121 @@ def mor_fsck(spark, root: str) -> dict:
                 "— a replay of that batch would be silently lost; prune the "
                 "entry (mor_compact/mor_minor_compact do this on commit)"
             )
-    for rel in meta.get("gc_deferred", []):
-        if _hadoop_exists(spark, base + "/" + rel):
-            out["info"].append(
-                f"gc_deferred: {rel} retained for in-flight readers; the "
-                "next major compaction deletes it"
-            )
+            acts["bad_batch_keys"].append(k)
+    for i, gen in enumerate(_gc_gens(meta)):
+        for rel in gen:
+            if _hadoop_exists(spark, base + "/" + rel):
+                out["info"].append(
+                    f"gc generation {i}: {rel} retained for in-flight "
+                    "readers; swept when the generation ages past "
+                    "retain_cycles"
+                )
+                acts["gc_paths"].append(rel)
+    return out, acts
+
+
+def mor_fsck(spark, root: str, repair: bool = False) -> dict:
+    """Offline consistency check for a MOR state root (the ops runbook's
+    "did that crash leave anything behind?" tool). Returns ``{"errors":
+    [...], "warnings": [...], "info": [...], "repaired": [...]}``; empty
+    ``errors`` means every reader-visible invariant holds.
+
+    - **errors** — reader-visible inconsistencies needing action:
+      * a pending seq present for SOME tables but not others — the
+        signature of an ABANDONED partial ad-hoc apply (the module
+        docstring's recovery: re-run the apply; its fresh-seq tombstones
+        shadow every partial row by id);
+      * a LIVE seq whose delta dir exists without its tombstone dir (or
+        vice versa) for a table — a crash inside :func:`mor_append`
+        between its two writes; same re-run-the-apply recovery;
+      * a ``batch_seqs`` entry pointing at or below the compaction
+        horizon or into a committed fold's covered range (the replay
+        would write into a reader-ignored dir — both commit sites prune
+        these, so a surviving entry means a pre-fix state or manual
+        edit);
+      * ``high_water`` below the compaction horizon.
+    - **warnings** — crash leftovers the next fold/compaction heals:
+      an uncommitted fold's orphan dirs, a stale ``_mor.json.tmp``.
+    - **info** — expected retained garbage: reader-ignored seq dirs
+      (at/below the horizon, fold-covered, or in a retained GC
+      generation) and the GC generations' still-on-disk entries.
+
+    ``repair=True`` additionally performs the MECHANICALLY SAFE
+    recoveries — the ones whose correctness needs no judgment because
+    readers already ignore everything they touch — then re-censuses and
+    reports what it did under ``"repaired"``:
+
+    * sweep every retained GC generation and reader-ignored seq dir
+      (forfeits the snapshot-isolation window — only run when no probe
+      older than this call is still in flight, same caveat as
+      :func:`mor_gc`);
+    * delete an uncommitted fold's orphan dirs and clear its record;
+    * prune ``batch_seqs`` entries at/below the horizon or inside a
+      committed fold (exactly the prune both commit sites apply);
+    * raise ``high_water`` to the compaction horizon;
+    * delete a stale ``_mor.json.tmp``.
+
+    The judgment-call case — an abandoned partial ad-hoc apply — is NOT
+    auto-repaired: the heal is to RE-RUN the apply with the original
+    batch (fsck cannot reconstruct it); the error text says so. Repair
+    claims writership (epoch bump), so a running maintainer's next batch
+    fails loudly instead of racing the cleanup."""
+    out, acts = _fsck_census(spark, root)
+    out["repaired"] = []
+    if not repair:
+        return out
+    actionable = (
+        acts["stale_tmp"]
+        or acts["garbage_seqs"]
+        or acts["orphan_fold_seq"] is not None
+        or acts["bad_batch_keys"]
+        or acts["raise_high_water"]
+        or acts["gc_paths"]
+    )
+    if not actionable:
+        return out
+    base = root.rstrip("/")
+    mor_take_writer(spark, root)  # fence any concurrent maintainer
+    meta = _read_mor(spark, root)
+    repaired: list[str] = []
+    for rel in acts["gc_paths"]:
+        _hadoop_delete(spark, base + "/" + rel)
+    if acts["gc_paths"] or _gc_gens(meta):
+        meta["gc"] = []
+        meta.pop("gc_deferred", None)
+        repaired.append(
+            f"swept {len(acts['gc_paths'])} retained GC path(s) and "
+            "cleared the generation list"
+        )
+    for s in sorted(acts["garbage_seqs"]):
+        for t in meta["tables"]:
+            _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
+            _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
+        repaired.append(f"swept reader-ignored seq {s}")
+    if acts["orphan_fold_seq"] is not None:
+        s = acts["orphan_fold_seq"]
+        for t in meta["tables"]:
+            _hadoop_delete(spark, base + f"/_delta/{t}/{SEQ_COL}={s}")
+            _hadoop_delete(spark, base + f"/_tomb/{t}/{SEQ_COL}={s}")
+        fold = meta.get("fold")
+        if fold and not fold.get("committed") and int(fold["seq"]) == s:
+            meta.pop("fold")
+        repaired.append(f"deleted uncommitted fold orphan at seq {s}")
+    if acts["bad_batch_keys"]:
+        for k in acts["bad_batch_keys"]:
+            meta.get("batch_seqs", {}).pop(k, None)
+        repaired.append(
+            f"pruned {len(acts['bad_batch_keys'])} stale batch_seqs "
+            "entr(y/ies)"
+        )
+    if acts["raise_high_water"]:
+        meta["high_water"] = int(meta["compacted_through"])
+        repaired.append("raised high_water to the compaction horizon")
+    _write_mor(spark, root, meta)  # also replaces any stale tmp
+    if acts["stale_tmp"]:
+        repaired.append("cleared stale _mor.json.tmp")
+    out, _ = _fsck_census(spark, root)
+    out["repaired"] = repaired
     return out
 
 

@@ -112,6 +112,7 @@ def write_ngram_state(
     layout: str = "cow",
     compact_every: int = 16,
     minor_every: int = 0,
+    retain_cycles: int = 1,
 ) -> None:
     """Initialize the maintained LM state from a corpus snapshot.
 
@@ -157,6 +158,7 @@ def write_ngram_state(
             },
             compact_every=compact_every,
             minor_every=minor_every,
+            retain_cycles=retain_cycles,
         )
     else:
         # a cow re-init over a previous mor lineage must drop its pointer
@@ -467,10 +469,14 @@ def foreach_batch_ngram_lm(
     state = {"epoch": None}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        state["epoch"] = apply_changelog_ngram(
+        e = apply_changelog_ngram(
             spark, batch_df, path,
             seq_col=seq_col, op_col=op_col, batch_id=batch_id,
             expect_epoch=state["epoch"],
         )
+        # a marker-skipped replay returns None WITHOUT claiming an epoch;
+        # keep the remembered token so the next live batch stays fenced
+        # (r14 ADVICE: overwriting with None silently degraded the fence)
+        state["epoch"] = e if e is not None else state["epoch"]
 
     return _apply

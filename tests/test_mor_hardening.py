@@ -887,12 +887,13 @@ def test_fsck_clean_state_and_expected_garbage(spark, tmp_path):
     rep = mor_fsck(spark, root)
     assert rep["errors"] == [] and rep["warnings"] == []
     assert any("covered by committed fold" in i for i in rep["info"])
-    # deferred major-compaction garbage is INFO too
+    # deferred major-compaction garbage (a retained GC generation) is
+    # INFO too (r15: the flat gc_deferred list became generational)
     _apply_plain(spark, root, [(102, 2, "z")], [102], batch_id=2)
     assert mor_compact(spark, root)
     rep = mor_fsck(spark, root)
     assert rep["errors"] == [] and rep["warnings"] == []
-    assert any("gc_deferred" in i for i in rep["info"])
+    assert any("gc generation" in i for i in rep["info"])
 
 
 def test_fsck_flags_abandoned_partial_adhoc_apply(spark, tmp_path):
