@@ -66,8 +66,20 @@ def main() -> int:
     # the BEST run per metric (the least-interfered observation of the
     # same fixed work), with every run recorded for spread.
     repeats = max(1, int(os.environ.get("STREAM_BENCH_REPEATS", "3")))
+    # the release path can run MORE repeats than capture (r14 VERDICT #7:
+    # bound its intra-session ~2x spread with a wider sample) and records
+    # per-repeat driver-JVM GC time so a GC-timing explanation for a slow
+    # repeat is evidence in the artifact, not a hypothesis.
+    release_repeats = max(
+        repeats, int(os.environ.get("STREAM_BENCH_RELEASE_REPEATS", "0"))
+    )
     capture_runs = [_measure_capture(spark, cpus) for _ in range(repeats)]
-    gap_runs = [_measure_gap(spark, cpus) for _ in range(repeats)]
+    gap_runs = []
+    for _ in range(release_repeats):
+        gc0 = _jvm_gc_ms(spark)
+        r = _measure_gap(spark, cpus)
+        r["driver_gc_ms"] = _jvm_gc_ms(spark) - gc0
+        gap_runs.append(r)
 
     # catch-up stays the FIRST run (the cold worst case, comparable with
     # the historical series — it deliberately pays codegen JIT / worker
@@ -98,11 +110,15 @@ def main() -> int:
                 "steady": best_steady["steady"],
                 "gap_wait": gap_wait,
                 "repeats": repeats,
+                "release_repeats": release_repeats,
                 "runs": {
                     "catchup_rates": [r["catchup_rate"] for r in capture_runs],
                     "steady_rates": [r["steady_rate"] for r in capture_runs],
                     "release_rates": [
                         r["release_events_per_sec"] for r in gap_runs
+                    ],
+                    "release_driver_gc_ms": [
+                        r["driver_gc_ms"] for r in gap_runs
                     ],
                 },
                 "loadavg_before": LOAD_BEFORE,
@@ -112,6 +128,22 @@ def main() -> int:
         )
     )
     return 0
+
+
+def _jvm_gc_ms(spark) -> int:
+    """Total driver-JVM GC time (ms) across all collectors — deltas around
+    a repeat attribute its slowdown to GC with evidence instead of
+    hypothesis (r14 VERDICT #7)."""
+    beans = (
+        spark._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    total, it = 0, beans.iterator()
+    while it.hasNext():
+        t = it.next().getCollectionTime()
+        if t > 0:
+            total += t
+    return int(total)
 
 
 def _measure_capture(spark, cpus) -> dict:
