@@ -67,7 +67,14 @@ def main() -> None:
             qs[name](spark, args.sf).write.format("noop").mode("overwrite").save()
         return time.monotonic() - t0
 
-    out = {"sf_dir": args.sf, "queries": {}}
+    def _loadavg():
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except OSError:
+            return None
+
+    out = {"sf_dir": args.sf, "loadavg_before": _loadavg(), "queries": {}}
     for name in args.queries.split(","):
         cold = run(name)
         posts = [run(name), run(name)]
@@ -85,6 +92,7 @@ def main() -> None:
             f"spread={max(posts) - steady:.2f}s",
             file=sys.stderr,
         )
+    out["loadavg_after"] = _loadavg()
     print(json.dumps(out))
     spark.stop()
 
