@@ -33,8 +33,18 @@ EXTRA_RUNS = {
     "llm_knn_join_trained": 4,
     "llm_bpe_train": 4,
     # r14's one beyond-band riser (merged +22.6% vs r13); carried at n=8
-    # per tools/bench_compare.py's classification rule (r14 VERDICT #1)
+    # per tools/bench_compare.py's classification rule (r14 VERDICT #1).
+    # CLASSIFIED at r15: environmental — s2/s3 mins 0.592/0.557 sit BELOW
+    # the r13 baseline 0.645 (BENCH_r15_local.json).
     "llm_payload_embedding": 4,
+    # r15's one beyond-band riser and its in-band sibling: both share the
+    # span-corruption machinery and both show a floor elevation tonight
+    # (isolated n=8 min 1.238 vs prior 0.839 / 1.073 vs 0.877 —
+    # BENCH_ul2_probe_r15.json, BENCH_ctrl_probe_r15.json) on
+    # byte-identical code and data while unrelated controls sit at-or-
+    # below prior; carried at n=8 for r16 classification.
+    "llm_ul2_denoisers": 4,
+    "llm_span_corruption": 4,
 }
 
 
