@@ -622,6 +622,18 @@ def kneser_ney_ngram_logprob(
     grams, a, wcols = _kn_hierarchy(
         df, n, id_col, text_col, persist_lower=persist_lower
     )
+    if persist_lower:
+        # Materialize the WHOLE cached hierarchy with ONE bounded action
+        # before the final plan executes: evaluating a[1] pulls every
+        # persisted level a[n]..a[2] through the block manager in a single
+        # job (each level caches as its stage runs), so the lm join
+        # chain's ~2n−1 broadcast builds — which AQE submits CONCURRENTLY
+        # — all find warm cache instead of racing to materialize the
+        # a[n]→a[1] chain under the block-manager locks (profiled at
+        # sf0.1 n=5: ten overlapping 2–3 s 32-task jobs). One count job
+        # here is cheaper than one count per level (each extra job pays
+        # its own AQE/scheduling tax, measured ~0.5 s per level).
+        a[1].count()
     ctx, prob = _kn_fixed_ctx_prob(a, wcols, n, discount)
     deps = [grams] + (
         [a[k] for k in range(1, n + 1)] if persist_lower else [a[n]]

@@ -780,35 +780,53 @@ def attach_gradient_ppm_payload(
     if group is None:
         group = id_ % groups
 
-    def v(i: int, j: int) -> F.Column:
+    def v(i: F.Column, j: F.Column) -> F.Column:
         # Two group-mixing terms: group*37 alone cycles every 113 groups
         # (113 distinct profiles total -> pair growth goes quadratic past
         # ~113 groups); the (group // 113)-weighted cell term pushes the
         # profile-collision period to 113^2 = 12769 groups, keeping planted
         # pair counts linear to ~638k fixture docs. Zero for groups < 113,
         # so small fixtures and their oracles are unaffected.
+        #
+        # (i, j) arrive as runtime INT columns from the sequence lambdas
+        # below — the arithmetic is the same exact integer math as the old
+        # per-cell unrolled literals (pinned by the byte-identity test),
+        # but the expression tree is O(1) in the grid size instead of one
+        # subtree per cell: the unrolled form cost ~2 s of Catalyst
+        # analysis PER RUN at 8×9×2 cells (profiled: 2.25 s driver gap
+        # against 0.75 s of execution).
         base = (
             group * 37
-            + F.floor(group / 113) * F.lit(i * 17 + j * 5 + 3)
-            + F.lit(i * 13 + j * 29)
+            + F.floor(group / 113) * (i * 17 + j * 5 + 3)
+            + (i * 13 + j * 29)
         ) % 113
-        shifts = F.lit(0)
-        if (i, j) == (3, 4):
-            shifts = shifts + F.when((id_ % 7) == 0, 57).otherwise(0)
-        if (i, j) in ((1, 2), (6, 5)):
-            shifts = shifts + F.when((id_ % 11) == 0, 23).otherwise(0)
+        shifts = F.when(
+            ((id_ % 7) == 0) & (i == 3) & (j == 4), 57
+        ).otherwise(0) + F.when(
+            ((id_ % 11) == 0) & (((i == 1) & (j == 2)) | ((i == 6) & (j == 5))),
+            23,
+        ).otherwise(0)
         return ((base + shifts) % 113 + 1).cast("int")
 
     header = F.lit("P5\n18 16\n255\n")
-    rows = []
-    for i in range(8):
-        segs = []
-        for j in range(9):
-            segs.append(F.repeat(F.char(v(i, j)), 2))
-        row = F.concat(*segs)
-        rows.append(row)
-        rows.append(row)  # each block row spans 2 raster rows
-    payload = F.encode(F.concat(header, *rows), "UTF-8")
+    # each 8×9 block row spans 2 raster rows: raster row r uses block row
+    # r // 2, and every cell value repeats for 2 raster columns
+    raster = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda r: F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(8)),
+                    lambda j: F.repeat(
+                        F.char(v(F.floor(r / 2).cast("int"), j)), 2
+                    ),
+                ),
+            ),
+        ),
+    )
+    payload = F.encode(F.concat(header, raster), "UTF-8")
     return df.withColumn("payload", payload).withColumn(
         "mm_meta",
         F.struct(

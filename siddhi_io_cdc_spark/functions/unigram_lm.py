@@ -210,36 +210,51 @@ def viterbi_segment(
             *[x for p, lp in vocab for x in (F.lit(p), F.lit(float(lp)))]
         )
         cur = words.withColumn("__lp", lp_map)
-    # Each DP level is ONE selectExpr with a server-side SQL string —
-    # building the same tree as Column objects costs ~2 s of py4j round
-    # trips per call (driver-side, serial: the pitfall that matters when a
-    # 100 TB job's driver plans many of these). Later levels reference the
-    # previous level's struct FIELDS (__b{j}.s), which are named-column
-    # projections, so the tree stays linear exactly like the oracle's
-    # MATERIALIZED CTE ladder.
-    for i in range(1, max_word_len + 1):
-        cands = []
+    # The whole unrolled DP is ONE aggregate() higher-order expression: the
+    # accumulator array holds the best (score, segmentation) struct per
+    # prefix length (element 1 = the empty prefix (0.0, '')), and each
+    # sequence step appends the best candidate for the next prefix — the
+    # same candidates, the same left-to-right score additions, and the
+    # same strict-> longest-piece-first tie rule as the per-level
+    # selectExpr ladder it replaces (value-identity pinned by test). The
+    # ladder form built max_word_len chained projections whose Catalyst
+    # analysis cost ~0.7-1.0 s PER ROUND at sf0.1 (profiled against
+    # millisecond execution over the vocabulary-sized word table); this
+    # tree is O(max_piece_len), invariant in word length. Runtime
+    # evaluation of the lambda is interpreted per element — fine for a DP
+    # whose input is the DISTINCT-WORD table at any corpus scale.
+    def _cand(l: int) -> str:
+        sub = f"substr({word_col}, i - {l - 1}, {l})"
+        lp = f"coalesce(element_at(__lp, {sub}), -1000000000.0D)"
+        prev = f"element_at(acc, i - {l - 1})"
+        return (
+            f"named_struct('s', {prev}.s + {lp}, "
+            f"'g', concat({prev}.g, '(', {sub}, ')'))"
+        )
+
+    def _fold(n_cands: int) -> str:
         # longest candidate first: on equal scores the strict-> scan keeps
         # the earlier (longer-piece) candidate — the documented tie rule
-        for l in range(min(i, max_piece_len), 0, -1):
-            j = i - l
-            sub = f"substr({word_col}, {j + 1}, {l})"
-            lp = f"coalesce(element_at(__lp, {sub}), -1000000000.0D)"
-            s_prev = f"__b{j}.s" if j else "0.0D"
-            g_prev = f"__b{j}.g" if j else "''"
-            cands.append(
-                f"named_struct('s', {s_prev} + {lp}, "
-                f"'g', concat({g_prev}, '(', {sub}, ')'))"
-            )
-        best = cands[0]
-        for c in cands[1:]:
+        best = _cand(n_cands)
+        for l in range(n_cands - 1, 0, -1):
+            c = _cand(l)
             best = f"CASE WHEN ({c}).s > ({best}).s THEN {c} ELSE {best} END"
-        cur = cur.selectExpr("*", f"{best} AS __b{i}")
-    whens = " ".join(
-        f"WHEN {i} THEN __b{i}.g" for i in range(1, max_word_len + 1)
+        return best
+
+    branches = " ".join(
+        f"WHEN i >= {p} THEN {_fold(p)}"
+        for p in range(max_piece_len, 1, -1)
+    )
+    step = f"CASE {branches} ELSE {_fold(1)} END" if branches else _fold(1)
+    agg = (
+        f"aggregate("
+        f"sequence(1, least(length({word_col}), {max_word_len})), "
+        f"array(named_struct('s', 0.0D, 'g', '')), "
+        f"(acc, i) -> concat(acc, array({step})))"
     )
     seg_sql = (  # ELSE: >max_word_len words pass through as one OOV piece
-        f"CASE length({word_col}) {whens} "
+        f"CASE WHEN length({word_col}) <= {max_word_len} "
+        f"THEN element_at({agg}, length({word_col}) + 1).g "
         f"ELSE concat('(', {word_col}, ')') END"
     )
     return cur.selectExpr(*words.columns, f"{seg_sql} AS {seg_col}")

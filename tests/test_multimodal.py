@@ -451,3 +451,78 @@ def test_image_near_dup_pairs_recall_and_plan(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
     assert "EvalPython" not in plan and "bit_count" in plan
+
+
+def test_attach_gradient_ppm_payload_bytes_exact(spark):
+    """The transform/sequence form of the gradient payload (an O(1)-size
+    expression tree — the unrolled per-cell form cost ~2 s of Catalyst
+    analysis per run) is BYTE-identical to a pure-Python restatement of
+    the documented closed form, across the %7 / %11 perturbation branches
+    and a group >= 113 profile (the second mixing term)."""
+    from siddhi_io_cdc_spark.functions.multimodal import (
+        attach_gradient_ppm_payload,
+    )
+
+    def ref_payload(doc_id: int, groups: int = 40) -> bytes:
+        group = doc_id % groups
+
+        def v(i: int, j: int) -> int:
+            base = (
+                group * 37
+                + (group // 113) * (i * 17 + j * 5 + 3)
+                + (i * 13 + j * 29)
+            ) % 113
+            shifts = 0
+            if (i, j) == (3, 4) and doc_id % 7 == 0:
+                shifts += 57
+            if (i, j) in ((1, 2), (6, 5)) and doc_id % 11 == 0:
+                shifts += 23
+            return (base + shifts) % 113 + 1
+
+        raster = "".join(
+            chr(v(r // 2, j)) * 2 for r in range(16) for j in range(9)
+        )
+        return ("P5\n18 16\n255\n" + raster).encode("utf-8")
+
+    # ids hitting: plain, %7-only, %11-only, both (77), and group >= 113
+    ids = [1, 7, 11, 77, 38, 113 * 40 + 5]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in attach_gradient_ppm_payload(df).collect()
+    }
+    for i in ids:
+        assert got[i] == ref_payload(i), f"payload mismatch for id {i}"
+
+    # the caller-supplied group expression path (the contract fixture's
+    # constant-group-size shape) stays exact too
+    from pyspark.sql import functions as F
+
+    got2 = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in attach_gradient_ppm_payload(
+            df, group=F.floor(F.col("doc_id") / 50)
+        ).collect()
+    }
+
+    def ref2(doc_id: int) -> bytes:
+        g = doc_id // 50
+
+        def v(i, j):
+            base = (
+                g * 37 + (g // 113) * (i * 17 + j * 5 + 3) + (i * 13 + j * 29)
+            ) % 113
+            s = 0
+            if (i, j) == (3, 4) and doc_id % 7 == 0:
+                s += 57
+            if (i, j) in ((1, 2), (6, 5)) and doc_id % 11 == 0:
+                s += 23
+            return (base + s) % 113 + 1
+
+        raster = "".join(
+            chr(v(r // 2, j)) * 2 for r in range(16) for j in range(9)
+        )
+        return ("P5\n18 16\n255\n" + raster).encode("utf-8")
+
+    for i in ids:
+        assert got2[i] == ref2(i), f"group-expr payload mismatch for id {i}"
