@@ -725,22 +725,36 @@ def modified_kneser_ney_logprob(
     # persist_lower: the per-order count-of-count collects below run one
     # action per order against a[k] before the final plan
     grams, a, wcols = _kn_hierarchy(df, n, id_col, text_col, persist_lower=True)
-    # per-order discounts from the count-of-counts (4 bigints per order
-    # to the driver — constant-size at any corpus scale)
-    disc: dict[int, tuple[float, float, float]] = {}
-    for k in range(2, n + 1):
-        cc = {
-            r["__c"]: r["__n"]
-            for r in a[k]
-            .where(F.col(f"__a{k}") <= 4)
-            .groupBy(F.col(f"__a{k}").alias("__c"))
-            .agg(F.count("*").cast("bigint").alias("__n"))
-            .collect()
-        }
-        disc[k] = modified_kn_discounts(
-            cc.get(1, 0), cc.get(2, 0), cc.get(3, 0), cc.get(4, 0),
-            fallback=discount_fallback,
-        )
+    # Materialize the whole cached hierarchy with one bounded action (the
+    # k=2 collect below would pull a[2..n] anyway, but a[1] would
+    # otherwise materialize inside the final plan's concurrently-submitted
+    # broadcast builds — same fix as kneser_ney_ngram_logprob), and scope
+    # AQE off around the driver-side count-of-count collects: each reduces
+    # to ≤4 rows, so AQE only adds a job split + re-planning barrier per
+    # order.
+    spark = df.sparkSession
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        a[1].count()
+        # per-order discounts from the count-of-counts (4 bigints per order
+        # to the driver — constant-size at any corpus scale)
+        disc: dict[int, tuple[float, float, float]] = {}
+        for k in range(2, n + 1):
+            cc = {
+                r["__c"]: r["__n"]
+                for r in a[k]
+                .where(F.col(f"__a{k}") <= 4)
+                .groupBy(F.col(f"__a{k}").alias("__c"))
+                .agg(F.count("*").cast("bigint").alias("__n"))
+                .collect()
+            }
+            disc[k] = modified_kn_discounts(
+                cc.get(1, 0), cc.get(2, 0), cc.get(3, 0), cc.get(4, 0),
+                fallback=discount_fallback,
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
     # context stats: total mass + the three per-count continuation types
     ctx: dict[int, DataFrame] = {}
     for k in range(n, 1, -1):

@@ -122,8 +122,19 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("__freq"))
         .where(F.length("__w") >= min_word_len)
         .select(_wrap_symbols(F.col("__w")).alias("__sym"), "__freq")
-        .persist()
+        # localCheckpoint, not persist: same vocabulary-sized storage, but
+        # the lineage (corpus explode + aggregate) is CUT, so each round's
+        # best-pair plan analyzes a leaf scan instead of the whole
+        # word-count tree (the same fix as the classifier GD loop; the
+        # later checkpoint_every truncation already relied on this being
+        # safe for the vocabulary table).
+        .localCheckpoint()
     )
+    # Every round reduces to ONE collected row (the argmax pair) — there
+    # is nothing for AQE to adapt at any scale, but it splits each round
+    # into two jobs with a re-planning barrier. Scope it off for the loop.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         merges: list[tuple[int, str, str, int]] = []
         cur = vocab
@@ -160,7 +171,10 @@ def bpe_train(
                 cur = cur.localCheckpoint(eager=True)
                 pending = 0
     finally:
-        vocab.unpersist()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        # checkpointed blocks are released by the ContextCleaner once the
+        # DataFrame goes out of scope
+        del vocab
     return spark.createDataFrame(
         merges,
         "merge_rank bigint, left string, right string, pair_count bigint",

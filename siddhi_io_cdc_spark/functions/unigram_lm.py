@@ -288,7 +288,17 @@ def unigram_lm_train(
             f"(got {max_piece_len}, {max_word_len})"
         )
     spark = df.sparkSession
-    words = word_frequencies(df, text_col, max_word_len).persist()
+    # localCheckpoint, not persist: same vocabulary-sized storage, but the
+    # lineage (corpus explode + aggregate) is CUT, so every EM round's
+    # segmentation/recount plan analyzes a leaf scan instead of the whole
+    # word-frequency tree (same fix as the classifier GD loop; blocks are
+    # released by the ContextCleaner when the trainer returns).
+    words = word_frequencies(df, text_col, max_word_len).localCheckpoint()
+    # Each round ends in a model-sized collect (≤ vocab_size rows) — AQE
+    # has nothing to adapt in the loop but splits every action into extra
+    # jobs with re-planning barriers; scope it off, restore in finally.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     round_caches: list[DataFrame] = []
     try:
         # Each round ends in a bounded model-sized step (the piece table IS
@@ -336,7 +346,8 @@ def unigram_lm_train(
             rows, "piece string, piece_count bigint, logprob double"
         )
     finally:
-        words.unpersist()
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        del words  # checkpointed blocks released by the ContextCleaner
         for c in round_caches:
             c.unpersist()
 
