@@ -468,15 +468,28 @@ def _kn_lower_orders(a_n, wcols, n, persist_lower=False):
     distinct-predecessor continuation counts
     ``a_k(w^k) = |{v : a_{k+1}(v·w^k) > 0}|`` derived from ``a[n]`` alone
     — each table keyed by gram POSITIONS n-k+1..n so every later join is
-    a plain column-name equi-join."""
-    from siddhi_io_cdc_spark.util import scoped_persist
+    a plain column-name equi-join.
 
+    ``persist_lower`` materializes each level with ``localCheckpoint``
+    rather than ``persist``: the lm join chain references these tables
+    ~10 times across its ctx aggregates, suffix joins and broadcast
+    builds, and every ACTION's analysis re-canonicalizes a persisted
+    subtree per reference (CacheManager lookup) while a checkpoint is a
+    leaf scan of already-stored UnsafeRows; eager checkpointing also
+    materializes the chain SEQUENTIALLY (level k from the stored level
+    k+1) instead of racing inside the concurrently-submitted broadcast
+    builds. Measured paired at sf0.1 n=5: 9.5 → 6.2 s for the 5-gram
+    scorer. Trade-off vs persist: no lineage to recompute a lost block
+    from — these are the hierarchy's count tables (strictly shrinking
+    derived aggregates), so a failure means re-running the scorer, not
+    silent wrong answers; the corpus-sized gram table keeps persist and
+    full lineage."""
     a: dict[int, DataFrame] = {n: a_n}
     for k in range(n - 1, 0, -1):
         lower = a[k + 1].groupBy(*wcols[n - k:]).agg(
             F.count("*").cast("bigint").alias(f"__a{k}")
         )
-        a[k] = scoped_persist(lower) if persist_lower else lower
+        a[k] = lower.localCheckpoint() if persist_lower else lower
     return a
 
 
@@ -484,16 +497,16 @@ def _kn_hierarchy(df, n, id_col, text_col, persist_lower=False):
     """Shared front half of both n-gram Kneser-Ney scorers: the exploded
     n-gram table plus the adjusted-count hierarchy ``a[1..n]`` (raw counts
     at the top order via :func:`_gram_rows`, continuation counts below via
-    :func:`_kn_lower_orders`). ``persist_lower`` additionally persists
-    a[k<n] — the modified scorer runs one count-of-count collect per order
-    against them before the final plan."""
+    :func:`_kn_lower_orders`). ``persist_lower`` additionally materializes
+    the whole hierarchy a[n]..a[1] via eager ``localCheckpoint`` (see
+    :func:`_kn_lower_orders` for the measured rationale and trade-off);
+    the corpus-sized gram table always keeps ``persist`` + full lineage."""
     from siddhi_io_cdc_spark.util import scoped_persist
 
     wcols = [f"__w{i + 1}" for i in range(n)]
     grams = scoped_persist(_gram_rows(df, n, id_col, text_col))
-    a_n = scoped_persist(
-        grams.groupBy(*wcols).agg(F.count("*").cast("bigint").alias(f"__a{n}"))
-    )
+    a_n = grams.groupBy(*wcols).agg(F.count("*").cast("bigint").alias(f"__a{n}"))
+    a_n = a_n.localCheckpoint() if persist_lower else scoped_persist(a_n)
     return grams, _kn_lower_orders(a_n, wcols, n, persist_lower), wcols
 
 
@@ -604,13 +617,16 @@ def kneser_ney_ngram_logprob(
     :func:`ngram_logprob`). Documents with fewer than ``n`` tokens get
     NULL.
 
-    ``persist_lower`` (default on) persists the lower-order tables
-    ``a[k<n]``, which the join chain otherwise recomputes from the
-    persisted ``a[n]`` at every use (the r9 plan audit counted 42
-    exchanges with zero reuse at n=5). They are strictly smaller than
-    ``a[n]`` — each is a grouped projection of the order above — so the
-    extra memory is bounded by what is already persisted; measured A/B at
-    sf0.1 n=5 warm: 8.7 s persisted vs 9.0-10.9 s recomputed.
+    ``persist_lower`` (default on) materializes the whole hierarchy
+    ``a[n]..a[1]`` with eager ``localCheckpoint`` — the join chain
+    otherwise recomputes the lower orders from ``a[n]`` at every use (the
+    r9 plan audit counted 42 exchanges with zero reuse at n=5), and a
+    lazily-persisted hierarchy materializes RACING inside the final
+    plan's concurrently-submitted broadcast builds (r15 profile: ten
+    overlapping 2-3 s jobs blocked on the block-manager locks). The
+    tables are strictly smaller than ``a[n]`` — each a grouped projection
+    of the order above — so the extra memory is bounded; measured paired
+    A/B at sf0.1 n=5 warm: 6.2 s checkpointed vs 9.5 s lazily persisted.
 
     Output: ``(id_col, kn_nll, n_ngrams)`` — uniform with the n=2 rung.
     """
@@ -622,22 +638,8 @@ def kneser_ney_ngram_logprob(
     grams, a, wcols = _kn_hierarchy(
         df, n, id_col, text_col, persist_lower=persist_lower
     )
-    if persist_lower:
-        # Materialize the WHOLE cached hierarchy with ONE bounded action
-        # before the final plan executes: evaluating a[1] pulls every
-        # persisted level a[n]..a[2] through the block manager in a single
-        # job (each level caches as its stage runs), so the lm join
-        # chain's ~2n−1 broadcast builds — which AQE submits CONCURRENTLY
-        # — all find warm cache instead of racing to materialize the
-        # a[n]→a[1] chain under the block-manager locks (profiled at
-        # sf0.1 n=5: ten overlapping 2–3 s 32-task jobs). One count job
-        # here is cheaper than one count per level (each extra job pays
-        # its own AQE/scheduling tax, measured ~0.5 s per level).
-        a[1].count()
     ctx, prob = _kn_fixed_ctx_prob(a, wcols, n, discount)
-    deps = [grams] + (
-        [a[k] for k in range(1, n + 1)] if persist_lower else [a[n]]
-    )
+    deps = [grams] if persist_lower else [grams, a[n]]
     return _kn_score(df, grams, a, ctx, prob, wcols, n, id_col,
                      broadcast_vocab_max, "kn_nll", deps)
 
@@ -725,18 +727,14 @@ def modified_kneser_ney_logprob(
     # persist_lower: the per-order count-of-count collects below run one
     # action per order against a[k] before the final plan
     grams, a, wcols = _kn_hierarchy(df, n, id_col, text_col, persist_lower=True)
-    # Materialize the whole cached hierarchy with one bounded action (the
-    # k=2 collect below would pull a[2..n] anyway, but a[1] would
-    # otherwise materialize inside the final plan's concurrently-submitted
-    # broadcast builds — same fix as kneser_ney_ngram_logprob), and scope
-    # AQE off around the driver-side count-of-count collects: each reduces
-    # to ≤4 rows, so AQE only adds a job split + re-planning barrier per
-    # order.
+    # The hierarchy is already materialized (eager localCheckpoint in
+    # _kn_hierarchy). Scope AQE off around the driver-side count-of-count
+    # collects: each reduces to ≤4 rows, so AQE only adds a job split +
+    # re-planning barrier per order.
     spark = df.sparkSession
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        a[1].count()
         # per-order discounts from the count-of-counts (4 bigints per order
         # to the driver — constant-size at any corpus scale)
         disc: dict[int, tuple[float, float, float]] = {}
@@ -785,8 +783,7 @@ def modified_kneser_ney_logprob(
         )
         prob = (F.greatest(ak - dk, F.lit(0.0)) / sk) + (gamma / sk) * prob
     return _kn_score(df, grams, a, ctx, prob, wcols, n, id_col,
-                     broadcast_vocab_max, "mkn_nll",
-                     [grams] + [a[k] for k in range(1, n + 1)])
+                     broadcast_vocab_max, "mkn_nll", [grams])
 
 
 def ngram_logprob(
