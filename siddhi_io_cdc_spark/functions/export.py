@@ -316,9 +316,12 @@ def bigram_logprob(
             id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
         )
     )
-    vocab = scoped_persist(
-        big.groupBy("__w1", "__w2").agg(F.count("*").alias("__c12"))
-    )
+    # eager localCheckpoint, not lazy persist: the vocabulary feeds the
+    # context aggregate, the broadcast-guard count and the lm join — see
+    # _kn_lower_orders for the measured rationale and trade-off
+    vocab = big.groupBy("__w1", "__w2").agg(
+        F.count("*").alias("__c12")
+    ).localCheckpoint()
     ctx = vocab.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
     use_broadcast = (
         broadcast_vocab_max is None or vocab.count() <= broadcast_vocab_max
@@ -335,7 +338,7 @@ def bigram_logprob(
         )
     )
     out = df.select(id_col).distinct().join(scored, id_col, "left")
-    return tag_caches(out, [big, vocab])
+    return tag_caches(out, [big])
 
 
 def kneser_ney_logprob(
@@ -388,9 +391,12 @@ def kneser_ney_logprob(
             id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
         )
     )
-    vocab = scoped_persist(
-        big.groupBy("__w1", "__w2").agg(F.count("*").cast("bigint").alias("__c12"))
-    )
+    # eager localCheckpoint: the vocabulary feeds the three statistic
+    # aggregates, the guard count and the lm join chain (see
+    # _kn_lower_orders for the measured rationale and trade-off)
+    vocab = big.groupBy("__w1", "__w2").agg(
+        F.count("*").cast("bigint").alias("__c12")
+    ).localCheckpoint()
     # All three KN statistics are aggregates OF the (tiny) vocabulary table:
     # c(w1) = sum of bigram counts, N1+(w1,.) / N1+(.,w2) = row counts per
     # side, N1+(.,.) = the vocabulary's own row count.
@@ -427,7 +433,7 @@ def kneser_ney_logprob(
         )
     )
     out = df.select(id_col).distinct().join(scored, id_col, "left")
-    return tag_caches(out, [big, vocab])
+    return tag_caches(out, [big])
 
 
 def _gram_rows(df, n, id_col, text_col):
@@ -854,9 +860,11 @@ def ngram_logprob(
         .select(F.col(id_col), F.explode(gram).alias("__g"))
         .select(id_col, *[F.col(f"__g.{w}").alias(w) for w in wcols])
     )
-    vocab = scoped_persist(
-        grams.groupBy(*wcols).agg(F.count("*").alias("__cn"))
-    )
+    # eager localCheckpoint: the vocabulary feeds the prefix aggregate,
+    # the guard count and the lm join (see _kn_lower_orders)
+    vocab = grams.groupBy(*wcols).agg(
+        F.count("*").alias("__cn")
+    ).localCheckpoint()
     ctx = vocab.groupBy(*wcols[:-1]).agg(F.sum("__cn").alias("__cc"))
     use_broadcast = (
         broadcast_vocab_max is None or vocab.count() <= broadcast_vocab_max
@@ -873,7 +881,7 @@ def ngram_logprob(
         )
     )
     out = df.select(id_col).distinct().join(scored, id_col, "left")
-    return tag_caches(out, [grams, vocab])
+    return tag_caches(out, [grams])
 
 
 def mixture_sample(
@@ -976,7 +984,9 @@ def unigram_logprob(
             ).alias("__tok"),
         )
     )
-    vocab = scoped_persist(toks.groupBy("__tok").agg(F.count("*").alias("__cnt")))
+    # eager localCheckpoint: the vocabulary feeds the total, the guard
+    # count and the lookup join (see _kn_lower_orders)
+    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__cnt")).localCheckpoint()
     use_broadcast = (
         broadcast_vocab_max is None or vocab.count() <= broadcast_vocab_max
     )
@@ -993,7 +1003,7 @@ def unigram_logprob(
         )
     )
     out = df.select(id_col).distinct().join(scored, id_col, "left")
-    return tag_caches(out, [toks, vocab])
+    return tag_caches(out, [toks])
 
 
 def temperature_mixture(
