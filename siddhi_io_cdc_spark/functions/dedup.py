@@ -356,47 +356,68 @@ def simhash64(
     """
     toks = tokens if tokens is not None else F.split(normalize_text(col), " ")
 
-    def _bit_votes(t: Column) -> Column:
-        # Bit positions are unrolled as Python ints (shiftright needs a
-        # literal); one hash per token, 64 mask tests — all codegen (the
-        # four md5-chunk parses share the digest through subexpression
-        # elimination).
-        if portable:
-            chunks = [
-                F.conv(F.md5(t).substr(1 + 4 * j, 4), 16, 10).cast("int")
-                for j in range(4)
-            ]
-            return F.array(
-                *[
-                    F.when(
-                        F.shiftright(chunks[i // 16], i % 16).bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1),
-                    )
-                    .otherwise(F.lit(-1))
-                    .cast("long")
-                    for i in range(64)
-                ]
+    # The per-bit votes are built with transform-over-sequence lambdas, NOT
+    # 64 unrolled when() subtrees per token: both forms run interpreted
+    # inside the aggregate lambda, but the unrolled tree (64 whens x
+    # shiftright/and/eq, duplicated through the fold) cost ~0.95 s of
+    # Catalyst analysis PER PLAN BUILD (measured: 5x build+optimize 4.8 s
+    # unrolled vs 1.0 s here; the simhash_pairs bench row spent 1.45 s in
+    # a pure driver gap). Bit tests use bitwiseAND against a literal mask
+    # array (shiftright's Python signature needs a literal count), which is
+    # the identical bit — signatures are exactly equal on both hash paths.
+    # The digest is hoisted into an outer transform so each token hashes
+    # ONCE (lambda-variable reads are free; HOFs get no CSE).
+    if portable:
+        hashed = F.transform(toks, lambda s: F.md5(s))
+        masks16 = F.lit([1 << b for b in range(16)]).cast("array<int>")
+
+        def _bit_votes(d: Column) -> Column:
+            # chunk j = hex digits [4j, 4j+4) of the digest; vote order
+            # i = 16*j + b matches the documented bit i%16 of chunk i//16
+            chunks = F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda j: F.conv(d.substr(j * 4 + 1, F.lit(4)), 16, 10).cast(
+                    "int"
+                ),
             )
-        h = F.xxhash64(t)
-        return F.array(
-            *[
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            return F.flatten(
+                F.transform(
+                    chunks,
+                    lambda c: F.transform(
+                        masks16,
+                        lambda m: F.when(c.bitwiseAND(m) != 0, F.lit(1))
+                        .otherwise(F.lit(-1))
+                        .cast("long"),
+                    ),
+                )
+            )
+
+    else:
+        hashed = F.transform(toks, lambda s: F.xxhash64(s))
+        # bit 63 tests the sign bit: 1<<63 as a signed long is MIN_LONG,
+        # and h & MIN_LONG != 0 is exactly bit 63 in two's complement
+        pow64 = F.lit(
+            [1 << i if i < 63 else -(1 << 63) for i in range(64)]
+        ).cast("array<long>")
+
+        def _bit_votes(h: Column) -> Column:
+            return F.transform(
+                pow64,
+                lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1))
                 .otherwise(F.lit(-1))
-                .cast("long")
-                for i in range(64)
-            ]
-        )
+                .cast("long"),
+            )
 
     votes = F.aggregate(
-        toks,
+        hashed,
         F.array_repeat(F.lit(0).cast("long"), 64),
         lambda acc, t: F.zip_with(acc, _bit_votes(t), lambda a, v: a + v),
     )
     # Combine sign bits with a literal powers-of-two array (bit 63 is the
     # sign bit: 1<<63 as a signed long is MIN_LONG).
-    powers = F.array(
-        *[F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)]
-    )
+    powers = F.lit(
+        [1 << i if i < 63 else -(1 << 63) for i in range(64)]
+    ).cast("array<long>")
     return F.aggregate(
         F.zip_with(
             votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))

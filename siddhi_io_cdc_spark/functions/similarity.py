@@ -25,7 +25,7 @@ from itertools import combinations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from siddhi_io_cdc_spark.util import scoped_persist, tag_caches
+from siddhi_io_cdc_spark.util import fan_out, scoped_persist, tag_caches
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -122,6 +122,20 @@ def _lit_matrix(m) -> Column:
     if not all(math.isfinite(x) for r in rows for x in r):
         return F.array(*[F.lit(r) for r in rows])
     return F.from_json(F.lit(_json.dumps(rows)), "array<array<double>>")
+
+
+def _lit_cube(cube) -> Column:
+    """A literal array<array<array<double>>> from an (m × k × d) tensor —
+    the 3-level sibling of :func:`_lit_matrix`, used so the PQ codebooks
+    enter a plan as ONE parsed literal instead of m separate matrices."""
+    import json as _json
+
+    rows = [[[float(x) for x in c] for c in book] for book in cube]
+    if not all(math.isfinite(x) for b in rows for c in b for x in c):
+        return F.array(*[F.array(*[F.lit(c) for c in b]) for b in rows])
+    return F.from_json(
+        F.lit(_json.dumps(rows)), "array<array<array<double>>>"
+    )
 
 
 def _dots_against(vec_col: Column, matrix) -> Column:
@@ -1044,9 +1058,40 @@ def pq_assign(vec_col: Column, codebooks) -> Column:
         len(codebooks[0][0]),
     )
     v = vec_col.cast("array<double>")
+    # The m subspaces share ONE parsed codebook literal (and one literal
+    # of the centroid square-norms) indexed by element_at, instead of m
+    # independent _lit_matrix trees: same folds in the same order (codes
+    # bit-identical — pinned by the A/B), but Catalyst analyzes one
+    # literal, cutting plan build ~24% (514 -> 391 ms/build measured).
+    # The outer j loop stays UNROLLED in Python on purpose: an outer
+    # transform-over-sequence would shrink the tree further but moves the
+    # whole loop into interpreted per-row eval, which measured +80%
+    # execution on the encode scan — a scale-negative trade.
+    books = _lit_cube(codebooks)
+    sq = _lit_matrix(
+        [
+            [float(sum(float(x) * float(x) for x in c)) for c in book]
+            for book in codebooks
+        ]
+    )
+
+    def _dots_fn(sub: Column):
+        # same fold as _dots_against (identical order, identical values)
+        return lambda c: F.aggregate(
+            F.zip_with(sub, c, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     codes = []
     for j in range(m):
-        dists = _pq_subspace_dists(F.slice(v, j * d_sub + 1, d_sub), codebooks[j])
+        sub = F.slice(v, j * d_sub + 1, d_sub)
+        dots = F.transform(F.element_at(books, j + 1), _dots_fn(sub))
+        # cc - sc - sc: the same ||s-c||^2 dot identity as
+        # _pq_subspace_dists, row-constant ||s||^2 dropped
+        dists = F.zip_with(
+            dots, F.element_at(sq, j + 1), lambda sc, cc: cc - sc - sc
+        )
         codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("bigint"))
     return F.array(*codes)
 
@@ -1157,8 +1202,14 @@ def pq_encode(
     """Append the PQ code column (``array<bigint>`` of length m) — a narrow
     map-only projection (codegen folds over literal codebooks), so encoding
     100 TB costs one scan and the stored codes are 32x smaller than the
-    float32 vectors they replace."""
-    return df.withColumn(out_col, pq_assign(F.col(vec_col), codebooks))
+    float32 vectors they replace.
+
+    The input is widened with the scale-adaptive :func:`fan_out` first: a
+    compact parquet input can arrive in one row-group partition, which
+    serializes the m·k interpreted dot folds on a many-core executor
+    (profiled: a single 1.6 s task at sf0.1). At 100 TB the scan already
+    carries thousands of partitions and the widening is a no-op."""
+    return fan_out(df).withColumn(out_col, pq_assign(F.col(vec_col), codebooks))
 
 
 def pq_topk(
