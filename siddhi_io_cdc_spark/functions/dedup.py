@@ -649,11 +649,20 @@ def connected_components(
     silently mislabel). ``localCheckpoint`` cuts the growing lineage each
     round — without it the plan doubles per iteration.
     """
+    # Eager localCheckpoint, not lazy persist: ``pairs`` usually carries the
+    # whole upstream pair pipeline (LSH banding, verify joins), and every
+    # iteration's join plan would re-analyze that lineage twice (edges sits
+    # on both sides via neighbor_min). Checkpointing stores the edge list
+    # once and every later reference analyzes a leaf scan — measured 1.0 s
+    # of per-action Catalyst analysis off llm_near_dedup at sf0.1. Same
+    # trade as the LM-hierarchy checkpoints: an executor-loss recompute of
+    # the (tiny) edge list is lost, which a label-propagation loop that
+    # re-reads it every round happily accepts.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
@@ -677,9 +686,7 @@ def connected_components(
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
         if changed == 0:
-            edges.unpersist()
             return labels
-    edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} iterations"
     )
