@@ -59,10 +59,12 @@ def main() -> int:
     app_id = spark.sparkContext.applicationId
 
     marks: dict[str, tuple[float, float]] = {}
+    warmups = int(os.environ.get("SPARK_PROFILE_WARMUPS", "1"))
     for name in sys.argv[1:]:
-        # cold run (discarded: JIT + codegen + listing)
-        with cache_scope():
-            queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        # cold run(s) (discarded: JIT + codegen + listing)
+        for _ in range(warmups):
+            with cache_scope():
+                queries[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         spark._jvm.System.gc()
         t0 = time.time() * 1000
         with cache_scope():
