@@ -698,6 +698,7 @@ def dedup_near(
     id_col: str = "doc_id",
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_labels_max: int | None = 5_000_000,
 ) -> DataFrame:
     """End-to-end near-dedup: given candidate/verified pairs (from
     :func:`minhash_lsh_pairs` / :func:`simhash_pairs` / ...), keep ONE
@@ -706,8 +707,18 @@ def dedup_near(
 
     The survivors filter is an equi-join against the component labels —
     broadcast-friendly (labels ≪ corpus: only near-dup members carry one).
+    The planner cannot see that: labels come out of the propagation loop as
+    a checkpointed RDD leaf with no usable size estimate, so it falls back
+    to a sort-merge join that SHUFFLES THE CORPUS by id — the exact shuffle
+    this operator exists to avoid. Same measured-broadcast pattern as
+    :func:`duplicate_spans_maximal`'s ``broadcast_dups_max``: the count is
+    a near-free scan of the already-materialized label store, and labels
+    are broadcast when they fit (``None`` disables the count and keeps the
+    planner's choice).
     """
     labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    if broadcast_labels_max is not None and labels.count() <= broadcast_labels_max:
+        labels = F.broadcast(labels)
     return (
         df.join(labels, df[id_col] == labels.node, "left")
         .where(F.col("node").isNull() | (F.col(id_col) == F.col("component")))
