@@ -186,6 +186,36 @@ def test_dedup_near_keeps_canonical_and_untouched(spark):
     assert survivors == [0, 1, 3, 5]  # cluster {1,2,4} → keep 1; 0/3/5 untouched
 
 
+def test_dedup_near_label_broadcast_gate(spark, tmp_path):
+    """The measured label-broadcast guard is corpus-size-gated: a corpus
+    whose plan stats read small (a tiny parquet scan) skips the
+    count+broadcast (the labels join stays whatever the planner picks —
+    sort-merge, since checkpointed labels carry no size estimate), while
+    a corpus with UNKNOWN size (an RDD-backed frame reads as the
+    no-estimate sentinel) takes the conservative broadcast path.
+    Survivors identical either way."""
+    from siddhi_io_cdc_spark.functions.dedup import dedup_near
+
+    rows = [(i, f"t{i}") for i in range(6)]
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "id_a long, id_b long")
+
+    pq = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(pq)
+    small = spark.read.parquet(pq)
+    plan_small = dedup_near(small, pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_small
+
+    unknown = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), "doc_id long, text string"
+    )
+    plan_unknown = dedup_near(unknown, pairs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_unknown
+
+    got_small = sorted(r.doc_id for r in dedup_near(small, pairs).collect())
+    got_unknown = sorted(r.doc_id for r in dedup_near(unknown, pairs).collect())
+    assert got_small == got_unknown == [0, 1, 3, 5]
+
+
 def test_curate_documents_filters_and_dedups(spark):
     from siddhi_io_cdc_spark.functions.dedup import curate_documents
 
