@@ -206,9 +206,32 @@ def viterbi_segment(
         # OOV score exactly like a literal-map miss
         cur = words.join(hits, word_col, "left")
     else:
-        lp_map = F.create_map(
-            *[x for p, lp in vocab for x in (F.lit(p), F.lit(float(lp)))]
-        )
+        # ONE parsed literal (from_json of a single JSON string), not
+        # create_map of 2·|vocab| literal nodes: the optimizer constant-
+        # folds it to a complex-type Literal that codegen passes as an
+        # OBJECT REFERENCE, while create_map's inline literals are "cheap"
+        # to CollapseProject and get copied into every element_at site of
+        # the DP expression — so each EM round's changed logprobs rewrote
+        # the generated Java and forced a full janino recompile (~0.3-0.7 s
+        # driver gap per round, profiled at sf0.1). JSON double parsing is
+        # Double.parseDouble of repr output — the exact shortest round-trip
+        # (same guarantee as _lit_doubles in similarity.py, pinned by
+        # test); non-finite values are not JSON-expressible and keep the
+        # create_map form.
+        import json as _json
+        import math as _math
+
+        entries = [(p, float(lp)) for p, lp in vocab]
+        if entries and all(_math.isfinite(lp) for _, lp in entries) and len(
+            dict(entries)
+        ) == len(entries):
+            lp_map = F.from_json(
+                F.lit(_json.dumps(dict(entries))), "map<string,double>"
+            )
+        else:
+            lp_map = F.create_map(
+                *[x for p, lp in entries for x in (F.lit(p), F.lit(lp))]
+            )
         cur = words.withColumn("__lp", lp_map)
     # The whole unrolled DP is ONE aggregate() higher-order expression: the
     # accumulator array holds the best (score, segmentation) struct per
