@@ -1958,7 +1958,15 @@ def q_knn_join_trained(spark, sf_dir):
     )
 
     emb = _emb(spark, sf_dir)
-    cents = ivf_train_centroids(emb, nlist=32, seed=42, max_iter=5)
+    # init_mode="random": k-means|| init costs several driver-synchronous
+    # jobs that dominate training at this input size. RESULT-IDENTICAL by
+    # construction for THIS query: nprobe == nlist means every query probes
+    # every cell, the candidate set is the whole corpus, and the final
+    # top-k ranks on (score desc, neighbor_id) — no centroid value can
+    # change a row (oracle-pinned at all SFs).
+    cents = ivf_train_centroids(
+        emb, nlist=32, seed=42, max_iter=5, init_mode="random"
+    )
     return knn_join_ivf(
         emb,
         emb.where(F.col("vec_id") % 100 == 0),

@@ -280,6 +280,7 @@ def ivf_train_centroids(
     seed: int = 42,
     max_iter: int = 10,
     sample_fraction: float | None = None,
+    init_mode: str = "k-means||",
 ):
     """Train IVF centroids with distributed k-means (Spark MLlib) over the
     embedding column. Returns a unit-normalized ``(nlist x dim)`` array for
@@ -289,7 +290,16 @@ def ivf_train_centroids(
 
     At 100 TB train on a sample (``sample_fraction``) — k-means quality
     saturates long before the full corpus; the assign/probe machinery then
-    runs over everything."""
+    runs over everything.
+
+    ``init_mode`` passes through to MLlib (default keeps MLlib's
+    ``k-means||``). ``"random"`` skips the k-means|| init rounds — several
+    driver-synchronous jobs whose latency exceeds the Lloyd iterations
+    themselves on small/sampled inputs. Centroid VALUES differ between
+    init modes (both deterministic under ``seed``); callers whose results
+    are provably centroid-independent (``nprobe == nlist`` exact joins)
+    can take the cheaper init safely — anything recall-sensitive should
+    keep the default."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -297,7 +307,9 @@ def ivf_train_centroids(
     data = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
     if sample_fraction is not None:
         data = data.sample(sample_fraction, seed)
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(data)
+    model = KMeans(
+        k=nlist, seed=seed, maxIter=max_iter, initMode=init_mode
+    ).fit(data)
     c = np.array([np.asarray(v) for v in model.clusterCenters()])
     norms = np.linalg.norm(c, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
