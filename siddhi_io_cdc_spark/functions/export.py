@@ -469,7 +469,7 @@ def _gram_rows(df, n, id_col, text_col):
     )
 
 
-def _kn_lower_orders(a_n, wcols, n, persist_lower=False):
+def _kn_lower_orders(a_n, wcols, n, persist_lower=False, on_level=None):
     """The KenLM adjusted-count hierarchy below the top order: recursive
     distinct-predecessor continuation counts
     ``a_k(w^k) = |{v : a_{k+1}(v·w^k) > 0}|`` derived from ``a[n]`` alone
@@ -489,43 +489,87 @@ def _kn_lower_orders(a_n, wcols, n, persist_lower=False):
     from — these are the hierarchy's count tables (strictly shrinking
     derived aggregates), so a failure means re-running the scorer, not
     silent wrong answers; the corpus-sized gram table keeps persist and
-    full lineage."""
+    full lineage.
+
+    ``on_level(k, a_k)`` (honored only with ``persist_lower``) fires as
+    each level finishes materializing, top order first — the overlap hook:
+    the cascade's levels run small coalesced jobs that leave most cores
+    idle, so callers schedule each level's DERIVED work (ctx aggregates,
+    guard counts, count-of-count collects) on background threads while the
+    cascade walks down (guide-§2.6 back-fill; results are unaffected by
+    scheduling)."""
     a: dict[int, DataFrame] = {n: a_n}
+    if persist_lower and on_level is not None:
+        on_level(n, a_n)
     for k in range(n - 1, 0, -1):
         lower = a[k + 1].groupBy(*wcols[n - k:]).agg(
             F.count("*").cast("bigint").alias(f"__a{k}")
         )
         a[k] = lower.localCheckpoint() if persist_lower else lower
+        if persist_lower and on_level is not None:
+            on_level(k, a[k])
     return a
 
 
-def _kn_hierarchy(df, n, id_col, text_col, persist_lower=False):
+def _kn_hierarchy(df, n, id_col, text_col, persist_lower=False, on_level=None):
     """Shared front half of both n-gram Kneser-Ney scorers: the exploded
     n-gram table plus the adjusted-count hierarchy ``a[1..n]`` (raw counts
     at the top order via :func:`_gram_rows`, continuation counts below via
     :func:`_kn_lower_orders`). ``persist_lower`` additionally materializes
     the whole hierarchy a[n]..a[1] via eager ``localCheckpoint`` (see
     :func:`_kn_lower_orders` for the measured rationale and trade-off);
-    the corpus-sized gram table always keeps ``persist`` + full lineage."""
+    the corpus-sized gram table always keeps ``persist`` + full lineage.
+    ``on_level`` passes through to :func:`_kn_lower_orders`."""
     from siddhi_io_cdc_spark.util import scoped_persist
 
     wcols = [f"__w{i + 1}" for i in range(n)]
     grams = scoped_persist(_gram_rows(df, n, id_col, text_col))
     a_n = grams.groupBy(*wcols).agg(F.count("*").cast("bigint").alias(f"__a{n}"))
     a_n = a_n.localCheckpoint() if persist_lower else scoped_persist(a_n)
-    return grams, _kn_lower_orders(a_n, wcols, n, persist_lower), wcols
+    return grams, _kn_lower_orders(a_n, wcols, n, persist_lower, on_level), wcols
 
 
-def _kn_fixed_ctx_prob(a, wcols, n, discount):
+def _kn_ctx_fixed_agg(ak, wcols, n, k):
+    """One order's fixed-discount context stats: total mass ``s_k`` and
+    continuation-type count ``t_k`` per context."""
+    return ak.groupBy(*wcols[n - k:-1]).agg(
+        F.sum(f"__a{k}").cast("bigint").alias(f"__s{k}"),
+        F.count("*").cast("bigint").alias(f"__t{k}"),
+    )
+
+
+def _kn_ctx_modified_agg(ak, wcols, n, k):
+    """One order's modified-KN context stats: total mass ``s_k`` plus the
+    three per-count continuation-type counts the three discounts weight."""
+    c = F.col(f"__a{k}")
+    return ak.groupBy(*wcols[n - k:-1]).agg(
+        F.sum(f"__a{k}").cast("bigint").alias(f"__s{k}"),
+        F.sum(F.when(c == 1, 1).otherwise(0)).cast("bigint").alias(f"__t1_{k}"),
+        F.sum(F.when(c == 2, 1).otherwise(0)).cast("bigint").alias(f"__t2_{k}"),
+        F.sum(F.when(c >= 3, 1).otherwise(0)).cast("bigint").alias(f"__t3_{k}"),
+    )
+
+
+def _kn_count_of_counts(ak, k):
+    """One order's count-of-counts ``{c: |{gram : a_k(gram) = c}|}`` for
+    c ≤ 4 — the four bigints the modified-KN discount estimator needs."""
+    return {
+        r["__c"]: r["__n"]
+        for r in ak.where(F.col(f"__a{k}") <= 4)
+        .groupBy(F.col(f"__a{k}").alias("__c"))
+        .agg(F.count("*").cast("bigint").alias("__n"))
+        .collect()
+    }
+
+
+def _kn_fixed_ctx_prob(a, wcols, n, discount, ctx=None):
     """Context stats + the fixed-discount interpolated-KN probability tree
     (Chen & Goodman eq. 4.24), shared by the batch scorer and the
-    maintained-state scorer so their arithmetic is identical."""
-    ctx: dict[int, DataFrame] = {}
-    for k in range(n, 1, -1):
-        ctx[k] = a[k].groupBy(*wcols[n - k:-1]).agg(
-            F.sum(f"__a{k}").cast("bigint").alias(f"__s{k}"),
-            F.count("*").cast("bigint").alias(f"__t{k}"),
-        )
+    maintained-state scorer so their arithmetic is identical. ``ctx``
+    accepts precomputed (e.g. background-materialized) context tables —
+    same aggregate, built by :func:`_kn_ctx_fixed_agg` either way."""
+    if ctx is None:
+        ctx = {k: _kn_ctx_fixed_agg(a[k], wcols, n, k) for k in range(n, 1, -1)}
     d = F.lit(float(discount))
     # fixed-shape arithmetic tree, innermost (unigram) outwards — the
     # oracle restates this association order term for term
@@ -540,11 +584,12 @@ def _kn_fixed_ctx_prob(a, wcols, n, discount):
     return ctx, prob
 
 
-def _kn_lm(a, ctx, prob, wcols, n, broadcast_vocab_max):
+def _kn_lm(a, ctx, prob, wcols, n, broadcast_vocab_max, a_n_count=None):
     """The per-gram probability table ``(__w1..__wn, __p)`` assembled by
     the vocab-to-vocab join chain (a[n] ⋈ ctx[n] ⋈ a[n-1] ⋈ ... ⋈ a[1] ⋈
     S1), plus the MEASURED broadcast-or-shuffle decision for the corpus
-    lookup join."""
+    lookup join. ``a_n_count`` supplies a precomputed (e.g. background-
+    overlapped) guard count for the broadcast decision."""
     s1 = a[1].agg(F.sum("__a1").cast("bigint").alias("__S1"))
     lm = a[n]
     for k in range(n, 1, -1):
@@ -553,21 +598,23 @@ def _kn_lm(a, ctx, prob, wcols, n, broadcast_vocab_max):
         lm = lm.join(ctx[k], wcols[n - k:-1])
     lm = lm.join(a[1], wcols[-1:]).crossJoin(F.broadcast(s1))
     lm = lm.select(*wcols, prob.alias("__p"))
-    use_broadcast = (
-        broadcast_vocab_max is None or a[n].count() <= broadcast_vocab_max
-    )
+    use_broadcast = broadcast_vocab_max is None or (
+        a_n_count if a_n_count is not None else a[n].count()
+    ) <= broadcast_vocab_max
     return lm, use_broadcast
 
 
 def _kn_score(df, grams, a, ctx, prob, wcols, n, id_col, broadcast_vocab_max,
-              out_name, deps):
+              out_name, deps, a_n_count=None):
     """Shared back half of both n-gram Kneser-Ney scorers: assemble the
     per-gram probability table, guard the corpus lookup join on the
     MEASURED vocabulary size, regroup per document, left-join every input
     id (< n-token documents get NULL)."""
     from siddhi_io_cdc_spark.util import tag_caches
 
-    lm, use_broadcast = _kn_lm(a, ctx, prob, wcols, n, broadcast_vocab_max)
+    lm, use_broadcast = _kn_lm(
+        a, ctx, prob, wcols, n, broadcast_vocab_max, a_n_count
+    )
     scored = (
         grams.join(F.broadcast(lm) if use_broadcast else lm, wcols)
         .groupBy(id_col)
@@ -641,13 +688,37 @@ def kneser_ney_ngram_logprob(
     if not 0 < discount < 1:
         raise ValueError(f"discount must be in (0, 1) (got {discount})")
 
-    grams, a, wcols = _kn_hierarchy(
-        df, n, id_col, text_col, persist_lower=persist_lower
-    )
+    if not persist_lower:
+        grams, a, wcols = _kn_hierarchy(df, n, id_col, text_col)
+        ctx, prob = _kn_fixed_ctx_prob(a, wcols, n, discount)
+        return _kn_score(df, grams, a, ctx, prob, wcols, n, id_col,
+                         broadcast_vocab_max, "kn_nll", [grams, a[n]])
+
+    # Overlap the broadcast-guard count with the cascade on a background
+    # thread (guide §2.6): it needs only the already-stored a[n] and is a
+    # tiny leaf count, so it back-fills the cascade's idle cores instead of
+    # adding a driver-synchronous job after the hierarchy. ONLY such tiny
+    # driver round-trips overlap — a first cut also background-checkpointed
+    # the ctx aggregates and measured WORSE (sum of job spans +1 s: the
+    # stored ctx pass duplicated work the final plan's broadcast builds had
+    # fused, and the chunky ctx[n] job FIFO-starved the cascade's critical
+    # path). Values are unaffected — only the schedule moves.
+    from concurrent.futures import ThreadPoolExecutor
+
+    cnt_fut: list[object] = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+
+        def on_level(k, ak):
+            if k == n and broadcast_vocab_max is not None:
+                cnt_fut.append(pool.submit(ak.count))
+
+        grams, a, wcols = _kn_hierarchy(
+            df, n, id_col, text_col, persist_lower=True, on_level=on_level
+        )
+        a_n_count = cnt_fut[0].result() if cnt_fut else None
     ctx, prob = _kn_fixed_ctx_prob(a, wcols, n, discount)
-    deps = [grams] if persist_lower else [grams, a[n]]
     return _kn_score(df, grams, a, ctx, prob, wcols, n, id_col,
-                     broadcast_vocab_max, "kn_nll", deps)
+                     broadcast_vocab_max, "kn_nll", [grams], a_n_count)
 
 
 def modified_kn_discounts(
@@ -730,45 +801,41 @@ def modified_kneser_ney_logprob(
     if n < 2:
         raise ValueError(f"n must be >= 2 (got {n})")
 
-    # persist_lower: the per-order count-of-count collects below run one
-    # action per order against a[k] before the final plan
-    grams, a, wcols = _kn_hierarchy(df, n, id_col, text_col, persist_lower=True)
-    # The hierarchy is already materialized (eager localCheckpoint in
-    # _kn_hierarchy). Scope AQE off around the driver-side count-of-count
-    # collects: each reduces to ≤4 rows, so AQE only adds a job split +
-    # re-planning barrier per order.
-    spark = df.sparkSession
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        # per-order discounts from the count-of-counts (4 bigints per order
-        # to the driver — constant-size at any corpus scale)
+    # Overlap the tiny driver round-trips — each order's count-of-count
+    # collect (4 bigints to the driver, constant-size at any corpus scale)
+    # and the broadcast-guard count — with the remaining cascade on
+    # background threads (guide §2.6): each needs only its already-stored
+    # a[k], and previously they ran as one driver-synchronous action per
+    # order AFTER the whole hierarchy, under an AQE-off scope this overlap
+    # obsoletes. The ctx aggregates deliberately stay lazy inside the
+    # final plan (a background-checkpoint variant measured WORSE — see the
+    # fixed-discount scorer's note). Values are unaffected — same
+    # aggregates, same arithmetic, only the schedule moves.
+    from concurrent.futures import ThreadPoolExecutor
+
+    cc_fut: dict[int, object] = {}
+    cnt_fut: list[object] = []
+    with ThreadPoolExecutor(max_workers=2) as pool:
+
+        def on_level(k, ak):
+            if k >= 2:
+                cc_fut[k] = pool.submit(_kn_count_of_counts, ak, k)
+            if k == n and broadcast_vocab_max is not None:
+                cnt_fut.append(pool.submit(ak.count))
+
+        grams, a, wcols = _kn_hierarchy(
+            df, n, id_col, text_col, persist_lower=True, on_level=on_level
+        )
         disc: dict[int, tuple[float, float, float]] = {}
         for k in range(2, n + 1):
-            cc = {
-                r["__c"]: r["__n"]
-                for r in a[k]
-                .where(F.col(f"__a{k}") <= 4)
-                .groupBy(F.col(f"__a{k}").alias("__c"))
-                .agg(F.count("*").cast("bigint").alias("__n"))
-                .collect()
-            }
+            cc = cc_fut[k].result()
             disc[k] = modified_kn_discounts(
                 cc.get(1, 0), cc.get(2, 0), cc.get(3, 0), cc.get(4, 0),
                 fallback=discount_fallback,
             )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        a_n_count = cnt_fut[0].result() if cnt_fut else None
     # context stats: total mass + the three per-count continuation types
-    ctx: dict[int, DataFrame] = {}
-    for k in range(n, 1, -1):
-        ak = F.col(f"__a{k}")
-        ctx[k] = a[k].groupBy(*wcols[n - k:-1]).agg(
-            F.sum(f"__a{k}").cast("bigint").alias(f"__s{k}"),
-            F.sum(F.when(ak == 1, 1).otherwise(0)).cast("bigint").alias(f"__t1_{k}"),
-            F.sum(F.when(ak == 2, 1).otherwise(0)).cast("bigint").alias(f"__t2_{k}"),
-            F.sum(F.when(ak >= 3, 1).otherwise(0)).cast("bigint").alias(f"__t3_{k}"),
-        )
+    ctx = {k: _kn_ctx_modified_agg(a[k], wcols, n, k) for k in range(n, 1, -1)}
     # fixed-shape arithmetic tree, innermost outwards; discounts enter as
     # literals, the per-gram discount picked by a two-branch CASE on the
     # adjusted count
@@ -789,7 +856,7 @@ def modified_kneser_ney_logprob(
         )
         prob = (F.greatest(ak - dk, F.lit(0.0)) / sk) + (gamma / sk) * prob
     return _kn_score(df, grams, a, ctx, prob, wcols, n, id_col,
-                     broadcast_vocab_max, "mkn_nll", [grams])
+                     broadcast_vocab_max, "mkn_nll", [grams], a_n_count)
 
 
 def ngram_logprob(
