@@ -961,3 +961,32 @@ def test_fan_out_skips_small_inputs_and_widens_large(spark, tmp_path):
     # explicit threshold override: force-widen the small input
     forced = fan_out(small, num_partitions=parts, min_bytes_per_slot=0)
     assert forced.rdd.getNumPartitions() == parts
+
+
+def test_knn_join_exact_is_centroid_independent(spark, sf_dir):
+    """nprobe == nlist makes the cell-blocked kNN join exact: every query
+    probes every cell, the candidate set is the whole corpus, and the
+    top-k ranks on (score desc, neighbor_id) — so the result cannot
+    depend on how the centroids were trained. Pins the identity argument
+    behind q_knn_join_trained's init_mode="random" opt-in: random-init
+    and k-means||-init centroids (different VALUES) must yield identical
+    join output."""
+    from siddhi_io_cdc_spark.functions.similarity import (
+        ivf_train_centroids,
+        knn_join_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id % 50 = 0")
+    c_par = ivf_train_centroids(emb, nlist=8, max_iter=3)
+    c_rnd = ivf_train_centroids(emb, nlist=8, max_iter=3, init_mode="random")
+    assert (c_par != c_rnd).any()  # genuinely different centroid values
+    out = {}
+    for tag, cents in (("par", c_par), ("rnd", c_rnd)):
+        out[tag] = sorted(
+            (r.query_id, r.rank, r.neighbor_id, round(r.score, 9))
+            for r in knn_join_ivf(
+                emb, queries, k=3, centroids=cents, nprobe=8
+            ).collect()
+        )
+    assert out["par"] == out["rnd"]

@@ -272,3 +272,37 @@ def test_unigram_model_save_load_roundtrip(spark, tmp_path):
         for r in unigram_lm_encode(docs, as_df, broadcast_vocab=True).collect()
     }
     assert c == a
+
+
+def test_literal_map_forms_segment_identically(spark):
+    """The from_json one-string literal map (stable codegen source across
+    EM rounds) must segment exactly like the create_map fallback the
+    non-finite/duplicate guard keeps — same pieces for every word,
+    including OOV-substring words (map misses)."""
+    import math as _math
+
+    words = spark.createDataFrame(
+        [("hello",), ("catamaran",), ("zzzz",), ("a",)], "word string"
+    )
+    vocab = [
+        ("a", -1.25), ("at", -2.5), ("cat", -0.875), ("h", -3.0),
+        ("he", -2.0), ("llo", -1.5), ("m", -2.75), ("ran", -1.0),
+        ("z", -0.5),
+    ]
+    via_json = {
+        r["word"]: r["seg"]
+        for r in viterbi_segment(words, vocab, 12, 3).collect()
+    }
+    # force the create_map fallback through the documented non-finite
+    # guard (values patched back to the same finite doubles afterwards)
+    real_isfinite = _math.isfinite
+    _math.isfinite = lambda x: False
+    try:
+        fell_back = viterbi_segment(words, vocab, 12, 3)
+        # non-vacuity: the guard really took the create_map branch
+        assert "from_json" not in fell_back._jdf.queryExecution().analyzed().toString()
+        via_create_map = {r["word"]: r["seg"] for r in fell_back.collect()}
+    finally:
+        _math.isfinite = real_isfinite
+    assert via_json == via_create_map
+    assert via_json["zzzz"] == "(z)(z)(z)(z)"
