@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from siddhi_io_cdc_spark.functions.text import GOPHER_STOPWORDS
-from siddhi_io_cdc_spark.util import fan_out as _fan_out
+from siddhi_io_cdc_spark.util import aqe_off, fan_out as _fan_out
 
 #: Feature order is part of the model contract (weights index into it).
 FEATURE_NAMES = ("n_words", "mean_word_len", "stopword_ratio", "punct_ratio", "alpha_frac")
@@ -154,52 +154,53 @@ def train_quality_classifier(
     # down at 100 TB.)
     feats = feats.localCheckpoint()
     spark = df.sparkSession
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     # The training aggregates reduce to ONE row (6 doubles) — AQE has
     # nothing to adapt there at any scale, but it splits every iteration
     # into two jobs with a re-planning barrier between them. Scope it off
-    # for the loop (restored in the finally) — measured ~0.1 s per
-    # iteration at sf0.1, and at 100 TB the map-side partial aggregation
-    # is unaffected.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # for the loop via the shared refcounted scope (race-free across
+    # concurrent trainers) — measured ~0.1 s per iteration at sf0.1, and
+    # at 100 TB the map-side partial aggregation is unaffected.
     try:
-        # moments + row count: ONE aggregate (absorbs the old count() job);
-        # every aggregate-derived scalar still rounds to 9 decimals.
-        aggs = [F.count(F.lit(1)).alias("n")]
-        for i in range(1, 6):
-            aggs.append(F.sum(F.col(f"f{i}")).alias(f"s{i}"))
-            aggs.append(F.sum(F.col(f"f{i}") * F.col(f"f{i}")).alias(f"q{i}"))
-        mrow = feats.agg(*aggs).collect()[0]
-        n = int(mrow["n"])
-        if n == 0:
-            raise ValueError("cannot train on an empty DataFrame")
-        means, scales = [], []
-        for i in range(1, 6):
-            m = _round9(float(mrow[f"s{i}"]) / n)
-            var = float(mrow[f"q{i}"]) / n - m * m
-            s = _round9(var**0.5) if var > 0 else 0.0
-            means.append(m)
-            scales.append(s if s != 0.0 else 1.0)
+        with aqe_off(spark):
+            # moments + row count: ONE aggregate (absorbs the old count()
+            # job); every aggregate-derived scalar rounds to 9 decimals.
+            aggs = [F.count(F.lit(1)).alias("n")]
+            for i in range(1, 6):
+                aggs.append(F.sum(F.col(f"f{i}")).alias(f"s{i}"))
+                aggs.append(
+                    F.sum(F.col(f"f{i}") * F.col(f"f{i}")).alias(f"q{i}")
+                )
+            mrow = feats.agg(*aggs).collect()[0]
+            n = int(mrow["n"])
+            if n == 0:
+                raise ValueError("cannot train on an empty DataFrame")
+            means, scales = [], []
+            for i in range(1, 6):
+                m = _round9(float(mrow[f"s{i}"]) / n)
+                var = float(mrow[f"q{i}"]) / n - m * m
+                s = _round9(var**0.5) if var > 0 else 0.0
+                means.append(m)
+                scales.append(s if s != 0.0 else 1.0)
 
-        xs = [
-            (F.col(f"f{i + 1}") - F.lit(means[i])) / F.lit(scales[i])
-            for i in range(5)
-        ]
-        w = [0.0] * 6
-        for _ in range(n_iters):
-            z = F.lit(w[0])
-            for i in range(5):
-                z = z + F.lit(w[i + 1]) * xs[i]
-            resid = fast_sigmoid(z) - F.col("__y")
-            grads = feats.agg(
-                F.sum(resid).alias("g0"),
-                *[F.sum(resid * xs[i]).alias(f"g{i + 1}") for i in range(5)],
-            ).collect()[0]
-            w = [
-                _round9(w[i] - lr * float(grads[f"g{i}"]) / n) for i in range(6)
+            xs = [
+                (F.col(f"f{i + 1}") - F.lit(means[i])) / F.lit(scales[i])
+                for i in range(5)
             ]
+            w = [0.0] * 6
+            for _ in range(n_iters):
+                z = F.lit(w[0])
+                for i in range(5):
+                    z = z + F.lit(w[i + 1]) * xs[i]
+                resid = fast_sigmoid(z) - F.col("__y")
+                grads = feats.agg(
+                    F.sum(resid).alias("g0"),
+                    *[F.sum(resid * xs[i]).alias(f"g{i + 1}") for i in range(5)],
+                ).collect()[0]
+                w = [
+                    _round9(w[i] - lr * float(grads[f"g{i}"]) / n)
+                    for i in range(6)
+                ]
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         # The checkpointed blocks are released by the ContextCleaner once
         # the DataFrame goes out of scope (same policy as
         # dedup.connected_components' localCheckpoints).

@@ -316,12 +316,14 @@ def bigram_logprob(
             id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
         )
     )
-    # eager localCheckpoint, not lazy persist: the vocabulary feeds the
-    # context aggregate, the broadcast-guard count and the lm join — see
-    # _kn_lower_orders for the measured rationale and trade-off
-    vocab = big.groupBy("__w1", "__w2").agg(
+    # eager materialization, size-gated like the KN hierarchy: checkpoint
+    # while the measured estimate stays vocab-sized, persist (lineage
+    # kept) above — the vocabulary feeds the context aggregate, the
+    # broadcast-guard count and the lm join (see _kn_lower_orders /
+    # _kn_materialize for the measured rationale and trade-off)
+    vocab = _kn_materialize(big.groupBy("__w1", "__w2").agg(
         F.count("*").alias("__c12")
-    ).localCheckpoint()
+    ))
     ctx = vocab.groupBy("__w1").agg(F.sum("__c12").alias("__c1"))
     use_broadcast = (
         broadcast_vocab_max is None or vocab.count() <= broadcast_vocab_max
@@ -391,12 +393,12 @@ def kneser_ney_logprob(
             id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2")
         )
     )
-    # eager localCheckpoint: the vocabulary feeds the three statistic
-    # aggregates, the guard count and the lm join chain (see
-    # _kn_lower_orders for the measured rationale and trade-off)
-    vocab = big.groupBy("__w1", "__w2").agg(
+    # eager materialization, size-gated like the KN hierarchy (see
+    # _kn_materialize): the vocabulary feeds the three statistic
+    # aggregates, the guard count and the lm join chain
+    vocab = _kn_materialize(big.groupBy("__w1", "__w2").agg(
         F.count("*").cast("bigint").alias("__c12")
-    ).localCheckpoint()
+    ))
     # All three KN statistics are aggregates OF the (tiny) vocabulary table:
     # c(w1) = sum of bigram counts, N1+(w1,.) / N1+(.,w2) = row counts per
     # side, N1+(.,.) = the vocabulary's own row count.
@@ -469,6 +471,56 @@ def _gram_rows(df, n, id_col, text_col):
     )
 
 
+#: Plan-stats bytes above which an LM vocabulary/hierarchy level REFUSES
+#: the eager ``localCheckpoint`` and falls back to ``scoped_persist`` + an
+#: eager count (lineage KEPT). localCheckpoint stores the table in
+#: executor memory/disk with NO lineage — fine for model/vocab-sized
+#: tables (the repo's lineage rule), but an n-gram vocabulary approaches
+#: one row per corpus position as n grows, so checkpointing it at 100 TB
+#: is a §5 memory/spill hazard and turns any executor loss into a job
+#: kill. The gate uses the same Catalyst plan-stats proxy as ``fan_out``
+#: / ``_BCAST_LABELS_MIN_CORPUS``. Calibration (measured r16): for a
+#: fresh aggregate over the persisted gram explode the estimate is the
+#: COMPRESSED projected-scan bytes — sf0.1 top-order estimate 0.24 MiB
+#: vs ≈10 MiB materialized, sf2 (20x corpus) 4.7 MiB vs ≈199 MiB, i.e.
+#: ≈40x under — while an aggregate over an already-materialized persisted
+#: parent reports ACTUAL cached bytes. The 2 MiB default therefore caps a
+#: no-lineage table at ≈100 MiB materialized (comfortably vocab-sized),
+#: keeps every shipped bench SF (≤ sf0.1) on the measured checkpoint fast
+#: path, and flips the 10x/20x scale-series corpora to the
+#: lineage-keeping branch. In production, size it to a modest fraction of
+#: per-executor storage memory.
+_KN_CHECKPOINT_MAX_BYTES = 2 * 1024 * 1024
+
+
+def _kn_materialize(level, unknown_checkpoints=False):
+    """Materialize one KN hierarchy level eagerly, gated on its measured
+    (plan-stats) size: ``localCheckpoint`` up to
+    ``_KN_CHECKPOINT_MAX_BYTES`` (leaf scan — every later reference
+    analyzes instantly), ``scoped_persist`` + eager ``count()`` above it
+    (lineage kept, blocks can spill and recompute; the count materializes
+    the cache NOW so the cascade still builds sequentially instead of
+    racing inside the final plan's broadcast builds — the r15 lazy-persist
+    failure mode). ``unknown_checkpoints`` picks the branch for a missing
+    estimate: lower orders derive from an already-materialized parent
+    (checkpoint leaves carry no stats) and are grouped projections of it —
+    strictly smaller, so unknown means "child of a small-enough table" and
+    checkpoints; the top order's unknown means "corpus lineage, no
+    estimate" and persists (the conservative branch at scale)."""
+    from siddhi_io_cdc_spark.util import _plan_size_bytes, scoped_persist
+
+    size = _plan_size_bytes(level)
+    small = (
+        size <= _KN_CHECKPOINT_MAX_BYTES if size is not None
+        else unknown_checkpoints
+    )
+    if small:
+        return level.localCheckpoint()
+    level = scoped_persist(level)
+    level.count()
+    return level
+
+
 def _kn_lower_orders(a_n, wcols, n, persist_lower=False, on_level=None):
     """The KenLM adjusted-count hierarchy below the top order: recursive
     distinct-predecessor continuation counts
@@ -476,8 +528,11 @@ def _kn_lower_orders(a_n, wcols, n, persist_lower=False, on_level=None):
     — each table keyed by gram POSITIONS n-k+1..n so every later join is
     a plain column-name equi-join.
 
-    ``persist_lower`` materializes each level with ``localCheckpoint``
-    rather than ``persist``: the lm join chain references these tables
+    ``persist_lower`` materializes each level EAGERLY, via
+    :func:`_kn_materialize` — ``localCheckpoint`` while the level's
+    plan-stats estimate is at most ``_KN_CHECKPOINT_MAX_BYTES``,
+    ``scoped_persist`` + count (lineage kept) above it: the lm join chain
+    references these tables
     ~10 times across its ctx aggregates, suffix joins and broadcast
     builds, and every ACTION's analysis re-canonicalizes a persisted
     subtree per reference (CacheManager lookup) while a checkpoint is a
@@ -505,7 +560,10 @@ def _kn_lower_orders(a_n, wcols, n, persist_lower=False, on_level=None):
         lower = a[k + 1].groupBy(*wcols[n - k:]).agg(
             F.count("*").cast("bigint").alias(f"__a{k}")
         )
-        a[k] = lower.localCheckpoint() if persist_lower else lower
+        a[k] = (
+            _kn_materialize(lower, unknown_checkpoints=True)
+            if persist_lower else lower
+        )
         if persist_lower and on_level is not None:
             on_level(k, a[k])
     return a
@@ -525,7 +583,11 @@ def _kn_hierarchy(df, n, id_col, text_col, persist_lower=False, on_level=None):
     wcols = [f"__w{i + 1}" for i in range(n)]
     grams = scoped_persist(_gram_rows(df, n, id_col, text_col))
     a_n = grams.groupBy(*wcols).agg(F.count("*").cast("bigint").alias(f"__a{n}"))
-    a_n = a_n.localCheckpoint() if persist_lower else scoped_persist(a_n)
+    # The top order is the size-gated level that actually bites: at n=5 the
+    # gram vocabulary approaches one row per corpus position, so above
+    # _KN_CHECKPOINT_MAX_BYTES it keeps lineage (persist) instead of the
+    # lineage-cutting checkpoint.
+    a_n = _kn_materialize(a_n) if persist_lower else scoped_persist(a_n)
     return grams, _kn_lower_orders(a_n, wcols, n, persist_lower, on_level), wcols
 
 
@@ -671,7 +733,11 @@ def kneser_ney_ngram_logprob(
     NULL.
 
     ``persist_lower`` (default on) materializes the whole hierarchy
-    ``a[n]..a[1]`` with eager ``localCheckpoint`` — the join chain
+    ``a[n]..a[1]`` eagerly — ``localCheckpoint`` for levels whose
+    plan-stats estimate stays within ``_KN_CHECKPOINT_MAX_BYTES`` (the
+    repo's model/vocab-size lineage rule), ``scoped_persist`` + count
+    above it so a near-corpus-sized top order keeps its lineage and can
+    spill/recompute instead of pinning executor storage — the join chain
     otherwise recomputes the lower orders from ``a[n]`` at every use (the
     r9 plan audit counted 42 exchanges with zero reuse at n=5), and a
     lazily-persisted hierarchy materializes RACING inside the final
@@ -927,11 +993,13 @@ def ngram_logprob(
         .select(F.col(id_col), F.explode(gram).alias("__g"))
         .select(id_col, *[F.col(f"__g.{w}").alias(w) for w in wcols])
     )
-    # eager localCheckpoint: the vocabulary feeds the prefix aggregate,
-    # the guard count and the lm join (see _kn_lower_orders)
-    vocab = grams.groupBy(*wcols).agg(
+    # eager materialization, size-gated like the KN hierarchy: an n-gram
+    # vocabulary approaches one row per corpus position as n grows, so
+    # above the gate it keeps lineage (see _kn_materialize); it feeds the
+    # prefix aggregate, the guard count and the lm join
+    vocab = _kn_materialize(grams.groupBy(*wcols).agg(
         F.count("*").alias("__cn")
-    ).localCheckpoint()
+    ))
     ctx = vocab.groupBy(*wcols[:-1]).agg(F.sum("__cn").alias("__cc"))
     use_broadcast = (
         broadcast_vocab_max is None or vocab.count() <= broadcast_vocab_max
@@ -1051,9 +1119,10 @@ def unigram_logprob(
             ).alias("__tok"),
         )
     )
-    # eager localCheckpoint: the vocabulary feeds the total, the guard
-    # count and the lookup join (see _kn_lower_orders)
-    vocab = toks.groupBy("__tok").agg(F.count("*").alias("__cnt")).localCheckpoint()
+    # eager materialization, size-gated like the KN hierarchy (see
+    # _kn_materialize): the vocabulary feeds the total, the guard count
+    # and the lookup join
+    vocab = _kn_materialize(toks.groupBy("__tok").agg(F.count("*").alias("__cnt")))
     use_broadcast = (
         broadcast_vocab_max is None or vocab.count() <= broadcast_vocab_max
     )

@@ -37,7 +37,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from siddhi_io_cdc_spark.util import fan_out as _fan_out
+from siddhi_io_cdc_spark.util import aqe_off, fan_out as _fan_out
 
 #: Pre-tokenization: lowercase alphabetic runs, the same word universe as
 #: :func:`text.bpe_pair_counts` (so one trainer round there matches the
@@ -132,46 +132,13 @@ def bpe_train(
     )
     # Every round reduces to ONE collected row (the argmax pair) — there
     # is nothing for AQE to adapt at any scale, but it splits each round
-    # into two jobs with a re-planning barrier. Scope it off for the loop.
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # into two jobs with a re-planning barrier. Scope it off for the loop
+    # via the shared refcounted scope (race-free across concurrent
+    # trainers).
     try:
-        merges: list[tuple[int, str, str, int]] = []
-        cur = vocab
-        pending = 0  # replaces applied since the last lineage truncation
-        for rank in range(1, n_merges + 1):
-            staged = cur.withColumn("__syms", _split_symbols(F.col("__sym"))).where(
-                F.size("__syms") >= 2
-            )
-            pairs = F.zip_with(
-                F.slice(F.col("__syms"), 1, F.size("__syms") - 1),
-                F.slice(F.col("__syms"), 2, F.size("__syms") - 1),
-                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-            )
-            # bounded collect: exactly one row (the argmax pair) per round
-            best = (
-                staged.select(F.explode(pairs).alias("__p"), "__freq")
-                .groupBy(F.col("__p.l").alias("l"), F.col("__p.r").alias("r"))
-                .agg(F.sum("__freq").cast("bigint").alias("cnt"))
-                .orderBy(F.col("cnt").desc(), "l", "r")
-                .limit(1)
-                .collect()
-            )
-            if not best:  # vocabulary fully merged before n_merges rounds
-                break
-            left, right, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
-            merges.append((rank, left, right, int(cnt)))
-            cur = cur.withColumn("__sym", _apply_merge(F.col("__sym"), left, right))
-            pending += 1
-            if pending >= checkpoint_every and rank < n_merges:
-                # Materialize the vocabulary-sized table and CUT the lineage:
-                # without this, round k's plan carries k chained replaces
-                # (quadratic plan-analysis + re-execution cost — the real
-                # binding constraint at 32k+ merges, measured in BASELINE.md).
-                cur = cur.localCheckpoint(eager=True)
-                pending = 0
+        with aqe_off(spark):
+            merges = _bpe_merge_rounds(vocab, n_merges, checkpoint_every)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         # checkpointed blocks are released by the ContextCleaner once the
         # DataFrame goes out of scope
         del vocab
@@ -179,6 +146,49 @@ def bpe_train(
         merges,
         "merge_rank bigint, left string, right string, pair_count bigint",
     )
+
+
+def _bpe_merge_rounds(
+    vocab: DataFrame, n_merges: int, checkpoint_every: int
+) -> list[tuple[int, str, str, int]]:
+    """The BPE argmax-merge loop over the checkpointed symbol table —
+    split out of :func:`bpe_train` so the AQE scope wraps exactly the
+    driver loop."""
+    merges: list[tuple[int, str, str, int]] = []
+    cur = vocab
+    pending = 0  # replaces applied since the last lineage truncation
+    for rank in range(1, n_merges + 1):
+        staged = cur.withColumn("__syms", _split_symbols(F.col("__sym"))).where(
+            F.size("__syms") >= 2
+        )
+        pairs = F.zip_with(
+            F.slice(F.col("__syms"), 1, F.size("__syms") - 1),
+            F.slice(F.col("__syms"), 2, F.size("__syms") - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        # bounded collect: exactly one row (the argmax pair) per round
+        best = (
+            staged.select(F.explode(pairs).alias("__p"), "__freq")
+            .groupBy(F.col("__p.l").alias("l"), F.col("__p.r").alias("r"))
+            .agg(F.sum("__freq").cast("bigint").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary fully merged before n_merges rounds
+            break
+        left, right, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((rank, left, right, int(cnt)))
+        cur = cur.withColumn("__sym", _apply_merge(F.col("__sym"), left, right))
+        pending += 1
+        if pending >= checkpoint_every and rank < n_merges:
+            # Materialize the vocabulary-sized table and CUT the lineage:
+            # without this, round k's plan carries k chained replaces
+            # (quadratic plan-analysis + re-execution cost — the real
+            # binding constraint at 32k+ merges, measured in BASELINE.md).
+            cur = cur.localCheckpoint(eager=True)
+            pending = 0
+    return merges
 
 
 def bpe_encode(

@@ -53,7 +53,7 @@ from siddhi_io_cdc_spark.functions.tokenizer import (
     WORD_RE,
     _split_symbols,
 )
-from siddhi_io_cdc_spark.util import fan_out as _fan_out
+from siddhi_io_cdc_spark.util import aqe_off as _aqe_off, fan_out as _fan_out
 
 #: Score for a piece absent from the vocabulary: any complete path through
 #: present pieces beats any path using one missing piece.
@@ -146,11 +146,13 @@ def viterbi_segment(
     """Append the Viterbi-best segmentation (delimited-symbol string) of
     ``word_col`` under the piece log-probs in ``vocab``.
 
-    The DP is unrolled: level ``i`` holds the best score/segmentation of
-    the word's first ``i`` characters as NAMED columns, so each level
-    references the previous by name — Catalyst keeps the tree linear and
-    the identical SQL restatement materializes one CTE per level. Words
-    longer than ``max_word_len`` bypass the DP as one OOV piece.
+    The whole DP is ONE ``aggregate()`` higher-order expression: the
+    accumulator array holds the best ``(score, segmentation)`` struct per
+    prefix length and each sequence step appends the best candidate for
+    the next prefix, so the expression tree is O(``max_piece_len``) —
+    invariant in word length — and the identical SQL restatement is the
+    same single aggregate. Words longer than ``max_word_len`` (and empty
+    words) bypass the DP as one OOV piece.
 
     ``vocab`` as a LIST attaches the piece log-probs as a literal map —
     exactly SQL-restatable, but the generated Java grows with the vocab
@@ -275,8 +277,15 @@ def viterbi_segment(
         f"array(named_struct('s', 0.0D, 'g', '')), "
         f"(acc, i) -> concat(acc, array({step})))"
     )
-    seg_sql = (  # ELSE: >max_word_len words pass through as one OOV piece
-        f"CASE WHEN length({word_col}) <= {max_word_len} "
+    # BETWEEN 1 AND max_word_len: the ELSE branch takes >max_word_len words
+    # (single OOV piece) AND empty words — length 0 would otherwise reach
+    # the aggregate, whose sequence(1, 0) is DESCENDING [1, 0] and step i=0
+    # evaluates element_at(acc, 0) → INVALID_INDEX_OF_ZERO. Engine-internal
+    # callers never pass empty words (WORD_RE matches are non-empty), but
+    # this is a public API over arbitrary word tables; '()' matches what
+    # the pre-aggregate ladder returned for them.
+    seg_sql = (
+        f"CASE WHEN length({word_col}) BETWEEN 1 AND {max_word_len} "
         f"THEN element_at({agg}, length({word_col}) + 1).g "
         f"ELSE concat('(', {word_col}, ')') END"
     )
@@ -319,10 +328,11 @@ def unigram_lm_train(
     words = word_frequencies(df, text_col, max_word_len).localCheckpoint()
     # Each round ends in a model-sized collect (≤ vocab_size rows) — AQE
     # has nothing to adapt in the loop but splits every action into extra
-    # jobs with re-planning barriers; scope it off, restore in finally.
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # jobs with re-planning barriers; scope it off via the shared
+    # refcounted scope (race-free across concurrent trainers).
     round_caches: list[DataFrame] = []
+    _scope = _aqe_off(spark)
+    _scope.__enter__()
     try:
         # Each round ends in a bounded model-sized step (the piece table IS
         # the model): with broadcast_vocab=False (default, the exact
@@ -369,7 +379,7 @@ def unigram_lm_train(
             rows, "piece string, piece_count bigint, logprob double"
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        _scope.__exit__(None, None, None)
         del words  # checkpointed blocks released by the ContextCleaner
         for c in round_caches:
             c.unpersist()

@@ -63,6 +63,42 @@ def cache_scope():
             df.unpersist()
 
 
+_AQE_LOCK = __import__("threading").Lock()
+_AQE_STATE: dict[int, tuple[int, str]] = {}  # id(session) -> (depth, saved)
+
+
+@contextlib.contextmanager
+def aqe_off(spark):
+    """Scope ``spark.sql.adaptive.enabled=false`` around a driver-side
+    training loop (the loops reduce to 1-row/model-sized actions AQE can't
+    improve but taxes with re-planning barriers), re-entrantly and
+    race-free across threads: concurrent scopes on one session share a
+    single save/restore (first entry saves the prior value, last exit
+    restores it), so two trainers can no longer race the toggle and leave
+    AQE off after both return. The conf is still SESSION-global — an
+    unrelated query PLANNED while any scope is open loses AQE for that one
+    plan. That is perf-only (results unaffected) and accepted; the engine's
+    own background threads (KN scorers) only run collects on
+    already-planned, checkpoint-leaf tables inside such windows."""
+    key = id(spark)
+    with _AQE_LOCK:
+        depth, saved = _AQE_STATE.get(key, (0, "true"))
+        if depth == 0:
+            saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _AQE_STATE[key] = (depth + 1, saved)
+    try:
+        yield
+    finally:
+        with _AQE_LOCK:
+            depth, saved = _AQE_STATE[key]
+            if depth == 1:
+                spark.conf.set("spark.sql.adaptive.enabled", saved)
+                del _AQE_STATE[key]
+            else:
+                _AQE_STATE[key] = (depth - 1, saved)
+
+
 #: Plan-stats bytes of per-slot work below which the widening shuffle is
 #: skipped: under ~128 KiB of (compressed, per plan statistics) input per
 #: core the narrow compute finishes faster than the extra stage + exchange

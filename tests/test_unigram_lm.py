@@ -281,8 +281,12 @@ def test_literal_map_forms_segment_identically(spark):
     including OOV-substring words (map misses)."""
     import math as _math
 
+    # "" pins the empty-word guard: length 0 must take the OOV branch (the
+    # aggregate's sequence(1, 0) would be DESCENDING and hit
+    # element_at(acc, 0) → INVALID_INDEX_OF_ZERO), returning '()' exactly
+    # like the pre-aggregate ladder did.
     words = spark.createDataFrame(
-        [("hello",), ("catamaran",), ("zzzz",), ("a",)], "word string"
+        [("hello",), ("catamaran",), ("zzzz",), ("a",), ("",)], "word string"
     )
     vocab = [
         ("a", -1.25), ("at", -2.5), ("cat", -0.875), ("h", -3.0),
@@ -305,4 +309,5 @@ def test_literal_map_forms_segment_identically(spark):
     finally:
         _math.isfinite = real_isfinite
     assert via_json == via_create_map
+    assert via_json[""] == "()"
     assert via_json["zzzz"] == "(z)(z)(z)(z)"
