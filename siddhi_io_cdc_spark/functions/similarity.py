@@ -740,7 +740,15 @@ def _blocked_knn_topk(
     except (TypeError, ValueError):  # "auto" or unset
         nparts = spark.sparkContext.defaultParallelism
     if salt == "auto":
-        salts = _cell_salts(corpus_cells, nparts)
+        # Eager localCheckpoint of the salt table (nlist rows — model-sized
+        # by construction, the lineage rule allows it): _cell_salts is a
+        # corpus aggregate with a nested 1-row broadcast, and leaving it
+        # lazy makes BOTH of the final plan's broadcast builds race through
+        # that corpus pass inside their build threads, with an AQE
+        # re-planning barrier per nested stage. Stored as a leaf, the two
+        # broadcast builds are instant and the corpus aggregate runs once
+        # as its own job (guide §3.3 — materialize to truncate the plan).
+        salts = _cell_salts(corpus_cells, nparts).localCheckpoint()
         salted_corpus = (
             corpus_cells.join(F.broadcast(salts), "__cell")
             .withColumn("__salt", F.pmod(F.xxhash64("neighbor_id"), F.col("__nsalt")))

@@ -107,6 +107,12 @@ def seed_pieces(
         words.select(F.explode(subs).alias("piece"), "freq")
         .groupBy("piece")
         .agg(F.sum("freq").cast("bigint").alias("piece_count"))
+        # localCheckpoint (vocab-of-substrings-sized — bounded by
+        # |word vocab| · max_word_len · max_piece_len, not the corpus):
+        # the table feeds the alphabet count, the char branch AND the
+        # ranked multi-char branch; stored once, all three read a leaf
+        # instead of re-running the substring explode over the word table.
+        .localCheckpoint()
     )
     chars = counts.where(F.length("piece") == 1)
     # bounded collect: |alphabet| is a scalar model statistic
@@ -121,14 +127,25 @@ def seed_pieces(
 
 
 def _with_logprob(counts: DataFrame) -> DataFrame:
-    """Normalize counts into 9-dp-rounded log-probs (one 1-row total)."""
-    total = counts.agg(F.sum("piece_count").cast("bigint").alias("__tot"))
-    return counts.crossJoin(F.broadcast(total)).select(
+    """Normalize counts into 9-dp-rounded log-probs.
+
+    The total enters as an unpartitioned WINDOW sum over the counts table
+    instead of a separate 1-row aggregate crossJoined back: the old shape
+    put the counts lineage in the plan TWICE (main side + broadcast-total
+    side), so each EM round's collect re-ran the Viterbi segmentation
+    pass once more than needed. One window over a single partition is
+    exactly right here because ``counts`` is the PIECE TABLE — model-sized
+    (≤ vocab budget rows) at any corpus scale. Same bigint total, same
+    division, same doubles."""
+    from pyspark.sql import Window
+
+    tot = F.sum("piece_count").over(Window.partitionBy()).cast("bigint")
+    return counts.select(
         "piece",
         "piece_count",
         F.round(
             F.log(
-                F.col("piece_count").cast("double") / F.col("__tot").cast("double")
+                F.col("piece_count").cast("double") / tot.cast("double")
             ),
             9,
         ).alias("logprob"),
@@ -417,9 +434,17 @@ def unigram_lm_encode(
         ]
     elif broadcast_vocab and not isinstance(vocab, DataFrame):
         raise ValueError("broadcast_vocab=True requires a DataFrame vocab")
+    from siddhi_io_cdc_spark.util import scoped_persist
+
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
-    pos = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.posexplode(toks).alias("pos", "word")
+    # scoped_persist: the position table feeds BOTH the distinct-word side
+    # (inside the broadcast build of the segmented words) and the join's
+    # probe side — unpersisted, the corpus tokenize+posexplode ran twice
+    # per encode (same multi-reference rule as the KN gram table).
+    pos = scoped_persist(
+        _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), F.posexplode(toks).alias("pos", "word")
+        )
     )
     distinct_words = pos.select("word").distinct()
     segged = viterbi_segment(
