@@ -26,9 +26,18 @@ from siddhi_io_cdc_spark.util import (
 )
 
 #: Corpus-side plan-stats bytes below which :func:`dedup_near` skips the
-#: measured label broadcast: a sub-64 MiB corpus shuffle is cheaper than
-#: the extra count job + blocking broadcast build the guard would add.
-_BCAST_LABELS_MIN_CORPUS = 64 * 1024 * 1024
+#: measured label broadcast: a small corpus shuffle is cheaper than the
+#: extra count job + blocking broadcast build the guard would add
+#: (measured +0.4-0.5 s at sf0.1, both A/B orders). Calibration (r16):
+#: the plan-stats estimate for a parquet-backed corpus is the COMPRESSED
+#: scan bytes, ~20-40x under the in-flight row bytes (sf0.1 documents
+#: estimate ≈1.1 MiB; sf2 ≈22 MiB vs ≈340 MiB of text) — so 4 MiB of
+#: estimate ≈ a shuffle in the hundreds of MB, where skipping the corpus
+#: exchange clearly pays for the count+broadcast. The r15 value (64 MiB)
+#: implicitly assumed uncompressed bytes and kept the gate dormant until
+#: ≈50x the series corpus; 4 MiB keeps sf0.1 on the cheap-shuffle path
+#: and engages the broadcast from ≈sf0.5 up.
+_BCAST_LABELS_MIN_CORPUS = 4 * 1024 * 1024
 
 # A large prime < 2^31 for minhash modular arithmetic (fits comfortably in
 # long multiplication without overflow of intermediates mattering — Java long
