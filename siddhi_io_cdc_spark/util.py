@@ -100,13 +100,26 @@ def aqe_off(spark):
 
 
 #: Plan-stats bytes of per-slot work below which the widening shuffle is
-#: skipped: under ~128 KiB of (compressed, per plan statistics) input per
-#: core the narrow compute finishes faster than the extra stage + exchange
-#: cost. Measured: at sf0.1 (584 KiB documents → 18 KiB/core) the always-on
-#: shuffle taxed the r7 bench ~0.4-1.3 s per text query; at sf1/sf2
-#: (180/375 KiB per core) the widening is a 10× wall-time win
-#: (gopher_quality 15.3 s → 1.5 s at sf2, BASELINE.md round-7 section).
-MIN_FAN_OUT_BYTES_PER_SLOT = 128 * 1024
+#: skipped: the narrow compute then finishes faster than the extra stage +
+#: exchange cost. Measured calibration (two rounds): at sf0.1 (584 KiB
+#: documents → 8-18 KiB/core after column pruning) the always-on shuffle
+#: taxed the r7 bench ~0.4-1.3 s per text query, so those stay narrow; at
+#: sf2 (~150 KiB/core) widening is a 10× wall-time win (gopher_quality
+#: 15.3 s → 1.5 s, BASELINE.md round-7 section). The r16 sf1 series found
+#: the old 128 KiB threshold straddled the middle: sf1's pruned estimate
+#: (2.45 MiB → 77 KiB/core) skipped the widening and serialized a ~7 s
+#: tokenize+explode onto the scan's 2 row-group partitions — slower in
+#: absolute terms than the same query at sf2 — while an explicit widening
+#: measured 6.1-10.8 s → 2.2-2.8 s (~3×, paired in-session). The estimate
+#: is COMPRESSED, COLUMN-PRUNED scan bytes, ~5-10× under the in-flight
+#: decompressed text it predicts, so 32 KiB of estimate per core ≈ a few
+#: hundred KiB of real per-core work — comfortably above the measured
+#: shuffle tax, comfortably below the measured serialization cliff.
+#: Production override: SPARK_GRAFT_FANOUT_MIN_SLOT_KIB (KiB per slot).
+MIN_FAN_OUT_BYTES_PER_SLOT = (
+    int(__import__("os").environ.get("SPARK_GRAFT_FANOUT_MIN_SLOT_KIB", "32"))
+    * 1024
+)
 
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
@@ -126,7 +139,7 @@ def _plan_size_bytes(df: DataFrame) -> int | None:
 def fan_out(
     df: DataFrame,
     num_partitions: int | None = None,
-    min_bytes_per_slot: int = MIN_FAN_OUT_BYTES_PER_SLOT,
+    min_bytes_per_slot: int | None = None,
 ) -> DataFrame:
     """Ensure CPU-heavy narrow stages actually parallelize.
 
@@ -143,8 +156,13 @@ def fan_out(
     target partition): round-robin-shuffling a few hundred KiB to 32 cores
     costs more scheduling than the narrow compute it parallelizes. Unknown
     sizes (no stats) widen as before — the conservative choice for the
-    scale this engine targets.
+    scale this engine targets. ``min_bytes_per_slot=None`` (default) reads
+    ``MIN_FAN_OUT_BYTES_PER_SLOT`` at CALL time, so the threshold stays
+    env-tunable (a definition-time default froze the constant into the
+    signature and silently ignored overrides).
     """
+    if min_bytes_per_slot is None:
+        min_bytes_per_slot = MIN_FAN_OUT_BYTES_PER_SLOT
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     size = _plan_size_bytes(df)
     if size is not None and size < parts * min_bytes_per_slot:

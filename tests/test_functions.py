@@ -963,6 +963,31 @@ def test_fan_out_skips_small_inputs_and_widens_large(spark, tmp_path):
     assert forced.rdd.getNumPartitions() == parts
 
 
+def test_fan_out_threshold_resolves_at_call_time(spark, tmp_path, monkeypatch):
+    """The default gate must read MIN_FAN_OUT_BYTES_PER_SLOT when CALLED,
+    not when the function was defined: a definition-time default froze the
+    constant into the signature, so the env override
+    (SPARK_GRAFT_FANOUT_MIN_SLOT_KIB) and any runtime recalibration were
+    silently ignored (found in r16 — the r16 sf1 A/B harness patched the
+    module constant to no effect)."""
+    from pyspark.sql import functions as F
+
+    import siddhi_io_cdc_spark.util as U
+    from siddhi_io_cdc_spark.util import fan_out
+
+    parts = spark.sparkContext.defaultParallelism * 4
+    path = str(tmp_path / "mid")
+    spark.range(2000).withColumn(
+        "text", F.concat(F.lit("y" * 64), F.col("id").cast("string"))
+    ).coalesce(1).write.option("compression", "none").parquet(path)
+    mid = spark.read.parquet(path)  # ~140 KB: between tiny and huge
+
+    monkeypatch.setattr(U, "MIN_FAN_OUT_BYTES_PER_SLOT", 1 << 40)
+    assert fan_out(mid, num_partitions=parts) is mid  # gate reads the patch
+    monkeypatch.setattr(U, "MIN_FAN_OUT_BYTES_PER_SLOT", 1)
+    assert fan_out(mid, num_partitions=parts).rdd.getNumPartitions() == parts
+
+
 def test_knn_join_exact_is_centroid_independent(spark, sf_dir):
     """nprobe == nlist makes the cell-blocked kNN join exact: every query
     probes every cell, the candidate set is the whole corpus, and the
