@@ -36,6 +36,11 @@ DEFAULT_QUERIES = [
     "llm_semantic_dedup_numpy",
     # round-9 newcomer
     "llm_kneser_ney_5gram",
+    # r16 additions (VERDICT r15 ask #2): the rest of the KN family and
+    # the unigram-LM rows — every operator the r15/r16 optimization
+    # rounds touched now has a measured scale point on the same HEAD.
+    "llm_kneser_ney", "llm_modified_kneser_ney",
+    "llm_unigram_lm", "llm_unigram_encode",
 ]
 
 
